@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from intellect_bi_spark.registry import QUERIES  # noqa: E402
+from intellect_bi_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "revenue_by_region",
+    "orders_by_status",
+    "kpi_overview",
+    "top_products_under_30",
+    "region_trends_monthly",
+    "mom_growth_top_month",
+    "yoy_quarter",
+    "region_divergence",
+    "corr_sales_satisfaction",
+    "sales_daily",
+    "last_two_quarters_satisfaction",
+    "region_quarter_delta",
+    "events_rolling_7d",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("intellect_bi_spark_bench")
+
+    # Warm the JVM/session with a trivial action so JIT/session startup cost
+    # isn't attributed to the first query.
+    spark.range(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

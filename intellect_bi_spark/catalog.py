@@ -1,0 +1,154 @@
+"""Table catalog: the TPC-H-ish fixture tables plus the derived ``sales`` view.
+
+The reference engine computes over one canonical ``sales`` fact table
+(reference api/main.py:179-235 builds it as a normalized DuckDB view; schema
+documented at api/main.py:182-185: date, product, region, sales, age, gender,
+satisfaction).  The driver fixtures are a TPC-H-ish star schema, so we derive
+a reference-shaped ``sales`` view from lineitem⋈part⋈supplier⋈nation⋈region
+with deterministic arithmetic — the SAME SQL text runs in Spark and in the
+DuckDB oracle, so parity is by construction.
+
+Scale notes (100 TB design): the view is a star join on the fact table;
+``part``/``supplier``/``nation``/``region`` are dimension tables that Spark
+auto-broadcasts (AQE dynamic broadcast under the threshold; the explicit
+hint below makes it unconditional).  The fact scan prunes columns via
+Catalyst — queries over the view only read the lineitem columns they use.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import tune_session
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Deterministic reference-shaped fact view (api/main.py:182-185 schema).
+# ANSI SQL, valid in both Spark SQL and DuckDB. Synthetic age / gender /
+# satisfaction are pure integer arithmetic on keys => identical in both
+# engines; satisfaction has NULLs to exercise IS NOT NULL paths
+# (reference api/main.py:1115). All doubles carry exactly 2 decimal digits
+# so DECIMAL-based aggregation (functions/numeric.py) is lossless.
+#
+# Year-granularity trends (FIXTURES.md coverage note: "at least one region
+# whose sales trend up while satisfaction trends down"): North and East get
+# sales +500/yr and satisfaction −0.05/yr; every other region gets
+# satisfaction +0.05/yr — so the region-divergence query deterministically
+# returns {North, East} at every scale factor.
+SALES_SELECT_SQL = """
+SELECT
+  CAST(l.l_shipdate AS DATE)                                    AS date,
+  p.p_brand                                                     AS product,
+  CASE r.r_name
+    WHEN 'AFRICA' THEN 'North'
+    WHEN 'AMERICA' THEN 'South'
+    WHEN 'ASIA' THEN 'East'
+    WHEN 'EUROPE' THEN 'West'
+    ELSE 'Central'
+  END                                                           AS region,
+  l.l_extendedprice
+    + CAST((EXTRACT(YEAR FROM l.l_shipdate) - 1995) * 500
+           * (CASE WHEN r.r_name IN ('AFRICA', 'ASIA') THEN 1 ELSE 0 END)
+           AS DOUBLE)                                           AS sales,
+  CAST(18 + (l.l_partkey % 48) AS INT)                          AS age,
+  CASE WHEN l.l_suppkey % 2 = 0 THEN 'Male' ELSE 'Female' END   AS gender,
+  CASE WHEN l.l_orderkey % 7 = 0 THEN CAST(NULL AS DOUBLE)
+       ELSE CAST(1.5 + CAST(l.l_orderkey % 201 AS DOUBLE) / 100.0
+                 + CAST((EXTRACT(YEAR FROM l.l_shipdate) - 1995)
+                        * (CASE WHEN r.r_name IN ('AFRICA', 'ASIA')
+                           THEN -5 ELSE 5 END) AS DOUBLE) / 100.0
+            AS DOUBLE)
+  END                                                           AS satisfaction
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+"""
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture parquet and register temp views named after tables.
+
+    Idempotent and cheap (lazy scans). At 100 TB the same call points at a
+    partitioned table root; partition pruning and predicate pushdown apply
+    unchanged because all downstream plans are declarative.
+    """
+    tune_session(spark)
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        dfs[name] = _read_table(spark, sf_dir, name)
+        dfs[name].createOrReplaceTempView(name)
+    return dfs
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Native parquet scan (pushdown/pruning intact), tolerating NANOS
+    timestamps, which Spark's reader rejects by default: read them as BIGINT
+    (``nanosAsLong``) and convert to microsecond timestamps in-plan —
+    matching DuckDB's ns→µs truncation."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F  # local import: keep module light
+
+    for field in ns_cols:
+        df = df.withColumn(
+            field, F.timestamp_micros(F.expr(f"`{field}` DIV 1000"))
+        )
+    return df
+
+
+def _nanos_columns(path: str) -> list[str]:
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    df = _read_table(spark, sf_dir, name)
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference-shaped ``sales`` fact view (see module docstring).
+
+    Dimensions are broadcast: at any scale factor part/supplier/nation/region
+    are tiny relative to lineitem, so the star join is four broadcast-hash
+    joins with zero shuffle of the fact table.
+    """
+    load_tables(spark, sf_dir)
+    df = spark.sql(
+        # Broadcast hint on all dimension sides; fact table streams through.
+        SALES_SELECT_SQL.replace(
+            "SELECT", "SELECT /*+ BROADCAST(p, s, n, r) */", 1
+        )
+    )
+    df.createOrReplaceTempView("sales")
+    return df
+
+
+def sales_cte(body: str) -> str:
+    """Wrap an oracle query body with the shared ``sales`` view as a CTE."""
+    return f"WITH sales AS ({SALES_SELECT_SQL})\n{body}"

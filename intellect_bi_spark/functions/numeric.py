@@ -1,0 +1,112 @@
+"""Order-independent numeric aggregation helpers.
+
+Spark computes partial aggregates per partition and merges them in a
+nondeterministic order; DuckDB accumulates in its own order. Double addition
+is not associative, so ``SUM(double)`` differs in the low bits between the
+two engines (and between Spark runs with different partitioning). The
+reference never faced this (single-threaded DuckDB), but our correctness
+gate hash-compares values, and our engine must also give run-to-run stable
+results on a real cluster.
+
+Fix: aggregate in DECIMAL (exact, associative), cast the exact sum to
+DOUBLE, and perform any remaining scalar math (mean / correlation /
+regression slope) as deterministic IEEE double ops on those exact sums.
+All fixture money columns carry ≤2 decimal digits, products of two such
+columns ≤4, of three ≤6 — so DECIMAL(38, s) with s∈{2,4,6} is lossless.
+
+Each helper emits ONE SQL expression string used verbatim by both the Spark
+query (``F.expr``) and the DuckDB oracle, so the expression tree — and hence
+every rounding step — is identical by construction.
+
+This replaces the reference's ad-hoc ``round(x, 6)`` parity hack
+(reference api/main.py:1053) with exact arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dsum_sql(expr: str, scale: int = 2) -> str:
+    """Exact SUM of a ≤`scale`-decimal double expression, as DOUBLE.
+
+    The decimal→double cast is done in two parts — integer part and
+    fractional part — because engines disagree by 1 ulp when casting a
+    decimal whose raw unscaled value exceeds 2^53 (DuckDB computes
+    int128/10^scale with two roundings; Java BigDecimal rounds once).
+    FLOOR(S) stays < 2^53 for any realistic aggregate, so its cast is
+    exact, and the fraction < 1 casts deterministically.
+    """
+    s = f"SUM(CAST(({expr}) AS DECIMAL(38,{scale})))"
+    return (
+        f"(CAST(FLOOR({s}) AS DOUBLE)"
+        f" + CAST({s} - FLOOR({s}) AS DOUBLE))"
+    )
+
+
+def davg_sql(expr: str, scale: int = 2) -> str:
+    """Exact-sum mean: decimal sum cast to double, divided by the count."""
+    return f"({dsum_sql(expr, scale)} / COUNT({expr}))"
+
+
+def _pairwise(x: str, y: str) -> tuple[str, str, str]:
+    """Null-safe pair projections: both terms NULL unless BOTH are non-null."""
+    both = f"(({x}) IS NOT NULL AND ({y}) IS NOT NULL)"
+    xn = f"(CASE WHEN {both} THEN ({x}) END)"
+    yn = f"(CASE WHEN {both} THEN ({y}) END)"
+    n = f"CAST(COUNT(CASE WHEN {both} THEN 1 END) AS DOUBLE)"
+    return xn, yn, n
+
+
+def corr_sql(x: str, y: str, scale: int = 6) -> str:
+    """Pearson correlation from exact decimal moments (reference A5,
+    api/main.py:447 ``corr(txn_value, satisfaction)``).
+
+    corr = (n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx²)(n·Σyy − Σy²)),
+    every Σ exact over pairwise-complete rows, the outer arithmetic
+    deterministic double ops.
+    """
+    xn, yn, n = _pairwise(x, y)
+    sx = dsum_sql(xn, scale)
+    sy = dsum_sql(yn, scale)
+    sxy = dsum_sql(f"{xn} * {yn}", scale)
+    sxx = dsum_sql(f"{xn} * {xn}", scale)
+    syy = dsum_sql(f"{yn} * {yn}", scale)
+    return (
+        f"(({n} * {sxy} - {sx} * {sy}) / "
+        f"SQRT(({n} * {sxx} - {sx} * {sx}) * ({n} * {syy} - {sy} * {sy})))"
+    )
+
+
+def slope_sql(x: str, y: str, scale: int = 6) -> str:
+    """Least-squares slope of y on x from exact decimal moments
+    (reference A6, api/main.py:705-706 ``regr_slope``).
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²), Σ over pairwise-complete rows.
+    """
+    xn, yn, n = _pairwise(x, y)
+    sx = dsum_sql(xn, scale)
+    sy = dsum_sql(yn, scale)
+    sxy = dsum_sql(f"{xn} * {yn}", scale)
+    sxx = dsum_sql(f"{xn} * {xn}", scale)
+    return f"(({n} * {sxy} - {sx} * {sy}) / ({n} * {sxx} - {sx} * {sx}))"
+
+
+# ---- Spark Column variants (same expression text via F.expr) ----------------
+
+
+def dsum(expr: str, scale: int = 2) -> Column:
+    return F.expr(dsum_sql(expr, scale))
+
+
+def davg(expr: str, scale: int = 2) -> Column:
+    return F.expr(davg_sql(expr, scale))
+
+
+def corr_exact(x: str, y: str, scale: int = 6) -> Column:
+    return F.expr(corr_sql(x, y, scale))
+
+
+def slope_exact(x: str, y: str, scale: int = 6) -> Column:
+    return F.expr(slope_sql(x, y, scale))

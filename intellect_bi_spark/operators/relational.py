@@ -1,0 +1,147 @@
+"""Core relational operators over the raw fixture tables (SURVEY.md §2).
+
+These exercise the engine's scan/filter/join/aggregate/window/sort surface
+on the TPC-H-ish star schema directly (the ``sales``-view queries in
+`sales_queries` cover the reference's concrete shapes). Plans are
+declarative DataFrame ops → Catalyst gets predicate pushdown, column
+pruning, and join selection for free; dimension joins are broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions.numeric import davg_sql, dsum, dsum_sql
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (flagship; A1,A2,A3,A7,A11,P5,F6).
+
+    Single scan of lineitem; hash-aggregate with map-side partials; the
+    date filter and 7-column projection push down to the parquet scan.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum("l_extendedprice * (1 - l_discount)", 4).alias(
+                "sum_disc_price"
+            ),
+            dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6).alias(
+                "sum_charge"
+            ),
+            F.expr(davg_sql("l_quantity")).alias("avg_qty"),
+            F.expr(davg_sql("l_extendedprice")).alias("avg_price"),
+            F.expr(davg_sql("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: lineitem ⋈ supplier ⋈ nation ⋈ region, revenue per region.
+
+    All three dimension sides broadcast — the 100 TB fact table never
+    shuffles; partial aggregation reduces each task's output to ≤5 rows.
+    """
+    t = load_tables(spark, sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            dsum("l_extendedprice * (1 - l_discount)", 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dim group-by with multi-metric agg (A7,A11) + count distinct."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        dsum("o_totalprice").alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event value + 7-day rolling mean (W3, reference
+    api/analytics.py:80 ``rolling(7, min_periods=1).mean()``).
+
+    The rolling frame is computed with an exact decimal windowed SUM so the
+    result is identical across engines and partitionings.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.expr(dsum_sql("value")).alias("daily_value"))
+    rolling = (
+        "CAST(SUM(CAST(daily_value AS DECIMAL(38,2))) OVER "
+        "(ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)"
+        " / COUNT(daily_value) OVER "
+        "(ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+    )
+    return daily.withColumn("ma7", F.expr(rolling))
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "revenue_by_region": revenue_by_region,
+    "orders_by_status": orders_by_status,
+    "events_rolling_7d": events_rolling_7d,
+}
+
+ORACLES = {
+    "q1_pricing_summary": (
+        f"SELECT l_returnflag, l_linestatus,"
+        f" {dsum_sql('l_quantity')} AS sum_qty,"
+        f" {dsum_sql('l_extendedprice')} AS sum_base_price,"
+        f" {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,"
+        f" {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,"
+        f" {davg_sql('l_quantity')} AS avg_qty,"
+        f" {davg_sql('l_extendedprice')} AS avg_price,"
+        f" {davg_sql('l_discount')} AS avg_disc,"
+        f" COUNT(*) AS count_order"
+        f" FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'"
+        f" GROUP BY l_returnflag, l_linestatus"
+        f" ORDER BY l_returnflag, l_linestatus"
+    ),
+    "revenue_by_region": (
+        f"SELECT r_name AS region_name,"
+        f" {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,"
+        f" COUNT(*) AS n_lineitems"
+        f" FROM lineitem"
+        f" JOIN supplier ON l_suppkey = s_suppkey"
+        f" JOIN nation ON s_nationkey = n_nationkey"
+        f" JOIN region ON n_regionkey = r_regionkey"
+        f" GROUP BY r_name"
+    ),
+    "orders_by_status": (
+        f"SELECT o_orderstatus, o_orderpriority,"
+        f" {dsum_sql('o_totalprice')} AS total_price,"
+        f" COUNT(*) AS n_orders,"
+        f" COUNT(DISTINCT o_custkey) AS n_customers"
+        f" FROM orders GROUP BY o_orderstatus, o_orderpriority"
+    ),
+    "events_rolling_7d": (
+        f"WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,"
+        f" {dsum_sql('value')} AS daily_value FROM events GROUP BY 1)"
+        f" SELECT day, daily_value,"
+        f" CAST(SUM(CAST(daily_value AS DECIMAL(38,2))) OVER"
+        f" (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)"
+        f" / COUNT(daily_value) OVER"
+        f" (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7"
+        f" FROM daily"
+    ),
+}

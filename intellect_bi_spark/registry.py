@@ -1,0 +1,25 @@
+"""Query registry: merges every operator module's QUERIES / ORACLES.
+
+This is the engine's public contract (`__spark_entry__.py` re-exports it):
+one named declarative query per implemented SURVEY.md §2 operator, each with
+a DuckDB oracle unless genuinely non-SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import relational, sales_queries
+
+_MODULES = (relational, sales_queries)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+for _mod in _MODULES:
+    for _name, _fn in _mod.QUERIES.items():
+        assert _name not in QUERIES, f"duplicate query name: {_name}"
+        QUERIES[_name] = _fn
+    ORACLES.update(getattr(_mod, "ORACLES", {}))
