@@ -43,9 +43,10 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark("intellect_bi_spark_bench")
 
-    # Warm the JVM/session with a trivial action so JIT/session startup cost
-    # isn't attributed to the first query.
-    spark.range(1).collect()
+    # Warm the JVM/session (JIT, codegen, parquet reader init) with a real
+    # query at the smallest scale so startup cost isn't attributed to the
+    # first timed query.
+    QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
