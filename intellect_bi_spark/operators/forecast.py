@@ -1,0 +1,271 @@
+"""Time-series forecasting operators (SURVEY §2.10, T1-T5).
+
+Reference semantics (reference api/main.py:862-915 ``_compute_forecast_from_
+hist``): input is the daily ``SUM(sales)`` series (api/main.py:917-924);
+horizon h clamped to [1,365], window to [1,len] (api/main.py:877-878);
+three models:
+
+- T1 ``ma7_baseline``: flat forecast = mean of last ``window`` points
+- T2 ``seasonal7``:   value at t = value at t−7, rolled forward recursively
+  (requires ≥7 points) — closed form: forecast[i] = last7[(i−1) mod 7]
+- T3 ``drift``:       slope = (yT − y0)/(w−1); ŷ(t+i) = yT + slope·i
+  (requires ≥2 points)
+
+Spark-first design: the daily aggregation is distributed (exact decimal
+sums); only the *seed scalars* (last date, yT, y0, window mean, last-7
+values) cross to the driver — tiny post-aggregation state at any source
+scale, exactly as the reference's collected series is. Forecast rows are
+generated with pure IEEE double arithmetic that the DuckDB oracle mirrors
+term by term, so results are engine-identical.
+
+T5 payload: history ∪ forecast tagged by a ``series`` column
+(reference api/main.py:927-961).
+
+The grouped variant (``drift_by_region``) is the 100 TB path: one forecast
+per key via closed-form window aggregates — fully distributed, no driver
+loop, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, Row, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import sales, sales_cte
+from ..functions.numeric import dsum_sql
+
+_FORECAST_SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType(), False),
+        T.StructField("date", T.DateType(), False),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(date, value) daily SUM(sales), the forecaster input
+    (reference api/main.py:917-924)."""
+    return (
+        sales(spark, sf_dir)
+        .groupBy("date")
+        .agg(F.expr(dsum_sql("sales")).alias("value"))
+    )
+
+
+def _clamp(h: int, window: int, n: int) -> tuple[int, int]:
+    """Reference clamps (api/main.py:877-878)."""
+    return max(1, min(int(h), 365)), max(1, min(int(window), n))
+
+
+def _forecast_rows(
+    spark: SparkSession, sf_dir: str, h: int, algo: str, window: int
+) -> list[Row]:
+    """Compute forecast rows from distributed seed statistics."""
+    daily = daily_series(spark, sf_dir)
+    w_desc = Window.orderBy(F.desc("date"))
+    ranked = daily.withColumn("rn", F.row_number().over(w_desc))
+
+    n = daily.count()
+    if n == 0:
+        return []
+    h, window = _clamp(h, window, n)
+    last_date = daily.agg(F.max("date")).first()[0]
+
+    out: list[Row] = []
+    if algo == "seasonal7":
+        if n < 7:
+            raise ValueError("Need >= 7 history points for seasonal7")
+        # last 7 values in date order; forecast cycles them
+        last7 = [
+            r["value"]
+            for r in ranked.filter(F.col("rn") <= 7)
+            .orderBy("date")
+            .collect()
+        ]
+        for i in range(1, h + 1):
+            out.append(
+                Row(
+                    series="forecast",
+                    date=last_date + datetime.timedelta(days=i),
+                    value=float(last7[(i - 1) % 7]),
+                )
+            )
+    elif algo == "drift":
+        if n < 2:
+            raise ValueError("Need >= 2 history points for drift")
+        seeds = ranked.filter(F.col("rn").isin(1, window)).orderBy(
+            F.desc("rn")
+        )
+        vals = [r["value"] for r in seeds.collect()]
+        y0, y_t = (vals[0], vals[-1]) if len(vals) == 2 else (vals[0], vals[0])
+        t_div = window - 1 if window > 1 else 1
+        slope = (y_t - y0) / t_div
+        for i in range(1, h + 1):
+            out.append(
+                Row(
+                    series="forecast",
+                    date=last_date + datetime.timedelta(days=i),
+                    value=y_t + slope * i,
+                )
+            )
+    else:  # ma7_baseline: flat mean of last `window` points
+        base = (
+            ranked.filter(F.col("rn") <= window)
+            .agg(
+                (
+                    F.expr(dsum_sql("value")) / F.count(F.lit(1))
+                ).alias("base")
+            )
+            .first()["base"]
+        )
+        for i in range(1, h + 1):
+            out.append(
+                Row(
+                    series="forecast",
+                    date=last_date + datetime.timedelta(days=i),
+                    value=float(base),
+                )
+            )
+    return out
+
+
+def forecast_payload(
+    spark: SparkSession,
+    sf_dir: str,
+    h: int = 30,
+    algo: str = "ma7_baseline",
+    window: int = 7,
+) -> DataFrame:
+    """History ∪ forecast payload (T5, reference api/main.py:927-961)."""
+    hist = daily_series(spark, sf_dir).select(
+        F.lit("history").alias("series"), F.col("date"), F.col("value")
+    )
+    rows = _forecast_rows(spark, sf_dir, h, algo, window)
+    fc = spark.createDataFrame(rows, schema=_FORECAST_SCHEMA)
+    return hist.unionAll(fc)
+
+
+def forecast_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return forecast_payload(spark, sf_dir, h=30, algo="ma7_baseline", window=7)
+
+
+def forecast_seasonal7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return forecast_payload(spark, sf_dir, h=30, algo="seasonal7", window=7)
+
+
+def forecast_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return forecast_payload(spark, sf_dir, h=30, algo="drift", window=14)
+
+
+def drift_by_region(spark: SparkSession, sf_dir: str, h: int = 14) -> DataFrame:
+    """Per-key drift forecast, fully distributed (the 100 TB growth path).
+
+    Closed-form per group: window functions pick y0/yT of the last-w daily
+    points per region; a ``sequence`` explode generates the horizon — no
+    driver loop, no Python UDF, shuffles only on the (tiny) group keys.
+    """
+    window = 14
+    daily = (
+        sales(spark, sf_dir)
+        .groupBy("region", "date")
+        .agg(F.expr(dsum_sql("sales")).alias("value"))
+    )
+    w_desc = Window.partitionBy("region").orderBy(F.desc("date"))
+    ranked = daily.withColumn("rn", F.row_number().over(w_desc))
+    seeds = (
+        ranked.filter(F.col("rn").isin(1, window))
+        .groupBy("region")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("y_t"),
+            F.max(F.when(F.col("rn") == 1, F.col("date"))).alias("last_date"),
+            F.max(F.when(F.col("rn") == window, F.col("value"))).alias("y0"),
+        )
+        .withColumn(
+            "slope", (F.col("y_t") - F.col("y0")) / F.lit(window - 1)
+        )
+    )
+    return seeds.select(
+        "region",
+        F.explode(F.sequence(F.lit(1), F.lit(h))).alias("i"),
+        "last_date",
+        "y_t",
+        "slope",
+    ).select(
+        "region",
+        F.date_add("last_date", F.col("i")).alias("date"),
+        (F.col("y_t") + F.col("slope") * F.col("i")).alias("value"),
+    )
+
+
+QUERIES = {
+    "forecast_ma": forecast_ma,
+    "forecast_seasonal7": forecast_seasonal7,
+    "forecast_drift": forecast_drift,
+    "forecast_drift_by_region": drift_by_region,
+}
+
+
+def _daily_cte() -> str:
+    return (
+        f", daily AS (SELECT date, {dsum_sql('sales')} AS value"
+        f" FROM sales GROUP BY date)"
+        f", ranked AS (SELECT date, value,"
+        f" ROW_NUMBER() OVER (ORDER BY date DESC) AS rn FROM daily)"
+        f", last_d AS (SELECT MAX(date) AS last_date FROM daily)"
+    )
+
+
+_HIST = "SELECT 'history' AS series, date, value FROM daily"
+
+
+ORACLES = {
+    "forecast_ma": sales_cte(
+        _daily_cte()
+        + f", base AS (SELECT {dsum_sql('value')} / COUNT(value) AS b"
+        f" FROM ranked WHERE rn <= 7)"
+        f" {_HIST}"
+        f" UNION ALL"
+        f" SELECT 'forecast', last_date + CAST(i AS INT), CAST(b AS DOUBLE)"
+        f" FROM last_d, base, generate_series(1, 30) AS t(i)"
+    ),
+    "forecast_seasonal7": sales_cte(
+        _daily_cte()
+        + " , last7 AS (SELECT value,"
+        " ROW_NUMBER() OVER (ORDER BY date) AS k FROM ranked WHERE rn <= 7)"
+        f" {_HIST}"
+        f" UNION ALL"
+        f" SELECT 'forecast', last_date + CAST(i AS INT), value"
+        f" FROM last_d, generate_series(1, 30) AS t(i)"
+        f" JOIN last7 ON last7.k = ((i - 1) % 7) + 1"
+    ),
+    "forecast_drift": sales_cte(
+        _daily_cte()
+        + " , seeds AS (SELECT"
+        " MAX(CASE WHEN rn = 1 THEN value END) AS y_t,"
+        " MAX(CASE WHEN rn = 14 THEN value END) AS y0"
+        " FROM ranked)"
+        f" {_HIST}"
+        f" UNION ALL"
+        f" SELECT 'forecast', last_date + CAST(i AS INT),"
+        f" y_t + ((y_t - y0) / 13) * i"
+        f" FROM last_d, seeds, generate_series(1, 30) AS t(i)"
+    ),
+    "forecast_drift_by_region": sales_cte(
+        f", daily AS (SELECT region, date, {dsum_sql('sales')} AS value"
+        f" FROM sales GROUP BY region, date)"
+        f", ranked AS (SELECT region, date, value, ROW_NUMBER() OVER"
+        f" (PARTITION BY region ORDER BY date DESC) AS rn FROM daily)"
+        f", seeds AS (SELECT region,"
+        f" MAX(CASE WHEN rn = 1 THEN value END) AS y_t,"
+        f" MAX(CASE WHEN rn = 1 THEN date END) AS last_date,"
+        f" MAX(CASE WHEN rn = 14 THEN value END) AS y0"
+        f" FROM ranked GROUP BY region)"
+        f" SELECT region, last_date + CAST(i AS INT) AS date,"
+        f" y_t + ((y_t - y0) / 13) * i AS value"
+        f" FROM seeds, generate_series(1, 14) AS t(i)"
+    ),
+}

@@ -11,9 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import inventory, nl_queries, relational, sales_queries
+from .operators import forecast, inventory, nl_queries, relational, sales_queries
 
-_MODULES = (inventory, nl_queries, relational, sales_queries)
+_MODULES = (forecast, inventory, nl_queries, relational, sales_queries)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

@@ -1,0 +1,66 @@
+"""Forecast operator unit tests: reference guard/clamp semantics
+(reference api/main.py:862-915) beyond the oracle-parity checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from intellect_bi_spark.operators.forecast import (
+    _clamp,
+    daily_series,
+    forecast_payload,
+)
+
+
+def test_clamps():
+    assert _clamp(1000, 7, 100) == (365, 7)
+    assert _clamp(0, 0, 100) == (1, 1)
+    assert _clamp(30, 99, 10) == (30, 10)
+
+
+def test_payload_shape(spark, sf_dir):
+    df = forecast_payload(spark, sf_dir, h=5, algo="ma7_baseline", window=7)
+    assert df.columns == ["series", "date", "value"]
+    counts = {
+        r["series"]: r["n"]
+        for r in df.groupBy("series").agg(F.count("*").alias("n")).collect()
+    }
+    n_hist = daily_series(spark, sf_dir).count()
+    assert counts == {"history": n_hist, "forecast": 5}
+
+
+def test_ma_forecast_is_flat(spark, sf_dir):
+    df = forecast_payload(spark, sf_dir, h=10, algo="ma7_baseline", window=7)
+    vals = [
+        r["value"]
+        for r in df.filter(F.col("series") == "forecast").collect()
+    ]
+    assert len(set(vals)) == 1
+
+
+def test_seasonal7_cycles(spark, sf_dir):
+    df = forecast_payload(spark, sf_dir, h=14, algo="seasonal7", window=7)
+    fc = (
+        df.filter(F.col("series") == "forecast").orderBy("date").collect()
+    )
+    first_week = [r["value"] for r in fc[:7]]
+    second_week = [r["value"] for r in fc[7:14]]
+    assert first_week == second_week
+    # cycle equals the last 7 history values in date order
+    hist = (
+        df.filter(F.col("series") == "history").orderBy("date").collect()
+    )
+    assert first_week == [r["value"] for r in hist[-7:]]
+
+
+def test_drift_is_linear(spark, sf_dir):
+    df = forecast_payload(spark, sf_dir, h=6, algo="drift", window=14)
+    fc = [
+        r["value"]
+        for r in df.filter(F.col("series") == "forecast")
+        .orderBy("date")
+        .collect()
+    ]
+    diffs = {round(b - a, 6) for a, b in zip(fc, fc[1:])}
+    assert len(diffs) == 1  # constant slope
