@@ -1,0 +1,262 @@
+"""Text analysis + chunking operators over the ``documents`` table.
+
+The reference's deterministic document dataflow (SURVEY §2.11): whitespace
+normalization (R2, reference api/ingest_docs.py:47), fixed-size chunking
+with overlap (R3, api/ingest_docs.py:50-61 / etl/index_docs.py:34-46), plus
+the LLM-data-pipeline text analysis the charter adds: token counting,
+quality scoring, language-ID heuristic, and document fingerprinting.
+
+Everything is built-in Spark SQL functions (codegen'd, no Python UDFs);
+each query has a DuckDB oracle computing the identical expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions.text import char_hash_duck, char_hash_expr
+
+CHUNK_SIZE = 120
+CHUNK_STEP = 100  # size 120, overlap 20 → slide 100 (etl variant: trailing
+# short chunk allowed; reference etl/index_docs.py:34-46)
+
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    # tiny per-language marker lists for the n-gram/stopword langid heuristic
+    "de": ("der", "die", "und", "nicht", "das"),
+    "en": ("the", "and", "of", "is", "with"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: whitespace normalization (reference api/ingest_docs.py:47
+    ``" ".join(text.split())``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace("text", r"\s+", " ")).alias("text"),
+        "lang",
+        "source",
+    )
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: fixed-size chunking with overlap as sequence→explode (the
+    UDTF-style chunker; reference etl/index_docs.py:34-46 semantics —
+    slide = size − overlap, trailing short chunk kept)."""
+    docs = normalize_text(spark, sf_dir)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length("text") - 1, F.lit(0)),
+        F.lit(CHUNK_STEP),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(starts).alias("chunk_start"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.expr(f"substr(text, chunk_start + 1, {CHUNK_SIZE})").alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) + char stats per document."""
+    docs = normalize_text(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks)
+        ).alias("distinct_ratio"),
+    )
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / stopword-ratio / repetition signals
+    combined into a deterministic [0,1]-ish score."""
+    docs = normalize_text(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    stop_ratio = n_stop.cast("double") / n_tok
+    length_score = F.least(
+        F.length("text").cast("double") / F.lit(200.0), F.lit(1.0)
+    )
+    score = (
+        F.lit(0.5) * distinct_ratio
+        + F.lit(0.3) * length_score
+        + F.lit(0.2) * (F.lit(1.0) - stop_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        score.alias("quality"),
+    )
+
+
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID: marker-token hit counts per language, argmax with
+    alphabetical tie-break; emits predicted language + per-lang scores."""
+    docs = normalize_text(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    def _marker_counter(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {
+        lang: _marker_counter(markers)
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    df = docs.select("doc_id", F.col("lang").alias("labeled_lang"), *[
+        c.alias(f"score_{lang}") for lang, c in scores.items()
+    ])
+    # argmax with alphabetical tie-break via greatest over encoded pairs:
+    # encode as score * 8 + lang_rank (ranks descending alphabetically so
+    # ties pick the alphabetically-first language)
+    langs = sorted(LANG_MARKERS)
+    encoded = [
+        (F.col(f"score_{lang}") * 8 + F.lit(len(langs) - 1 - i)).alias(
+            f"enc_{lang}"
+        )
+        for i, lang in enumerate(langs)
+    ]
+    df = df.select("*", *encoded)
+    best = F.greatest(*[F.col(f"enc_{lang}") for lang in langs])
+    pred = None
+    for i, lang in enumerate(langs):
+        cond = F.col(f"enc_{lang}") == best
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return df.select(
+        "doc_id",
+        "labeled_lang",
+        *[f"score_{lang}" for lang in langs],
+        pred.alias("predicted_lang"),
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: polynomial rolling hash of the normalized
+    text (engine-portable; see functions/text.py)."""
+    docs = normalize_text(spark, sf_dir)
+    return docs.select(
+        "doc_id", char_hash_expr("text").alias("fingerprint")
+    )
+
+
+QUERIES = {
+    "chunk_documents": chunk_documents,
+    "text_token_stats": token_stats,
+    "text_quality_scores": quality_scores,
+    "text_langid": langid_heuristic,
+    "doc_fingerprints": doc_fingerprints,
+}
+
+_NORM = (
+    "norm AS (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+    " AS text, lang, source FROM documents)"
+)
+
+
+def _langid_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_cols = ", ".join(
+        "CAST(len(list_filter(ws, t -> t IN ({}))) AS INT) AS score_{}".format(
+            ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    enc_cols = ", ".join(
+        f"score_{lang} * 8 + {len(langs) - 1 - i} AS enc_{lang}"
+        for i, lang in enumerate(langs)
+    )
+    best = "greatest({})".format(
+        ", ".join(f"enc_{lang}" for lang in langs)
+    )
+    pred = "CASE " + " ".join(
+        f"WHEN enc_{lang} = best THEN '{lang}'" for lang in langs
+    ) + " END"
+    scores = ", ".join(f"score_{lang}" for lang in langs)
+    return (
+        f"WITH {_NORM},"
+        f" t AS (SELECT doc_id, lang AS labeled_lang,"
+        f" string_split(text, ' ') AS ws FROM norm),"
+        f" s AS (SELECT doc_id, labeled_lang, {score_cols} FROM t),"
+        f" e AS (SELECT *, {enc_cols} FROM s),"
+        f" b AS (SELECT *, {best} AS best FROM e)"
+        f" SELECT doc_id, labeled_lang, {scores}, {pred} AS predicted_lang"
+        f" FROM b"
+    )
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+ORACLES = {
+    "chunk_documents": (
+        f"WITH {_NORM},"
+        f" starts AS (SELECT doc_id, text,"
+        f" unnest(range(0, greatest(length(text), 1), {CHUNK_STEP}))"
+        f" AS chunk_start FROM norm)"
+        f" SELECT doc_id, CAST(chunk_start AS INT) AS chunk_start,"
+        f" substr(text, CAST(chunk_start AS INT) + 1, {CHUNK_SIZE})"
+        f" AS chunk_text,"
+        f" length(substr(text, CAST(chunk_start AS INT) + 1, {CHUNK_SIZE}))"
+        f" AS chunk_len"
+        f" FROM starts"
+    ),
+    "text_token_stats": (
+        f"WITH {_NORM}"
+        f" SELECT doc_id, lang, length(text) AS n_chars,"
+        f" CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,"
+        f" CAST(len(list_distinct(string_split(text, ' '))) AS INT)"
+        f" AS n_distinct_tokens,"
+        f" CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+        f" / len(string_split(text, ' ')) AS distinct_ratio"
+        f" FROM norm"
+    ),
+    "text_quality_scores": (
+        f"WITH {_NORM},"
+        f" t AS (SELECT doc_id, text, string_split(text, ' ') AS ws"
+        f" FROM norm),"
+        f" m AS (SELECT doc_id,"
+        f" CAST(len(ws) AS INT) AS n_tokens,"
+        f" CAST(len(list_filter(ws, t -> t IN ({_STOP_IN}))) AS DOUBLE)"
+        f" / len(ws) AS stop_ratio,"
+        f" CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)"
+        f" AS distinct_ratio,"
+        f" least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) AS length_score"
+        f" FROM t)"
+        f" SELECT doc_id, n_tokens, stop_ratio, distinct_ratio,"
+        f" 0.5 * distinct_ratio + 0.3 * length_score"
+        f" + 0.2 * (1.0 - stop_ratio) AS quality"
+        f" FROM m"
+    ),
+    "text_langid": _langid_oracle(),
+    "doc_fingerprints": (
+        f"WITH {_NORM}"
+        f" SELECT doc_id, {char_hash_duck('text')} AS fingerprint FROM norm"
+    ),
+}

@@ -11,9 +11,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import forecast, inventory, nl_queries, relational, sales_queries
+from .operators import (
+    dedup,
+    forecast,
+    inventory,
+    nl_queries,
+    relational,
+    sales_queries,
+    similarity,
+    textops,
+)
 
-_MODULES = (forecast, inventory, nl_queries, relational, sales_queries)
+_MODULES = (
+    dedup,
+    forecast,
+    inventory,
+    nl_queries,
+    relational,
+    sales_queries,
+    similarity,
+    textops,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
