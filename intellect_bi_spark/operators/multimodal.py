@@ -1,0 +1,246 @@
+"""Multimodal (binary-column) operators — charter extension.
+
+The charter's training-data pipeline treats image/audio/video as opaque
+``binary`` columns with typed metadata, decoded / feature-extracted /
+frame-sampled via Arrow-batched Pandas UDFs. No media libraries exist in
+this container, so the DECODE step is a deterministic fake (bytes are the
+payload; real codecs slot into the same ``mapInPandas`` body — see
+``operators/README note`` in each docstring), while everything Spark-side —
+binary schema, metadata struct, UDF signature, Arrow batch shape,
+partitioning — is real and oracle-checked.
+
+Payloads are synthesized from ``documents.text`` (UTF-8 encode → binary).
+The fixture corpus is pure ASCII, so byte arithmetic equals character
+arithmetic and every byte-level feature has an exact DuckDB oracle over
+``ascii(substr(...))`` — the decode stub stays verifiable, not just
+runnable.
+
+Scale notes: feature extraction is embarrassingly parallel (mapInPandas,
+no shuffle); frame sampling explodes ~n_bytes/FRAME_BYTES rows but only
+for sampled indices (the UDF emits 1/SAMPLE_EVERY of frames — decode-
+then-filter never materializes unsampled frames, the property that matters
+when a "frame" is a 2 MB video keyframe at 100 TB).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions.text import P
+
+FRAME_BYTES = 32  # fake "video": consecutive 32-byte frames
+SAMPLE_EVERY = 4  # keep every 4th frame
+RMS_WINDOW = 64  # fake "audio": non-overlapping 64-sample windows
+MIMES = ("image/png", "audio/wav", "video/mp4")
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized media table: (doc_id, mime, payload binary, meta struct).
+
+    Metadata is deterministic arithmetic on doc_id/byte-length — the typed
+    sidecar a real ingest would carry (width/height for images, sample
+    rate/duration for audio, fps/frames for video)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.element_at(F.array(*[F.lit(m) for m in MIMES]), (F.col("doc_id") % 3 + 1).cast("int")).alias("mime"),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).alias("n_bytes"),
+            (F.col("doc_id") % 16 * 64 + 256).cast("int").alias("width"),
+            (F.col("doc_id") % 9 * 64 + 192).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def multimodal_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata catalog scan + a pure-plan 'resize': thumbnail dims
+    preserving aspect ratio with max edge 128 (metadata transform only —
+    the real pixel resize is the decode stub's job)."""
+    m = _media(spark, sf_dir)
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.lit(128.0) / F.greatest(w, h)
+    return m.select(
+        "doc_id",
+        "mime",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        w.alias("width"),
+        h.alias("height"),
+        F.floor(w * scale).cast("int").alias("thumb_w"),
+        F.floor(h * scale).cast("int").alias("thumb_h"),
+    )
+
+
+_FEAT_SCHEMA = (
+    "doc_id long, n_bytes int, byte_sum long, byte_mean double, poly_hash long"
+)
+
+
+def _image_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode-stub feature extractor. A real decoder would replace the
+    ``np.frombuffer`` line with PIL/libvips decode and compute over pixels;
+    signature, batching and output schema are unchanged."""
+    for batch in batches:
+        out = []
+        for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+            b = np.frombuffer(bytes(payload), dtype=np.uint8)
+            acc = 0
+            for c in b.tolist():
+                acc = (acc * 31 + c) % P
+            out.append(
+                (
+                    int(doc_id),
+                    int(b.size),
+                    int(b.sum()),
+                    float(b.sum()) / b.size if b.size else 0.0,
+                    acc,
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "n_bytes", "byte_sum", "byte_mean", "poly_hash"],
+        )
+
+
+def image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload features via Arrow-batched mapInPandas over the binary
+    column (the multimodal slow path, kept off the driver)."""
+    m = _media(spark, sf_dir).select("doc_id", "payload")
+    return m.mapInPandas(_image_features, schema=_FEAT_SCHEMA)
+
+
+_FRAME_SCHEMA = "doc_id long, frame_idx int, frame_hash long"
+
+
+def _frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        out = []
+        for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+            b = bytes(payload)
+            n_frames = len(b) // FRAME_BYTES
+            for i in range(0, n_frames, SAMPLE_EVERY):
+                frame = b[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                acc = 0
+                for c in frame:
+                    acc = (acc * 31 + c) % P
+                out.append((int(doc_id), i, acc))
+        yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_hash"])
+
+
+def video_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: every SAMPLE_EVERY-th FRAME_BYTES-slice, hashed.
+    Only sampled frames are materialized inside the UDF."""
+    m = _media(spark, sf_dir).select("doc_id", "payload")
+    return m.mapInPandas(_frame_sample, schema=_FRAME_SCHEMA)
+
+
+_RMS_SCHEMA = "doc_id long, window_idx int, rms double"
+
+
+def _audio_rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        out = []
+        for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+            b = np.frombuffer(bytes(payload), dtype=np.uint8)
+            n_win = b.size // RMS_WINDOW
+            for i in range(n_win):
+                w = b[i * RMS_WINDOW : (i + 1) * RMS_WINDOW].astype(np.int64)
+                # integer sum-of-squares then one double division + sqrt:
+                # bit-identical to the SQL oracle's arithmetic order
+                out.append(
+                    (
+                        int(doc_id),
+                        i,
+                        float(np.sqrt(float(int((w * w).sum())) / RMS_WINDOW)),
+                    )
+                )
+        yield pd.DataFrame(out, columns=["doc_id", "window_idx", "rms"])
+
+
+def audio_window_rms_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS over byte 'samples' (non-overlapping full windows) —
+    the audio feature-extraction shape."""
+    m = _media(spark, sf_dir).select("doc_id", "payload")
+    return m.mapInPandas(_audio_rms, schema=_RMS_SCHEMA)
+
+
+QUERIES = {
+    "multimodal_catalog": multimodal_catalog,
+    "image_features_stub": image_features_stub,
+    "video_frame_sample_stub": video_frame_sample_stub,
+    "audio_window_rms_stub": audio_window_rms_stub,
+}
+
+# ASCII corpus ⇒ octet/byte ops == length/ascii char ops in the oracles.
+_MIME_CASE = (
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'"
+    " WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END"
+)
+
+_POLY = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(range(1, {n} + 1),"
+    " i -> CAST(ascii(substr({s}, {off} + i, 1)) AS BIGINT))),"
+    " (acc, c) -> (acc * 31 + c) % {p})"
+)
+
+ORACLES = {
+    "multimodal_catalog": (
+        f"SELECT doc_id, {_MIME_CASE} AS mime,"
+        " length(text) AS n_bytes,"
+        " CAST(doc_id % 16 * 64 + 256 AS INT) AS width,"
+        " CAST(doc_id % 9 * 64 + 192 AS INT) AS height,"
+        " CAST(floor((doc_id % 16 * 64 + 256) * (128.0 /"
+        " greatest(doc_id % 16 * 64 + 256, doc_id % 9 * 64 + 192))) AS INT)"
+        " AS thumb_w,"
+        " CAST(floor((doc_id % 9 * 64 + 192) * (128.0 /"
+        " greatest(doc_id % 16 * 64 + 256, doc_id % 9 * 64 + 192))) AS INT)"
+        " AS thumb_h"
+        " FROM documents"
+    ),
+    "image_features_stub": (
+        "WITH codes AS (SELECT doc_id, length(text) AS n,"
+        " list_transform(range(1, length(text) + 1),"
+        " i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS cs"
+        " FROM documents)"
+        " SELECT doc_id, CAST(n AS INT) AS n_bytes,"
+        " list_reduce(list_prepend(CAST(0 AS BIGINT), cs),"
+        " (a, c) -> a + c) AS byte_sum,"
+        " CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), cs),"
+        " (a, c) -> a + c) AS DOUBLE) / n AS byte_mean,"
+        " list_reduce(list_prepend(CAST(0 AS BIGINT), cs),"
+        f" (acc, c) -> (acc * 31 + c) % {P}) AS poly_hash"
+        " FROM codes"
+    ),
+    "video_frame_sample_stub": (
+        "WITH frames AS (SELECT doc_id, text,"
+        f" unnest(range(0, length(text) // {FRAME_BYTES})) AS frame_idx"
+        " FROM documents)"
+        " SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, "
+        + _POLY.format(
+            n=FRAME_BYTES, s="text", off=f"frame_idx * {FRAME_BYTES}", p=P
+        )
+        + " AS frame_hash FROM frames"
+        f" WHERE frame_idx % {SAMPLE_EVERY} = 0"
+    ),
+    "audio_window_rms_stub": (
+        "WITH wins AS (SELECT doc_id, text,"
+        f" unnest(range(0, length(text) // {RMS_WINDOW})) AS window_idx"
+        " FROM documents)"
+        " SELECT doc_id, CAST(window_idx AS INT) AS window_idx,"
+        " sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(range(1, {RMS_WINDOW} + 1),"
+        f" i -> CAST(ascii(substr(text, window_idx * {RMS_WINDOW} + i, 1))"
+        " AS BIGINT) * CAST(ascii(substr(text,"
+        f" window_idx * {RMS_WINDOW} + i, 1)) AS BIGINT))),"
+        f" (a, c) -> a + c) AS DOUBLE) / {RMS_WINDOW}) AS rms"
+        " FROM wins"
+    ),
+}

@@ -1,0 +1,57 @@
+"""Batch twins of the streaming operators (SURVEY §2.13), oracle-backed.
+
+``window``/``session_window`` are batch-and-streaming operators in Spark;
+registering the batch side gives the driver's DuckDB gate full value-level
+coverage of the streaming semantics (tumbling windows, gap-based
+sessionization), while tests/test_streaming.py proves the streaming runs
+produce the SAME rows via availableNow.
+
+DuckDB has no session_window; the oracle derives sessions structurally —
+``lag`` gap detection → cumulative session counter → group — which is the
+textbook SQL equivalent of gap-based session merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.numeric import dsum_sql
+from ..streaming.events import events_batch, session_agg, tumbling_daily_agg
+
+SESSION_GAP_MIN = 30
+
+
+def events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_daily_agg(events_batch(spark, sf_dir))
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg(events_batch(spark, sf_dir))
+
+
+QUERIES = {
+    "events_tumbling_daily": events_tumbling_daily,
+    "events_sessionize": events_sessionize,
+}
+
+ORACLES = {
+    "events_tumbling_daily": (
+        f"SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,"
+        f" event_type,"
+        f" COUNT(*) AS n_events, {dsum_sql('value')} AS total_value"
+        f" FROM events GROUP BY 1, 2"
+    ),
+    "events_sessionize": (
+        f"WITH marked AS (SELECT user_id, ts, value,"
+        f" CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+        f" <= INTERVAL '{SESSION_GAP_MIN} minutes' THEN 0 ELSE 1 END"
+        f" AS new_session FROM events),"
+        f" numbered AS (SELECT *, SUM(new_session) OVER"
+        f" (PARTITION BY user_id ORDER BY ts"
+        f" ROWS UNBOUNDED PRECEDING) AS session_id FROM marked)"
+        f" SELECT user_id, MIN(ts) AS session_start,"
+        f" MAX(ts) + INTERVAL '{SESSION_GAP_MIN} minutes' AS session_end,"
+        f" COUNT(*) AS n_events, {dsum_sql('value')} AS total_value"
+        f" FROM numbered GROUP BY user_id, session_id"
+    ),
+}

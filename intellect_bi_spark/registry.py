@@ -15,10 +15,12 @@ from .operators import (
     dedup,
     forecast,
     inventory,
+    multimodal,
     nl_queries,
     relational,
     sales_queries,
     similarity,
+    streamops,
     textops,
 )
 
@@ -26,10 +28,12 @@ _MODULES = (
     dedup,
     forecast,
     inventory,
+    multimodal,
     nl_queries,
     relational,
     sales_queries,
     similarity,
+    streamops,
     textops,
 )
 

@@ -1,0 +1,192 @@
+"""Sources & sinks layer tests (SURVEY §2.1 S1-S9, §2.11 R1-R5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from intellect_bi_spark.sources import csv_sales, docs, embedder, sinks
+
+CANONICAL_COLS = ["date", "product", "region", "sales", "age", "gender", "satisfaction"]
+
+
+@pytest.fixture(scope="module")
+def sales_csv(tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "sales_data.csv"
+    p.write_text(
+        "Date,Product,Region,Sales,Customer_Age,Customer_Gender,Customer_Satisfaction\n"
+        "2024-01-02,Widget A,West,120,34,Male,4.5\n"
+        "2024-01-01,Widget B,East,80,61,Female,3.0\n"
+        "2024-01-03,Widget A,West,notanumber,29,Female,\n"
+    )
+    return str(p)
+
+
+def test_load_sales_csv_header_path(spark, sales_csv):
+    df = csv_sales.load_sales_csv(spark, sales_csv)
+    assert df.columns == CANONICAL_COLS
+    types = dict(df.dtypes)
+    assert types == {
+        "date": "date",
+        "product": "string",
+        "region": "string",
+        "sales": "double",
+        "age": "int",
+        "gender": "string",
+        "satisfaction": "double",
+    }
+    rows = {r["product"]: r for r in df.collect()}
+    assert rows["Widget B"]["date"] == dt.date(2024, 1, 1)
+    assert rows["Widget B"]["sales"] == 80.0
+    # malformed numerics cast to NULL (reference CAST semantics)
+    bad = [r for r in rows.values() if r["date"] == dt.date(2024, 1, 3)][0]
+    assert bad["sales"] is None and bad["satisfaction"] is None
+
+
+def test_load_sales_csv_mixed_case_headers(spark, tmp_path):
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "DATE,product,REGION,sales,customer_age,Customer_Gender,customer_satisfaction\n"
+        "2024-02-01,W,North,10,20,Other,5.0\n"
+    )
+    df = csv_sales.load_sales_csv(spark, str(p))
+    assert df.columns == CANONICAL_COLS
+    assert df.collect()[0]["region"] == "North"
+
+
+def test_load_sales_csv_headerless_fallback(spark, tmp_path):
+    p = tmp_path / "headerless.csv"
+    p.write_text("2024-03-01,W,South,42,55,Male,2.5\n2024-03-02,X,North,7,18,Female,4.0\n")
+    df = csv_sales.load_sales_csv(spark, str(p))
+    assert df.columns == CANONICAL_COLS
+    got = sorted(df.collect(), key=lambda r: r["date"])
+    assert got[0]["sales"] == 42.0 and got[1]["region"] == "North"
+
+
+def test_synonym_resolver():
+    cols = ["Week_Ending", "Weekly_Sales", "Market", "SKU", "CSAT", "Age_Years"]
+    assert csv_sales.resolve_column(cols, "date").lower() == "week_ending"
+    assert csv_sales.resolve_column(cols, "sales").lower() == "weekly_sales"
+    assert csv_sales.resolve_column(cols, "region").lower() == "market"
+    assert csv_sales.resolve_column(cols, "product").lower() == "sku"
+    assert csv_sales.resolve_column(cols, "satisfaction").lower() == "csat"
+    assert csv_sales.resolve_column(cols, "age").lower() == "age_years"
+    assert csv_sales.resolve_column(cols, "gender") == ""
+    # exact match wins over synonyms
+    assert csv_sales.resolve_column(["revenue", "sales"], "sales") == "sales"
+
+
+def test_normalize_any_sales(spark, tmp_path):
+    p = tmp_path / "syn.csv"
+    p.write_text("week_ending,weekly_sales,market\n2024-01-05,99,EMEA\n")
+    raw = spark.read.option("header", True).csv(str(p))
+    df = csv_sales.normalize_any_sales(raw)
+    assert df.columns == CANONICAL_COLS
+    row = df.collect()[0]
+    assert row["date"] == dt.date(2024, 1, 5)
+    assert row["sales"] == 99.0 and row["region"] == "EMEA"
+    assert row["product"] is None  # unresolvable -> NULL column
+
+
+def test_etl_load_csv(spark, tmp_path):
+    p = tmp_path / "etl.csv"
+    p.write_text(
+        "Order Date , Amount\n2024-01-02,5\nbaddate,6\n2024-01-01,7\n"
+    )
+    df = csv_sales.etl_load_csv(spark, str(p))
+    assert df.columns == ["Order_Date", "Amount"]
+    vals = [r["Order_Date"] for r in df.collect()]
+    # coerced NULL sorts first (asc nulls first), then ascending dates
+    assert vals == [None, dt.date(2024, 1, 1), dt.date(2024, 1, 2)]
+
+
+def test_parquet_sink_partitioned(spark, sales_csv, tmp_path):
+    df = csv_sales.load_sales_csv(spark, sales_csv)
+    out = str(tmp_path / "sales_parquet")
+    sinks.write_parquet(df, out, partition_by_date="date")
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    assert {"year", "month"} <= set(back.columns)
+    # partition pruning: a year filter must not scan other years
+    pruned = back.filter(F.col("year") == 2024)
+    assert pruned.count() == 3
+
+
+def test_save_as_table(spark, sales_csv, tmp_path):
+    df = csv_sales.load_sales_csv(spark, sales_csv)
+    sinks.save_as_table(df, "sales_tbl_test", path=str(tmp_path / "tbl"))
+    try:
+        assert spark.table("sales_tbl_test").count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sales_tbl_test")
+
+
+def test_doc_ingest_pipeline(spark, tmp_path):
+    d = tmp_path / "docsrc"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha  beta\n\ngamma " + "x" * 900)
+    (d / "b.md").write_text("# title\nshort doc")
+    (d / "c.docx").write_bytes(b"\x00\x01")  # stubbed format
+    chunks = docs.ingest_documents(spark, str(d), size=800, overlap=120)
+    rows = chunks.collect()
+    by_path = {}
+    for r in rows:
+        by_path.setdefault(r["path"].rsplit("/", 1)[-1], []).append(r)
+    # a.txt: normalized length 917 -> starts 0, 680 (slide 680) => 2 chunks
+    a = sorted(by_path["a.txt"], key=lambda r: r["chunk_start"])
+    assert [r["chunk_start"] for r in a] == [0, 680]
+    assert len(a[0]["chunk"]) == 800
+    # overlap: last 120 chars of chunk0 == first 120 of chunk1
+    assert a[0]["chunk"][-120:] == a[1]["chunk"][:120]
+    assert a[0]["chunk_id"].endswith("::p0::c0")
+    assert a[1]["chunk_id"].endswith("::p0::c1")
+    # short doc: single chunk, whole text
+    b = by_path["b.md"]
+    assert len(b) == 1 and b[0]["chunk"] == "# title short doc".replace("\n", " ")
+    # stubbed format surfaces a marker, not a crash/drop
+    assert by_path["c.docx"][0]["chunk"].startswith("<unextracted:")
+
+
+def test_chunk_matches_reference_python(spark, tmp_path):
+    """Oracle: the reference's chunker (etl/index_docs.py:34-46 semantics)
+    re-implemented in pure Python, compared to the Spark explode chunker."""
+
+    def ref_chunks(text: str, size: int, overlap: int) -> list[str]:
+        step = size - overlap
+        out = []
+        i = 0
+        while i < max(len(text), 1):
+            out.append(text[i : i + size])
+            i += step
+        return out
+
+    text = "word " * 500  # 2500 chars with trailing space normalized off
+    d = tmp_path / "one"
+    d.mkdir()
+    (d / "t.txt").write_text(text)
+    norm = " ".join(text.split())
+    for size, overlap in (docs.CHUNK_INGEST, docs.CHUNK_ETL):
+        got = (
+            docs.ingest_documents(spark, str(d), size=size, overlap=overlap)
+            .orderBy("chunk_start")
+            .collect()
+        )
+        assert [r["chunk"] for r in got] == ref_chunks(norm, size, overlap)
+
+
+def test_embedder_deterministic(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"chunk_id": ["a", "b", "a2"], "chunk": ["hello", "world", "hello"]})
+    df = spark.createDataFrame(pdf)
+    out = embedder.embed_chunks(df).collect()
+    vecs = {r["chunk_id"]: r["embedding"] for r in out}
+    assert len(vecs["a"]) == embedder.EMBED_DIM
+    assert vecs["a"] == vecs["a2"]  # deterministic
+    assert vecs["a"] != vecs["b"]
+    assert all(-0.5 <= v < 0.5 for v in vecs["a"])
+    # remote path is stubbed without endpoint
+    with pytest.raises(NotImplementedError):
+        embedder.remote_embed_texts(["x"], endpoint=None)

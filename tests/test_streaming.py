@@ -1,0 +1,65 @@
+"""Structured Streaming tests: with an availableNow trigger, every
+streaming aggregation must produce EXACTLY the rows of its batch twin
+(decimal sums make the totals bit-identical)."""
+
+from __future__ import annotations
+
+import pytest
+
+from intellect_bi_spark.streaming import events as se
+
+from .parity import normalized_rows
+
+
+def _drain(spark, df, name, mode="complete"):
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    se.run_stream_to_memory(df, name, output_mode=mode)
+    return spark.table(name)
+
+
+def _same_rows(a, b):
+    ra = normalized_rows(list(a.columns), [tuple(r) for r in a.collect()])
+    rb = normalized_rows(list(b.columns), [tuple(r) for r in b.collect()])
+    assert sorted(a.columns) == sorted(b.columns)
+    assert ra == rb
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    stream = se.read_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    got = _drain(spark, se.tumbling_daily_agg(stream), "t_tumble")
+    want = se.tumbling_daily_agg(se.events_batch(spark, sf_dir))
+    _same_rows(got, want)
+
+
+def test_stream_sessions_equal_batch(spark, sf_dir):
+    stream = se.read_events_stream(spark, sf_dir)
+    got = _drain(spark, se.session_agg(stream), "t_sessions")
+    want = se.session_agg(se.events_batch(spark, sf_dir))
+    _same_rows(got, want)
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    stream = se.read_events_stream(spark, sf_dir)
+    got = _drain(
+        spark, se.running_user_totals(stream), "t_running", mode="update"
+    )
+    # update mode emits one row per user per micro-batch; the LAST row per
+    # user is the running total after all data — compare against batch agg
+    from pyspark.sql import functions as F
+
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+    )
+    want = (
+        se.events_batch(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    f = {r["user_id"]: r for r in final.collect()}
+    w = {r["user_id"]: r for r in want.collect()}
+    assert set(f) == set(w)
+    for uid, row in w.items():
+        assert f[uid]["n_events"] == row["n_events"]
+        assert f[uid]["total_value"] == pytest.approx(row["total_value"], abs=1e-6)
