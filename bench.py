@@ -20,6 +20,7 @@ from intellect_bi_spark.registry import QUERIES  # noqa: E402
 from intellect_bi_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    # reference-surface analytics
     "q1_pricing_summary",
     "revenue_by_region",
     "orders_by_status",
@@ -34,6 +35,17 @@ HEADLINE = [
     "last_two_quarters_satisfaction",
     "region_quarter_delta",
     "events_rolling_7d",
+    # training-data pipeline (charter extensions)
+    "exact_dedup_stats",
+    "near_dup_summary",
+    "cosine_topk",
+    "ann_topk_ivf",
+    "text_quality_scores",
+    "chunk_documents",
+    "image_features_stub",
+    "events_tumbling_daily",
+    "events_sessionize",
+    "forecast_drift_by_region",
 ]
 
 

@@ -165,9 +165,27 @@ def sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT", "SELECT /*+ BROADCAST(p, s, n, r) */", 1
         )
     )
+    # Cache the normalized view when the fact table is cache-sized
+    # (reference keeps its whole table hot in-process, api/main.py:190).
+    # MEMORY_AND_DISK; guarded so a 100 TB deployment never tries to pin
+    # the fact table — there you cache hot aggregates, not the source.
+    if _fact_bytes(sf_dir) <= _CACHE_MAX_BYTES:
+        df = df.cache()
     df.createOrReplaceTempView("sales")
     _SALES_CACHE[key] = df
     return df
+
+
+_CACHE_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_CACHE_MAX_BYTES", 2 * 1024**3)
+)
+
+
+def _fact_bytes(sf_dir: str) -> int:
+    try:
+        return os.path.getsize(os.path.join(sf_dir, "lineitem.parquet"))
+    except OSError:
+        return 1 << 62
 
 
 def sales_cte(body: str) -> str:

@@ -267,10 +267,21 @@ def region_quarter_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference cross-joins a 1-row quarter-boundary CTE
     (api/main.py:1152-1163); here the bounds frame is computed once and
     broadcast — a single pass over the fact table at any scale.
+
+    The bounds pass reads ``max(l_shipdate)`` straight off the fact table
+    instead of through the star join: MAX is duplicate-insensitive and the
+    dimension joins drop no lineitem rows under referential integrity, so
+    the answer is identical — but the probe is a parquet-footer-stats read
+    (no join, no full scan), which matters when the fact table is 100 TB.
     """
     df = sales(spark, sf_dir)
-    bounds = df.agg(
-        F.date_trunc("quarter", F.max("date")).cast("date").alias("cur_q")
+    from ..catalog import load_tables
+
+    fact = load_tables(spark, sf_dir)["lineitem"]
+    bounds = fact.agg(
+        F.date_trunc("quarter", F.max(F.col("l_shipdate").cast("date")))
+        .cast("date")
+        .alias("cur_q")
     ).withColumn("prev_q", F.add_months("cur_q", -3))
     cur = davg_sql("CASE WHEN date >= cur_q THEN satisfaction END")
     prev = davg_sql(

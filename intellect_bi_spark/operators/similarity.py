@@ -97,43 +97,48 @@ def _plane_sign(p: int) -> str:
     return f"(CASE WHEN ({terms}) >= 0 THEN 1 ELSE 0 END)"
 
 
-def _band_key_expr(band: int) -> Column:
-    """4-bit band key from planes [band·4, band·4+4)."""
-    bits = " + ".join(
-        f"({_plane_sign(band * PLANES_PER_BAND + j)} * {1 << j})"
-        for j in range(PLANES_PER_BAND)
+def _bands_df(emb: DataFrame, include_label: bool = False) -> DataFrame:
+    """(vec_id[, label], band_id, band_key) — all 16 plane signs evaluated
+    in ONE projection (one codegen unit over the embedding array), band
+    keys as integer arithmetic on the sign columns, then a ``stack``
+    unpivot. The union-of-selects alternative re-evaluates the 1024-term
+    hyperplane dot products once per band per plan copy — 8× the codegen
+    and compute for the same rows."""
+    base = ["vec_id"] + (["label"] if include_label else [])
+    signs = emb.select(
+        *base, *[F.expr(_plane_sign(p)).alias(f"s{p}") for p in range(N_PLANES)]
     )
-    return F.expr(f"({bits})").cast("int")
+    keyed = signs.select(
+        *base,
+        *[
+            F.expr(
+                " + ".join(
+                    f"(s{band * PLANES_PER_BAND + j} * {1 << j})"
+                    for j in range(PLANES_PER_BAND)
+                )
+            )
+            .cast("int")
+            .alias(f"bk{band}")
+            for band in range(N_BANDS)
+        ],
+    )
+    stack = ", ".join(f"{band}, bk{band}" for band in range(N_BANDS))
+    return keyed.selectExpr(
+        *base, f"stack({N_BANDS}, {stack}) AS (band_id, band_key)"
+    )
 
 
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, band_id, band_key): the banded LSH bucket
     assignment itself."""
-    emb = _emb(spark, sf_dir)
-    out = None
-    for band in range(N_BANDS):
-        part = emb.select(
-            "vec_id",
-            "label",
-            F.lit(band).alias("band_id"),
-            _band_key_expr(band).alias("band_key"),
-        )
-        out = part if out is None else out.unionAll(part)
-    return out
+    return _bands_df(_emb(spark, sf_dir), include_label=True)
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs near-duplicates: banded LSH candidate join (OR over 4
     bands) → exact cosine ≥ τ verification."""
     emb = _emb(spark, sf_dir)
-    bands = None
-    for band in range(N_BANDS):
-        part = emb.select(
-            "vec_id",
-            F.lit(band).alias("band_id"),
-            _band_key_expr(band).alias("band_key"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    bands = _bands_df(emb)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
@@ -191,11 +196,136 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k — the scale path for :func:`cosine_topk`.
+
+    Candidates = vectors sharing ≥1 hyperplane band key with the query
+    (left-semi join against the query's 4 band keys, a broadcast of 4 rows)
+    → exact cosine only on candidates → top-k. At 100 TB the candidate set
+    is the only data scored, and the band join prunes the scan to matching
+    buckets; recall is the banded-LSH probability curve documented above.
+    """
+    emb = _emb(spark, sf_dir)
+    bands = _bands_df(emb)
+    q_bands = bands.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "band_id", "band_key"
+    )
+    cand_ids = (
+        bands.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q_bands), ["band_id", "band_key"], "left_semi")
+        .select("vec_id")
+        .distinct()
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.join(cand_ids, "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            (
+                _dot("embedding", "q_emb")
+                / (_norm("embedding") * _norm("q_emb"))
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), "vec_id").limit(TOP_K)
+
+
+# --- IVF (coarse quantizer + probe pruning) ----------------------------------
+
+N_CELLS = 8  # centroids = embeddings of vec_id 1..8 (deterministic coarse
+# quantizer — a k-means fit would slot in here; cell structure, assignment
+# and probe pruning are identical)
+N_PROBE = 2
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF build: assign every vector to its nearest centroid cell
+    (argmax cosine, ties → lower cell id). The cell id is the partition
+    key a 100 TB deployment would partitionBy on disk."""
+    emb = _emb(spark, sf_dir)
+    cents = (
+        emb.filter(F.col("vec_id").between(1, N_CELLS))
+        .select(
+            (F.col("vec_id") - 1).cast("int").alias("cell"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        (
+            _dot("embedding", "c_emb") / (_norm("embedding") * _norm("c_emb"))
+        ).alias("c_cos"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), "cell")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: probe the N_PROBE cells nearest the query and score
+    only their members — partition-pruned similarity search."""
+    emb = _emb(spark, sf_dir)
+    assign = ivf_assignments(spark, sf_dir)
+    cents = (
+        emb.filter(F.col("vec_id").between(1, N_CELLS))
+        .select(
+            (F.col("vec_id") - 1).cast("int").alias("cell"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    probe_cells = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cell",
+            (
+                _dot("c_emb", "q_emb") / (_norm("c_emb") * _norm("q_emb"))
+            ).alias("q_cos"),
+        )
+        .orderBy(F.desc("q_cos"), "cell")
+        .limit(N_PROBE)
+        .select("cell")
+    )
+    cand = (
+        assign.join(F.broadcast(probe_cells), "cell", "left_semi")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id")
+    )
+    scored = (
+        emb.join(cand, "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            (
+                _dot("embedding", "q_emb")
+                / (_norm("embedding") * _norm("q_emb"))
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), "vec_id").limit(TOP_K)
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
     "lsh_buckets": lsh_buckets,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "label_centroid_similarity": label_centroid_similarity,
+    "ann_topk_lsh": ann_topk_lsh,
+    "ivf_assignments": ivf_assignments,
+    "ann_topk_ivf": ann_topk_ivf,
 }
 
 
@@ -269,6 +399,61 @@ ORACLES = {
         f" JOIN embeddings eb ON eb.vec_id = c.j)"
         f" SELECT i, j, cosine FROM scored"
         f" WHERE cosine >= {COSINE_THRESHOLD}"
+    ),
+    "ann_topk_lsh": (
+        f"WITH bands AS ({_bands_duck()}),"
+        f" qb AS (SELECT band_id, band_key FROM bands"
+        f" WHERE vec_id = {QUERY_VEC_ID}),"
+        f" cand AS (SELECT DISTINCT b.vec_id FROM bands b"
+        f" JOIN qb ON b.band_id = qb.band_id AND b.band_key = qb.band_key"
+        f" WHERE b.vec_id != {QUERY_VEC_ID}),"
+        f" q AS (SELECT embedding AS q_emb FROM embeddings"
+        f" WHERE vec_id = {QUERY_VEC_ID})"
+        f" SELECT e.vec_id, e.label,"
+        f" {_dot_duck('e.embedding', 'q_emb')} /"
+        f" ({_norm_duck('e.embedding')} * {_norm_duck('q_emb')}) AS cosine"
+        f" FROM embeddings e JOIN cand USING (vec_id), q"
+        f" ORDER BY cosine DESC, e.vec_id LIMIT {TOP_K}"
+    ),
+    "ivf_assignments": (
+        f"WITH cents AS (SELECT CAST(vec_id - 1 AS INT) AS cell,"
+        f" embedding AS c_emb FROM embeddings"
+        f" WHERE vec_id BETWEEN 1 AND {N_CELLS}),"
+        f" scored AS (SELECT e.vec_id, c.cell,"
+        f" {_dot_duck('e.embedding', 'c.c_emb')} /"
+        f" ({_norm_duck('e.embedding')} * {_norm_duck('c.c_emb')}) AS c_cos"
+        f" FROM embeddings e CROSS JOIN cents c),"
+        f" ranked AS (SELECT vec_id, cell, ROW_NUMBER() OVER"
+        f" (PARTITION BY vec_id ORDER BY c_cos DESC, cell) AS rn"
+        f" FROM scored)"
+        f" SELECT vec_id, cell FROM ranked WHERE rn = 1"
+    ),
+    "ann_topk_ivf": (
+        f"WITH cents AS (SELECT CAST(vec_id - 1 AS INT) AS cell,"
+        f" embedding AS c_emb FROM embeddings"
+        f" WHERE vec_id BETWEEN 1 AND {N_CELLS}),"
+        f" scored AS (SELECT e.vec_id, c.cell,"
+        f" {_dot_duck('e.embedding', 'c.c_emb')} /"
+        f" ({_norm_duck('e.embedding')} * {_norm_duck('c.c_emb')}) AS c_cos"
+        f" FROM embeddings e CROSS JOIN cents c),"
+        f" ranked AS (SELECT vec_id, cell, ROW_NUMBER() OVER"
+        f" (PARTITION BY vec_id ORDER BY c_cos DESC, cell) AS rn"
+        f" FROM scored),"
+        f" assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),"
+        f" q AS (SELECT embedding AS q_emb FROM embeddings"
+        f" WHERE vec_id = {QUERY_VEC_ID}),"
+        f" probe AS (SELECT cell FROM cents, q"
+        f" ORDER BY {_dot_duck('c_emb', 'q_emb')} /"
+        f" ({_norm_duck('c_emb')} * {_norm_duck('q_emb')}) DESC, cell"
+        f" LIMIT {N_PROBE}),"
+        f" cand AS (SELECT vec_id FROM assign"
+        f" WHERE cell IN (SELECT cell FROM probe)"
+        f" AND vec_id != {QUERY_VEC_ID})"
+        f" SELECT e.vec_id, e.label,"
+        f" {_dot_duck('e.embedding', 'q_emb')} /"
+        f" ({_norm_duck('e.embedding')} * {_norm_duck('q_emb')}) AS cosine"
+        f" FROM embeddings e JOIN cand USING (vec_id), q"
+        f" ORDER BY cosine DESC, e.vec_id LIMIT {TOP_K}"
     ),
     "label_centroid_similarity": (
         "SELECT label, COUNT(*) AS n_vectors, "
