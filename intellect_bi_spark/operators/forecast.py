@@ -201,11 +201,97 @@ def drift_by_region(spark: SparkSession, sf_dir: str, h: int = 14) -> DataFrame:
     )
 
 
+def drift_by_region_pandas(
+    spark: SparkSession, sf_dir: str, h: int = 14
+) -> DataFrame:
+    """``applyInPandas`` twin of :func:`drift_by_region` — the grouped-map
+    extension point (SURVEY §2.12) where an arbitrary per-series model
+    (statsmodels, prophet-style, a learned model) would slot in. The drift
+    math inside uses the same IEEE double operations as the closed-form
+    plan, so outputs are bit-identical (tests/test_forecast.py asserts it).
+    """
+    import pandas as pd
+
+    window = 14
+    daily = (
+        sales(spark, sf_dir)
+        .groupBy("region", "date")
+        .agg(F.expr(dsum_sql("sales")).alias("value"))
+    )
+
+    def fc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("date")
+        tail = pdf.tail(window)
+        y_t = float(tail["value"].iloc[-1])
+        y0 = float(tail["value"].iloc[0])
+        slope = (y_t - y0) / (window - 1)
+        last = tail["date"].iloc[-1]
+        return pd.DataFrame(
+            {
+                "region": pdf["region"].iloc[0],
+                "date": [
+                    last + datetime.timedelta(days=i)
+                    for i in range(1, h + 1)
+                ],
+                "value": [y_t + slope * i for i in range(1, h + 1)],
+            }
+        )
+
+    return daily.groupBy("region").applyInPandas(
+        fc, schema="region string, date date, value double"
+    )
+
+
+def forecast_mllib_linreg(
+    spark: SparkSession, sf_dir: str, h: int = 30
+) -> DataFrame:
+    """MLlib growth path for T3 (charter: forecasting → MLlib): ordinary
+    least squares over the full daily series (solver='normal' — exact
+    normal-equations OLS, deterministic) replacing the endpoints-only drift
+    slope. Trains distributed, predicts the horizon in-plan.
+
+    No DuckDB oracle: MLlib's Cholesky solve and SQL ``regr_slope``
+    accumulate in different float orders (the driver records the weaker
+    rows-only check); tests/test_forecast.py verifies against closed-form
+    OLS to 1e-9 relative."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    daily = daily_series(spark, sf_dir)
+    first_last = daily.agg(
+        F.min("date").alias("d0"), F.max("date").alias("d1")
+    ).first()
+    d0, d1 = first_last["d0"], first_last["d1"]
+    train = daily.select(
+        F.datediff("date", F.lit(d0)).cast("double").alias("t"),
+        F.col("value").alias("label"),
+    )
+    assembled = VectorAssembler(
+        inputCols=["t"], outputCol="features"
+    ).transform(train)
+    model = LinearRegression(
+        solver="normal", regParam=0.0, standardization=False
+    ).fit(assembled)
+    slope = float(model.coefficients[0])
+    intercept = float(model.intercept)
+    t1 = (d1 - d0).days
+    future = spark.range(1, h + 1).select(
+        F.lit("forecast").alias("series"),
+        F.date_add(F.lit(d1), F.col("id").cast("int")).alias("date"),
+        (
+            F.lit(intercept) + F.lit(slope) * (F.lit(t1) + F.col("id"))
+        ).alias("value"),
+    )
+    return future
+
+
 QUERIES = {
     "forecast_ma": forecast_ma,
     "forecast_seasonal7": forecast_seasonal7,
     "forecast_drift": forecast_drift,
     "forecast_drift_by_region": drift_by_region,
+    "forecast_drift_by_region_pandas": drift_by_region_pandas,
+    "forecast_mllib_linreg": forecast_mllib_linreg,
 }
 
 
@@ -253,6 +339,22 @@ ORACLES = {
         f" SELECT 'forecast', last_date + CAST(i AS INT),"
         f" y_t + ((y_t - y0) / 13) * i"
         f" FROM last_d, seeds, generate_series(1, 30) AS t(i)"
+    ),
+    # the applyInPandas twin performs the same IEEE ops on the same decimal
+    # sums, so it shares the closed-form oracle verbatim
+    "forecast_drift_by_region_pandas": sales_cte(
+        f", daily AS (SELECT region, date, {dsum_sql('sales')} AS value"
+        f" FROM sales GROUP BY region, date)"
+        f", ranked AS (SELECT region, date, value, ROW_NUMBER() OVER"
+        f" (PARTITION BY region ORDER BY date DESC) AS rn FROM daily)"
+        f", seeds AS (SELECT region,"
+        f" MAX(CASE WHEN rn = 1 THEN value END) AS y_t,"
+        f" MAX(CASE WHEN rn = 1 THEN date END) AS last_date,"
+        f" MAX(CASE WHEN rn = 14 THEN value END) AS y0"
+        f" FROM ranked GROUP BY region)"
+        f" SELECT region, last_date + CAST(i AS INT) AS date,"
+        f" y_t + ((y_t - y0) / 13) * i AS value"
+        f" FROM seeds, generate_series(1, 14) AS t(i)"
     ),
     "forecast_drift_by_region": sales_cte(
         f", daily AS (SELECT region, date, {dsum_sql('sales')} AS value"

@@ -64,3 +64,41 @@ def test_drift_is_linear(spark, sf_dir):
     ]
     diffs = {round(b - a, 6) for a, b in zip(fc, fc[1:])}
     assert len(diffs) == 1  # constant slope
+
+
+def test_pandas_twin_matches_closed_form(spark, sf_dir):
+    from intellect_bi_spark.operators.forecast import (
+        drift_by_region,
+        drift_by_region_pandas,
+    )
+
+    a = {
+        (r["region"], r["date"]): r["value"]
+        for r in drift_by_region(spark, sf_dir).collect()
+    }
+    b = {
+        (r["region"], r["date"]): r["value"]
+        for r in drift_by_region_pandas(spark, sf_dir).collect()
+    }
+    assert a == b  # bit-identical: same IEEE ops on the same decimal sums
+
+
+def test_mllib_linreg_matches_closed_form_ols(spark, sf_dir):
+    import numpy as np
+
+    from intellect_bi_spark.operators.forecast import (
+        daily_series,
+        forecast_mllib_linreg,
+    )
+
+    rows = daily_series(spark, sf_dir).orderBy("date").collect()
+    d0 = rows[0]["date"]
+    t = np.array([(r["date"] - d0).days for r in rows], dtype=float)
+    y = np.array([r["value"] for r in rows])
+    slope, intercept = np.polyfit(t, y, 1)
+    fc = forecast_mllib_linreg(spark, sf_dir, h=5).orderBy("date").collect()
+    t1 = t[-1]
+    for i, r in enumerate(fc, start=1):
+        want = intercept + slope * (t1 + i)
+        assert abs(r["value"] - want) <= 1e-6 * max(1.0, abs(want))
+    assert len(fc) == 5
