@@ -57,6 +57,26 @@ def char_hash_duck(expr: str) -> str:
     )
 
 
+def char_hash_expr_mult(expr: str, mult: int) -> Column:
+    """Spark Column: polynomial hash with a custom multiplier — the
+    dim-seeded family behind the deterministic embedder
+    (sources/embedder.py: v[d] = hash(text, 31+d)/P − 0.5)."""
+    return F.expr(
+        f"aggregate(transform(sequence(1, length({expr})),"
+        f" i -> CAST(ascii(substr({expr}, i, 1)) AS BIGINT)),"
+        f" CAST(0 AS BIGINT), (acc, c) -> (acc * {mult} + c) % {P})"
+    )
+
+
+def char_hash_duck_mult(expr: str, mult: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(range(1, length({expr}) + 1),"
+        f" i -> CAST(ascii(substr({expr}, i, 1)) AS BIGINT))),"
+        f" (acc, c) -> (acc * {mult} + c) % {P})"
+    )
+
+
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Spark Column: array of word k-gram shingles (space-joined);
     documents shorter than k words shingle to the whole text."""

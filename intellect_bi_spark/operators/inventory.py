@@ -404,7 +404,23 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the drill-down P50/P90/P99
+    shape). Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    (n−1)·p linear-interpolation definition, so parity is exact. At 100 TB
+    you'd swap to ``approx_percentile`` (t-digest, one pass, no global
+    sort); this exact variant is the correctness anchor for that."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
+    "percentiles_by_status": percentiles_by_status,
     "p1_project_cast": p1_project_cast,
     "p2_eq_filter": p2_eq_filter,
     "p3_ci_eq_filter": p3_ci_eq_filter,
@@ -432,6 +448,14 @@ QUERIES = {
 
 
 ORACLES = {
+    "percentiles_by_status": (
+        "SELECT o_orderstatus,"
+        " quantile_cont(o_totalprice, 0.5) AS p50,"
+        " quantile_cont(o_totalprice, 0.9) AS p90,"
+        " quantile_cont(o_totalprice, 0.99) AS p99,"
+        " COUNT(*) AS n"
+        " FROM orders GROUP BY o_orderstatus"
+    ),
     "p1_project_cast": sales_cte(
         # Spark CAST(double AS INT) truncates toward zero; DuckDB rounds —
         # the engine follows Spark semantics, emulated here with trunc().

@@ -16,7 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from ..functions.text import char_hash_duck, char_hash_expr
+from ..functions.text import (
+    P,
+    char_hash_duck,
+    char_hash_duck_mult,
+    char_hash_expr,
+    char_hash_expr_mult,
+)
 
 CHUNK_SIZE = 120
 CHUNK_STEP = 100  # size 120, overlap 20 → slide 100 (etl variant: trailing
@@ -167,8 +173,71 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- end-to-end RAG retrieval (R2+R3 → R4 → R6 in one plan) ------------------
+
+RAG_DIM = 8
+RAG_K = 3  # reference RAG_K default, clamp [1,10] (api/main.py:979,1416)
+RAG_QUERY_TEXT = "spark table join query"
+
+
+def _rag_query_vec() -> list[float]:
+    """Query embedding via the SAME dim-seeded hash family the
+    deterministic embedder uses (sources/embedder.py.local_embed_texts) —
+    computed once, inlined as literals in both engines."""
+    acc = [0] * RAG_DIM
+    for d in range(RAG_DIM):
+        h = 0
+        for b in RAG_QUERY_TEXT.encode():
+            h = (h * (31 + d) + b) % P
+        acc[d] = h / P - 0.5
+    return acc
+
+
+def rag_search_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's retrieval path (R6, api/main.py:1416-1417) end to
+    end ON Spark: normalize → chunk-with-overlap → embed every chunk →
+    top-k cosine against the query vector, k=3.
+
+    Chunk embeddings are the dim-seeded polynomial hash family evaluated
+    as codegen'd SQL expressions (identical math to the mapInPandas
+    embedder on ASCII text), so the whole pipeline — including the vector
+    math — is DuckDB-oracle-checked. Scale shape: embed is per-row
+    (no shuffle); top-k is TakeOrderedAndProject (per-partition heaps,
+    no global sort)."""
+    chunks = chunk_documents(spark, sf_dir)
+    q = _rag_query_vec()
+    emb_cols = [
+        (
+            char_hash_expr_mult("chunk_text", 31 + d).cast("double")
+            / F.lit(float(P))
+            - F.lit(0.5)
+        ).alias(f"e{d}")
+        for d in range(RAG_DIM)
+    ]
+    scored = chunks.select("doc_id", "chunk_start", *emb_cols)
+    # left-associative chains mirror the oracle text exactly
+    dot = None
+    nrm = None
+    for d in range(RAG_DIM):
+        t = F.col(f"e{d}") * F.lit(q[d])
+        s = F.col(f"e{d}") * F.col(f"e{d}")
+        dot = t if dot is None else dot + t
+        nrm = s if nrm is None else nrm + s
+    qn = sum(x * x for x in q) ** 0.5
+    return (
+        scored.select(
+            "doc_id",
+            "chunk_start",
+            (dot / (F.sqrt(nrm) * F.lit(qn))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "doc_id", "chunk_start")
+        .limit(RAG_K)
+    )
+
+
 QUERIES = {
     "chunk_documents": chunk_documents,
+    "rag_search_chunks": rag_search_chunks,
     "text_token_stats": token_stats,
     "text_quality_scores": quality_scores,
     "text_langid": langid_heuristic,
@@ -214,6 +283,33 @@ def _langid_oracle() -> str:
 
 _STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
 
+
+def _rag_oracle() -> str:
+    q = _rag_query_vec()
+    qn = sum(x * x for x in q) ** 0.5
+    emb_cols = ", ".join(
+        f"CAST({char_hash_duck_mult('chunk_text', 31 + d)} AS DOUBLE)"
+        f" / {float(P)!r} - 0.5 AS e{d}"
+        for d in range(RAG_DIM)
+    )
+    dot = " + ".join(f"e{d} * {q[d]!r}" for d in range(RAG_DIM))
+    nrm = " + ".join(f"e{d} * e{d}" for d in range(RAG_DIM))
+    return (
+        f"WITH {_NORM},"
+        f" starts AS (SELECT doc_id, text,"
+        f" unnest(range(0, greatest(length(text), 1), {CHUNK_STEP}))"
+        f" AS chunk_start FROM norm),"
+        f" chunks AS (SELECT doc_id, CAST(chunk_start AS INT)"
+        f" AS chunk_start,"
+        f" substr(text, CAST(chunk_start AS INT) + 1, {CHUNK_SIZE})"
+        f" AS chunk_text FROM starts),"
+        f" emb AS (SELECT doc_id, chunk_start, {emb_cols} FROM chunks)"
+        f" SELECT doc_id, chunk_start,"
+        f" ({dot}) / (sqrt({nrm}) * {qn!r}) AS cosine"
+        f" FROM emb ORDER BY cosine DESC, doc_id, chunk_start"
+        f" LIMIT {RAG_K}"
+    )
+
 ORACLES = {
     "chunk_documents": (
         f"WITH {_NORM},"
@@ -254,6 +350,7 @@ ORACLES = {
         f" + 0.2 * (1.0 - stop_ratio) AS quality"
         f" FROM m"
     ),
+    "rag_search_chunks": _rag_oracle(),
     "text_langid": _langid_oracle(),
     "doc_fingerprints": (
         f"WITH {_NORM}"

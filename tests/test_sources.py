@@ -190,3 +190,16 @@ def test_embedder_deterministic(spark):
     # remote path is stubbed without endpoint
     with pytest.raises(NotImplementedError):
         embedder.remote_embed_texts(["x"], endpoint=None)
+
+
+def test_embeddings_sink_roundtrip(spark, tmp_path):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"chunk_id": ["a", "b"], "chunk": ["hello", "world"]})
+    vecs = embedder.embed_chunks(spark.createDataFrame(pdf))
+    out = str(tmp_path / "emb")
+    sinks.write_embeddings(vecs, out, append=False)
+    sinks.write_embeddings(vecs, out, append=True)  # S9 batch-append shape
+    back = sinks.read_embeddings(spark, out)
+    assert back.count() == 4
+    assert dict(back.dtypes)["embedding"] == "array<float>"
