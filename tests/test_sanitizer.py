@@ -121,3 +121,57 @@ def test_run_safe_sql_rejects_dml(spark):
         run_safe_sql(spark, "DROP TABLE sales")
     with pytest.raises(ValueError):
         run_safe_sql(spark, "INSERT INTO sales VALUES (1)")
+
+
+# --- property-based hardening (hypothesis) -----------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except Exception:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+    from intellect_bi_spark.plans.sanitizer import (
+        ensure_limit,
+        extract_select_only,
+        is_safe_select,
+        sanitize_sql,
+    )
+
+    _FORBIDDEN = (
+        "insert", "update", "delete", "drop", "alter", "truncate",
+        "create", "attach", "detach", "copy", "load",
+    )
+
+    @given(st.text(max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def test_gate_never_passes_forbidden_tokens(s):
+        """No input — however mangled — that CONTAINS a forbidden token
+        survives the gate after the full extract→sanitize pipeline."""
+        stmt = extract_select_only(s)
+        if stmt is None:
+            return
+        stmt = sanitize_sql(stmt)
+        ok, _ = is_safe_select(stmt)
+        if ok:
+            low = stmt.lower()
+            assert not any(
+                __import__("re").search(rf"\b{t}\b", low) for t in _FORBIDDEN
+            )
+            assert low.lstrip().startswith(("select", "with"))
+
+    @given(st.integers(min_value=1, max_value=10_000))
+    @settings(max_examples=50, deadline=None)
+    def test_ensure_limit_idempotent(n):
+        out = ensure_limit("SELECT * FROM sales", n)
+        assert out.endswith(f"LIMIT {n}")
+        assert ensure_limit(out, n + 1) == out  # existing LIMIT untouched
+
+    @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=120))
+    @settings(max_examples=200, deadline=None)
+    def test_sanitize_is_idempotent_on_its_output(s):
+        once = sanitize_sql(s)
+        assert sanitize_sql(once) == sanitize_sql(sanitize_sql(once))
