@@ -95,11 +95,102 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.withColumn("ma7", F.expr(rolling))
 
 
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: revenue lost to returned items per customer
+    nation — fact⋈orders equi-join (the one genuinely big-big join shape
+    in the schema) + broadcast dims + top-k."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum("l_extendedprice * (1 - l_discount)", 4).alias("lost_revenue"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy(F.desc("lost_revenue"), "nation")
+        .limit(10)
+    )
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: order-priority counts per lineitem class
+    (conditional aggregation over the fact⋈orders equi-join; the fixture
+    schema has no l_shipmode, so l_returnflag plays the class column)."""
+    t = load_tables(spark, sf_dir)
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_priority"),
+            F.sum(1 - high).alias("low_priority"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_PROMO_EXPR = (
+    "CASE WHEN p_type LIKE 'PROMO%'"
+    " THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
+)
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: promo revenue share — conditional exact-decimal
+    sums with one final double division (deterministic)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            dsum(_PROMO_EXPR, 4).alias("promo_revenue"),
+            dsum("l_extendedprice * (1 - l_discount)", 4).alias("total_revenue"),
+            (
+                F.expr(dsum_sql(_PROMO_EXPR, 4))
+                / F.expr(dsum_sql("l_extendedprice * (1 - l_discount)", 4))
+            ).alias("promo_share"),
+        )
+    )
+
+
+def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB cardinality path: HyperLogLog++ ``approx_count_distinct``
+    next to the exact count so the error is visible. No oracle (HLL sketch
+    internals are engine-specific — driver records the rows-only check);
+    tests/test_approx.py bounds the relative error at 5%."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias(
+            "approx_p50"
+        ),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_region": revenue_by_region,
     "orders_by_status": orders_by_status,
     "events_rolling_7d": events_rolling_7d,
+    "q10_returned_revenue": q10_returned_revenue,
+    "q12_shipmode_priority": q12_shipmode_priority,
+    "q14_promo_share": q14_promo_share,
+    "approx_distinct_counts": approx_distinct_counts,
 }
 
 ORACLES = {
@@ -133,6 +224,38 @@ ORACLES = {
         f" COUNT(*) AS n_orders,"
         f" COUNT(DISTINCT o_custkey) AS n_customers"
         f" FROM orders GROUP BY o_orderstatus, o_orderpriority"
+    ),
+    "q10_returned_revenue": (
+        f"SELECT n_name AS nation,"
+        f" {dsum_sql('l_extendedprice * (1 - l_discount)', 4)}"
+        f" AS lost_revenue,"
+        f" COUNT(DISTINCT o_custkey) AS n_customers"
+        f" FROM lineitem"
+        f" JOIN orders ON l_orderkey = o_orderkey"
+        f" JOIN customer ON o_custkey = c_custkey"
+        f" JOIN nation ON c_nationkey = n_nationkey"
+        f" WHERE l_returnflag = 'R'"
+        f" GROUP BY n_name ORDER BY lost_revenue DESC, nation LIMIT 10"
+    ),
+    "q12_shipmode_priority": (
+        "SELECT l_returnflag,"
+        " CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS high_priority,"
+        " CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        " THEN 0 ELSE 1 END) AS BIGINT) AS low_priority,"
+        " COUNT(*) AS n"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " GROUP BY l_returnflag"
+    ),
+    "q14_promo_share": (
+        f"SELECT"
+        f" {dsum_sql(_PROMO_EXPR, 4)} AS promo_revenue,"
+        f" {dsum_sql('l_extendedprice * (1 - l_discount)', 4)}"
+        f" AS total_revenue,"
+        f" {dsum_sql(_PROMO_EXPR, 4)}"
+        f" / {dsum_sql('l_extendedprice * (1 - l_discount)', 4)}"
+        f" AS promo_share"
+        f" FROM lineitem JOIN part ON l_partkey = p_partkey"
     ),
     "events_rolling_7d": (
         f"WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,"

@@ -63,3 +63,43 @@ def test_stateful_running_totals(spark, sf_dir):
     for uid, row in w.items():
         assert f[uid]["n_events"] == row["n_events"]
         assert f[uid]["total_value"] == pytest.approx(row["total_value"], abs=1e-6)
+
+
+def test_stream_parquet_sink_checkpointed(spark, sf_dir, tmp_path):
+    """writeStream → parquet files with a checkpoint (exactly-once file
+    sink): output rows equal the batch aggregation, and a restart with the
+    same checkpoint emits nothing new (no duplicates)."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            se.tumbling_daily_agg(se.read_events_stream(spark, sf_dir))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    back = spark.read.parquet(out)
+    want = se.tumbling_daily_agg(se.events_batch(spark, sf_dir))
+    # append mode + watermark: only windows closed by the final watermark
+    # are emitted; every emitted row must match its batch twin, and the
+    # only missing rows are the last (still-open) day per event_type.
+    got_rows = {tuple(r) for r in back.collect()}
+    want_rows = {tuple(r) for r in want.collect()}
+    assert got_rows <= want_rows
+    missing = want_rows - got_rows
+    import datetime
+
+    max_day = max(r[0] for r in want_rows)
+    horizon = max_day - datetime.timedelta(days=2)
+    assert all(r[0] >= horizon for r in missing), missing
+    # idempotent restart with the same checkpoint: nothing new appears
+    n_before = back.count()
+    run()
+    assert spark.read.parquet(out).count() == n_before
