@@ -419,8 +419,31 @@ def percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant COUNT(DISTINCT) via two-stage salting: the distinct
+    set is partitioned by ``custkey % 16`` (disjoint by construction), each
+    salt bucket deduplicates independently, and the per-bucket counts SUM
+    to the exact global distinct count.
+
+    Why: a plain COUNT(DISTINCT) on a skewed group key ships every
+    distinct value of the hot group through one reducer; salting spreads
+    the hot group over 16 reducers and the merge is a tiny integer sum.
+    Result is identical — the oracle is the naive one-stage form."""
+    o = load_tables(spark, sf_dir)["orders"]
+    staged = (
+        o.withColumn("salt", F.pmod(F.col("o_custkey"), F.lit(16)))
+        .groupBy("o_orderstatus", "salt")
+        .agg(F.countDistinct("o_custkey").alias("part"))
+    )
+    return (
+        staged.groupBy("o_orderstatus")
+        .agg(F.sum("part").alias("n_customers"))
+    )
+
+
 QUERIES = {
     "percentiles_by_status": percentiles_by_status,
+    "salted_distinct_customers": salted_distinct_customers,
     "p1_project_cast": p1_project_cast,
     "p2_eq_filter": p2_eq_filter,
     "p3_ci_eq_filter": p3_ci_eq_filter,
@@ -448,6 +471,11 @@ QUERIES = {
 
 
 ORACLES = {
+    "salted_distinct_customers": (
+        "SELECT o_orderstatus,"
+        " COUNT(DISTINCT o_custkey) AS n_customers"
+        " FROM orders GROUP BY o_orderstatus"
+    ),
     "percentiles_by_status": (
         "SELECT o_orderstatus,"
         " quantile_cont(o_totalprice, 0.5) AS p50,"

@@ -1,0 +1,101 @@
+"""Physical-plan regression tests: the optimizations we design for must be
+visible in `.explain` — broadcast joins on dims, filter/column pushdown to
+the parquet scan, TakeOrderedAndProject for top-k. A refactor that silently
+turns a broadcast join into a sort-merge shuffle fails here, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from intellect_bi_spark.operators.relational import (
+    q1_pricing_summary,
+    q10_returned_revenue,
+    revenue_by_region,
+)
+from intellect_bi_spark.operators.sales_queries import top_products_under_30
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(revenue_by_region(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # fact table must not shuffle
+
+
+def test_fact_scan_prunes_and_pushes_down(spark, sf_dir):
+    plan = plan_of(q1_pricing_summary(spark, sf_dir))
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line]
+    assert any("l_shipdate" in line for line in pushed), pushed
+    # column pruning: the 7-column projection reaches ReadSchema — the
+    # unused l_linenumber column must not be read
+    read_schema = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ][0]
+    assert "l_linenumber" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(top_products_under_30(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_big_join_key_filters_pushed(spark, sf_dir):
+    plan = plan_of(q10_returned_revenue(spark, sf_dir))
+    # the returnflag filter reaches the lineitem scan
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line
+    ]
+    assert any("l_returnflag" in line for line in pushed)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located big-big join via bucketing: writing both sides bucketed
+    by the join key lets the sort-merge join run with NO Exchange on
+    either side — the layout decision that makes the lineitem⋈orders join
+    shuffle-free at 100 TB."""
+    from intellect_bi_spark.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    (
+        t["lineitem"]
+        .select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(tmp_path / "li_b"))
+        .mode("overwrite")
+        .saveAsTable("li_b")
+    )
+    (
+        t["orders"]
+        .select("o_orderkey", "o_orderstatus")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(tmp_path / "o_b"))
+        .mode("overwrite")
+        .saveAsTable("o_b")
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("li_b").join(
+            spark.table("o_b"),
+            spark.table("li_b")["l_orderkey"]
+            == spark.table("o_b")["o_orderkey"],
+        )
+        plan = plan_of(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == t["lineitem"].count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
