@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_tables
+from ..catalog import load_tables, spread_scan
 from ..functions.numeric import davg_sql, dsum, dsum_sql
 
 
@@ -21,10 +21,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Single scan of lineitem; hash-aggregate with map-side partials; the
     date filter and 7-column projection push down to the parquet scan.
+    spread_scan is an identity on any healthy multi-split layout — it only
+    redistributes the fixtures' one-partition file so the decimal partial
+    aggregation isn't single-task locally.
     """
     li = load_tables(spark, sf_dir)["lineitem"]
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        spread_scan(
+            spark,
+            li.filter(
+                F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+            ),
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
