@@ -35,6 +35,8 @@ HEADLINE = [
     "last_two_quarters_satisfaction",
     "region_quarter_delta",
     "events_rolling_7d",
+    "asof_join_clicks",
+    "range_join_click_bursts",
     # training-data pipeline (charter extensions)
     "exact_dedup_stats",
     "near_dup_summary",

@@ -1,0 +1,203 @@
+"""Temporal join operators: as-of join and banded range join.
+
+The reference has no as-of/range joins (SURVEY §2.3 note) — these are the
+charter's forward-looking event-time operators, the shapes every
+training-data / clickstream pipeline needs and that Spark has no native
+operator for. Both are implemented as compositions of built-in DataFrame
+ops (no UDFs, no cross joins), designed so the shuffle structure survives
+100 TB:
+
+- **As-of join** (``asof_join_clicks``): the naive formulation — join all
+  earlier right rows, keep the max — explodes to O(|L|·|R|) per key before
+  aggregating. The union+window form here shuffles each input exactly once
+  (one exchange on the key), sorts within partitions, and resolves every
+  as-of match with ``last(ignorenulls)`` over a running frame — linear in
+  input size, the textbook distributed as-of (same strategy Flink and
+  kdb-style engines use).
+
+- **Banded range join** (``range_join_click_bursts``): an inequality-only
+  join degenerates to BroadcastNestedLoopJoin in Spark (O(|L|·|R|) work).
+  Bucketing event time to the band width turns it into an equi-join on
+  (key, bucket) ∪ (key, bucket−1) — candidates are only rows within one
+  bucket of each other, then the exact band predicate filters. Candidate
+  count is O(true matches + band-adjacent near-misses), and the join key
+  (user, time-bucket) is well-distributed even when a single user is hot
+  across time.
+
+Oracles: DuckDB's native ``ASOF JOIN`` and a plain inequality join — the
+small-data formulations — must produce identical rows, proving the
+distributed compositions correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+
+BAND_SECONDS = 300  # range-join band: clicks within 5 minutes before an error
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["events"]
+
+
+def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every ``error`` event, the most recent ``click`` by the same
+    user at or before the error (NULL if none) — event attribution as a
+    distributed as-of join.
+
+    Shape: clicks are first deduplicated to one per (user, ts) (max
+    event_id — makes ties deterministic in both engines), then unioned
+    with errors under a side tag and resolved with one window pass:
+    ``last(click_id) IGNORE NULLS`` over rows ≤ current, ordered by
+    (ts, side) so a click at exactly the error's timestamp is visible
+    (``<=`` semantics, matching ASOF JOIN's ``ts <= ts``).
+
+    One shuffle total (the window exchange on user_id); no join node at
+    all. Skew note: a pathologically hot user serializes within its
+    partition — the fix at scale is range-partitioning the window by
+    (user_id, coarse time) and stitching boundaries, which this shape
+    admits without changing semantics.
+    """
+    ev = _events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", "click_id", F.lit(0).alias("side"),
+                F.lit(None).cast("long").alias("error_id"))
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("error_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    resolved = (
+        clicks.unionByName(errors)
+        .withColumn("asof_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn(
+            "asof_click_ts",
+            F.last(
+                F.when(F.col("click_id").isNotNull(), F.col("ts")),
+                ignorenulls=True,
+            ).over(w),
+        )
+    )
+    return (
+        resolved.filter(F.col("side") == 1)
+        .select(
+            "user_id",
+            "error_id",
+            F.col("ts").alias("error_ts"),
+            F.col("asof_click_id").alias("click_id"),
+            F.col("asof_click_ts").alias("click_ts"),
+            (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.col("asof_click_ts"))
+            ).alias("gap_us"),
+        )
+    )
+
+
+def range_join_click_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per error event: how many clicks the same user made in the
+    ``(error_ts - 5 min, error_ts]`` band, and their total value — a
+    banded range join via time-bucket candidate generation.
+
+    A click at most BAND_SECONDS before the error lives in the same
+    5-minute bucket as the error or the one just below it, so the
+    inequality join becomes: explode each error to (bucket, bucket-1) and
+    equi-join clicks on (user_id, bucket) — candidates then pass the exact
+    band predicate. Equi-join keys keep this a shuffled hash join (never a
+    nested-loop), and AQE handles residual bucket skew.
+    """
+    ev = _events(spark, sf_dir)
+    bucket = lambda c: (F.unix_micros(c) / F.lit(BAND_SECONDS * 1_000_000)).cast("long")  # noqa: E731
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+        bucket(F.col("ts")).alias("bkt"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+        bucket(F.col("ts")).alias("err_bkt"),
+    )
+    cand_buckets = errors.withColumn(
+        "bkt", F.explode(F.array(F.col("err_bkt"), F.col("err_bkt") - 1))
+    )
+    matched = cand_buckets.join(clicks, ["user_id", "bkt"]).filter(
+        (F.col("click_ts") > F.col("error_ts") - F.expr(f"INTERVAL {BAND_SECONDS} SECONDS"))
+        & (F.col("click_ts") <= F.col("error_ts"))
+    )
+    counts = matched.groupBy("user_id", "error_id", "error_ts").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum(
+            F.col("click_value").cast("decimal(30,2)")
+        ).cast("double").alias("click_value_total"),
+    )
+    # left join back so zero-click errors appear with n_clicks = 0
+    # (the oracle's LEFT JOIN shape); the join is on the error key, which
+    # is unique, so this is a cheap 1:1 hash join.
+    return (
+        errors.select("user_id", "error_id", "error_ts")
+        .join(counts, ["user_id", "error_id", "error_ts"], "left")
+        .select(
+            "user_id",
+            "error_id",
+            "error_ts",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce(
+                "click_value_total", F.lit(0.0)
+            ).alias("click_value_total"),
+        )
+    )
+
+
+QUERIES = {
+    "asof_join_clicks": asof_join_clicks,
+    "range_join_click_bursts": range_join_click_bursts,
+}
+
+
+ORACLES = {
+    # DuckDB's native ASOF JOIN over the same deduplicated click relation;
+    # epoch_us on both sides matches Spark's unix_micros exactly (µs longs).
+    "asof_join_clicks": (
+        "WITH clicks AS (SELECT user_id, ts, MAX(event_id) AS click_id"
+        " FROM events WHERE event_type = 'click' GROUP BY user_id, ts),"
+        " errors AS (SELECT user_id, event_id AS error_id, ts AS error_ts"
+        " FROM events WHERE event_type = 'error')"
+        " SELECT e.user_id, e.error_id, e.error_ts,"
+        " c.click_id, c.ts AS click_ts,"
+        " epoch_us(e.error_ts) - epoch_us(c.ts) AS gap_us"
+        " FROM errors e ASOF LEFT JOIN clicks c"
+        " ON e.user_id = c.user_id AND c.ts <= e.error_ts"
+    ),
+    "range_join_click_bursts": (
+        "WITH clicks AS (SELECT user_id, ts AS click_ts, value AS click_value"
+        " FROM events WHERE event_type = 'click'),"
+        " errors AS (SELECT user_id, event_id AS error_id, ts AS error_ts"
+        " FROM events WHERE event_type = 'error')"
+        " SELECT e.user_id, e.error_id, e.error_ts,"
+        " COUNT(c.click_ts) AS n_clicks,"
+        " CAST(COALESCE(SUM(CAST(c.click_value AS DECIMAL(30,2))), 0)"
+        "      AS DOUBLE) AS click_value_total"
+        " FROM errors e LEFT JOIN clicks c"
+        " ON c.user_id = e.user_id"
+        f" AND c.click_ts > e.error_ts - INTERVAL {BAND_SECONDS} SECONDS"
+        " AND c.click_ts <= e.error_ts"
+        " GROUP BY e.user_id, e.error_id, e.error_ts"
+    ),
+}

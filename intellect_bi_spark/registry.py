@@ -21,6 +21,7 @@ from .operators import (
     sales_queries,
     similarity,
     streamops,
+    temporal,
     textops,
 )
 
@@ -34,6 +35,7 @@ _MODULES = (
     sales_queries,
     similarity,
     streamops,
+    temporal,
     textops,
 )
 

@@ -15,6 +15,10 @@ from intellect_bi_spark.operators.relational import (
     revenue_by_region,
 )
 from intellect_bi_spark.operators.sales_queries import top_products_under_30
+from intellect_bi_spark.operators.temporal import (
+    asof_join_clicks,
+    range_join_click_bursts,
+)
 
 
 def plan_of(df) -> str:
@@ -55,6 +59,22 @@ def test_big_join_key_filters_pushed(spark, sf_dir):
         line for line in plan.splitlines() if "PushedFilters" in line
     ]
     assert any("l_returnflag" in line for line in pushed)
+
+
+def test_asof_join_is_joinless_single_window(spark, sf_dir):
+    """The as-of join must compile to union + window — zero join nodes —
+    or it would explode to O(|L|·|R|) per key at scale."""
+    plan = plan_of(asof_join_clicks(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+
+
+def test_range_join_never_nested_loop(spark, sf_dir):
+    """Bucketed candidate generation must keep the banded range join a
+    hash/sort-merge equi-join; BroadcastNestedLoopJoin here means the
+    band predicate leaked into the join condition unbucketed."""
+    plan = plan_of(range_join_click_bursts(spark, sf_dir))
+    assert "BroadcastNestedLoop" not in plan, plan
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
