@@ -198,6 +198,36 @@ def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile quartiles per order-status (the window
+    surface the reference never used — its drill-down tab stub is the
+    natural consumer, SURVEY §2.5). ntile is made deterministic by a
+    unique (totalprice DESC, orderkey) ordering; aggregated per
+    (status, quartile) so the result is compact at any scale."""
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return (
+        ranked.groupBy("o_orderstatus", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("rnk").alias("min_rank"),
+            F.max("drnk").alias("max_dense_rank"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("price_total"),
+        )
+    )
+
+
 # --- O1/O4: multi-key sort + top-k (TakeOrderedAndProject) --------------------
 
 
@@ -456,6 +486,7 @@ QUERIES = {
     "a9_distinct_regions": a9_distinct_regions,
     "a10_having": a10_having,
     "w1_topk_per_group": w1_topk_per_group,
+    "w_rank_dense_ntile": w_rank_dense_ntile,
     "o1_topk_multisort": o1_topk_multisort,
     "f_scalar_suite": f_scalar_suite,
     "json_extract_events": json_extract_events,
@@ -551,6 +582,19 @@ ORACLES = {
     "o1_topk_multisort": (
         "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem"
         " ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20"
+    ),
+    "w_rank_dense_ntile": (
+        "WITH ranked AS (SELECT o_orderstatus, o_totalprice,"
+        " RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,"
+        " NTILE(4) OVER w AS quartile FROM orders"
+        " WINDOW w AS (PARTITION BY o_orderstatus"
+        " ORDER BY o_totalprice DESC, o_orderkey))"
+        " SELECT o_orderstatus, CAST(quartile AS INT) AS quartile,"
+        " COUNT(*) AS n, CAST(MIN(rnk) AS INT) AS min_rank,"
+        " CAST(MAX(drnk) AS INT) AS max_dense_rank,"
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)"
+        " AS price_total"
+        " FROM ranked GROUP BY o_orderstatus, quartile"
     ),
     "f_scalar_suite": sales_cte(
         ", mx AS (SELECT MAX(date) AS max_date FROM sales)"
