@@ -174,6 +174,73 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: priority counts for orders in one quarter with at
+    least one late-shipped lineitem (EXISTS over the fact table).
+
+    The EXISTS is a LEFT SEMI join on the order key with the lateness
+    predicate as a residual condition — at scale this shuffles only the
+    quarter's orders plus lineitem's two join columns (key + shipdate,
+    pruned at the scan), and each order emits at most once regardless of
+    how many lineitems match. Never a correlated per-row subquery.
+    """
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: customers with orders whose total lineitem
+    quantity exceeds a threshold (IN-subquery over a grouped HAVING).
+
+    The aggregate runs BEFORE the join — lineitem reduces to one row per
+    order (partial aggregation map-side), the >threshold filter cuts that
+    to a sliver, and only the sliver joins back to orders. Joining first
+    and aggregating after would shuffle the full fact table twice.
+    """
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice"), "orderkey")
+        .limit(100)
+    )
+
+
 def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB cardinality path: HyperLogLog++ ``approx_count_distinct``
     next to the exact count so the error is visible. No oracle (HLL sketch
@@ -198,6 +265,8 @@ QUERIES = {
     "q10_returned_revenue": q10_returned_revenue,
     "q12_shipmode_priority": q12_shipmode_priority,
     "q14_promo_share": q14_promo_share,
+    "q4_order_priority": q4_order_priority,
+    "q18_large_orders": q18_large_orders,
     "approx_distinct_counts": approx_distinct_counts,
 }
 
@@ -264,6 +333,27 @@ ORACLES = {
         f" / {dsum_sql('l_extendedprice * (1 - l_discount)', 4)}"
         f" AS promo_share"
         f" FROM lineitem JOIN part ON l_partkey = p_partkey"
+    ),
+    "q4_order_priority": (
+        "SELECT o_orderpriority, COUNT(*) AS order_count"
+        " FROM orders o"
+        " WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        " AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'"
+        " AND EXISTS (SELECT 1 FROM lineitem l"
+        " WHERE l.l_orderkey = o.o_orderkey"
+        " AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)"
+        " GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    "q18_large_orders": (
+        f"WITH big AS (SELECT l_orderkey,"
+        f" {dsum_sql('l_quantity')} AS total_qty"
+        f" FROM lineitem GROUP BY l_orderkey"
+        f" HAVING {dsum_sql('l_quantity')} > 250)"
+        f" SELECT c_name, o_orderkey AS orderkey, o_orderdate AS orderdate,"
+        f" o_totalprice AS totalprice, total_qty"
+        f" FROM orders JOIN big ON o_orderkey = l_orderkey"
+        f" JOIN customer ON o_custkey = c_custkey"
+        f" ORDER BY totalprice DESC, orderkey LIMIT 100"
     ),
     "events_rolling_7d": (
         f"WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,"
