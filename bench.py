@@ -37,6 +37,8 @@ HEADLINE = [
     "events_rolling_7d",
     "asof_join_clicks",
     "range_join_click_bursts",
+    "q4_order_priority",
+    "q18_large_orders",
     # training-data pipeline (charter extensions)
     "exact_dedup_stats",
     "near_dup_summary",
