@@ -83,7 +83,7 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def multimodal_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _catalog_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata catalog scan + a pure-plan 'resize': thumbnail dims
     preserving aspect ratio with max edge 128 (metadata transform only —
     the real pixel resize is the decode stub's job)."""
@@ -98,6 +98,23 @@ def multimodal_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.alias("height"),
         F.floor(w * scale).cast("int").alias("thumb_w"),
         F.floor(h * scale).cast("int").alias("thumb_h"),
+    )
+
+
+def multimodal_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-mime exact checksum of the full catalog relation (all-integer
+    sums over every row — any wrong dim/thumb flips a row). Summaries
+    replaced the round-1 full 500-row dump so the driver's compare budget
+    covers all registry queries; per-row parity stays in the local mirror
+    (tests/test_parity.py)."""
+    c = _catalog_rows(spark, sf_dir)
+    return c.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("sum_bytes"),
+        F.sum("width").alias("sum_width"),
+        F.sum("height").alias("sum_height"),
+        F.sum("thumb_w").alias("sum_thumb_w"),
+        F.sum("thumb_h").alias("sum_thumb_h"),
     )
 
 
@@ -134,7 +151,7 @@ def _image_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _image_feature_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-payload features via Arrow-batched mapInPandas over the binary
     column (the multimodal slow path, kept off the driver).
 
@@ -145,6 +162,26 @@ def image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning is kept."""
     m = _media(spark, sf_dir).select("doc_id", "payload")
     return m.mapInPandas(_image_features, schema=_FEAT_SCHEMA)
+
+
+def image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact checksum over every per-payload feature row: integer
+    sums plus an id-weighted modular hash sum bind each doc's poly_hash to
+    its doc_id, so a single wrong feature value changes the output. The
+    overall mean is one double division of two exact longs
+    (partition-order independent)."""
+    feats = _image_feature_rows(spark, sf_dir)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("sum_bytes"),
+        F.sum("byte_sum").alias("sum_byte_sum"),
+        F.sum(F.expr(f"(doc_id * poly_hash) % {P}")).alias(
+            "id_weighted_hash_sum"
+        ),
+        (
+            F.sum("byte_sum").cast("double") / F.sum("n_bytes")
+        ).alias("mean_byte"),
+    )
 
 
 _FRAME_SCHEMA = "doc_id long, frame_idx int, frame_hash long"
@@ -163,14 +200,32 @@ def _frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_hash"])
 
 
-def video_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _frame_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: every SAMPLE_EVERY-th FRAME_BYTES-slice, hashed.
     Only sampled frames are materialized inside the UDF."""
     m = _media(spark, sf_dir).select("doc_id", "payload")
     return m.mapInPandas(_frame_sample, schema=_FRAME_SCHEMA)
 
 
-_RMS_SCHEMA = "doc_id long, window_idx int, rms double"
+def video_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact checksum over every sampled frame (count, distinct
+    docs, frame-index sum, id+index-weighted modular hash sum)."""
+    frames = _frame_sample_rows(spark, sf_dir)
+    return frames.agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("frame_idx").alias("sum_frame_idx"),
+        # both factors reduced mod P before multiplying: product < P² < 2^63
+        # at any corpus size
+        F.sum(
+            F.expr(
+                f"(((doc_id * 131 + frame_idx) % {P}) * frame_hash) % {P}"
+            )
+        ).alias("id_weighted_hash_sum"),
+    )
+
+
+_RMS_SCHEMA = "doc_id long, window_idx int, sq_sum long, rms double"
 
 
 def _audio_rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -181,23 +236,44 @@ def _audio_rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             n_win = b.size // RMS_WINDOW
             for i in range(n_win):
                 w = b[i * RMS_WINDOW : (i + 1) * RMS_WINDOW].astype(np.int64)
-                # integer sum-of-squares then one double division + sqrt:
-                # bit-identical to the SQL oracle's arithmetic order
+                # integer sum-of-squares carried exactly; rms is one double
+                # division + sqrt, bit-identical to the SQL oracle's order
+                sq = int((w * w).sum())
                 out.append(
                     (
                         int(doc_id),
                         i,
-                        float(np.sqrt(float(int((w * w).sum())) / RMS_WINDOW)),
+                        sq,
+                        float(np.sqrt(float(sq) / RMS_WINDOW)),
                     )
                 )
-        yield pd.DataFrame(out, columns=["doc_id", "window_idx", "rms"])
+        yield pd.DataFrame(
+            out, columns=["doc_id", "window_idx", "sq_sum", "rms"]
+        )
 
 
-def audio_window_rms_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _audio_rms_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed RMS over byte 'samples' (non-overlapping full windows) —
     the audio feature-extraction shape."""
     m = _media(spark, sf_dir).select("doc_id", "payload")
     return m.mapInPandas(_audio_rms, schema=_RMS_SCHEMA)
+
+
+def audio_window_rms_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact checksum over every RMS window: the integer
+    sum-of-squares total verifies all window contents exactly; the overall
+    rms is a single double division + sqrt of exact longs."""
+    wins = _audio_rms_rows(spark, sf_dir)
+    return wins.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("window_idx").alias("sum_window_idx"),
+        F.sum("sq_sum").alias("total_sq_sum"),
+        F.sqrt(
+            F.sum("sq_sum").cast("double")
+            / (F.count(F.lit(1)) * RMS_WINDOW).cast("double")
+        ).alias("rms_overall"),
+    )
 
 
 QUERIES = {
@@ -220,8 +296,11 @@ _POLY = (
     " (acc, c) -> (acc * 31 + c) % {p})"
 )
 
-ORACLES = {
-    "multimodal_catalog": (
+# Full-row forms (the round-1 oracles) — still asserted per-row in
+# tests/test_fullrow_parity.py; the registry oracles below are the
+# driver-budget-friendly aggregate checksums over the same relations.
+FULLROW_ORACLES = {
+    "catalog_rows": (
         f"SELECT doc_id, {_MIME_CASE} AS mime,"
         " length(text) AS n_bytes,"
         " CAST(doc_id % 16 * 64 + 256 AS INT) AS width,"
@@ -234,7 +313,7 @@ ORACLES = {
         " AS thumb_h"
         " FROM documents"
     ),
-    "image_features_stub": (
+    "image_feature_rows": (
         "WITH codes AS (SELECT doc_id, length(text) AS n,"
         " list_transform(range(1, length(text) + 1),"
         " i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS cs"
@@ -248,7 +327,7 @@ ORACLES = {
         f" (acc, c) -> (acc * 31 + c) % {P}) AS poly_hash"
         " FROM codes"
     ),
-    "video_frame_sample_stub": (
+    "frame_sample_rows": (
         "WITH frames AS (SELECT doc_id, text,"
         f" unnest(range(0, length(text) // {FRAME_BYTES})) AS frame_idx"
         " FROM documents)"
@@ -259,11 +338,17 @@ ORACLES = {
         + " AS frame_hash FROM frames"
         f" WHERE frame_idx % {SAMPLE_EVERY} = 0"
     ),
-    "audio_window_rms_stub": (
+    "audio_rms_rows": (
         "WITH wins AS (SELECT doc_id, text,"
         f" unnest(range(0, length(text) // {RMS_WINDOW})) AS window_idx"
         " FROM documents)"
         " SELECT doc_id, CAST(window_idx AS INT) AS window_idx,"
+        " list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(range(1, {RMS_WINDOW} + 1),"
+        f" i -> CAST(ascii(substr(text, window_idx * {RMS_WINDOW} + i, 1))"
+        " AS BIGINT) * CAST(ascii(substr(text,"
+        f" window_idx * {RMS_WINDOW} + i, 1)) AS BIGINT))),"
+        " (a, c) -> a + c) AS sq_sum,"
         " sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),"
         f" list_transform(range(1, {RMS_WINDOW} + 1),"
         f" i -> CAST(ascii(substr(text, window_idx * {RMS_WINDOW} + i, 1))"
@@ -271,5 +356,48 @@ ORACLES = {
         f" window_idx * {RMS_WINDOW} + i, 1)) AS BIGINT))),"
         f" (a, c) -> a + c) AS DOUBLE) / {RMS_WINDOW}) AS rms"
         " FROM wins"
+    ),
+}
+
+ORACLES = {
+    "multimodal_catalog": (
+        f"WITH c AS ({FULLROW_ORACLES['catalog_rows']})"
+        " SELECT mime, COUNT(*) AS n_items,"
+        " CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,"
+        " CAST(SUM(width) AS BIGINT) AS sum_width,"
+        " CAST(SUM(height) AS BIGINT) AS sum_height,"
+        " CAST(SUM(thumb_w) AS BIGINT) AS sum_thumb_w,"
+        " CAST(SUM(thumb_h) AS BIGINT) AS sum_thumb_h"
+        " FROM c GROUP BY mime"
+    ),
+    "image_features_stub": (
+        f"WITH f AS ({FULLROW_ORACLES['image_feature_rows']})"
+        " SELECT COUNT(*) AS n_docs,"
+        " CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,"
+        " CAST(SUM(byte_sum) AS BIGINT) AS sum_byte_sum,"
+        f" CAST(SUM((doc_id * poly_hash) % {P}) AS BIGINT)"
+        " AS id_weighted_hash_sum,"
+        " CAST(SUM(byte_sum) AS DOUBLE) / CAST(SUM(n_bytes) AS BIGINT)"
+        " AS mean_byte"
+        " FROM f"
+    ),
+    "video_frame_sample_stub": (
+        f"WITH f AS ({FULLROW_ORACLES['frame_sample_rows']})"
+        " SELECT COUNT(*) AS n_frames,"
+        " COUNT(DISTINCT doc_id) AS n_docs,"
+        " CAST(SUM(frame_idx) AS BIGINT) AS sum_frame_idx,"
+        f" CAST(SUM((((doc_id * 131 + frame_idx) % {P}) * frame_hash)"
+        f" % {P}) AS BIGINT) AS id_weighted_hash_sum"
+        " FROM f"
+    ),
+    "audio_window_rms_stub": (
+        f"WITH w AS ({FULLROW_ORACLES['audio_rms_rows']})"
+        " SELECT COUNT(*) AS n_windows,"
+        " COUNT(DISTINCT doc_id) AS n_docs,"
+        " CAST(SUM(window_idx) AS BIGINT) AS sum_window_idx,"
+        " CAST(SUM(sq_sum) AS BIGINT) AS total_sq_sum,"
+        " sqrt(CAST(SUM(sq_sum) AS DOUBLE) /"
+        f" CAST(COUNT(*) * {RMS_WINDOW} AS DOUBLE)) AS rms_overall"
+        " FROM w"
     ),
 }

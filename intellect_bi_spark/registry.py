@@ -25,18 +25,25 @@ from .operators import (
     textops,
 )
 
+# Ordered so the driver's budgeted correctness sweep verifies the reference
+# sales surface first (round-1 lesson: expensive high-output modules at the
+# front exhausted the check budget before sales_queries ever ran —
+# CORRECTNESS_r01 stopped at 49/90). Cheap reference-parity modules lead;
+# the heavy charter extensions (dedup candidates, multimodal UDF scans)
+# come last, and their outputs are aggregate checksums rather than full
+# dumps (see dedup.py / multimodal.py).
 _MODULES = (
-    dedup,
-    forecast,
-    inventory,
-    multimodal,
+    sales_queries,
     nl_queries,
     relational,
-    sales_queries,
-    similarity,
-    streamops,
+    inventory,
     temporal,
     textops,
+    streamops,
+    similarity,
+    forecast,
+    dedup,
+    multimodal,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
