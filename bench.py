@@ -42,6 +42,8 @@ HEADLINE = [
     # training-data pipeline (charter extensions)
     "exact_dedup_stats",
     "near_dup_summary",
+    "minhash_lsh_pairs",  # shares the persisted verified-pair relation
+    # with near_dup_summary — times the cross-query reuse path
     "cosine_topk",
     "ann_topk_ivf",
     "text_quality_scores",

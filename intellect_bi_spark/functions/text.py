@@ -38,13 +38,19 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
 ]
 
 
-def char_hash_expr(expr: str) -> Column:
-    """Spark Column: polynomial hash of a string SQL expression."""
-    return F.expr(
+def char_hash_sql(expr: str) -> str:
+    """Spark SQL text: polynomial hash of a string expression (usable
+    inside higher-order-function lambdas, e.g. over a lambda variable)."""
+    return (
         f"aggregate(transform(sequence(1, length({expr})),"
         f" i -> CAST(ascii(substr({expr}, i, 1)) AS BIGINT)),"
         f" CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % {P})"
     )
+
+
+def char_hash_expr(expr: str) -> Column:
+    """Spark Column: polynomial hash of a string SQL expression."""
+    return F.expr(char_hash_sql(expr))
 
 
 def char_hash_duck(expr: str) -> str:
@@ -75,6 +81,25 @@ def char_hash_duck_mult(expr: str, mult: int) -> str:
         f" i -> CAST(ascii(substr({expr}, i, 1)) AS BIGINT))),"
         f" (acc, c) -> (acc * {mult} + c) % {P})"
     )
+
+
+def md5_mod_hash_sql(expr: str) -> str:
+    """Spark SQL text: native-md5 64-bit hash of a string, reduced mod P.
+
+    ``md5`` is a native JVM digest (and a native C++ one in DuckDB), ~10×
+    the throughput of the per-character higher-order-function polynomial
+    fold, which Spark evaluates interpreted per element. The first 15 hex
+    chars (60 bits) parse exactly into a BIGINT in both engines; the mod-P
+    reduction keeps values in the universal-hash domain MinHash needs
+    ((a·x + b) mod p stays < 1e18, overflow-free)."""
+    return (
+        f"(CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT) % {P})"
+    )
+
+
+def md5_mod_hash_duck(expr: str) -> str:
+    """DuckDB SQL: the same md5-based hash (hex-literal string cast)."""
+    return f"(CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT) % {P})"
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:

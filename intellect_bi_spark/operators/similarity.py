@@ -172,25 +172,45 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANT = 1 << 20  # element quantization grid for exact centroid sums
+
+
+def _quant_sql(elem: str) -> str:
+    """Exact integer quantization of one embedding element, identical text
+    in both engines: k = FLOOR(v·2^20 + 0.5).
+
+    v is a float32 (24-bit mantissa); v·2^20 is an exact exponent shift and
+    adding 0.5 spans ≤ 26 significand bits, so the double arithmetic and
+    FLOOR are bit-exact in any IEEE engine — no rounding-mode dependence.
+    (A DECIMAL(38,9) cast instead would tie-break differently across
+    engines on values like odd/1024, whose decimal expansion terminates in
+    a '5' exactly at digit 10: Java BigDecimal rounds HALF_UP, DuckDB
+    HALF_EVEN.)"""
+    return f"CAST(FLOOR(CAST({elem} AS DOUBLE) * {QUANT}.0 + 0.5) AS BIGINT)"
+
+
 def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components (first 4 dims) — the array-typed
     aggregation shape.
 
-    Plain ``avg(double)`` is partition-order-dependent; for run-to-run and
-    cross-engine determinism each mean is a fold over the per-label values
-    in vec_id order (collect → sort → fold), matching the oracle's
-    ``list(v ORDER BY vec_id)`` fold exactly."""
+    Plain ``avg(double)`` is partition-order-dependent. Round 1 solved that
+    with ``array_sort(collect_list(...))`` + ordered fold — deterministic,
+    but a hot label materializes every member vector in one aggregation
+    buffer (OOM-shaped at 100 TB; flagged in VERDICT r1). Now each element
+    is quantized to an exact BIGINT (see :func:`_quant_sql`) and the
+    centroid is an integer SUM / (n·2^20) — associative, partial-aggregable
+    (map-side combine), partition-order-independent, O(1) state per group.
+    Quantization error ≤ 2^-21 per element, far below float32 noise."""
     emb = _emb(spark, sf_dir)
     dims = []
     for d in range(4):  # first 4 dims keep the demo column set small
-        fold = (
-            f"aggregate(transform(array_sort(collect_list(named_struct("
-            f"'vec_id', vec_id, 'v',"
-            f" CAST(element_at(embedding, {d + 1}) AS DOUBLE)))),"
-            f" s -> s.v), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-            f" / COUNT(1)"
+        k = _quant_sql(f"element_at(embedding, {d + 1})")
+        dims.append(
+            (
+                F.sum(F.expr(k)).cast("double")
+                / (F.count(F.lit(1)) * F.lit(float(QUANT)))
+            ).alias(f"c{d}")
         )
-        dims.append(F.expr(fold).alias(f"c{d}"))
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"), *dims
     )
@@ -458,9 +478,8 @@ ORACLES = {
     "label_centroid_similarity": (
         "SELECT label, COUNT(*) AS n_vectors, "
         + ", ".join(
-            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
-            f" list(CAST(embedding[{d + 1}] AS DOUBLE) ORDER BY vec_id)),"
-            f" (acc, x) -> acc + x) / COUNT(*) AS c{d}"
+            f"CAST(SUM({_quant_sql(f'embedding[{d + 1}]')}) AS DOUBLE)"
+            f" / (COUNT(*) * CAST({QUANT} AS DOUBLE)) AS c{d}"
             for d in range(4)
         )
         + " FROM embeddings GROUP BY label"
