@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables, sales, sales_cte
-from ..functions.numeric import davg_sql, dsum, dsum_sql
+from ..functions.numeric import davg, davg_sql, dsum, dsum_sql
 
 _D0 = datetime.date(1996, 1, 1)
 
@@ -471,8 +471,150 @@ def salted_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dedicated micro-queries for §2 rows that previously rode on composites
+#     (VERDICT r1 item 2): P6, O2, O3, A12, W3/T4, J2 ------------------------
+
+
+def p6_inlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: IN-list dimension filter (reference api/main.py:749-757)."""
+    return (
+        sales(spark, sf_dir)
+        .filter(F.col("region").isin("North", "East", "West"))
+        .groupBy("region")
+        .agg(
+            dsum("sales").alias("total_sales"), F.count(F.lit(1)).alias("n")
+        )
+    )
+
+
+def o2_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: DESC NULLS LAST ordering (reference api/main.py:1102) — the LAG
+    of the first month is genuinely NULL and must sort after every value.
+
+    Unpartitioned window is safe: input is the per-month aggregate
+    (bounded cardinality — tens of rows per century of data)."""
+    monthly = (
+        sales(spark, sf_dir)
+        .groupBy(F.date_trunc("month", "date").cast("date").alias("month"))
+        .agg(dsum("sales").alias("m_sales"))
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("prev_sales", F.lag("m_sales").over(w))
+        .orderBy(F.col("prev_sales").desc_nulls_last(), "month")
+        .limit(3)
+    )
+
+
+def o3_top1_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: top-1 entity by aggregate (reference api/main.py:671-682);
+    unique custkey tie-break keeps the LIMIT 1 deterministic."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_spend"),
+        )
+        .orderBy(
+            F.desc("n_orders"), F.desc("total_spend"), "o_custkey"
+        )
+        .limit(1)
+    )
+
+
+def a12_kpi_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: whole-table KPI scalars (reference api/main.py:665-688) over
+    the raw fact table — count, exact sum/mean, date bounds."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("total_price"),
+        davg("l_quantity").alias("avg_quantity"),
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship"),
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+    )
+
+
+def w3_rolling_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/T4: 7-row rolling mean over per-status daily totals (reference
+    analytics.py:80 MA7). Daily totals aggregate in DECIMAL (exact,
+    associative); the window SUM stays decimal and only the final mean is
+    one double division — deterministic at any partitioning. The window IS
+    partitioned (by status), so no single-reducer bottleneck at scale."""
+    o = load_tables(spark, sf_dir)["orders"]
+    daily = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(
+            "o_orderstatus",
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias(
+                "d_total"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    win = daily.select(
+        "o_orderstatus",
+        "day",
+        F.sum("d_total").over(w).alias("ma_sum"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )
+    return win.select(
+        "o_orderstatus",
+        "day",
+        (
+            F.expr(
+                "CAST(FLOOR(ma_sum) AS DOUBLE)"
+                " + CAST(ma_sum - FLOOR(ma_sum) AS DOUBLE)"
+            )
+            / F.col("n_win")
+        ).alias("ma7"),
+    )
+
+
+def j2_bounds_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: 1-row bounds frame cross-joined (broadcast) into the fact scan
+    (reference api/main.py:1152-1163) — current vs previous month totals
+    per returnflag in a single pass over the fact table."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    bounds = li.agg(
+        F.date_trunc("month", F.max(F.col("l_shipdate").cast("date")))
+        .cast("date")
+        .alias("cur_m")
+    ).withColumn("prev_m", F.add_months("cur_m", -1))
+    cur = dsum_sql(
+        "CASE WHEN CAST(l_shipdate AS DATE) >= cur_m"
+        " THEN l_extendedprice END"
+    )
+    prev = dsum_sql(
+        "CASE WHEN CAST(l_shipdate AS DATE) >= prev_m"
+        " AND CAST(l_shipdate AS DATE) < cur_m THEN l_extendedprice END"
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy("l_returnflag")
+        .agg(F.expr(cur).alias("cur_total"), F.expr(prev).alias("prev_total"))
+    )
+
+
 QUERIES = {
     "percentiles_by_status": percentiles_by_status,
+    "p6_inlist_filter": p6_inlist_filter,
+    "o2_nulls_last": o2_nulls_last,
+    "o3_top1_subquery": o3_top1_subquery,
+    "a12_kpi_scalars": a12_kpi_scalars,
+    "w3_rolling_ma7": w3_rolling_ma7,
+    "j2_bounds_broadcast": j2_bounds_broadcast,
     "salted_distinct_customers": salted_distinct_customers,
     "p1_project_cast": p1_project_cast,
     "p2_eq_filter": p2_eq_filter,
@@ -502,6 +644,66 @@ QUERIES = {
 
 
 ORACLES = {
+    "p6_inlist_filter": sales_cte(
+        f"SELECT region, {dsum_sql('sales')} AS total_sales, COUNT(*) AS n"
+        f" FROM sales WHERE region IN ('North', 'East', 'West')"
+        f" GROUP BY region"
+    ),
+    "o2_nulls_last": sales_cte(
+        f", m AS (SELECT CAST(date_trunc('month', date) AS DATE) AS month,"
+        f" {dsum_sql('sales')} AS m_sales FROM sales GROUP BY 1),"
+        f" g AS (SELECT month, m_sales,"
+        f" LAG(m_sales) OVER (ORDER BY month) AS prev_sales FROM m)"
+        f" SELECT month, m_sales, prev_sales FROM g"
+        f" ORDER BY prev_sales DESC NULLS LAST, month LIMIT 3"
+    ),
+    "o3_top1_subquery": (
+        f"SELECT o_custkey, COUNT(*) AS n_orders,"
+        f" {dsum_sql('o_totalprice')} AS total_spend FROM orders"
+        f" GROUP BY o_custkey"
+        f" ORDER BY n_orders DESC, total_spend DESC, o_custkey LIMIT 1"
+    ),
+    "a12_kpi_scalars": (
+        f"SELECT COUNT(*) AS n_rows,"
+        f" {dsum_sql('l_extendedprice')} AS total_price,"
+        f" {davg_sql('l_quantity')} AS avg_quantity,"
+        f" MIN(CAST(l_shipdate AS DATE)) AS first_ship,"
+        f" MAX(CAST(l_shipdate AS DATE)) AS last_ship FROM lineitem"
+    ),
+    "w3_rolling_ma7": (
+        "WITH daily AS (SELECT o_orderstatus,"
+        " CAST(o_orderdate AS DATE) AS day,"
+        " SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS d_total FROM orders"
+        " WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"
+        " AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'"
+        " GROUP BY 1, 2),"
+        " win AS (SELECT o_orderstatus, day,"
+        " SUM(d_total) OVER w AS ma_sum, COUNT(*) OVER w AS n_win"
+        " FROM daily WINDOW w AS (PARTITION BY o_orderstatus ORDER BY day"
+        " ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))"
+        " SELECT o_orderstatus, day,"
+        " (CAST(FLOOR(ma_sum) AS DOUBLE)"
+        " + CAST(ma_sum - FLOOR(ma_sum) AS DOUBLE)) / n_win AS ma7"
+        " FROM win"
+    ),
+    "j2_bounds_broadcast": (
+        "WITH b AS (SELECT CAST(date_trunc('month',"
+        " MAX(CAST(l_shipdate AS DATE))) AS DATE) AS cur_m,"
+        " CAST(date_trunc('month', MAX(CAST(l_shipdate AS DATE)))"
+        " - INTERVAL 1 MONTH AS DATE) AS prev_m FROM lineitem),"
+        " j AS (SELECT l.*, b.cur_m, b.prev_m FROM lineitem l, b)"
+        " SELECT l_returnflag, "
+        + dsum_sql(
+            "CASE WHEN CAST(l_shipdate AS DATE) >= cur_m"
+            " THEN l_extendedprice END"
+        )
+        + " AS cur_total, "
+        + dsum_sql(
+            "CASE WHEN CAST(l_shipdate AS DATE) >= prev_m"
+            " AND CAST(l_shipdate AS DATE) < cur_m THEN l_extendedprice END"
+        )
+        + " AS prev_total FROM j GROUP BY l_returnflag"
+    ),
     "salted_distinct_customers": (
         "SELECT o_orderstatus,"
         " COUNT(DISTINCT o_custkey) AS n_customers"
