@@ -93,6 +93,17 @@ def slope_sql(x: str, y: str, scale: int = 6) -> str:
     return f"(({n} * {sxy} - {sx} * {sy}) / ({n} * {sxx} - {sx} * {sx}))"
 
 
+def intercept_sql(x: str, y: str, scale: int = 6) -> str:
+    """OLS intercept of y on x from exact decimal moments:
+    intercept = (Σy − slope·Σx) / n over pairwise-complete rows — the
+    closed-form normal-equations solution, deterministic double ops on
+    exact sums (same machinery as :func:`slope_sql`)."""
+    xn, yn, n = _pairwise(x, y)
+    sx = dsum_sql(xn, scale)
+    sy = dsum_sql(yn, scale)
+    return f"(({sy} - {slope_sql(x, y, scale)} * {sx}) / {n})"
+
+
 # ---- Spark Column variants (same expression text via F.expr) ----------------
 
 
@@ -110,3 +121,7 @@ def corr_exact(x: str, y: str, scale: int = 6) -> Column:
 
 def slope_exact(x: str, y: str, scale: int = 6) -> Column:
     return F.expr(slope_sql(x, y, scale))
+
+
+def intercept_exact(x: str, y: str, scale: int = 6) -> Column:
+    return F.expr(intercept_sql(x, y, scale))

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import sales, sales_cte
-from ..functions.numeric import dsum_sql
+from ..functions.numeric import dsum_sql, intercept_sql, slope_sql
 
 _FORECAST_SCHEMA = T.StructType(
     [
@@ -242,18 +242,64 @@ def drift_by_region_pandas(
     )
 
 
+def forecast_linreg_ols(
+    spark: SparkSession, sf_dir: str, h: int = 30
+) -> DataFrame:
+    """Full-series OLS forecast (T3 growth path), fully in-plan: slope and
+    intercept come from exact decimal moments (``slope_exact`` /
+    ``intercept_exact`` — the normal-equations closed form, associative and
+    partition-order-independent), so the result is deterministic at any
+    partitioning and has an exact DuckDB oracle — unlike the MLlib
+    Cholesky path (:func:`forecast_mllib_linreg`), whose float
+    accumulation order differs per engine. Round 1 shipped the MLlib
+    variant as the registry query and it was the one permanent
+    ``no_oracle`` row; tests/test_forecast.py proves the two agree to
+    1e-9 relative, so MLlib stays as the pluggable-model extension point
+    and this exact form is the verified contract.
+
+    No driver-side collect: date bounds ride a broadcast 1-row frame, the
+    fit is one distributed aggregate, the horizon is a ``sequence``
+    explode."""
+    daily = daily_series(spark, sf_dir)
+    bounds = daily.agg(F.min("date").alias("d0"), F.max("date").alias("d1"))
+    t_df = daily.crossJoin(F.broadcast(bounds)).select(
+        F.datediff("date", F.col("d0")).cast("double").alias("t"),
+        "value",
+        "d0",
+        "d1",
+    )
+    from ..functions.numeric import intercept_exact, slope_exact
+
+    fit = t_df.groupBy("d0", "d1").agg(
+        slope_exact("t", "value").alias("slope"),
+        intercept_exact("t", "value").alias("intercept"),
+    )
+    return fit.select(
+        F.explode(F.sequence(F.lit(1), F.lit(h))).alias("i"),
+        "d0",
+        "d1",
+        "slope",
+        "intercept",
+    ).select(
+        F.lit("forecast").alias("series"),
+        F.date_add(F.col("d1"), F.col("i")).alias("date"),
+        (
+            F.col("intercept")
+            + F.col("slope") * (F.datediff("d1", "d0") + F.col("i"))
+        ).alias("value"),
+    )
+
+
 def forecast_mllib_linreg(
     spark: SparkSession, sf_dir: str, h: int = 30
 ) -> DataFrame:
-    """MLlib growth path for T3 (charter: forecasting → MLlib): ordinary
-    least squares over the full daily series (solver='normal' — exact
-    normal-equations OLS, deterministic) replacing the endpoints-only drift
-    slope. Trains distributed, predicts the horizon in-plan.
-
-    No DuckDB oracle: MLlib's Cholesky solve and SQL ``regr_slope``
-    accumulate in different float orders (the driver records the weaker
-    rows-only check); tests/test_forecast.py verifies against closed-form
-    OLS to 1e-9 relative."""
+    """MLlib twin of :func:`forecast_linreg_ols` (charter: forecasting →
+    MLlib): ``LinearRegression(solver='normal')`` trains distributed and
+    predicts the same horizon. Not a registry query — MLlib's Cholesky
+    solve accumulates floats in a different order than the exact-decimal
+    closed form, so it cannot carry a hash-exact oracle;
+    tests/test_forecast.py asserts it matches the OLS query to 1e-9
+    relative, which is the contract for swapping in richer MLlib models."""
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.regression import LinearRegression
 
@@ -291,7 +337,7 @@ QUERIES = {
     "forecast_drift": forecast_drift,
     "forecast_drift_by_region": drift_by_region,
     "forecast_drift_by_region_pandas": drift_by_region_pandas,
-    "forecast_mllib_linreg": forecast_mllib_linreg,
+    "forecast_linreg_ols": forecast_linreg_ols,
 }
 
 
@@ -355,6 +401,19 @@ ORACLES = {
         f" SELECT region, last_date + CAST(i AS INT) AS date,"
         f" y_t + ((y_t - y0) / 13) * i AS value"
         f" FROM seeds, generate_series(1, 14) AS t(i)"
+    ),
+    "forecast_linreg_ols": sales_cte(
+        f", daily AS (SELECT date, {dsum_sql('sales')} AS value"
+        f" FROM sales GROUP BY date)"
+        f", b AS (SELECT MIN(date) AS d0, MAX(date) AS d1 FROM daily)"
+        f", tt AS (SELECT CAST(date_diff('day', d0, date) AS DOUBLE) AS t,"
+        f" value, d0, d1 FROM daily, b)"
+        f", fit AS (SELECT d0, d1, {slope_sql('t', 'value')} AS slope,"
+        f" {intercept_sql('t', 'value')} AS intercept FROM tt"
+        f" GROUP BY d0, d1)"
+        f" SELECT 'forecast' AS series, d1 + CAST(i AS INT) AS date,"
+        f" intercept + slope * (date_diff('day', d0, d1) + i) AS value"
+        f" FROM fit, generate_series(1, 30) AS t(i)"
     ),
     "forecast_drift_by_region": sales_cte(
         f", daily AS (SELECT region, date, {dsum_sql('sales')} AS value"

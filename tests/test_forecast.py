@@ -88,6 +88,7 @@ def test_mllib_linreg_matches_closed_form_ols(spark, sf_dir):
 
     from intellect_bi_spark.operators.forecast import (
         daily_series,
+        forecast_linreg_ols,
         forecast_mllib_linreg,
     )
 
@@ -102,3 +103,11 @@ def test_mllib_linreg_matches_closed_form_ols(spark, sf_dir):
         want = intercept + slope * (t1 + i)
         assert abs(r["value"] - want) <= 1e-6 * max(1.0, abs(want))
     assert len(fc) == 5
+    # the exact-decimal registry query agrees with the MLlib fit to 1e-9
+    # relative — the contract for swapping richer MLlib models behind the
+    # oracle-verified closed form
+    ols = forecast_linreg_ols(spark, sf_dir, h=5).orderBy("date").collect()
+    assert len(ols) == 5
+    for a, b in zip(fc, ols):
+        assert a["date"] == b["date"]
+        assert abs(a["value"] - b["value"]) <= 1e-9 * max(1.0, abs(b["value"]))
