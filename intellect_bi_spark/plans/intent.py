@@ -63,6 +63,10 @@ class Intent:
     dims: list[str] = field(default_factory=list)
     filters: dict[str, str] = field(default_factory=dict)
     is_correlation: bool = False
+    # the reference's YoY gate is the literal word "quarter" in the question
+    # (api/main.py:501), not the parsed grain — they diverge when another
+    # grain phrase won the grain table but "quarter" still appears.
+    mentions_quarter: bool = False
     reason: str = ""
 
 
@@ -111,6 +115,8 @@ def parse_intent(
         "satisfaction" in ql
         and any(x in ql for x in ("transaction", "value", "purchase", "sales"))
     )
+
+    it.mentions_quarter = "quarter" in ql
 
     # timegrain (reference api/main.py:379-387)
     for k, g in TIME_GRAINS.items():
@@ -183,8 +189,19 @@ def compile_intent(
     cg, ck = it.compare
     if cg == "quarter" and ck == "last2":
         qtr = F.date_trunc("quarter", F.col("date")).cast("date").alias("qtr")
+        # The last-2-quarter SET comes from the UNFILTERED view — the
+        # reference selects quarters globally (api/main.py:452-459) and
+        # applies dim filters only inside the aggregate, so a filter that
+        # has no rows in the latest quarter must yield an empty group, not
+        # silently shift the window to older quarters.
+        last2 = (
+            sales(spark, sf_dir)
+            .select(qtr)
+            .distinct()
+            .orderBy(F.desc("qtr"))
+            .limit(2)
+        )
         qdf = df.withColumn("qtr", qtr)
-        last2 = qdf.select("qtr").distinct().orderBy(F.desc("qtr")).limit(2)
         out = (
             qdf.join(F.broadcast(last2), "qtr", "left_semi")
             .groupBy(F.col("qtr").alias("period"), *[F.col(d) for d in dims])
@@ -208,8 +225,13 @@ def compile_intent(
         )
         return out, "qoq_delta"
 
-    if cg == "year" and ck == "yoy":
-        q = df.groupBy(
+    # YoY fires only when the question names quarters — the reference gates
+    # its YoY template on 'quarter' (api/main.py:500-505) and otherwise
+    # falls through to generic grouping; it also applies NO dim filters in
+    # the YoY aggregation (api/main.py:506-520), so the unfiltered view is
+    # aggregated here even when the question bound a dimension value.
+    if cg == "year" and ck == "yoy" and it.mentions_quarter:
+        q = sales(spark, sf_dir).groupBy(
             F.year("date").alias("year"), F.quarter("date").alias("quarter")
         ).agg(F.expr(_metric_sum_expr(it)).alias("total"))
         a, b = q.alias("a"), q.alias("b")

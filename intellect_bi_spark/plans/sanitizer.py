@@ -29,10 +29,11 @@ from pyspark.sql import DataFrame, SparkSession
 DEFAULT_ROW_LIMIT = 200  # reference ASK_AI_SQL_LIMIT, api/main.py:1343
 
 _SANITIZE_RULES: list[tuple[str, str]] = [
-    # D1: now-functions → current_timestamp (api/main.py:537-539)
-    (r"\bGETDATE\s*\(\s*\)", "current_timestamp()"),
-    (r"\bNOW\s*\(\s*\)", "current_timestamp()"),
-    (r"\bCURRENT_DATE\s*\(\s*\)", "current_date()"),
+    # D1: now-functions → current_timestamp, case-insensitive like the
+    # reference's now()/current_date() handling (api/main.py:537-539)
+    (r"(?i)\bGETDATE\s*\(\s*\)", "current_timestamp()"),
+    (r"(?i)\bNOW\s*\(\s*\)", "current_timestamp()"),
+    (r"(?i)\bCURRENT_DATE\s*\(\s*\)", "current_date()"),
     # D3: SELECT TOP n → SELECT (limit re-added below; api/main.py:546-547)
     (r"(?i)SELECT\s+TOP\s+(\d+)\s", r"SELECT "),
     (r"(?i)\bOFFSET\s+0\s+ROWS?\b", ""),
@@ -170,6 +171,14 @@ def run_safe_sql(
     stmt = ensure_limit(stmt, limit)
     try:
         return spark.sql(stmt)
-    except Exception:
-        # D10: one guided retry (re-sanitize defensively; api/main.py:309-329)
-        return spark.sql(ensure_limit(sanitize_sql(stmt, table=table), limit))
+    except Exception as e1:
+        # D10: one guided retry with an error-hint comment — harmless to the
+        # engine but it lands in the executed-SQL logs/plan description, the
+        # same contract as the reference (api/main.py:324-326). The comment,
+        # not a re-sanitize, is the retry: sanitize_sql is idempotent, so
+        # re-running it would produce byte-identical SQL.
+        hinted = (
+            f"{stmt}\n-- RETRY after: {str(e1)[:200]}"
+            "\n-- Tip: prefer INTERVAL and date_trunc() in Spark SQL"
+        )
+        return spark.sql(hinted)
