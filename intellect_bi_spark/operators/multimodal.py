@@ -175,7 +175,9 @@ def image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_bytes").alias("sum_bytes"),
         F.sum("byte_sum").alias("sum_byte_sum"),
-        F.sum(F.expr(f"(doc_id * poly_hash) % {P}")).alias(
+        # both factors reduced mod P before multiplying (matches the video
+        # frame checksum): product < P² < 2^63 at any doc_id
+        F.sum(F.expr(f"((doc_id % {P}) * poly_hash) % {P}")).alias(
             "id_weighted_hash_sum"
         ),
         (
@@ -375,7 +377,7 @@ ORACLES = {
         " SELECT COUNT(*) AS n_docs,"
         " CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,"
         " CAST(SUM(byte_sum) AS BIGINT) AS sum_byte_sum,"
-        f" CAST(SUM((doc_id * poly_hash) % {P}) AS BIGINT)"
+        f" CAST(SUM(((doc_id % {P}) * poly_hash) % {P}) AS BIGINT)"
         " AS id_weighted_hash_sum,"
         " CAST(SUM(byte_sum) AS DOUBLE) / CAST(SUM(n_bytes) AS BIGINT)"
         " AS mean_byte"

@@ -177,8 +177,12 @@ def run_safe_sql(
         # same contract as the reference (api/main.py:324-326). The comment,
         # not a re-sanitize, is the retry: sanitize_sql is idempotent, so
         # re-running it would produce byte-identical SQL.
+        # Spark exception messages are routinely multi-line; collapse all
+        # whitespace so nothing after the first newline escapes the `--`
+        # comment and gets parsed as bare SQL (masking the original error).
+        hint = " ".join(str(e1).split())[:200]
         hinted = (
-            f"{stmt}\n-- RETRY after: {str(e1)[:200]}"
+            f"{stmt}\n-- RETRY after: {hint}"
             "\n-- Tip: prefer INTERVAL and date_trunc() in Spark SQL"
         )
         return spark.sql(hinted)
