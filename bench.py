@@ -3,7 +3,15 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <scale factor>}
+   "queries": {name: sec, ...}, "sf": <scale factor>,
+   "reps": N, "spread": {name: sec, ...}, "rep_totals": [sec, ...]}
+
+Methodology (VERDICT r2 "Next round" #8): every query runs REPS times and
+`queries` reports the per-query MEDIAN; `spread` carries max−min per query
+so a one-off move on untouched code is attributable to noise vs regression.
+The session-lifetime dedup relations are reset between reps so each rep
+times the full build path (the reuse path is what `minhash_lsh_pairs`
+times, deliberately, within each rep).
 """
 
 from __future__ import annotations
@@ -11,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -81,23 +90,45 @@ def main() -> None:
 
     sales(spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    from intellect_bi_spark.operators import dedup  # noqa: E402
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    per_rep: list[dict[str, float]] = []
+    for _ in range(reps):
+        dedup.reset_caches()
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        per_rep.append(timings)
+
+    medians = {
+        name: round(statistics.median(r[name] for r in per_rep), 4)
+        for name in per_rep[0]
+    }
+    spread = {
+        name: round(
+            max(r[name] for r in per_rep) - min(r[name] for r in per_rep), 4
+        )
+        for name in per_rep[0]
+    }
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 4),
+                "value": round(sum(medians.values()), 4),
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
                 "sf": sf,
+                "reps": reps,
+                "spread": spread,
+                "rep_totals": [
+                    round(sum(r.values()), 4) for r in per_rep
+                ],
             }
         )
     )
