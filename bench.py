@@ -92,7 +92,7 @@ def main() -> None:
 
     from intellect_bi_spark.operators import dedup  # noqa: E402
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     per_rep: list[dict[str, float]] = []
     for _ in range(reps):
         dedup.reset_caches()

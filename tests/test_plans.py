@@ -61,12 +61,24 @@ def test_big_join_key_filters_pushed(spark, sf_dir):
     assert any("l_returnflag" in line for line in pushed)
 
 
-def test_asof_join_is_joinless_single_window(spark, sf_dir):
-    """The as-of join must compile to union + window — zero join nodes —
-    or it would explode to O(|L|·|R|) per key at scale."""
+def test_asof_join_windows_on_composite_skew_key(spark, sf_dir):
+    """The as-of join's full-size window must partition on the COMPOSITE
+    (user_id, bkt) key — the coarse time bucket bounds a hot user's
+    per-task work — and the per-user boundary-stitch window may only run
+    over the per-bucket SUMMARY relation (post-aggregation), never the raw
+    event rows. The stitch join must stay hash-based (broadcast at this
+    size), not nested-loop."""
+    import re
+
     plan = plan_of(asof_join_clicks(spark, sf_dir))
-    assert "Join" not in plan, plan
-    assert "Window" in plan
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    composite = [s for s in win_specs if "user_id" in s and "bkt" in s]
+    assert composite, win_specs  # local pass keyed by (user_id, bkt)
+    # the carry window's input is the aggregated per-bucket summary, so
+    # the plan must carry the bucket_last_click aggregate
+    assert "bucket_last_click" in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_range_join_never_nested_loop(spark, sf_dir):
