@@ -164,7 +164,23 @@ def spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
-_SALES_CACHE: dict[tuple[int, str], DataFrame] = {}
+# The reference advertises an OPTIONAL ``transaction_value`` column to the
+# LLM (api/main.py:789) and its metric resolution prefers it over ``sales``
+# whenever the active dataset carries it (api/main.py:376,1010-1017); its
+# bundled demo CSV does NOT have the column, so the canonical ``sales``
+# view above stays without it. This variant is the "dataset WITH the
+# optional column" case: transaction_value is the discounted line price —
+# deterministic arithmetic on exact-2-decimal inputs, so the product is an
+# exact 4-decimal value and DECIMAL(38,4) aggregation is lossless (the
+# same proven expression q1's sum_disc_price aggregates).
+TXN_SALES_SELECT_SQL = SALES_SELECT_SQL.replace(
+    "\nFROM lineitem l",
+    ",\n  l.l_extendedprice * (1 - l.l_discount)"
+    "                        AS transaction_value\nFROM lineitem l",
+    1,
+)
+
+_SALES_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def sales(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,13 +190,27 @@ def sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     are tiny relative to lineitem, so the star join is four broadcast-hash
     joins with zero shuffle of the fact table.
     """
-    key = (id(spark), sf_dir)
+    return _build_sales_view(spark, sf_dir, SALES_SELECT_SQL, "sales")
+
+
+def sales_with_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``sales`` view WITH the optional ``transaction_value`` column
+    (see TXN_SALES_SELECT_SQL) — the dataset shape where the reference's
+    metric resolution switches every sales-metric template onto
+    transaction_value (api/main.py:376)."""
+    return _build_sales_view(spark, sf_dir, TXN_SALES_SELECT_SQL, "sales_txn")
+
+
+def _build_sales_view(
+    spark: SparkSession, sf_dir: str, select_sql: str, view_name: str
+) -> DataFrame:
+    key = (id(spark), sf_dir, view_name)
     cached = _SALES_CACHE.get(key)
     if cached is not None:
         return cached
     tables = load_tables(spark, sf_dir)
     cache_sized = _fact_bytes(sf_dir) <= _CACHE_MAX_BYTES
-    sql = SALES_SELECT_SQL.replace(
+    sql = select_sql.replace(
         # Broadcast hint on all dimension sides; fact table streams through.
         "SELECT", "SELECT /*+ BROADCAST(p, s, n, r) */", 1
     )
@@ -202,7 +232,7 @@ def sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fact table — there you cache hot aggregates, not the source.
     if cache_sized:
         df = df.cache()
-    df.createOrReplaceTempView("sales")
+    df.createOrReplaceTempView(view_name)
     _SALES_CACHE[key] = df
     return df
 
@@ -222,3 +252,9 @@ def _fact_bytes(sf_dir: str) -> int:
 def sales_cte(body: str) -> str:
     """Wrap an oracle query body with the shared ``sales`` view as a CTE."""
     return f"WITH sales AS ({SALES_SELECT_SQL})\n{body}"
+
+
+def sales_txn_cte(body: str) -> str:
+    """Like :func:`sales_cte` but exposing the transaction_value-bearing
+    variant as ``sales_txn``."""
+    return f"WITH sales_txn AS ({TXN_SALES_SELECT_SQL})\n{body}"

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import sales_cte
+from ..catalog import sales_cte, sales_txn_cte, sales_with_txn
 from ..functions.numeric import corr_sql, davg_sql, dsum_sql
 from ..plans.intent import answer_question
 from ..plans.router import route_question
@@ -44,7 +44,30 @@ def _nl(name: str):
     return run
 
 
+_TXN_QUESTION = (
+    "What is the monthly transaction value trend in the North region?"
+)
+
+
+def nl_transaction_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL question naming the reference's OPTIONAL ``transaction_value``
+    column, answered against a view that actually carries it — exercising
+    the _col-style schema resolution end to end (reference api/main.py:789
+    advertises the column; :1010-1017 synonym-maps it; intent.py
+    resolve_metric_column binds it). The same question on the canonical
+    view aggregates ``sales`` — that path stays covered by the other nl_*
+    rows."""
+    route = route_question(_TXN_QUESTION)
+    assert route.route == "data", "router sent the txn question to docs"
+    df, template = answer_question(
+        spark, sf_dir, _TXN_QUESTION, view=sales_with_txn(spark, sf_dir)
+    )
+    assert template == "grain_groupby", template
+    return df
+
+
 QUERIES = {name: _nl(name) for name in _QUESTIONS}
+QUERIES["nl_transaction_value"] = nl_transaction_value
 
 _QTR = "CAST(date_trunc('quarter', date) AS DATE)"
 
@@ -73,6 +96,11 @@ ORACLES = {
     ),
     "nl_correlation": sales_cte(
         f"SELECT {corr_sql('sales', 'satisfaction')} AS corr_coef FROM sales"
+    ),
+    "nl_transaction_value": sales_txn_cte(
+        f"SELECT CAST(date_trunc('month', date) AS DATE) AS period, region,"
+        f" {dsum_sql('transaction_value', 4)} AS value FROM sales_txn"
+        f" WHERE region = 'North' GROUP BY 1, 2"
     ),
     "nl_qoq_delta": sales_cte(
         f", base AS (SELECT {_QTR} AS qtr, {dsum_sql('sales')} AS val"

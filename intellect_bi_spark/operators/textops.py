@@ -22,7 +22,10 @@ from ..functions.text import (
     char_hash_duck_mult,
     char_hash_expr,
     char_hash_expr_mult,
+    md5_mod_hash_duck,
+    md5_mod_hash_sql,
 )
+from ..sources.docs import CHUNK_ETL, CHUNK_INGEST
 
 CHUNK_SIZE = 120
 CHUNK_STEP = 100  # size 120, overlap 20 → slide 100 (etl variant: trailing
@@ -51,31 +54,64 @@ def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R3: fixed-size chunking with overlap as sequence→explode (the
-    UDTF-style chunker; reference etl/index_docs.py:34-46 semantics —
-    slide = size − overlap, trailing short chunk kept)."""
+def _chunks_at(
+    spark: SparkSession, sf_dir: str, size: int, step: int
+) -> DataFrame:
+    """Normalized documents → (doc_id, chunk_start, chunk_text) rows at a
+    given (size, slide) — the sequence→explode chunker shared by every
+    parameterization (same semantics as sources/docs.py chunk_text)."""
     docs = normalize_text(spark, sf_dir)
     starts = F.sequence(
         F.lit(0),
         F.greatest(F.length("text") - 1, F.lit(0)),
-        F.lit(CHUNK_STEP),
+        F.lit(step),
     )
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(starts).alias("chunk_start"),
-            F.col("text"),
-        )
-        .select(
-            "doc_id",
-            "chunk_start",
-            F.expr(f"substr(text, chunk_start + 1, {CHUNK_SIZE})").alias(
-                "chunk_text"
-            ),
-        )
-        .withColumn("chunk_len", F.length("chunk_text"))
+    return docs.select(
+        "doc_id",
+        F.explode(starts).alias("chunk_start"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "chunk_start",
+        F.expr(f"substr(text, chunk_start + 1, {size})").alias("chunk_text"),
     )
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: fixed-size chunking with overlap as sequence→explode (the
+    UDTF-style chunker; reference etl/index_docs.py:34-46 semantics —
+    slide = size − overlap, trailing short chunk kept)."""
+    return _chunks_at(spark, sf_dir, CHUNK_SIZE, CHUNK_STEP).withColumn(
+        "chunk_len", F.length("chunk_text")
+    )
+
+
+def _chunk_summary(
+    spark: SparkSession, sf_dir: str, size: int, overlap: int
+) -> DataFrame:
+    """Per-doc exact checksum of the full chunk relation at a reference
+    parameterization: chunk count, total chunk length, last slide offset,
+    and an order-independent md5-mod-P content sum — any missing / extra /
+    mis-sliced chunk flips its doc's row, at one output row per document."""
+    ch = _chunks_at(spark, sf_dir, size, size - overlap)
+    return ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.length("chunk_text")).alias("sum_chunk_len"),
+        F.max("chunk_start").alias("last_start"),
+        F.sum(F.expr(md5_mod_hash_sql("chunk_text"))).alias("chunk_hash_sum"),
+    )
+
+
+def chunk_docs_ingest_800_120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 at the reference's INGEST parameters — size 800, overlap 120
+    (api/ingest_docs.py:12-13)."""
+    return _chunk_summary(spark, sf_dir, *CHUNK_INGEST)
+
+
+def chunk_docs_etl_1500_200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 at the reference's ETL parameters — size 1500, overlap 200
+    (etl/index_docs.py:34)."""
+    return _chunk_summary(spark, sf_dir, *CHUNK_ETL)
 
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,6 +273,8 @@ def rag_search_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "chunk_documents": chunk_documents,
+    "chunk_docs_ingest_800_120": chunk_docs_ingest_800_120,
+    "chunk_docs_etl_1500_200": chunk_docs_etl_1500_200,
     "rag_search_chunks": rag_search_chunks,
     "text_token_stats": token_stats,
     "text_quality_scores": quality_scores,
@@ -310,7 +348,29 @@ def _rag_oracle() -> str:
         f" LIMIT {RAG_K}"
     )
 
+def _chunk_summary_oracle(size: int, overlap: int) -> str:
+    step = size - overlap
+    return (
+        f"WITH {_NORM},"
+        f" starts AS (SELECT doc_id, text,"
+        f" unnest(range(0, greatest(length(text), 1), {step}))"
+        f" AS chunk_start FROM norm),"
+        f" chunks AS (SELECT doc_id,"
+        f" CAST(chunk_start AS INT) AS chunk_start,"
+        f" substr(text, CAST(chunk_start AS INT) + 1, {size})"
+        f" AS chunk_text FROM starts)"
+        f" SELECT doc_id, COUNT(*) AS n_chunks,"
+        f" CAST(SUM(length(chunk_text)) AS BIGINT) AS sum_chunk_len,"
+        f" MAX(chunk_start) AS last_start,"
+        f" CAST(SUM({md5_mod_hash_duck('chunk_text')}) AS BIGINT)"
+        f" AS chunk_hash_sum"
+        f" FROM chunks GROUP BY doc_id"
+    )
+
+
 ORACLES = {
+    "chunk_docs_ingest_800_120": _chunk_summary_oracle(*CHUNK_INGEST),
+    "chunk_docs_etl_1500_200": _chunk_summary_oracle(*CHUNK_ETL),
     "chunk_documents": (
         f"WITH {_NORM},"
         f" starts AS (SELECT doc_id, text,"

@@ -29,6 +29,13 @@ from ..functions.numeric import corr_sql, davg_sql, dsum_sql
 
 METRIC_SAT = ("satisfaction", "csat")
 METRIC_SALES = ("sales", "revenue", "transaction value", "transaction_value", "amount")
+# Schema-dependent column resolution for the sales metric (reference
+# _col("transaction_value","sales","amount","revenue"), api/main.py:376,
+# 1010-1017): the first of these present in the ACTIVE view is aggregated,
+# so a dataset carrying the optional transaction_value column answers
+# every sales-metric question from it — while the canonical view (like the
+# reference's bundled CSV, which lacks the column) keeps using `sales`.
+METRIC_SALES_COLS = ("transaction_value", "sales", "amount", "revenue")
 TREND_WORDS = (
     "trend", "growth", "decline", "compare", "correlation", "change",
     "performance",
@@ -159,30 +166,57 @@ def parse_intent(
     return it
 
 
-def _metric_sum_expr(it: Intent) -> str:
-    """Exact-decimal aggregate expression for the intent's metric."""
+def resolve_metric_column(columns: list[str], metric: str) -> str:
+    """_col-style schema resolution (reference api/main.py:1010-1017): the
+    sales metric binds to the first METRIC_SALES_COLS member the active
+    view actually has; other metrics resolve to themselves."""
+    if metric == "sales":
+        for c in METRIC_SALES_COLS:
+            if c in columns:
+                return c
+    return metric
+
+
+def _metric_sum_expr(it: Intent, columns: list[str]) -> str:
+    """Exact-decimal aggregate expression for the intent's metric, resolved
+    against the active view's schema. transaction_value is a product of
+    two 2-decimal inputs ⇒ exact at scale 4 (functions/numeric.py)."""
+    col = resolve_metric_column(columns, it.metric)
+    scale = 4 if col == "transaction_value" else 2
     if it.agg == "AVG":
-        return davg_sql(it.metric)
-    return dsum_sql(it.metric)
+        return davg_sql(col, scale)
+    return dsum_sql(col, scale)
 
 
 def compile_intent(
-    spark: SparkSession, sf_dir: str, it: Intent
+    spark: SparkSession,
+    sf_dir: str,
+    it: Intent,
+    view: DataFrame | None = None,
 ) -> tuple[DataFrame, str]:
     """Compile an Intent into a DataFrame plan (reference api/main.py:425-532
-    emits SQL text; we emit plans). Returns (df, template_name)."""
-    df = sales(spark, sf_dir)
+    emits SQL text; we emit plans). Returns (df, template_name).
+
+    ``view`` overrides the canonical ``sales`` view — the reference runs
+    against whatever dataset is active, so templates must follow the
+    schema (see resolve_metric_column)."""
+    base = view if view is not None else sales(spark, sf_dir)
+    cols = base.columns
+    df = base
     for d, v in it.filters.items():
         df = df.filter(F.col(d) == F.lit(v))  # literal binding, no splicing
 
     grain = it.timegrain or "month"
     period = F.date_trunc(grain, F.col("date")).cast("date").alias("period")
-    agg_col = F.expr(_metric_sum_expr(it)).alias("value")
+    agg_col = F.expr(_metric_sum_expr(it, cols)).alias("value")
     dims = [d for d in it.dims if d != "age"]  # age is a filter dim only
 
     if it.is_correlation:
-        out = sales(spark, sf_dir).agg(
-            F.expr(corr_sql("sales", "satisfaction")).alias("corr_coef")
+        # reference api/main.py:445: corr(_col("transaction_value","sales",
+        # ...), satisfaction) — the txn column wins when the view has it
+        txn_col = resolve_metric_column(cols, "sales")
+        out = base.agg(
+            F.expr(corr_sql(txn_col, "satisfaction")).alias("corr_coef")
         )
         return out, "correlation"
 
@@ -195,8 +229,7 @@ def compile_intent(
         # has no rows in the latest quarter must yield an empty group, not
         # silently shift the window to older quarters.
         last2 = (
-            sales(spark, sf_dir)
-            .select(qtr)
+            base.select(qtr)
             .distinct()
             .orderBy(F.desc("qtr"))
             .limit(2)
@@ -211,10 +244,12 @@ def compile_intent(
 
     if cg == "quarter" and ck in ("last", "previous"):
         qtr = F.date_trunc("quarter", F.col("date")).cast("date").alias("qtr")
-        base = df.groupBy(qtr).agg(F.expr(_metric_sum_expr(it)).alias("val"))
+        per_q = df.groupBy(qtr).agg(
+            F.expr(_metric_sum_expr(it, cols)).alias("val")
+        )
         w = Window.orderBy("qtr")
         out = (
-            base.withColumn("prev_qtr_value", F.lag("val").over(w))
+            per_q.withColumn("prev_qtr_value", F.lag("val").over(w))
             .orderBy(F.desc("qtr"))
             .limit(1)
             .select(
@@ -231,9 +266,9 @@ def compile_intent(
     # the YoY aggregation (api/main.py:506-520), so the unfiltered view is
     # aggregated here even when the question bound a dimension value.
     if cg == "year" and ck == "yoy" and it.mentions_quarter:
-        q = sales(spark, sf_dir).groupBy(
+        q = base.groupBy(
             F.year("date").alias("year"), F.quarter("date").alias("quarter")
-        ).agg(F.expr(_metric_sum_expr(it)).alias("total"))
+        ).agg(F.expr(_metric_sum_expr(it, cols)).alias("total"))
         a, b = q.alias("a"), q.alias("b")
         out = a.join(
             b,
@@ -253,10 +288,13 @@ def compile_intent(
 
 
 def answer_question(
-    spark: SparkSession, sf_dir: str, user_q: str
+    spark: SparkSession,
+    sf_dir: str,
+    user_q: str,
+    view: DataFrame | None = None,
 ) -> tuple[DataFrame, str]:
     """route → parse → compile (tiers 1-2 of the reference lifecycle,
     api/main.py:1301-1358)."""
     distincts = distinct_values(spark, sf_dir)
     it = parse_intent(user_q, distincts)
-    return compile_intent(spark, sf_dir, it)
+    return compile_intent(spark, sf_dir, it, view=view)

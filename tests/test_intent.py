@@ -57,3 +57,35 @@ def test_age_is_filter_dim_only():
     it = parse_intent("sales by age and region", DISTINCTS)
     assert "age" in it.dims  # detected
     # compile_intent drops it from group-by dims (numeric dim)
+
+
+def test_metric_resolution_prefers_optional_txn_column():
+    """_col semantics (reference api/main.py:376,1010-1017): the sales
+    metric binds to transaction_value only when the view carries it."""
+    from intellect_bi_spark.plans.intent import resolve_metric_column
+
+    base_cols = ["date", "product", "region", "sales", "satisfaction"]
+    assert resolve_metric_column(base_cols, "sales") == "sales"
+    assert (
+        resolve_metric_column(base_cols + ["transaction_value"], "sales")
+        == "transaction_value"
+    )
+    assert resolve_metric_column(base_cols, "satisfaction") == "satisfaction"
+
+
+def test_txn_view_answers_transaction_value_questions(spark, sf_dir):
+    """End-to-end: the same question answers from transaction_value on the
+    txn-bearing view and from sales on the canonical view, with different
+    values (the optional column is a genuinely distinct quantity)."""
+    from intellect_bi_spark.catalog import sales_with_txn
+    from intellect_bi_spark.plans.intent import answer_question
+
+    q = "total monthly transaction value"
+    txn_df, _ = answer_question(
+        spark, sf_dir, q, view=sales_with_txn(spark, sf_dir)
+    )
+    base_df, _ = answer_question(spark, sf_dir, q)
+    txn = {r["period"]: r["value"] for r in txn_df.collect()}
+    base = {r["period"]: r["value"] for r in base_df.collect()}
+    assert set(txn) == set(base)  # same periods
+    assert any(abs(txn[p] - base[p]) > 1e-6 for p in txn)  # different metric

@@ -203,3 +203,29 @@ def test_embeddings_sink_roundtrip(spark, tmp_path):
     back = sinks.read_embeddings(spark, out)
     assert back.count() == 4
     assert dict(back.dtypes)["embedding"] == "array<float>"
+
+
+def test_sql_chunker_matches_ingest_chunker(spark, sf_dir):
+    """The registry's sequence→explode chunker and the ingest path's
+    chunk_text must slice identically at both reference parameterizations
+    (api/ingest_docs.py:12-13 and etl/index_docs.py:34)."""
+    from pyspark.sql import functions as F
+
+    from intellect_bi_spark.operators.textops import _chunks_at, normalize_text
+
+    for size, overlap in (docs.CHUNK_INGEST, docs.CHUNK_ETL):
+        via_ops = {
+            (r["doc_id"], r["chunk_start"]): r["chunk_text"]
+            for r in _chunks_at(
+                spark, sf_dir, size, size - overlap
+            ).collect()
+        }
+        via_ingest = {
+            (r["doc_id"], r["chunk_start"]): r["chunk"]
+            for r in docs.chunk_text(
+                normalize_text(spark, sf_dir), size, overlap
+            )
+            .select("doc_id", "chunk_start", "chunk")
+            .collect()
+        }
+        assert via_ops == via_ingest
