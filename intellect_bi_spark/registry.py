@@ -118,10 +118,16 @@ _FRONT = (
     "q6_revenue_delta",
 )
 
-assert len(_FRONT) == len(set(_FRONT)), "duplicate name in _FRONT"
+# Integrity checks raise explicitly (not ``assert``) so they survive
+# ``python -O`` — the _FRONT list is hand-maintained and a silent skip
+# would let a typo quietly drop a query from the driver sweep.
+if len(_FRONT) != len(set(_FRONT)):
+    raise ValueError("duplicate name in _FRONT")
 _missing = [n for n in _FRONT if n not in QUERIES]
-assert not _missing, f"_FRONT names not in registry: {_missing}"
+if _missing:
+    raise ValueError(f"_FRONT names not in registry: {_missing}")
+_front_set = set(_FRONT)
 QUERIES = {
     **{n: QUERIES[n] for n in _FRONT},
-    **{n: f for n, f in QUERIES.items() if n not in set(_FRONT)},
+    **{n: f for n, f in QUERIES.items() if n not in _front_set},
 }

@@ -7,9 +7,10 @@ embeds, and upserts. Spark-first shape:
 
 - ``binaryFile`` source → (path, modificationTime, length, content).
 - Text extraction via ``mapInPandas`` (Arrow-batched): txt/md decode
-  in-process; PDF/docx extraction requires libs not in this container, so
-  those formats are STUBBED behind an import-try — the Spark plumbing
-  (schema, batching, page explosion) is real and tested with txt/md.
+  in-process; PDF per-page text via pypdf when installed, else the
+  vendored pure-stdlib extractor in :mod:`.pdftext`; docx via the stdlib
+  zip+XML path. All four formats yield real extracted text — a parse
+  failure (encrypted PDF, corrupt zip) degrades to a marker row.
 - Chunking as sequence→explode over built-in functions (JVM-side, no
   Python) — the same chunker at both reference parameterizations.
 
@@ -25,6 +26,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import pdftext
 
 # reference parameterizations: (size, overlap) chars
 CHUNK_INGEST = (800, 120)  # api/ingest_docs.py:12-13
@@ -46,33 +49,44 @@ def read_binary_docs(spark: SparkSession, path_glob: str) -> DataFrame:
 def _extract_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched extraction: one output row per (file, page).
 
-    txt/md: whole file is page 0. pdf/docx: gated on pypdf / python-docx —
-    unavailable in this container, so those rows surface a diagnostic text
-    marker instead of silently dropping (the plumbing — schema, explode,
-    batch shape — is identical to the real path).
+    Page numbers are 1-based like the reference's
+    ``enumerate(reader.pages, start=1)`` (etl/index_docs.py:19-22); txt/md
+    and docx are a single page 1 (etl/index_docs.py:24-32). PDF uses pypdf
+    when present, else the vendored pure-stdlib extractor
+    (:mod:`.pdftext`); docx uses the stdlib zip+XML path. A file that fails
+    to parse surfaces a diagnostic ``<unextracted:…>`` marker row instead
+    of silently dropping.
     """
     try:  # pragma: no cover - not installed here
-        from pypdf import PdfReader  # noqa: F401
+        from pypdf import PdfReader
 
-        have_pdf = True
+        def read_pdf(data: bytes) -> list[tuple[int, str]]:
+            import io
+
+            reader = PdfReader(io.BytesIO(data))
+            return [
+                (i, pg.extract_text() or "")
+                for i, pg in enumerate(reader.pages, start=1)
+            ]
+
     except Exception:
-        have_pdf = False
+        read_pdf = pdftext.extract_pdf_pages
     for pdf_batch in batches:
         out: list[tuple[str, int, str]] = []
         for path, content in zip(pdf_batch["path"], pdf_batch["content"]):
             lower = path.lower()
-            if lower.endswith((".txt", ".md")):
-                out.append((path, 0, bytes(content).decode("utf-8", "replace")))
-            elif lower.endswith(".pdf") and have_pdf:  # pragma: no cover
-                import io
-
-                from pypdf import PdfReader
-
-                reader = PdfReader(io.BytesIO(bytes(content)))
-                for i, pg in enumerate(reader.pages):
-                    out.append((path, i, pg.extract_text() or ""))
-            else:
-                out.append((path, 0, f"<unextracted:{path.rsplit('.', 1)[-1]}>"))
+            data = bytes(content)
+            try:
+                if lower.endswith((".txt", ".md")):
+                    out.append((path, 1, data.decode("utf-8", "replace")))
+                elif lower.endswith(".pdf"):
+                    out.extend((path, pg, txt) for pg, txt in read_pdf(data))
+                elif lower.endswith(".docx"):
+                    out.append((path, 1, pdftext.extract_docx_text(data)))
+                else:
+                    raise ValueError("unsupported extension")
+            except Exception:
+                out.append((path, 1, f"<unextracted:{path.rsplit('.', 1)[-1]}>"))
         yield pd.DataFrame(out, columns=["path", "page", "text"])
 
 
@@ -117,7 +131,7 @@ def chunk_text(
                 F.col("path") if "path" in df.columns else F.lit("doc"),
                 F.concat(F.lit("p"), F.col("page"))
                 if "page" in df.columns
-                else F.lit("p0"),
+                else F.lit("p1"),  # pages are 1-based (reference parity)
                 F.concat(
                     F.lit("c"), (F.col("chunk_start") / step).cast("int")
                 ),

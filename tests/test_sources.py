@@ -123,12 +123,68 @@ def test_save_as_table(spark, sales_csv, tmp_path):
         spark.sql("DROP TABLE IF EXISTS sales_tbl_test")
 
 
+def _mini_pdf(page_texts, compress=True):
+    """Build a minimal valid PDF: catalog → pages tree → one FlateDecode
+    content stream per page showing the given text via Tj."""
+    import zlib
+
+    objs = {}
+    page_ids = [3 + 2 * i for i in range(len(page_texts))]
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(page_texts)} >>".encode()
+    )
+    for i, txt in enumerate(page_texts):
+        esc = txt.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        stream = f"BT /F1 12 Tf 72 720 Td ({esc}) Tj ET".encode("latin-1")
+        filt = b""
+        if compress:
+            stream = zlib.compress(stream)
+            filt = b" /Filter /FlateDecode"
+        objs[4 + 2 * i] = (
+            b"<< /Length %d%s >>\nstream\n%s\nendstream"
+            % (len(stream), filt, stream)
+        )
+        objs[page_ids[i]] = (
+            f"<< /Type /Page /Parent 2 0 R /Contents {4 + 2 * i} 0 R >>".encode()
+        )
+    body = b"%PDF-1.4\n" + b"".join(
+        b"%d 0 obj\n%s\nendobj\n" % (n, objs[n]) for n in sorted(objs)
+    )
+    return body + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+
+
+def _mini_docx(paragraphs):
+    """Build a minimal OOXML docx (zip with word/document.xml)."""
+    import io
+    import zipfile
+
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    paras = "".join(
+        f"<w:p><w:r><w:t>{p}</w:t></w:r></w:p>" for p in paragraphs
+    )
+    doc = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{w}"><w:body>{paras}</w:body></w:document>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats'
+            '.org/package/2006/content-types"/>',
+        )
+        zf.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
 def test_doc_ingest_pipeline(spark, tmp_path):
     d = tmp_path / "docsrc"
     d.mkdir()
     (d / "a.txt").write_text("alpha  beta\n\ngamma " + "x" * 900)
     (d / "b.md").write_text("# title\nshort doc")
-    (d / "c.docx").write_bytes(b"\x00\x01")  # stubbed format
+    (d / "c.docx").write_bytes(b"\x00\x01")  # corrupt file -> marker row
     chunks = docs.ingest_documents(spark, str(d), size=800, overlap=120)
     rows = chunks.collect()
     by_path = {}
@@ -140,13 +196,73 @@ def test_doc_ingest_pipeline(spark, tmp_path):
     assert len(a[0]["chunk"]) == 800
     # overlap: last 120 chars of chunk0 == first 120 of chunk1
     assert a[0]["chunk"][-120:] == a[1]["chunk"][:120]
-    assert a[0]["chunk_id"].endswith("::p0::c0")
-    assert a[1]["chunk_id"].endswith("::p0::c1")
+    # 1-based pages, like the reference's enumerate(..., start=1)
+    assert a[0]["chunk_id"].endswith("::p1::c0")
+    assert a[1]["chunk_id"].endswith("::p1::c1")
     # short doc: single chunk, whole text
     b = by_path["b.md"]
     assert len(b) == 1 and b[0]["chunk"] == "# title short doc".replace("\n", " ")
-    # stubbed format surfaces a marker, not a crash/drop
+    # unparseable file surfaces a marker, not a crash/drop
     assert by_path["c.docx"][0]["chunk"].startswith("<unextracted:")
+
+
+def test_pdf_docx_real_extraction_end_to_end(spark, tmp_path):
+    """R1 on real binary formats: generated PDF (2 pages, FlateDecode) and
+    docx fixtures flow extract→normalize→chunk with real text — no
+    markers. Reference parity: per-page PDF rows 1-based
+    (etl/index_docs.py:19-22), docx as one page (etl/index_docs.py:24-27)."""
+    d = tmp_path / "docbin"
+    d.mkdir()
+    (d / "r.pdf").write_bytes(
+        _mini_pdf(["Revenue grew 12% in Q3.", "Outlook (2026): stable."])
+    )
+    (d / "n.docx").write_bytes(
+        _mini_docx(["Meeting notes.", "Action items follow."])
+    )
+    pages = docs.extract_text(docs.read_binary_docs(spark, str(d))).collect()
+    got = {
+        (r["path"].rsplit("/", 1)[-1], r["page"]): r["text"] for r in pages
+    }
+    assert "Revenue grew 12% in Q3." in got[("r.pdf", 1)]
+    assert "Outlook (2026): stable." in got[("r.pdf", 2)]
+    assert "Meeting notes." in got[("n.docx", 1)]
+    assert "Action items follow." in got[("n.docx", 1)]
+    assert not any("<unextracted" in t for t in got.values())
+    # and through the chunker: real text, reference chunk-id shape
+    chunks = docs.ingest_documents(spark, str(d), size=30, overlap=6).collect()
+    pdf_chunks = [r for r in chunks if r["path"].endswith("r.pdf")]
+    assert {r["page"] for r in pdf_chunks} == {1, 2}
+    assert any("Revenue grew" in r["chunk"] for r in pdf_chunks)
+
+
+def test_pdftext_operators_and_escapes():
+    """Direct spec-level checks on the vendored extractor: TJ arrays, hex
+    strings, literal-string escapes, uncompressed streams, page order."""
+    from intellect_bi_spark.sources import pdftext
+
+    pdf = _mini_pdf(["page one"], compress=False)
+    assert pdftext.extract_pdf_pages(pdf) == [(1, "page one\n")] or (
+        "page one" in pdftext.extract_pdf_pages(pdf)[0][1]
+    )
+    # handcrafted content stream: TJ array + hex string + octal escape
+    content = b"BT [(Hel) -20 (lo)] TJ <20776f726c64> Tj (\\100ok\\)) Tj ET"
+    text = pdftext._content_text(content)
+    assert "Hello" in text
+    assert " world" in text
+    assert "@ok)" in text
+    # multi-page order follows /Kids order
+    pages = pdftext.extract_pdf_pages(_mini_pdf(["first", "second", "third"]))
+    assert [p for p, _ in pages] == [1, 2, 3]
+    texts = [t for _, t in pages]
+    assert "first" in texts[0] and "third" in texts[2]
+    # docx: paragraph join + ValueError on junk
+    docx = _mini_docx(["alpha", "beta"])
+    assert pdftext.extract_docx_text(docx) == "alpha\n\nbeta"
+    try:
+        pdftext.extract_docx_text(b"junk")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
 
 
 def test_chunk_matches_reference_python(spark, tmp_path):
