@@ -1,0 +1,88 @@
+"""Partitioned replacements for global (unpartitioned) window operations.
+
+An unpartitioned ``Window.orderBy(...)`` funnels the whole frame through ONE
+task (Spark warns "No Partition Defined for Window operation"). On the
+post-aggregation frames this engine lags over (months / quarters of a sales
+fact) the cardinality is bounded, so the single task is *correct* — but it
+is still a serialization point the plan does not need, and at 100 TB the
+same code path may be handed an unbounded frame by mistake. These helpers
+keep every window partitioned.
+
+``lag_stitched`` computes the exact semantics of
+
+    LAG(value) OVER (ORDER BY order_col)
+
+for frames whose order key is unique per row (true for any
+``groupBy(period)`` aggregate), in three fully-partitioned steps:
+
+1. lag within a coarse bucket of the order key (default: calendar year) —
+   ``Window.partitionBy(bucket).orderBy(order_col)``;
+2. a per-bucket "last value" summary (one row per bucket) and, for each
+   bucket, the nearest EARLIER bucket's last value via a triangular join on
+   the tiny bucket relation — exact even when buckets are missing, unlike a
+   ``bucket - 1`` equi-join;
+3. a broadcast join patching the one NULL row per bucket (its first row)
+   with that boundary value.
+
+Contract: ``value_col`` must be non-null (the coalesce in step 3 cannot
+distinguish "first row of bucket" from "previous value was NULL"). Every
+call site lags a non-null aggregate.
+
+This is the same bucket-and-stitch construction as the skew-immune as-of
+join (operators/temporal.py:95-130), applied to LAG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def lag_stitched(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = LAG(value_col) OVER (ORDER BY order_col) without an
+    unpartitioned window. ``order_col`` must be unique per row and
+    ``value_col`` non-null (see module docstring)."""
+    b = bucket if bucket is not None else F.year(F.col(order_col))
+    keyed = df.withColumn("_lsg_bkt", b)
+
+    w_in = Window.partitionBy("_lsg_bkt").orderBy(order_col)
+    inner = keyed.withColumn(out_col, F.lag(value_col).over(w_in))
+
+    # One row per bucket: the bucket's last (by order key) value.
+    per_bkt = keyed.groupBy("_lsg_bkt").agg(
+        F.max_by(value_col, F.col(order_col)).alias("_lsg_last")
+    )
+    # Nearest earlier bucket's last value. Triangular join on the bucket
+    # relation (rows = #distinct buckets, e.g. #years — tens, not data-
+    # scale), so the quadratic candidate set is trivially small and the
+    # result is exact under bucket gaps.
+    lhs = per_bkt.select(F.col("_lsg_bkt"))
+    rhs = per_bkt.select(
+        F.col("_lsg_bkt").alias("_lsg_rbkt"), F.col("_lsg_last")
+    )
+    prev_bkt = (
+        lhs.join(F.broadcast(rhs), F.col("_lsg_rbkt") < F.col("_lsg_bkt"))
+        .groupBy("_lsg_bkt")
+        .agg(F.max_by("_lsg_last", "_lsg_rbkt").alias("_lsg_prev"))
+    )
+
+    return (
+        inner.join(F.broadcast(prev_bkt), "_lsg_bkt", "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.col("_lsg_prev")))
+        .drop("_lsg_bkt", "_lsg_prev")
+    )
+
+
+def last_k_by(df: DataFrame, order_col: str, k: int) -> DataFrame:
+    """The ``k`` rows with the largest ``order_col`` — a top-k selection,
+    which Spark executes as TakeOrderedAndProject (per-partition heap +
+    driver-side merge of k rows), NOT a global sort or window. The
+    idiomatic replacement for ``row_number() OVER (ORDER BY c DESC) <= k``
+    on a frame with no partition key."""
+    return df.orderBy(F.desc(order_col)).limit(k)

@@ -36,6 +36,7 @@ from pyspark.sql import types as T
 
 from ..catalog import sales, sales_cte
 from ..functions.numeric import dsum_sql, intercept_sql, slope_sql
+from ..functions.windows import last_k_by
 
 _FORECAST_SCHEMA = T.StructType(
     [
@@ -64,10 +65,14 @@ def _clamp(h: int, window: int, n: int) -> tuple[int, int]:
 def _forecast_rows(
     spark: SparkSession, sf_dir: str, h: int, algo: str, window: int
 ) -> list[Row]:
-    """Compute forecast rows from distributed seed statistics."""
+    """Compute forecast rows from distributed seed statistics.
+
+    Seed selection is "the last k daily points", expressed as
+    ``orderBy(desc(date)).limit(k)`` → Catalyst TakeOrderedAndProject
+    (per-partition top-k heap, k ≤ 365 rows to the driver merge) — no
+    global sort and no unpartitioned row_number window.
+    """
     daily = daily_series(spark, sf_dir)
-    w_desc = Window.orderBy(F.desc("date"))
-    ranked = daily.withColumn("rn", F.row_number().over(w_desc))
 
     n = daily.count()
     if n == 0:
@@ -82,9 +87,7 @@ def _forecast_rows(
         # last 7 values in date order; forecast cycles them
         last7 = [
             r["value"]
-            for r in ranked.filter(F.col("rn") <= 7)
-            .orderBy("date")
-            .collect()
+            for r in last_k_by(daily, "date", 7).orderBy("date").collect()
         ]
         for i in range(1, h + 1):
             out.append(
@@ -97,11 +100,16 @@ def _forecast_rows(
     elif algo == "drift":
         if n < 2:
             raise ValueError("Need >= 2 history points for drift")
-        seeds = ranked.filter(F.col("rn").isin(1, window)).orderBy(
-            F.desc("rn")
+        # y0 = oldest, yT = newest of the last-`window` points
+        seed = (
+            last_k_by(daily, "date", window)
+            .agg(
+                F.min_by("value", "date").alias("y0"),
+                F.max_by("value", "date").alias("y_t"),
+            )
+            .first()
         )
-        vals = [r["value"] for r in seeds.collect()]
-        y0, y_t = (vals[0], vals[-1]) if len(vals) == 2 else (vals[0], vals[0])
+        y0, y_t = seed["y0"], seed["y_t"]
         t_div = window - 1 if window > 1 else 1
         slope = (y_t - y0) / t_div
         for i in range(1, h + 1):
@@ -114,7 +122,7 @@ def _forecast_rows(
             )
     else:  # ma7_baseline: flat mean of last `window` points
         base = (
-            ranked.filter(F.col("rn") <= window)
+            last_k_by(daily, "date", window)
             .agg(
                 (
                     F.expr(dsum_sql("value")) / F.count(F.lit(1))

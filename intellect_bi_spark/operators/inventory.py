@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_tables, sales, sales_cte
 from ..functions.numeric import davg, davg_sql, dsum, dsum_sql
+from ..functions.windows import lag_stitched
 
 _D0 = datetime.date(1996, 1, 1)
 
@@ -491,16 +492,15 @@ def o2_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2: DESC NULLS LAST ordering (reference api/main.py:1102) — the LAG
     of the first month is genuinely NULL and must sort after every value.
 
-    Unpartitioned window is safe: input is the per-month aggregate
-    (bounded cardinality — tens of rows per century of data)."""
+    LAG via the partitioned bucket-and-stitch helper (functions/windows.py)
+    — no unpartitioned window even on this bounded per-month frame."""
     monthly = (
         sales(spark, sf_dir)
         .groupBy(F.date_trunc("month", "date").cast("date").alias("month"))
         .agg(dsum("sales").alias("m_sales"))
     )
-    w = Window.orderBy("month")
     return (
-        monthly.withColumn("prev_sales", F.lag("m_sales").over(w))
+        lag_stitched(monthly, "month", "m_sales", "prev_sales")
         .orderBy(F.col("prev_sales").desc_nulls_last(), "month")
         .limit(3)
     )

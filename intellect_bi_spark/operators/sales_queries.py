@@ -23,10 +23,11 @@ from __future__ import annotations
 
 import datetime
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import sales, sales_cte
+from ..functions.windows import lag_stitched
 from ..functions.numeric import (
     davg,
     davg_sql,
@@ -124,11 +125,10 @@ def mom_growth_top_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(_month().alias("month"))
         .agg(dsum("sales").alias("m_sales"))
     )
-    w = Window.orderBy("month")
     return (
-        monthly.withColumn(
-            "mom_growth", F.col("m_sales") - F.lag("m_sales").over(w)
-        )
+        lag_stitched(monthly, "month", "m_sales", "prev_m_sales")
+        .withColumn("mom_growth", F.col("m_sales") - F.col("prev_m_sales"))
+        .drop("prev_m_sales")
         .orderBy(F.col("mom_growth").desc_nulls_last(), "month")
         .limit(1)
     )
@@ -234,9 +234,8 @@ def qoq_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(_quarter().alias("qtr"))
         .agg(dsum("sales").alias("total_sales"))
     )
-    w = Window.orderBy("qtr")
     return (
-        q.withColumn("prev_total", F.lag("total_sales").over(w))
+        lag_stitched(q, "qtr", "total_sales", "prev_total")
         .orderBy(F.desc("qtr"))
         .limit(1)
         .withColumn("qoq_delta", F.col("total_sales") - F.col("prev_total"))

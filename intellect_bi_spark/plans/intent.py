@@ -21,11 +21,12 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import sales
 from ..functions.numeric import corr_sql, davg_sql, dsum_sql
+from ..functions.windows import lag_stitched
 
 METRIC_SAT = ("satisfaction", "csat")
 METRIC_SALES = ("sales", "revenue", "transaction value", "transaction_value", "amount")
@@ -247,9 +248,8 @@ def compile_intent(
         per_q = df.groupBy(qtr).agg(
             F.expr(_metric_sum_expr(it, cols)).alias("val")
         )
-        w = Window.orderBy("qtr")
         out = (
-            per_q.withColumn("prev_qtr_value", F.lag("val").over(w))
+            lag_stitched(per_q, "qtr", "val", "prev_qtr_value")
             .orderBy(F.desc("qtr"))
             .limit(1)
             .select(
