@@ -31,10 +31,20 @@ distributed compositions correct.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+
+
+def _epoch_us(c: Column) -> Column:
+    """Microseconds since epoch, tolerant of TIMESTAMP_NTZ inputs.
+
+    The fixture parquet stores naive timestamps, which pyspark ≥ 4.1 reads
+    as TIMESTAMP_NTZ, and ``unix_micros`` strictly requires TIMESTAMP.
+    With the session timezone pinned to UTC (session.py) the cast is
+    value-exact on NTZ and a no-op on TIMESTAMP_LTZ."""
+    return F.unix_micros(c.cast("timestamp"))
 
 BAND_SECONDS = 300  # range-join band: clicks within 5 minutes before an error
 ASOF_BUCKET_SECONDS = 86400  # as-of composite window key: coarse time bucket
@@ -94,7 +104,7 @@ def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = clicks.unionByName(errors).withColumn(
         "bkt",
         (
-            F.unix_micros(F.col("ts"))
+            _epoch_us(F.col("ts"))
             / F.lit(ASOF_BUCKET_SECONDS * 1_000_000)
         ).cast("long"),
     )
@@ -138,8 +148,8 @@ def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.click_id").alias("click_id"),
             F.col("best.ts").alias("click_ts"),
             (
-                F.unix_micros(F.col("ts"))
-                - F.unix_micros(F.col("best.ts"))
+                _epoch_us(F.col("ts"))
+                - _epoch_us(F.col("best.ts"))
             ).alias("gap_us"),
         )
     )
@@ -158,7 +168,7 @@ def range_join_click_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested-loop), and AQE handles residual bucket skew.
     """
     ev = _events(spark, sf_dir)
-    bucket = lambda c: (F.unix_micros(c) / F.lit(BAND_SECONDS * 1_000_000)).cast("long")  # noqa: E731
+    bucket = lambda c: (_epoch_us(c) / F.lit(BAND_SECONDS * 1_000_000)).cast("long")  # noqa: E731
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id"),
         F.col("ts").alias("click_ts"),
