@@ -16,7 +16,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.numeric import dsum_sql
-from ..streaming.events import events_batch, session_agg, tumbling_daily_agg
+from ..streaming.events import (
+    dedup_replayed_events,
+    events_batch,
+    session_agg,
+    sliding_daily_agg,
+    tumbling_daily_agg,
+)
 
 SESSION_GAP_MIN = 30
 
@@ -29,9 +35,19 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_agg(events_batch(spark, sf_dir))
 
 
+def events_sliding_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_daily_agg(events_batch(spark, sf_dir))
+
+
+def events_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_replayed_events(events_batch(spark, sf_dir))
+
+
 QUERIES = {
     "events_tumbling_daily": events_tumbling_daily,
     "events_sessionize": events_sessionize,
+    "events_sliding_daily": events_sliding_daily,
+    "events_dedup_replay": events_dedup_replay,
 }
 
 ORACLES = {
@@ -53,5 +69,27 @@ ORACLES = {
         f" MAX(ts) + INTERVAL '{SESSION_GAP_MIN} minutes' AS session_end,"
         f" COUNT(*) AS n_events, {dsum_sql('value')} AS total_value"
         f" FROM numbered GROUP BY user_id, session_id"
+    ),
+    # sliding 1-day/12-h windows: each event lands in exactly two windows;
+    # the 12-h grid start is midnight-or-noon of the event's day (Spark's
+    # epoch-aligned window() with slide 12 h on whole-second data)
+    "events_sliding_daily": (
+        f"WITH g AS (SELECT event_type, value,"
+        f" CAST(date_trunc('day', ts) AS TIMESTAMP)"
+        f" + CASE WHEN EXTRACT(hour FROM ts) >= 12"
+        f" THEN INTERVAL '12 hours' ELSE INTERVAL '0 hours' END AS s1"
+        f" FROM events),"
+        f" x AS (SELECT event_type, value,"
+        f" unnest([s1 - INTERVAL '12 hours', s1]) AS window_start FROM g)"
+        f" SELECT window_start, event_type, COUNT(*) AS n_events,"
+        f" {dsum_sql('value')} AS total_value"
+        f" FROM x GROUP BY window_start, event_type"
+    ),
+    # replay-dedup collapses the in-plan duplication exactly, so the
+    # deduplicated totals equal the totals over the original input
+    "events_dedup_replay": (
+        f"SELECT event_type, COUNT(*) AS n_events,"
+        f" {dsum_sql('value')} AS total_value"
+        f" FROM events GROUP BY event_type"
     ),
 }

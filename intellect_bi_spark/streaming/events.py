@@ -40,38 +40,56 @@ from ..functions.numeric import dsum_sql
 SESSION_GAP = "30 minutes"
 WATERMARK = "1 day"
 
-# events.parquet carries timestamp[ns]; Spark's reader needs nanosAsLong
-# (catalog handles batch; the stream schema declares ts as LONG and the
-# plan converts ns → µs, identical to catalog._read_table).
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# Streaming file sources need an explicit schema; its ``ts`` declaration
+# must match the file's physical type. The fixtures have shipped both
+# timestamp[ns] (needs nanosAsLong LONG + in-plan ns→µs, like
+# catalog._read_table) and naive timestamp[us] (reads directly as
+# TIMESTAMP_NTZ), so the reader inspects the footer and branches.
+
+
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file per
     micro-batch so backfills replay incrementally)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..catalog import _nanos_columns
+    import os
+
+    ns = "ts" in _nanos_columns(os.path.join(sf_dir, "events.parquet"))
+    ts_type = T.LongType() if ns else T.TimestampNTZType()
+    if ns:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(ts_type))
         .option("maxFilesPerTrigger", 1)
         # file source wants a directory; the glob selects the event files
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ns:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Watermarks require TIMESTAMP (LTZ) event time — NTZ is rejected
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). With the session timezone
+    # pinned to UTC the cast is value-exact; no-op when already LTZ.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The batch twin: identical rows via the catalog reader."""
-    return load_tables(spark, sf_dir)["events"]
+    """The batch twin: identical rows via the catalog reader (ts cast to
+    LTZ to match the stream reader — see read_events_stream)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_daily_agg(events: DataFrame) -> DataFrame:
@@ -118,6 +136,59 @@ def session_agg(events: DataFrame) -> DataFrame:
             F.col("w.end").alias("session_end"),
             "n_events",
             "total_value",
+        )
+    )
+
+
+def sliding_daily_agg(events: DataFrame) -> DataFrame:
+    """Sliding windows: 1-day width, 12-hour slide, per event_type — each
+    event contributes to exactly two overlapping windows. The canonical
+    trailing-metrics shape ("last 24 h, refreshed every 12 h"); state per
+    (window, event_type) is bounded by the watermark on streams."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", WATERMARK)
+    return (
+        df.groupBy(
+            F.window("ts", "1 day", "12 hours").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(dsum_sql("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_replayed_events(events: DataFrame) -> DataFrame:
+    """At-least-once delivery dedup: every event arrives twice (replay
+    modeled in-plan by exploding two copies) and must be counted once.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` keyed on event_id — the
+    idiomatic replay filter; state holds one key per event inside the
+    watermark horizon and is evicted beyond it, so state size is bounded
+    by event-rate × watermark, not stream lifetime. Batch twin:
+    ``dropDuplicates`` on the same key. Output: per-type totals over the
+    deduplicated rows, which must equal the totals over the original
+    (never-duplicated) input."""
+    replayed = events.withColumn(
+        "replay", F.explode(F.array(F.lit(0), F.lit(1)))
+    ).drop("replay")
+    if replayed.isStreaming:
+        deduped = replayed.withWatermark("ts", WATERMARK)
+        deduped = deduped.dropDuplicatesWithinWatermark(["event_id"])
+    else:
+        deduped = replayed.dropDuplicates(["event_id"])
+    return (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(dsum_sql("value")).alias("total_value"),
         )
     )
 

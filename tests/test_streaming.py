@@ -39,6 +39,20 @@ def test_stream_sessions_equal_batch(spark, sf_dir):
     _same_rows(got, want)
 
 
+def test_stream_sliding_equals_batch(spark, sf_dir):
+    stream = se.read_events_stream(spark, sf_dir)
+    got = _drain(spark, se.sliding_daily_agg(stream), "t_sliding")
+    want = se.sliding_daily_agg(se.events_batch(spark, sf_dir))
+    _same_rows(got, want)
+
+
+def test_stream_dedup_replay_equals_batch(spark, sf_dir):
+    stream = se.read_events_stream(spark, sf_dir)
+    got = _drain(spark, se.dedup_replayed_events(stream), "t_dedup")
+    want = se.dedup_replayed_events(se.events_batch(spark, sf_dir))
+    _same_rows(got, want)
+
+
 def test_stateful_running_totals(spark, sf_dir):
     stream = se.read_events_stream(spark, sf_dir)
     got = _drain(
