@@ -1,0 +1,253 @@
+"""Training-data pipeline operators: deterministic splits, stratified
+sampling, and train/test decontamination over the ``documents`` table.
+
+Charter extension (no reference counterpart — the reference's document
+dataflow stops at chunk→embed, api/ingest_docs.py:47-61): the corpus-prep
+operations every large-scale training pipeline runs before a token ever
+reaches a model:
+
+- **train/val/test split** — hash-bucket assignment off the stable doc key
+  (never ``rand()``: re-runs, late-arriving shards, and retries must land
+  every document in the same split on every executor).
+- **stratified sampling** — a per-stratum deterministic hash sample, the
+  seed-free distributed form of "sample 20% of each language".
+- **decontamination** — exact n-gram overlap between the held-out split and
+  the training split (the standard eval-contamination check: build the
+  training n-gram dictionary once, probe each held-out document against it).
+- **token histogram** — corpus-level top-k token frequencies.
+
+Scale design (100 TB): split and sample are map-only classifications that
+fold into the scan (the hash is one md5 per row; the aggregates are
+map-side-combined with single-digit output rows). Decontamination's
+training dictionary is ``DISTINCT sh_hash`` — one 8-byte row per distinct
+n-gram, aggregated map-side — and the probe is an equi-join of hashed longs
+where the dictionary side has no duplicate keys, so there is no hot-key k²
+blowup by construction (contrast dedup.py's DF_CAP, which exists because
+BOTH join sides there carry per-doc rows). The token histogram is a
+hash-aggregate with partial combine + TakeOrderedAndProject top-k: no
+global sort, k rows to the driver.
+
+Everything is built-in Spark SQL (codegen, no Python UDFs); the DuckDB
+oracles compute identical expressions (functions/text.py hash portability
+notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions.text import (
+    md5_mod_hash_duck,
+    md5_mod_hash_sql,
+    shingles_duck_cte,
+    word_shingles,
+)
+
+SPLIT_MOD = 100
+TRAIN_END = 80  # bucket in [0, 80)  -> train  (80%)
+VAL_END = 90    # bucket in [80, 90) -> val    (10%); [90, 100) -> test
+SAMPLE_MOD = 10
+SAMPLE_TAKE = 2  # deterministic 20% per stratum
+DECON_K = 8      # decontamination n-gram width (word 8-grams)
+HISTOGRAM_K = 20
+
+# Hash-bucket expressions, portable across engines: md5 of the salted doc
+# key, first 15 hex chars (60 bits — exact BIGINT parse in both engines),
+# mod the bucket count. The salt decorrelates the split assignment from the
+# sample assignment (same key, independent buckets).
+
+
+def _bucket_sql(salt: str, mod: int) -> str:
+    return (
+        f"(CAST(conv(substr(md5(CONCAT('{salt}', CAST(doc_id AS STRING))),"
+        f" 1, 15), 16, 10) AS BIGINT) % {mod})"
+    )
+
+
+def _bucket_duck(salt: str, mod: int) -> str:
+    return (
+        f"(CAST('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)),"
+        f" 1, 15) AS BIGINT) % {mod})"
+    )
+
+
+def _split_col() -> Column:
+    b = F.expr(_bucket_sql("split:", SPLIT_MOD))
+    return (
+        F.when(b < TRAIN_END, "train")
+        .when(b < VAL_END, "val")
+        .otherwise("test")
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["documents"]
+
+
+def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split: per-split document counts and size stats.
+
+    The assignment is a pure function of doc_id — reproducible across
+    re-runs and engines, no ``rand()`` seed to desync executors. Map-only
+    classification; the aggregate is 3 output rows with map-side combine.
+    """
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("split", _split_col())
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20%-per-language sample: per-stratum totals, sampled
+    counts, and realized rate — the seed-free distributed stratified
+    sampler (membership is a pure hash predicate, so the sample is stable
+    under re-runs and can be re-derived by any downstream job)."""
+    sampled = F.expr(_bucket_sql("smp:", SAMPLE_MOD)) < SAMPLE_TAKE
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(sampled.cast("long")).alias("n_sampled"),
+            (
+                F.sum(sampled.cast("long")) / F.count(F.lit(1))
+            ).alias("sample_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per held-out (test-split) document: how many of its word 8-gram
+    shingles also occur anywhere in the train split — the exact
+    eval-decontamination check.
+
+    Shape: hashed distinct (doc_id, shingle) rows once for the corpus;
+    the train side collapses to a DISTINCT sh_hash dictionary (8 bytes per
+    distinct n-gram, map-side combined); each test shingle probes it with
+    a left join on the hashed long. The dictionary has unique keys, so the
+    join emits at most one row per test shingle — linear, no hot-key
+    amplification. At 100 TB the dictionary is the thing you materialize
+    once (or sketch with a bloom filter); this plan inherits that shape.
+    """
+    docs = _docs(spark, sf_dir).withColumn("split", _split_col())
+    hashed = (
+        docs.select(
+            "doc_id",
+            "split",
+            F.explode(word_shingles(F.col("text"), DECON_K)).alias("shingle"),
+        )
+        .distinct()
+        .select(
+            "doc_id",
+            "split",
+            F.expr(md5_mod_hash_sql("shingle")).alias("sh_hash"),
+        )
+        .distinct()
+    )
+    train_dict = (
+        hashed.filter(F.col("split") == "train").select("sh_hash").distinct()
+    )
+    test_sh = hashed.filter(F.col("split") == "test").select(
+        "doc_id", "sh_hash"
+    )
+    return (
+        test_sh.join(
+            train_dict.withColumn("hit", F.lit(1)), "sh_hash", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+            (F.count("hit") / F.count(F.lit(1))).alias("contamination_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most frequent whitespace tokens over the normalized corpus.
+
+    Hash-aggregate with map-side partial counts, then
+    ``orderBy(...).limit(k)`` → TakeOrderedAndProject (per-partition heap,
+    k rows to the driver) — no global sort. Ties at the cut broken by
+    token text so the top-k set is deterministic in both engines."""
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(norm, " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(HISTOGRAM_K)
+    )
+
+
+QUERIES = {
+    "train_test_split_stats": train_test_split_stats,
+    "stratified_sample_by_lang": stratified_sample_by_lang,
+    "decontam_ngram_overlap": decontam_ngram_overlap,
+    "corpus_token_histogram": corpus_token_histogram,
+}
+
+_SPLIT_CASE = (
+    f"CASE WHEN {_bucket_duck('split:', SPLIT_MOD)} < {TRAIN_END}"
+    f" THEN 'train' WHEN {_bucket_duck('split:', SPLIT_MOD)} < {VAL_END}"
+    f" THEN 'val' ELSE 'test' END"
+)
+
+ORACLES = {
+    "train_test_split_stats": (
+        f"SELECT {_SPLIT_CASE} AS split,"
+        f" COUNT(*) AS n_docs,"
+        f" CAST(SUM(n_chars) AS BIGINT) AS sum_chars,"
+        f" MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id"
+        f" FROM documents GROUP BY 1 ORDER BY split"
+    ),
+    "stratified_sample_by_lang": (
+        f"SELECT lang, COUNT(*) AS n_docs,"
+        f" CAST(SUM(CASE WHEN {_bucket_duck('smp:', SAMPLE_MOD)}"
+        f" < {SAMPLE_TAKE} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,"
+        f" CAST(SUM(CASE WHEN {_bucket_duck('smp:', SAMPLE_MOD)}"
+        f" < {SAMPLE_TAKE} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)"
+        f" AS sample_rate"
+        f" FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    "decontam_ngram_overlap": (
+        f"WITH {shingles_duck_cte(DECON_K)},"
+        f" b AS (SELECT doc_id, {_SPLIT_CASE} AS split FROM documents),"
+        f" hashed AS (SELECT DISTINCT s.doc_id, b.split,"
+        f" {md5_mod_hash_duck('s.shingle')} AS sh_hash"
+        f" FROM shingle_rows s JOIN b ON s.doc_id = b.doc_id),"
+        f" train_dict AS (SELECT DISTINCT sh_hash FROM hashed"
+        f" WHERE split = 'train'),"
+        f" test_sh AS (SELECT doc_id, sh_hash FROM hashed"
+        f" WHERE split = 'test')"
+        f" SELECT t.doc_id, COUNT(*) AS n_shingles,"
+        f" COUNT(d.sh_hash) AS n_contaminated,"
+        f" CAST(COUNT(d.sh_hash) AS DOUBLE) / COUNT(*)"
+        f" AS contamination_rate"
+        f" FROM test_sh t LEFT JOIN train_dict d ON t.sh_hash = d.sh_hash"
+        f" GROUP BY t.doc_id ORDER BY t.doc_id"
+    ),
+    "corpus_token_histogram": (
+        "WITH norm AS (SELECT trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+        " AS text FROM documents),"
+        " tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM norm)"
+        " SELECT token, COUNT(*) AS n_occurrences FROM tok"
+        " WHERE token != ''"
+        f" GROUP BY token ORDER BY n_occurrences DESC, token"
+        f" LIMIT {HISTOGRAM_K}"
+    ),
+}

@@ -241,6 +241,114 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q7_NATIONS = ("NATION_1", "NATION_2")
+_Q22_CUTOFF = "2001-01-01"
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: shipped volume between two nations per direction
+    and year — the two-sided dimension-pair join.
+
+    Scale shape: supplier and customer are each pre-joined to nation and
+    pre-filtered to the two nations of interest BEFORE touching the fact
+    table (Catalyst cannot derive the per-side IN-filter from the
+    disjunctive pair predicate on its own), so the big lineitem⋈orders
+    join only carries rows that can possibly satisfy the pair condition.
+    Both reduced dimensions broadcast; the one real shuffle is
+    lineitem⋈orders on orderkey."""
+    t = load_tables(spark, sf_dir)
+    nations = t["nation"].filter(F.col("n_name").isin(*_Q7_NATIONS))
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t["customer"]
+        .join(
+            F.broadcast(nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            dsum("l_extendedprice * (1 - l_discount)", 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: distribution of customers by order count,
+    including zero-order customers — the left-outer-join + double
+    aggregation shape. The priority filter lives on the orders side of the
+    join (ON-clause semantics: a customer whose only orders are urgent
+    counts as zero). First aggregate shuffles on custkey (same key as the
+    join — no extra exchange); the second aggregates tens of rows."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: above-average-balance customers with no recent
+    orders, summarized per market segment — scalar aggregate subquery +
+    NOT EXISTS anti-join.
+
+    The average-balance scalar is a 1-row aggregate broadcast-crossed onto
+    customer (never a driver-side collect); the NOT EXISTS is a left-anti
+    join against the date-filtered orders projection (the filter and the
+    single-column projection push to the orders scan)."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"]
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.expr(davg_sql("c_acctbal")).alias("avg_bal"))
+    )
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_dormant"),
+            dsum("c_acctbal").alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB cardinality path: HyperLogLog++ ``approx_count_distinct``
     and t-digest ``approx_percentile`` made SELF-CHECKING — the sketch
@@ -291,6 +399,9 @@ QUERIES = {
     "q14_promo_share": q14_promo_share,
     "q4_order_priority": q4_order_priority,
     "q18_large_orders": q18_large_orders,
+    "q7_nation_volume": q7_nation_volume,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q22_dormant_customers": q22_dormant_customers,
     "approx_distinct_counts": approx_distinct_counts,
 }
 
@@ -388,6 +499,44 @@ ORACLES = {
         f" / COUNT(daily_value) OVER"
         f" (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7"
         f" FROM daily"
+    ),
+    "q7_nation_volume": (
+        f"WITH nations AS (SELECT n_nationkey, n_name FROM nation"
+        f" WHERE n_name IN ('{_Q7_NATIONS[0]}', '{_Q7_NATIONS[1]}')),"
+        f" supp AS (SELECT s_suppkey, n_name AS supp_nation"
+        f" FROM supplier JOIN nations ON s_nationkey = n_nationkey),"
+        f" cust AS (SELECT c_custkey, n_name AS cust_nation"
+        f" FROM customer JOIN nations ON c_nationkey = n_nationkey)"
+        f" SELECT supp_nation, cust_nation,"
+        f" CAST(year(l_shipdate) AS INT) AS l_year,"
+        f" {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,"
+        f" COUNT(*) AS n_lineitems"
+        f" FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        f" JOIN supp ON l_suppkey = s_suppkey"
+        f" JOIN cust ON o_custkey = c_custkey"
+        f" WHERE supp_nation <> cust_nation"
+        f" GROUP BY supp_nation, cust_nation, l_year"
+        f" ORDER BY supp_nation, cust_nation, l_year"
+    ),
+    "q13_order_count_distribution": (
+        "WITH per_cust AS (SELECT c_custkey,"
+        " COUNT(o_orderkey) AS c_count"
+        " FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+        " AND o_orderpriority <> '1-URGENT'"
+        " GROUP BY c_custkey)"
+        " SELECT c_count, COUNT(*) AS custdist FROM per_cust"
+        " GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+    ),
+    "q22_dormant_customers": (
+        f"SELECT c_mktsegment, COUNT(*) AS n_dormant,"
+        f" {dsum_sql('c_acctbal')} AS total_balance"
+        f" FROM customer"
+        f" WHERE c_acctbal > (SELECT {davg_sql('c_acctbal')}"
+        f" FROM customer WHERE c_acctbal > 0)"
+        f" AND NOT EXISTS (SELECT 1 FROM orders"
+        f" WHERE o_custkey = c_custkey"
+        f" AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF} 00:00:00')"
+        f" GROUP BY c_mktsegment ORDER BY c_mktsegment"
     ),
     # the sketch estimates are asserted in-bounds INSIDE the Spark query,
     # so the oracle only needs the exact count and the expected flag values

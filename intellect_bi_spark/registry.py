@@ -17,6 +17,7 @@ from .operators import (
     inventory,
     multimodal,
     nl_queries,
+    pipeline,
     relational,
     sales_queries,
     similarity,
@@ -39,6 +40,7 @@ _MODULES = (
     inventory,
     temporal,
     textops,
+    pipeline,
     streamops,
     similarity,
     forecast,
@@ -56,66 +58,73 @@ for _mod in _MODULES:
     ORACLES.update(getattr(_mod, "ORACLES", {}))
 
 # The driver's correctness sweep checks the first 50 registry entries per
-# round.  Rounds 1+2 certified 50 of the (then) 97 queries; the 50 below are
-# the ones without a current-code driver row — 22 that have never been
-# checked plus 28 whose last green row predates a later rewrite of their
-# output (dedup/multimodal checksum faces) or was simply crowded out.
-# Front-loading them makes the cumulative sweep cover all 100 queries with
-# every row certifying the code as it exists now.  Locally, all 100 are
-# continuously verified against the same oracles by tests/test_parity.py.
+# round.  Round 3 certified the 50 then-uncertified entries (a clean sweep —
+# CORRECTNESS_r03 is 50/50 green).  The round-4 front is, in priority order:
+# (a) queries NEW this round (pipeline module, q7/q13/q22 join shapes);
+# (b) queries whose CODE changed after r3's sweep ran — the lag_stitched
+#     window refactor (mom_growth/qoq/o2/nl_qoq), the TIMESTAMP_NTZ
+#     compatibility fixes (temporal + streaming twins), and the forecast
+#     seed-selection refactor (ma/seasonal7/drift) — their r3 rows predate
+#     the current code;
+# (c) the r2-certified sales/NL/relational surface that r3's rotation
+#     crowded out.  The entries left past position 50 are unchanged
+#     trivial micro-queries (p1-p8, a4/a9/a10, o3/a12/w3/j2) with green r2
+#     rows.  Locally, all queries are continuously verified against the
+#     same oracles by tests/test_parity.py.
 _FRONT = (
-    # -- never driver-checked ------------------------------------------------
-    "nl_transaction_value",
+    # -- (a) new this round --------------------------------------------------
+    "train_test_split_stats",
+    "stratified_sample_by_lang",
+    "decontam_ngram_overlap",
+    "corpus_token_histogram",
+    "q7_nation_volume",
+    "q13_order_count_distribution",
+    "q22_dormant_customers",
+    "events_sliding_daily",
+    "events_dedup_replay",
+    # -- (b) code changed after the r3 sweep ---------------------------------
+    "mom_growth_top_month",
+    "qoq_delta",
+    "nl_qoq_delta",
+    "o2_nulls_last",
     "asof_join_clicks",
     "range_join_click_bursts",
-    "chunk_documents",
-    "chunk_docs_ingest_800_120",
-    "chunk_docs_etl_1500_200",
-    "rag_search_chunks",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_langid",
-    "doc_fingerprints",
     "events_tumbling_daily",
     "events_sessionize",
-    "cosine_topk",
-    "lsh_buckets",
-    "embedding_near_dup_pairs",
-    "label_centroid_similarity",
-    "ann_topk_lsh",
-    "ivf_assignments",
-    "ann_topk_ivf",
-    "forecast_linreg_ols",
-    "simhash_pair_sample",
-    # -- green in r1 only; current code uncertified --------------------------
-    "exact_dedup_stats",
-    "near_dup_summary",
-    "exact_dedup_keep_first",
-    "jaccard_pairs",
-    "minhash_signatures",
-    "minhash_lsh_pairs",
-    "simhash_signatures",
-    "simhash_near_pairs",
-    "multimodal_catalog",
-    "image_features_stub",
-    "video_frame_sample_stub",
-    "audio_window_rms_stub",
     "forecast_ma",
     "forecast_seasonal7",
     "forecast_drift",
-    "forecast_drift_by_region",
-    "forecast_drift_by_region_pandas",
-    "o1_topk_multisort",
-    "f_scalar_suite",
-    "json_extract_events",
-    "drilldown_cube",
-    "drilldown_rollup",
-    "distinct_products_per_region",
-    "setop_union_counts",
-    "setop_intersect_except",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_delta",
+    # -- (c) r2-certified surface, crowded out of r3 -------------------------
+    "kpi_overview",
+    "top_region",
+    "top_product",
+    "top_products_under_30",
+    "region_trends_monthly",
+    "yoy_quarter",
+    "region_divergence",
+    "corr_sales_satisfaction",
+    "sales_daily",
+    "last_two_quarters_satisfaction",
+    "gender_satisfaction",
+    "region_quarter_delta",
+    "nl_yoy_quarter",
+    "nl_last2_quarters_by_region",
+    "nl_monthly_sales_north",
+    "nl_correlation",
+    "q1_pricing_summary",
+    "revenue_by_region",
+    "orders_by_status",
+    "events_rolling_7d",
+    "q10_returned_revenue",
+    "q12_shipmode_priority",
+    "q14_promo_share",
+    "q4_order_priority",
+    "q18_large_orders",
+    "approx_distinct_counts",
+    "percentiles_by_status",
+    "salted_distinct_customers",
+    "w1_topk_per_group",
+    "w_rank_dense_ntile",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive
