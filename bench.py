@@ -48,6 +48,8 @@ HEADLINE = [
     "range_join_click_bursts",
     "q4_order_priority",
     "q18_large_orders",
+    "q7_nation_volume",
+    "q13_order_count_distribution",
     # training-data pipeline (charter extensions)
     "exact_dedup_stats",
     "near_dup_summary",
@@ -58,8 +60,10 @@ HEADLINE = [
     "text_quality_scores",
     "chunk_documents",
     "image_features_stub",
+    "decontam_ngram_overlap",
     "events_tumbling_daily",
     "events_sessionize",
+    "events_sliding_daily",
     "forecast_drift_by_region",
 ]
 

@@ -131,3 +131,52 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_q7_dims_broadcast_fact_joins_once(spark, sf_dir):
+    """Q7's reduced supplier/customer dimensions must broadcast; the only
+    shuffled join is lineitem⋈orders. The nation IN-filter must reach both
+    dimension scans (pre-reduction before the fact join)."""
+    from intellect_bi_spark.operators.relational import q7_nation_volume
+
+    plan = plan_of(q7_nation_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastNestedLoop" not in plan
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line]
+    assert any("n_name" in line for line in pushed), pushed
+
+
+def test_q22_anti_join_is_hash_based(spark, sf_dir):
+    """Q22's NOT EXISTS must plan as a hash/broadcast LeftAnti join (never
+    nested-loop over customers), and the date filter must reach the orders
+    scan."""
+    from intellect_bi_spark.operators.relational import q22_dormant_customers
+
+    import re
+
+    plan = plan_of(q22_dormant_customers(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    # the 1-row scalar cross join is the only permitted nested-loop node
+    # (formatted explain prints each node once in the tree, once in detail)
+    bnlj_nodes = set(re.findall(r"BroadcastNestedLoopJoin[^(\n]*\((\d+)\)", plan))
+    assert len(bnlj_nodes) <= 1, plan
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line]
+    assert any("o_orderdate" in line for line in pushed), pushed
+
+
+def test_token_histogram_uses_take_ordered(spark, sf_dir):
+    from intellect_bi_spark.operators.pipeline import corpus_token_histogram
+
+    plan = plan_of(corpus_token_histogram(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_decontam_join_is_hash_equi(spark, sf_dir):
+    """The decontamination probe must be an equi-join on the hashed
+    shingle (hash or sort-merge — never nested-loop), keeping candidate
+    generation linear."""
+    from intellect_bi_spark.operators.pipeline import decontam_ngram_overlap
+
+    plan = plan_of(decontam_ngram_overlap(spark, sf_dir))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
