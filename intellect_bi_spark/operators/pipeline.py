@@ -175,6 +175,62 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_familiarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per held-out document: how familiar its tokens are to the train
+    split — the unigram-LM-scoring shape (quality filtering by corpus
+    typicality) with INTEGER-exact arithmetic: instead of log-probs
+    (whose libm rounding can differ across engines), the score is the
+    exact sum of train-split occurrence counts per token, divided by the
+    token count at the end.
+
+    Shape: train token counts are a map-side-combined dictionary keyed by
+    the 60-bit md5 token hash (8-byte shuffle keys; collisions merge
+    counts at p ≈ 1e-9 and the oracle hashes identically, so parity is by
+    construction). Test tokens probe it with a left join — unique
+    dictionary keys, no amplification. OOV tokens are those absent from
+    the dictionary."""
+    docs = _docs(spark, sf_dir).withColumn("split", _split_col())
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    toks = (
+        docs.select(
+            "doc_id",
+            "split",
+            F.explode(F.split(norm, " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select(
+            "doc_id",
+            "split",
+            F.expr(md5_mod_hash_sql("token")).alias("h"),
+        )
+    )
+    train_counts = (
+        toks.filter(F.col("split") == "train")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    test_toks = toks.filter(F.col("split") == "test").select("doc_id", "h")
+    return (
+        test_toks.join(train_counts, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("cnt").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+            (
+                F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+            (
+                F.sum(F.coalesce(F.col("cnt"), F.lit(0)))
+                / F.count(F.lit(1))
+            ).alias("familiarity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k most frequent whitespace tokens over the normalized corpus.
 
@@ -198,6 +254,7 @@ QUERIES = {
     "train_test_split_stats": train_test_split_stats,
     "stratified_sample_by_lang": stratified_sample_by_lang,
     "decontam_ngram_overlap": decontam_ngram_overlap,
+    "token_familiarity_scores": token_familiarity_scores,
     "corpus_token_histogram": corpus_token_histogram,
 }
 
@@ -240,6 +297,30 @@ ORACLES = {
         f" AS contamination_rate"
         f" FROM test_sh t LEFT JOIN train_dict d ON t.sh_hash = d.sh_hash"
         f" GROUP BY t.doc_id ORDER BY t.doc_id"
+    ),
+    "token_familiarity_scores": (
+        f"WITH norm AS (SELECT doc_id,"
+        f" trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text"
+        f" FROM documents),"
+        f" b AS (SELECT doc_id, {_SPLIT_CASE} AS split FROM documents),"
+        f" tok_raw AS (SELECT doc_id,"
+        f" unnest(string_split(text, ' ')) AS token FROM norm),"
+        f" tok AS (SELECT t.doc_id, b.split,"
+        f" {md5_mod_hash_duck('t.token')} AS h"
+        f" FROM tok_raw t JOIN b ON t.doc_id = b.doc_id"
+        f" WHERE t.token != ''),"
+        f" tr AS (SELECT h, COUNT(*) AS cnt FROM tok"
+        f" WHERE split = 'train' GROUP BY h),"
+        f" te AS (SELECT doc_id, h FROM tok WHERE split = 'test')"
+        f" SELECT te.doc_id, COUNT(*) AS n_tokens,"
+        f" CAST(SUM(CASE WHEN tr.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_oov,"
+        f" CAST(SUM(CASE WHEN tr.h IS NULL THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" / COUNT(*) AS oov_rate,"
+        f" CAST(SUM(COALESCE(tr.cnt, 0)) AS DOUBLE) / COUNT(*)"
+        f" AS familiarity"
+        f" FROM te LEFT JOIN tr ON te.h = tr.h"
+        f" GROUP BY te.doc_id ORDER BY te.doc_id"
     ),
     "corpus_token_histogram": (
         "WITH norm AS (SELECT trim(regexp_replace(text, '\\s+', ' ', 'g'))"

@@ -349,6 +349,47 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skew_profile_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic over orders.o_custkey — the pre-flight
+    check a 100 TB pipeline runs before choosing a join strategy (salting
+    / AQE skew-join / broadcast). Two-level aggregation: per-key counts
+    (map-side combined), then a 1-row distribution summary. All outputs
+    are integer-exact (no engine-specific percentile interpolation):
+    key count, total rows, max/min key frequency, mean frequency, and how
+    many keys exceed 2× the mean — the salting candidates."""
+    o = load_tables(spark, sf_dir)["orders"]
+    per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("freq"))
+    summary = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("freq").alias("total_rows"),
+        F.max("freq").alias("max_freq"),
+        F.min("freq").alias("min_freq"),
+    )
+    # hot-key test stays in integers (freq * n_keys > 2 * total_rows ⇔
+    # freq > 2 * mean) — no division, no cross-engine float comparison
+    hot = (
+        per_key.crossJoin(F.broadcast(summary))
+        .filter(
+            F.col("freq") * F.col("n_keys") > F.lit(2) * F.col("total_rows")
+        )
+        .agg(F.count(F.lit(1)).alias("n_hot_keys"))
+    )
+    return (
+        summary.withColumn(
+            "avg_freq", F.col("total_rows") / F.col("n_keys")
+        )
+        .crossJoin(F.broadcast(hot))
+        .select(
+            "n_keys",
+            "total_rows",
+            "max_freq",
+            "min_freq",
+            "avg_freq",
+            "n_hot_keys",
+        )
+    )
+
+
 def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB cardinality path: HyperLogLog++ ``approx_count_distinct``
     and t-digest ``approx_percentile`` made SELF-CHECKING — the sketch
@@ -402,6 +443,7 @@ QUERIES = {
     "q7_nation_volume": q7_nation_volume,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q22_dormant_customers": q22_dormant_customers,
+    "skew_profile_orders_custkey": skew_profile_orders_custkey,
     "approx_distinct_counts": approx_distinct_counts,
 }
 
@@ -537,6 +579,18 @@ ORACLES = {
         f" WHERE o_custkey = c_custkey"
         f" AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF} 00:00:00')"
         f" GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    ),
+    "skew_profile_orders_custkey": (
+        "WITH per_key AS (SELECT o_custkey, COUNT(*) AS freq"
+        " FROM orders GROUP BY o_custkey),"
+        " s AS (SELECT COUNT(*) AS n_keys,"
+        " CAST(SUM(freq) AS BIGINT) AS total_rows,"
+        " MAX(freq) AS max_freq, MIN(freq) AS min_freq FROM per_key),"
+        " h AS (SELECT COUNT(*) AS n_hot_keys FROM per_key, s"
+        " WHERE freq * n_keys > 2 * total_rows)"
+        " SELECT n_keys, total_rows, max_freq, min_freq,"
+        " CAST(total_rows AS DOUBLE) / n_keys AS avg_freq, n_hot_keys"
+        " FROM s, h"
     ),
     # the sketch estimates are asserted in-bounds INSIDE the Spark query,
     # so the oracle only needs the exact count and the expected flag values

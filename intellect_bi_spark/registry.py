@@ -82,6 +82,8 @@ _FRONT = (
     "q22_dormant_customers",
     "events_sliding_daily",
     "events_dedup_replay",
+    "token_familiarity_scores",
+    "skew_profile_orders_custkey",
     # -- (b) code changed after the r3 sweep ---------------------------------
     "mom_growth_top_month",
     "qoq_delta",
@@ -123,8 +125,6 @@ _FRONT = (
     "approx_distinct_counts",
     "percentiles_by_status",
     "salted_distinct_customers",
-    "w1_topk_per_group",
-    "w_rank_dense_ntile",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive
