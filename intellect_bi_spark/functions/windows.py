@@ -52,12 +52,31 @@ def lag_stitched(
     keyed = df.withColumn("_lsg_bkt", b)
 
     w_in = Window.partitionBy("_lsg_bkt").orderBy(order_col)
-    inner = keyed.withColumn(out_col, F.lag(value_col).over(w_in))
+    w_full = w_in.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # The per-bucket boundary values are carved out of the window pass
+    # (row_number + full-frame count share w_in's WindowExec; the
+    # rn == cnt filter is not expressible as an aggregate, so Catalyst
+    # cannot collapse the branch into a second, differently-shaped
+    # aggregate). The boundary branch still re-evaluates the upstream
+    # subtree (AQE does not currently reuse the exchange across these
+    # stages) — acceptable by contract: lag_stitched is only called on
+    # post-aggregation frames, where the duplicated work is one bounded
+    # re-aggregation, not a second pass over raw data. At 100 TB you
+    # would persist the aggregated frame first; the helper deliberately
+    # does not persist on the caller's behalf.
+    inner = (
+        keyed.withColumn(out_col, F.lag(value_col).over(w_in))
+        .withColumn("_lsg_rn", F.row_number().over(w_in))
+        .withColumn("_lsg_cnt", F.count(F.lit(1)).over(w_full))
+    )
 
     # One row per bucket: the bucket's last (by order key) value.
-    per_bkt = keyed.groupBy("_lsg_bkt").agg(
-        F.max_by(value_col, F.col(order_col)).alias("_lsg_last")
+    per_bkt = inner.filter(F.col("_lsg_rn") == F.col("_lsg_cnt")).select(
+        "_lsg_bkt", F.col(value_col).alias("_lsg_last")
     )
+    inner = inner.drop("_lsg_rn", "_lsg_cnt")
     # Nearest earlier bucket's last value. Triangular join on the bucket
     # relation (rows = #distinct buckets, e.g. #years — tens, not data-
     # scale), so the quadratic candidate set is trivially small and the

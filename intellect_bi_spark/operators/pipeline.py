@@ -86,6 +86,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir)["documents"]
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents repartitioned to full parallelism before CPU-heavy
+    explode+hash stages — the fixture corpus is one parquet file → one
+    scan partition → one core otherwise (same rationale as
+    dedup._docs_spread; on a many-file table this is a near-no-op
+    exchange that still evens out file-size skew)."""
+    return _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+
+
 def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash split: per-split document counts and size stats.
 
@@ -140,7 +151,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     amplification. At 100 TB the dictionary is the thing you materialize
     once (or sketch with a bloom filter); this plan inherits that shape.
     """
-    docs = _docs(spark, sf_dir).withColumn("split", _split_col())
+    docs = _docs_spread(spark, sf_dir).withColumn("split", _split_col())
     hashed = (
         docs.select(
             "doc_id",
@@ -189,7 +200,7 @@ def token_familiarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction). Test tokens probe it with a left join — unique
     dictionary keys, no amplification. OOV tokens are those absent from
     the dictionary."""
-    docs = _docs(spark, sf_dir).withColumn("split", _split_col())
+    docs = _docs_spread(spark, sf_dir).withColumn("split", _split_col())
     norm = F.trim(F.regexp_replace("text", r"\s+", " "))
     toks = (
         docs.select(
@@ -240,7 +251,7 @@ def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     token text so the top-k set is deterministic in both engines."""
     norm = F.trim(F.regexp_replace("text", r"\s+", " "))
     return (
-        _docs(spark, sf_dir)
+        _docs_spread(spark, sf_dir)
         .select(F.explode(F.split(norm, " ")).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
