@@ -98,6 +98,67 @@ def lag_stitched(
     )
 
 
+def rolling_stitched(
+    df: DataFrame,
+    order_col: str,
+    value_col: Column,
+    k: int,
+    sum_col: str,
+    cnt_col: str,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Add ``sum_col`` / ``cnt_col`` = SUM(value) / COUNT(*) OVER
+    (ORDER BY order_col ROWS BETWEEN k PRECEDING AND CURRENT ROW) without
+    an unpartitioned window. ``order_col`` must be unique per row (true
+    for any ``groupBy(period)`` aggregate — same contract as
+    :func:`lag_stitched`).
+
+    Construction: window within a coarse bucket of the order key, with the
+    first ≤ k rows of each bucket patched by CARRY rows — for each target
+    bucket, the k globally-latest rows drawn from the per-bucket tails of
+    ALL earlier buckets (the tails relation is ≤ k · #buckets rows, so the
+    triangular bucket pairing is trivially small and exact under bucket
+    gaps and under buckets shorter than k). Carry rows flow through the
+    same bucket-partitioned window (they sort first — strictly smaller
+    order keys) and are dropped afterwards, so every remaining row's frame
+    equals the global ROWS frame exactly. Like lag_stitched, the side
+    branches re-evaluate the upstream subtree; call this on
+    post-aggregation frames (or persist first)."""
+    b = bucket if bucket is not None else F.year(F.col(order_col))
+    keyed = df.withColumn("_rsg_bkt", b).withColumn("_rsg_carry", F.lit(0))
+
+    w_desc = Window.partitionBy("_rsg_bkt").orderBy(F.desc(order_col))
+    tails = (
+        keyed.withColumn("_rsg_rn", F.row_number().over(w_desc))
+        .filter(F.col("_rsg_rn") <= k)
+        .drop("_rsg_rn")
+        .withColumnRenamed("_rsg_bkt", "_rsg_src")
+    )
+    bkts = keyed.select(F.col("_rsg_bkt").alias("_rsg_tgt")).distinct()
+    w_tgt = Window.partitionBy("_rsg_tgt").orderBy(F.desc(order_col))
+    carries = (
+        bkts.join(F.broadcast(tails), F.col("_rsg_src") < F.col("_rsg_tgt"))
+        .withColumn("_rsg_rn", F.row_number().over(w_tgt))
+        .filter(F.col("_rsg_rn") <= k)
+        .drop("_rsg_src", "_rsg_rn")
+        .withColumnRenamed("_rsg_tgt", "_rsg_bkt")
+        .withColumn("_rsg_carry", F.lit(1))
+    )
+
+    w = (
+        Window.partitionBy("_rsg_bkt")
+        .orderBy(order_col)
+        .rowsBetween(-k, Window.currentRow)
+    )
+    return (
+        keyed.unionByName(carries.select(*keyed.columns))
+        .withColumn(sum_col, F.sum(value_col).over(w))
+        .withColumn(cnt_col, F.count(F.lit(1)).over(w))
+        .filter(F.col("_rsg_carry") == 0)
+        .drop("_rsg_bkt", "_rsg_carry")
+    )
+
+
 def last_k_by(df: DataFrame, order_col: str, k: int) -> DataFrame:
     """The ``k`` rows with the largest ``order_col`` — a top-k selection,
     which Spark executes as TakeOrderedAndProject (per-partition heap +

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_tables, spread_scan
 from ..functions.numeric import davg_sql, dsum, dsum_sql
+from ..functions.windows import rolling_stitched
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,13 +95,23 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(F.expr(dsum_sql("value")).alias("daily_value"))
-    rolling = (
-        "CAST(SUM(CAST(daily_value AS DECIMAL(38,2))) OVER "
-        "(ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)"
-        " / COUNT(daily_value) OVER "
-        "(ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+    # rolling frame via the bucket-stitched helper: identical ROWS
+    # semantics to a global window, but every window stays partitioned
+    # (functions/windows.py) — the daily frame is bounded, yet the plan
+    # carries no single-task serialization point
+    rolled = rolling_stitched(
+        daily,
+        "day",
+        F.col("daily_value").cast("decimal(38,2)"),
+        6,
+        "ma_sum",
+        "n_win",
     )
-    return daily.withColumn("ma7", F.expr(rolling))
+    return rolled.select(
+        "day",
+        "daily_value",
+        (F.col("ma_sum").cast("double") / F.col("n_win")).alias("ma7"),
+    )
 
 
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

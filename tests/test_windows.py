@@ -111,3 +111,46 @@ def test_last_k_by_matches_sort_limit(spark):
     df = spark.createDataFrame(rows, "d date, v double")
     got = sorted(r["v"] for r in last_k_by(df, "d", 5).collect())
     assert got == [15.0, 16.0, 17.0, 18.0, 19.0]
+
+
+def _check_rolling(spark, rows, k=6):
+    from intellect_bi_spark.functions.windows import rolling_stitched
+
+    df = spark.createDataFrame(rows, "d date, v double")
+    got = {
+        r["d"]: (r["s"], r["c"])
+        for r in rolling_stitched(
+            df, "d", F.col("v"), k, "s", "c"
+        ).collect()
+    }
+    w = Window.orderBy("d").rowsBetween(-k, Window.currentRow)
+    want = {
+        r["d"]: (r["s"], r["c"])
+        for r in df.withColumn("s", F.sum("v").over(w))
+        .withColumn("c", F.count(F.lit(1)).over(w))
+        .collect()
+    }
+    assert got == want, (got, want)
+
+
+def test_rolling_stitched_across_years(spark):
+    rows = [
+        (datetime.date(2023, 12, 25 + i), float(i)) for i in range(5)
+    ] + [(datetime.date(2024, 1, 1 + i), float(10 + i)) for i in range(8)]
+    _check_rolling(spark, rows)
+
+
+def test_rolling_stitched_short_buckets_and_gaps(spark):
+    # 2023 has only 2 rows (< k) and 2024 is missing entirely: 2025's
+    # first rows must draw carries from BOTH 2022 and 2023 tails
+    rows = (
+        [(datetime.date(2022, 6, 1 + i), float(i)) for i in range(4)]
+        + [(datetime.date(2023, 3, 1), 100.0), (datetime.date(2023, 3, 2), 101.0)]
+        + [(datetime.date(2025, 1, 1 + i), float(200 + i)) for i in range(3)]
+    )
+    _check_rolling(spark, rows)
+
+
+def test_rolling_stitched_single_bucket(spark):
+    rows = [(datetime.date(2024, 1, 1 + i), float(i)) for i in range(10)]
+    _check_rolling(spark, rows, k=3)
