@@ -338,6 +338,44 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("cosine"), "vec_id").limit(TOP_K)
 
 
+N_BATCH_QUERIES = 10
+
+
+def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k for a BATCH of query vectors in one plan — the
+    throughput shape for retrieval at scale (one corpus scan amortized
+    over all queries, instead of a per-query driver loop).
+
+    The query set (vec_id < N_BATCH_QUERIES) broadcasts onto the corpus
+    scan; per-query ranking is a window PARTITIONED by query id (k per
+    query, no global sort). At 100 TB this is the standard brute-force
+    rerank stage: corpus-partition-parallel, queries replicated, one
+    shuffle on the (small) query-id key for the final per-query top-k."""
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_BATCH_QUERIES)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        corpus.crossJoin(F.broadcast(queries))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            (
+                _dot("embedding", "q_emb")
+                / (_norm("embedding") * _norm("q_emb"))
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
     "lsh_buckets": lsh_buckets,
@@ -346,6 +384,7 @@ QUERIES = {
     "ann_topk_lsh": ann_topk_lsh,
     "ivf_assignments": ivf_assignments,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_topk_batch": ann_topk_batch,
 }
 
 
@@ -474,6 +513,18 @@ ORACLES = {
         f" ({_norm_duck('e.embedding')} * {_norm_duck('q_emb')}) AS cosine"
         f" FROM embeddings e JOIN cand USING (vec_id), q"
         f" ORDER BY cosine DESC, e.vec_id LIMIT {TOP_K}"
+    ),
+    "ann_topk_batch": (
+        f"WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb"
+        f" FROM embeddings WHERE vec_id < {N_BATCH_QUERIES}),"
+        f" scored AS (SELECT q.q_id, e.vec_id, e.label,"
+        f" {_dot_duck('e.embedding', 'q_emb')} /"
+        f" ({_norm_duck('e.embedding')} * {_norm_duck('q_emb')}) AS cosine"
+        f" FROM embeddings e, q WHERE e.vec_id >= {N_BATCH_QUERIES}),"
+        f" ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id"
+        f" ORDER BY cosine DESC, vec_id) AS rnk FROM scored)"
+        f" SELECT q_id, vec_id, label, cosine, CAST(rnk AS INT) AS rank"
+        f" FROM ranked WHERE rnk <= {TOP_K} ORDER BY q_id, rank"
     ),
     "label_centroid_similarity": (
         "SELECT label, COUNT(*) AS n_vectors, "

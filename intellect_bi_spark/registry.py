@@ -84,6 +84,8 @@ _FRONT = (
     "events_dedup_replay",
     "token_familiarity_scores",
     "skew_profile_orders_custkey",
+    "ann_topk_batch",
+    "near_dup_clusters",
     # -- (b) code changed after the r3 sweep ---------------------------------
     "mom_growth_top_month",
     "qoq_delta",
@@ -123,8 +125,6 @@ _FRONT = (
     "q4_order_priority",
     "q18_large_orders",
     "approx_distinct_counts",
-    "percentiles_by_status",
-    "salted_distinct_customers",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive
