@@ -57,3 +57,19 @@ def write_embeddings(df: DataFrame, path: str, append: bool = True) -> None:
 
 def read_embeddings(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """ORC sink — second columnar format (native Spark writer, same
+    pushdown/pruning story as Parquet; some warehouses are ORC-standard).
+    """
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -345,3 +345,66 @@ def test_sql_chunker_matches_ingest_chunker(spark, sf_dir):
             .collect()
         }
         assert via_ops == via_ingest
+
+
+def test_jsonl_events_roundtrip(spark, sf_dir, tmp_path):
+    """Events → JSONL → events_from_jsonl must reproduce the parquet rows
+    exactly; a malformed line lands in quarantine, not in a crash."""
+    import json as _json
+
+    from intellect_bi_spark.sources.jsonl import (
+        corrupt_line_stats,
+        events_from_jsonl,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = ev.orderBy("event_id").limit(50).collect()
+    path = tmp_path / "events.jsonl"
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(
+                _json.dumps(
+                    {
+                        "event_id": r["event_id"],
+                        "ts": r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f"),
+                        "user_id": r["user_id"],
+                        "event_type": r["event_type"],
+                        "value": r["value"],
+                        "props": r["props"],
+                    }
+                )
+                + "\n"
+            )
+        fh.write("{not valid json\n")
+        fh.write('{"event_id": "oops", "value": "NaN-ish"}\n')
+
+    got = events_from_jsonl(spark, str(path))
+    stats = corrupt_line_stats(got).collect()[0]
+    assert stats["n_lines"] == 52
+    assert stats["n_corrupt"] == 1  # the unparseable line only
+
+    good = {
+        r["event_id"]: r
+        for r in got.filter(~F.col("is_corrupt") & F.col("event_id").isNotNull()).collect()
+    }
+    for r in rows:
+        g = good[r["event_id"]]
+        assert g["ts"] == r["ts"]
+        assert g["user_id"] == r["user_id"]
+        assert g["event_type"] == r["event_type"]
+        assert g["value"] == r["value"]
+    # the schema-valid but type-garbage line survives with nulled casts
+    nulled = got.filter(F.col("event_id").isNull() & ~F.col("is_corrupt"))
+    assert nulled.count() == 1
+
+
+def test_orc_sink_roundtrip(spark, sf_dir, tmp_path):
+    from intellect_bi_spark.sources.sinks import read_orc, write_orc
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(100)
+    write_orc(ev, str(tmp_path / "orc"), partition_by=["event_type"])
+    back = read_orc(spark, str(tmp_path / "orc"))
+    assert back.count() == 100
+    assert {r["event_id"] for r in back.collect()} == {
+        r["event_id"] for r in ev.collect()
+    }
