@@ -1,0 +1,184 @@
+"""Event-sequence analytics over the ``events`` table: funnel conversion,
+cohort retention, and the incremental rollup-merge pattern.
+
+Charter extension (the reference's analytics stop at the sales fact;
+SURVEY §2.11 note): the product-analytics shapes every event warehouse
+runs, each expressed so the shuffle structure survives 100 TB:
+
+- **funnel**: ordered-stage conversion (view → click → purchase). Three
+  min-aggregates chained by per-user joins — every stage shuffles on the
+  SAME user_id key, so the co-partitioning is reused (no re-exchange
+  between stages under AQE) and no window ever sees more than one user's
+  rows.
+- **cohort retention**: users grouped by first-seen week, checked for
+  activity exactly one week later. first-seen is a min-aggregate; the
+  retention probe is an equi-join on (user, week+7) against the distinct
+  (user, week) activity relation.
+- **rollup merge**: the lambda/incremental-view pattern — a precomputed
+  daily rollup for closed days UNION an on-the-fly aggregate of the open
+  tail, equal BY CONSTRUCTION to the full aggregate (the oracle computes
+  the full aggregate, so the equality is what the driver verifies). At
+  100 TB the rollup side is a tiny pre-aggregated table and only the tail
+  scans raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions.numeric import dsum_sql
+
+ROLLUP_CUTOFF = "2024-01-28"  # days < cutoff come from the rollup,
+# days >= cutoff from the raw tail (the fixture events span 2024-01-01 …
+# 2024-01-30, so the tail holds the last three open days)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["events"]
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed; of those, whose first click is at
+    or after their first view; of those, whose first purchase is at or
+    after that click. One row of stage counts + exact conversion rates."""
+    ev = _events(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    staged = (
+        views.join(clicks.select("user_id", "t_click"), "user_id", "left")
+        .join(purchases.select("user_id", "t_purchase"), "user_id", "left")
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_viewed"),
+        F.count("t_click").alias("n_clicked"),
+        F.count("t_purchase").alias("n_purchased"),
+        (F.count("t_click") / F.count(F.lit(1))).alias("view_to_click"),
+        (F.count("t_purchase") / F.count(F.lit(1))).alias(
+            "view_to_purchase"
+        ),
+    )
+
+
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohorts (first-seen week) × one-week retention: of each
+    cohort, how many users were active again in the following week."""
+    ev = _events(spark, sf_dir)
+    week = F.date_trunc("week", "ts").cast("date")
+    activity = ev.select(
+        "user_id", week.alias("week")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    ret = activity.select(
+        F.col("user_id").alias("r_user"), F.col("week").alias("ret_week")
+    )
+    retained = (
+        cohorts.join(
+            ret,
+            (F.col("r_user") == F.col("user_id"))
+            & (F.col("ret_week") == F.date_add("cohort_week", 7)),
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("is_retained", F.lit(1))
+    )
+    return (
+        cohorts.join(retained, "user_id", "left")
+        .groupBy("cohort_week")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("is_retained").alias("n_retained_w1"),
+            (F.count("is_retained") / F.count(F.lit(1))).alias(
+                "retention_w1"
+            ),
+        )
+        .orderBy("cohort_week")
+    )
+
+
+def events_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view pattern: daily per-type totals where closed days
+    come from a pre-aggregated rollup and the open tail from raw events —
+    union must equal the full aggregate (the oracle computes it whole)."""
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", "ts").cast("date")
+    cutoff = F.lit(ROLLUP_CUTOFF).cast("date")
+    agg = lambda df: (  # noqa: E731 - shared aggregate shape
+        df.groupBy(day.alias("day"), "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(dsum_sql("value")).alias("total_value"),
+        )
+    )
+    rollup = agg(ev.filter(day < cutoff))  # at scale: a stored table
+    tail = agg(ev.filter(day >= cutoff))
+    return rollup.unionByName(tail).orderBy("day", "event_type")
+
+
+QUERIES = {
+    "funnel_view_click_purchase": funnel_view_click_purchase,
+    "cohort_retention_weekly": cohort_retention_weekly,
+    "events_rollup_merge": events_rollup_merge,
+}
+
+ORACLES = {
+    "funnel_view_click_purchase": (
+        "WITH views AS (SELECT user_id, MIN(ts) AS t_view FROM events"
+        " WHERE event_type = 'view' GROUP BY user_id),"
+        " clicks AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e"
+        " JOIN views v ON e.user_id = v.user_id"
+        " WHERE e.event_type = 'click' AND e.ts >= v.t_view"
+        " GROUP BY e.user_id),"
+        " purchases AS (SELECT e.user_id, MIN(e.ts) AS t_purchase"
+        " FROM events e JOIN clicks c ON e.user_id = c.user_id"
+        " WHERE e.event_type = 'purchase' AND e.ts >= c.t_click"
+        " GROUP BY e.user_id),"
+        " staged AS (SELECT v.user_id, c.t_click, p.t_purchase"
+        " FROM views v LEFT JOIN clicks c ON v.user_id = c.user_id"
+        " LEFT JOIN purchases p ON v.user_id = p.user_id)"
+        " SELECT COUNT(*) AS n_viewed,"
+        " COUNT(t_click) AS n_clicked,"
+        " COUNT(t_purchase) AS n_purchased,"
+        " CAST(COUNT(t_click) AS DOUBLE) / COUNT(*) AS view_to_click,"
+        " CAST(COUNT(t_purchase) AS DOUBLE) / COUNT(*) AS view_to_purchase"
+        " FROM staged"
+    ),
+    "cohort_retention_weekly": (
+        "WITH activity AS (SELECT DISTINCT user_id,"
+        " CAST(date_trunc('week', ts) AS DATE) AS week FROM events),"
+        " cohorts AS (SELECT user_id, MIN(week) AS cohort_week"
+        " FROM activity GROUP BY user_id),"
+        " retained AS (SELECT DISTINCT c.user_id FROM cohorts c"
+        " JOIN activity a ON a.user_id = c.user_id"
+        " AND a.week = c.cohort_week + INTERVAL 7 DAY)"
+        " SELECT cohort_week, COUNT(*) AS n_users,"
+        " COUNT(r.user_id) AS n_retained_w1,"
+        " CAST(COUNT(r.user_id) AS DOUBLE) / COUNT(*) AS retention_w1"
+        " FROM cohorts c LEFT JOIN retained r ON c.user_id = r.user_id"
+        " GROUP BY cohort_week ORDER BY cohort_week"
+    ),
+    "events_rollup_merge": (
+        f"SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,"
+        f" COUNT(*) AS n_events, {dsum_sql('value')} AS total_value"
+        f" FROM events GROUP BY 1, 2 ORDER BY day, event_type"
+    ),
+}

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
     dedup,
+    eventops,
     forecast,
     inventory,
     multimodal,
@@ -39,6 +40,7 @@ _MODULES = (
     relational,
     inventory,
     temporal,
+    eventops,
     textops,
     pipeline,
     streamops,
@@ -60,7 +62,9 @@ for _mod in _MODULES:
 # The driver's correctness sweep checks the first 50 registry entries per
 # round.  Round 3 certified the 50 then-uncertified entries (a clean sweep —
 # CORRECTNESS_r03 is 50/50 green).  The round-4 front is, in priority order:
-# (a) queries NEW this round (pipeline module, q7/q13/q22 join shapes);
+# (a) queries NEW this round (pipeline corpus-prep module, q7/q13/q22
+#     join shapes, sliding/replay-dedup streaming twins, batch ANN,
+#     near-dup clustering, event funnel/retention/rollup analytics);
 # (b) queries whose CODE changed after r3's sweep ran — the lag_stitched
 #     window refactor (mom_growth/qoq/o2/nl_qoq), the TIMESTAMP_NTZ
 #     compatibility fixes (temporal + streaming twins), and the forecast
@@ -86,6 +90,9 @@ _FRONT = (
     "skew_profile_orders_custkey",
     "ann_topk_batch",
     "near_dup_clusters",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "events_rollup_merge",
     # -- (b) code changed after the r3 sweep ---------------------------------
     "mom_growth_top_month",
     "qoq_delta",
@@ -119,9 +126,6 @@ _FRONT = (
     "revenue_by_region",
     "orders_by_status",
     "events_rolling_7d",
-    "q10_returned_revenue",
-    "q12_shipmode_priority",
-    "q14_promo_share",
     "q4_order_priority",
     "q18_large_orders",
     "approx_distinct_counts",
