@@ -94,12 +94,14 @@ def main() -> None:
 
     sales(spark, sf_dir).count()
 
+    from intellect_bi_spark.functions import windows  # noqa: E402
     from intellect_bi_spark.operators import dedup  # noqa: E402
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     per_rep: list[dict[str, float]] = []
     for _ in range(reps):
         dedup.reset_caches()
+        windows.reset_caches()
         timings: dict[str, float] = {}
         for name in HEADLINE:
             fn = QUERIES.get(name)
