@@ -180,3 +180,16 @@ def test_decontam_join_is_hash_equi(spark, sf_dir):
     plan = plan_of(decontam_ngram_overlap(spark, sf_dir))
     assert "BroadcastNestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_batch_ann_lsh_is_band_equi_join(spark, sf_dir):
+    """ann_topk_batch_lsh must candidate-generate via a band equi-join:
+    no corpus×Q cross product anywhere in the plan (the brute-force
+    ann_topk_batch rerank is the only operator allowed that shape), and
+    the per-query ranking window must be partitioned by query id."""
+    from intellect_bi_spark.operators.similarity import ann_topk_batch_lsh
+
+    plan = plan_of(ann_topk_batch_lsh(spark, sf_dir))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
