@@ -48,15 +48,27 @@ def read_jsonl(
     sampling_ratio: float = 0.1,
 ) -> DataFrame:
     """Distributed JSONL scan. With a schema: single pass, malformed lines
-    quarantined into ``_corrupt_record``. Without: sampled inference."""
+    quarantined into ``_corrupt_record``. Without: sampled inference, then
+    the full read runs against the inferred schema EXTENDED with the
+    corrupt-record column — ``columnNameOfCorruptRecord`` only takes
+    effect when the active schema contains that field, and a clean
+    inference sample would otherwise silently DROP malformed lines in
+    unsampled regions instead of quarantining them (ADVICE r4), breaking
+    the count-don't-die contract."""
     reader = spark.read.option("mode", "PERMISSIVE").option(
         "columnNameOfCorruptRecord", CORRUPT_COL
     )
-    if schema is not None:
-        reader = reader.schema(schema)
-    else:
-        reader = reader.option("samplingRatio", str(sampling_ratio))
-    return reader.json(path)
+    if schema is None:
+        inferred = (
+            spark.read.option("samplingRatio", str(sampling_ratio))
+            .json(path)
+            .schema
+        )
+        schema = T.StructType(
+            [f for f in inferred.fields if f.name != CORRUPT_COL]
+            + [T.StructField(CORRUPT_COL, T.StringType())]
+        )
+    return reader.schema(schema).json(path)
 
 
 def events_from_jsonl(spark: SparkSession, path: str) -> DataFrame:

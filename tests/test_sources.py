@@ -321,6 +321,47 @@ def test_embeddings_sink_roundtrip(spark, tmp_path):
     assert dict(back.dtypes)["embedding"] == "array<float>"
 
 
+def test_embeddings_upsert_replaces_not_duplicates(spark, tmp_path):
+    """Reference upsert semantics (etl/index_docs.py:101-108): re-ingesting
+    a modified document must REPLACE its vectors by chunk id; new ids
+    insert; untouched ids survive unchanged."""
+    import pandas as pd
+
+    out = str(tmp_path / "emb_upsert")
+
+    def vecs(rows):
+        pdf = pd.DataFrame(rows, columns=["chunk_id", "chunk"])
+        return embedder.embed_chunks(spark.createDataFrame(pdf))
+
+    sinks.upsert_embeddings(
+        spark, vecs([("a", "hello"), ("b", "world")]), out,
+        id_col="chunk_id",
+    )
+    first = {
+        r["chunk_id"]: r["embedding"]
+        for r in sinks.read_embeddings(spark, out).collect()
+    }
+    assert set(first) == {"a", "b"}
+
+    # re-ingest: doc a changed, doc c is new, b untouched
+    sinks.upsert_embeddings(
+        spark, vecs([("a", "hello again"), ("c", "new doc")]), out,
+        id_col="chunk_id",
+    )
+    back = sinks.read_embeddings(spark, out)
+    assert back.count() == 3  # replaced, not duplicated
+    second = {r["chunk_id"]: r["embedding"] for r in back.collect()}
+    assert set(second) == {"a", "b", "c"}
+    assert second["a"] != first["a"]  # a's vector was replaced
+    assert second["b"] == first["b"]  # untouched id survives byte-identical
+
+    # idempotent re-upsert of the same payload
+    sinks.upsert_embeddings(
+        spark, vecs([("a", "hello again")]), out, id_col="chunk_id"
+    )
+    assert sinks.read_embeddings(spark, out).count() == 3
+
+
 def test_sql_chunker_matches_ingest_chunker(spark, sf_dir):
     """The registry's sequence→explode chunker and the ingest path's
     chunk_text must slice identically at both reference parameterizations
@@ -345,6 +386,28 @@ def test_sql_chunker_matches_ingest_chunker(spark, sf_dir):
             .collect()
         }
         assert via_ops == via_ingest
+
+
+def test_jsonl_schemaless_quarantines_corrupt_lines(spark, tmp_path):
+    """The schema-LESS path must still quarantine malformed lines: the
+    inferred schema is extended with _corrupt_record before the full read
+    (ADVICE r4 — without that, corrupt lines outside the inference sample
+    were silently dropped, not counted)."""
+    from intellect_bi_spark.sources.jsonl import CORRUPT_COL, read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    lines = [f'{{"id": {i}, "text": "doc {i}"}}' for i in range(50)]
+    lines[37] = '{"id": 37, "text": BROKEN'  # malformed mid-file
+    p.write_text("\n".join(lines) + "\n")
+
+    df = read_jsonl(spark, str(p))  # no schema → inference path
+    assert CORRUPT_COL in df.columns
+    rows = df.collect()
+    assert len(rows) == 50  # nothing silently dropped
+    corrupt = [r for r in rows if r[CORRUPT_COL] is not None]
+    assert len(corrupt) == 1
+    assert "BROKEN" in corrupt[0][CORRUPT_COL]
+    assert sum(1 for r in rows if r["id"] is not None) == 49
 
 
 def test_jsonl_events_roundtrip(spark, sf_dir, tmp_path):
