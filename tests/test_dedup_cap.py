@@ -50,3 +50,38 @@ def test_rare_shingles_survive_at_cap(spark):
         ).count()
         == n
     )
+
+
+def test_min_label_cc_long_chain_converges_in_diameter_rounds(spark):
+    """Convergence regression for the CC loop on a longer-diameter
+    component than any real near-dup cluster: a 11-node path graph
+    (diameter 10). Min-label propagation moves the minimum one hop per
+    round, so labels settle after `diameter` rounds plus one final
+    fixpoint-detection round — and every node must land on the component
+    minimum (VERDICT r4 item 5)."""
+    diameter = 10
+    chain = [(i, i + 1) for i in range(diameter)]
+    # a second, disjoint 2-node component keeps the fixpoint honest
+    pairs = spark.createDataFrame(chain + [(100, 101)], "i long, j long")
+    labels = {
+        r["node"]: r["label"]
+        for r in dedup._min_label_components(pairs).collect()
+    }
+    assert labels == {
+        **{i: 0 for i in range(diameter + 1)},
+        100: 100,
+        101: 100,
+    }
+    assert dedup._LAST_CC_ROUNDS == diameter + 1
+
+
+def test_min_label_cc_star_converges_fast(spark):
+    """A star (the realistic near-dup cluster shape) must converge in 2
+    propagation rounds + 1 detection round regardless of size."""
+    pairs = spark.createDataFrame(
+        [(0, j) for j in range(1, 30)], "i long, j long"
+    )
+    labels = dedup._min_label_components(pairs).collect()
+    assert {r["label"] for r in labels} == {0}
+    assert len(labels) == 30
+    assert dedup._LAST_CC_ROUNDS <= 3
