@@ -250,6 +250,88 @@ def drift_by_region_pandas(
     )
 
 
+def seasonal7_by_region(
+    spark: SparkSession, sf_dir: str, h: int = 14
+) -> DataFrame:
+    """Per-key seasonal7 forecast, fully distributed (the T2 growth path —
+    SURVEY §2.10; completes the per-region family next to
+    :func:`drift_by_region`, VERDICT r4 item 6).
+
+    Reference semantics per key (api/main.py:883-891): forecast day i
+    cycles the last 7 observed values, oldest first —
+    ``forecast[i] = last7[(i-1) mod 7]``. Closed form: a per-region
+    descending row_number picks the 7-tail, the horizon is a ``sequence``
+    explode, and the cycle is an equi-join on
+    ``rn = 7 - ((i-1) mod 7)`` (rn=7 ⇔ oldest of the tail). No driver
+    loop, no Python; the 7-tail relation (7 rows × #regions) broadcasts.
+    Regions with fewer than 7 days emit no rows for the missing offsets —
+    the per-key analogue of the reference's ≥7-point guard."""
+    daily = (
+        sales(spark, sf_dir)
+        .groupBy("region", "date")
+        .agg(F.expr(dsum_sql("sales")).alias("value"))
+    )
+    w_desc = Window.partitionBy("region").orderBy(F.desc("date"))
+    tail7 = (
+        daily.withColumn("rn", F.row_number().over(w_desc))
+        .filter(F.col("rn") <= 7)
+        .select("region", "rn", "date", "value")
+    )
+    last = tail7.groupBy("region").agg(F.max("date").alias("last_date"))
+    horizon = last.select(
+        "region",
+        "last_date",
+        F.explode(F.sequence(F.lit(1), F.lit(h))).alias("i"),
+    ).withColumn("rn", F.lit(7) - (F.col("i") - 1) % 7)
+    return (
+        horizon.join(F.broadcast(tail7.drop("date")), ["region", "rn"])
+        .select(
+            "region",
+            F.date_add("last_date", F.col("i")).alias("date"),
+            "value",
+        )
+    )
+
+
+def seasonal7_by_region_pandas(
+    spark: SparkSession, sf_dir: str, h: int = 14
+) -> DataFrame:
+    """``applyInPandas`` twin of :func:`seasonal7_by_region` — the
+    grouped-map extension point (SURVEY §2.12) where a real seasonal
+    decomposition (statsmodels STL, MLlib pipeline) would slot in. The
+    cycle logic carries the values unchanged, so outputs are bit-identical
+    and both variants share one oracle."""
+    import pandas as pd
+
+    daily = (
+        sales(spark, sf_dir)
+        .groupBy("region", "date")
+        .agg(F.expr(dsum_sql("sales")).alias("value"))
+    )
+
+    def fc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("date")
+        tail = pdf.tail(7)
+        vals = list(tail["value"])
+        last = tail["date"].iloc[-1]
+        if len(vals) < 7:  # per-key ≥7 guard: emit nothing, like the join
+            return pd.DataFrame({"region": [], "date": [], "value": []})
+        return pd.DataFrame(
+            {
+                "region": pdf["region"].iloc[0],
+                "date": [
+                    last + datetime.timedelta(days=i)
+                    for i in range(1, h + 1)
+                ],
+                "value": [vals[(i - 1) % 7] for i in range(1, h + 1)],
+            }
+        )
+
+    return daily.groupBy("region").applyInPandas(
+        fc, schema="region string, date date, value double"
+    )
+
+
 def forecast_linreg_ols(
     spark: SparkSession, sf_dir: str, h: int = 30
 ) -> DataFrame:
@@ -345,6 +427,8 @@ QUERIES = {
     "forecast_drift": forecast_drift,
     "forecast_drift_by_region": drift_by_region,
     "forecast_drift_by_region_pandas": drift_by_region_pandas,
+    "forecast_seasonal7_by_region": seasonal7_by_region,
+    "forecast_seasonal7_by_region_pandas": seasonal7_by_region_pandas,
     "forecast_linreg_ols": forecast_linreg_ols,
 }
 
@@ -422,6 +506,33 @@ ORACLES = {
         f" SELECT 'forecast' AS series, d1 + CAST(i AS INT) AS date,"
         f" intercept + slope * (date_diff('day', d0, d1) + i) AS value"
         f" FROM fit, generate_series(1, 30) AS t(i)"
+    ),
+    "forecast_seasonal7_by_region": sales_cte(
+        f", daily AS (SELECT region, date, {dsum_sql('sales')} AS value"
+        f" FROM sales GROUP BY region, date)"
+        f", ranked AS (SELECT region, date, value, ROW_NUMBER() OVER"
+        f" (PARTITION BY region ORDER BY date DESC) AS rn FROM daily)"
+        f", tail7 AS (SELECT region, rn, value FROM ranked WHERE rn <= 7)"
+        f", last_d AS (SELECT region, MAX(date) AS last_date FROM daily"
+        f" GROUP BY region)"
+        f" SELECT l.region, last_date + CAST(i AS INT) AS date, s.value"
+        f" FROM last_d l CROSS JOIN generate_series(1, 14) AS t(i)"
+        f" JOIN tail7 s ON s.region = l.region"
+        f" AND s.rn = 7 - ((i - 1) % 7)"
+    ),
+    # the applyInPandas twin cycles the same values, shared oracle verbatim
+    "forecast_seasonal7_by_region_pandas": sales_cte(
+        f", daily AS (SELECT region, date, {dsum_sql('sales')} AS value"
+        f" FROM sales GROUP BY region, date)"
+        f", ranked AS (SELECT region, date, value, ROW_NUMBER() OVER"
+        f" (PARTITION BY region ORDER BY date DESC) AS rn FROM daily)"
+        f", tail7 AS (SELECT region, rn, value FROM ranked WHERE rn <= 7)"
+        f", last_d AS (SELECT region, MAX(date) AS last_date FROM daily"
+        f" GROUP BY region)"
+        f" SELECT l.region, last_date + CAST(i AS INT) AS date, s.value"
+        f" FROM last_d l CROSS JOIN generate_series(1, 14) AS t(i)"
+        f" JOIN tail7 s ON s.region = l.region"
+        f" AND s.rn = 7 - ((i - 1) % 7)"
     ),
     "forecast_drift_by_region": sales_cte(
         f", daily AS (SELECT region, date, {dsum_sql('sales')} AS value"
