@@ -123,37 +123,58 @@ _FEAT_SCHEMA = (
 )
 
 
-def _image_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Decode-stub feature extractor. A real decoder would replace the
-    ``np.frombuffer`` line with PIL/libvips decode and compute over pixels;
-    signature, batching and output schema are unchanged."""
-    for batch in batches:
-        out = []
-        max_len = max(
-            (len(bytes(p)) for p in batch["payload"]), default=1
-        )
-        pows = _pow_table(max(max_len, 1))
-        for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
-            b = np.frombuffer(bytes(payload), dtype=np.uint8)
-            s = int(b.sum())
-            out.append(
-                (
-                    int(doc_id),
-                    int(b.size),
-                    s,
-                    float(s) / b.size if b.size else 0.0,
-                    _poly_hash_np(b, pows),
+def default_decode(payload: bytes) -> "np.ndarray":
+    """THE decoder seam. The stub treats the payload bytes as the decoded
+    sample array; a real decoder (PIL/libvips for images, ffmpeg for
+    audio/video) returns its pixel/sample array from the same signature —
+    ``bytes -> 1-D uint8-compatible ndarray`` — and nothing else in the
+    UDF body, schema, or plan changes. The swap point is exercised by
+    tests/test_multimodal_seam.py, which pushes a fake decoder through the
+    same mapInPandas body."""
+    return np.frombuffer(bytes(payload), dtype=np.uint8)
+
+
+def _image_features_with(decode):
+    """Build the Arrow-batched feature extractor around ``decode`` (a
+    closure so the injected decoder pickles into the Python workers with
+    the UDF)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            decoded = [decode(p) for p in batch["payload"]]
+            max_len = max((d.size for d in decoded), default=1)
+            pows = _pow_table(max(max_len, 1))
+            for doc_id, b in zip(batch["doc_id"], decoded):
+                s = int(b.sum())
+                out.append(
+                    (
+                        int(doc_id),
+                        int(b.size),
+                        s,
+                        float(s) / b.size if b.size else 0.0,
+                        _poly_hash_np(b, pows),
+                    )
                 )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_bytes", "byte_sum", "byte_mean", "poly_hash",
+                ],
             )
-        yield pd.DataFrame(
-            out,
-            columns=["doc_id", "n_bytes", "byte_sum", "byte_mean", "poly_hash"],
-        )
+
+    return gen
 
 
-def _image_feature_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+_image_features = _image_features_with(default_decode)
+
+
+def _image_feature_rows(
+    spark: SparkSession, sf_dir: str, decode=default_decode
+) -> DataFrame:
     """Per-payload features via Arrow-batched mapInPandas over the binary
-    column (the multimodal slow path, kept off the driver).
+    column (the multimodal slow path, kept off the driver). ``decode``
+    swaps in a real codec (see :func:`default_decode`).
 
     Scale note: with a real (expensive) decoder, add
     ``.repartition(defaultParallelism)`` before the UDF so few-large-file
@@ -161,7 +182,7 @@ def _image_feature_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle costs more than it buys (measured), so the scan
     partitioning is kept."""
     m = _media(spark, sf_dir).select("doc_id", "payload")
-    return m.mapInPandas(_image_features, schema=_FEAT_SCHEMA)
+    return m.mapInPandas(_image_features_with(decode), schema=_FEAT_SCHEMA)
 
 
 def image_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:

