@@ -119,7 +119,7 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ns_cols = _nanos_columns(path)
     if not ns_cols:
         return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    enable_nanos_as_long(spark)
     df = spark.read.parquet(path)
     from pyspark.sql import functions as F  # local import: keep module light
 
@@ -135,6 +135,19 @@ def _nanos_columns(path: str) -> list[str]:
 
     schema = pq.read_schema(path)
     return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
+def enable_nanos_as_long(spark: SparkSession) -> None:
+    """The ONE owner of the ``spark.sql.legacy.parquet.nanosAsLong``
+    switch (ADVICE r4: the flag was flipped from two call sites). The
+    setting is session-global and deliberately left on once enabled: it
+    only changes how ``timestamp[ns]`` physical columns surface (as
+    BIGINT, which every reader here immediately converts ns→µs in-plan),
+    and plain µs/ltz parquet timestamps are unaffected — so leaving it
+    enabled is safe for all subsequent reads, while toggling it around
+    individual reads would race with lazy plan execution. Callers:
+    :func:`_read_table` and ``streaming.events.read_events_stream``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -63,13 +63,13 @@ def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file per
     micro-batch so backfills replay incrementally)."""
-    from ..catalog import _nanos_columns
+    from ..catalog import _nanos_columns, enable_nanos_as_long
     import os
 
     ns = "ts" in _nanos_columns(os.path.join(sf_dir, "events.parquet"))
     ts_type = T.LongType() if ns else T.TimestampNTZType()
     if ns:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        enable_nanos_as_long(spark)  # session-global; single documented owner
     raw = (
         spark.readStream.schema(_events_stream_schema(ts_type))
         .option("maxFilesPerTrigger", 1)
