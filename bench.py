@@ -57,6 +57,7 @@ HEADLINE = [
     # with near_dup_summary — times the cross-query reuse path
     "cosine_topk",
     "ann_topk_ivf",
+    "ann_topk_batch_lsh",  # banded batch candidate generation (r5)
     "text_quality_scores",
     "chunk_documents",
     "image_features_stub",
@@ -65,6 +66,7 @@ HEADLINE = [
     "events_sessionize",
     "events_sliding_daily",
     "forecast_drift_by_region",
+    "forecast_seasonal7_by_region",  # per-key seasonal7 (r5)
 ]
 
 

@@ -60,75 +60,80 @@ for _mod in _MODULES:
     ORACLES.update(getattr(_mod, "ORACLES", {}))
 
 # The driver's correctness sweep checks the first 50 registry entries per
-# round.  Round 3 certified the 50 then-uncertified entries (a clean sweep —
-# CORRECTNESS_r03 is 50/50 green).  The round-4 front is, in priority order:
-# (a) queries NEW this round (pipeline corpus-prep module, q7/q13/q22
-#     join shapes, sliding/replay-dedup streaming twins, batch ANN,
-#     near-dup clustering, event funnel/retention/rollup analytics);
-# (b) queries whose CODE changed after r3's sweep ran — the lag_stitched
-#     window refactor (mom_growth/qoq/o2/nl_qoq), the TIMESTAMP_NTZ
-#     compatibility fixes (temporal + streaming twins), and the forecast
-#     seed-selection refactor (ma/seasonal7/drift) — their r3 rows predate
-#     the current code;
-# (c) the r2-certified sales/NL/relational surface that r3's rotation
-#     crowded out.  The entries left past position 50 are unchanged
-#     trivial micro-queries (p1-p8, a4/a9/a10, o3/a12/w3/j2) with green r2
-#     rows.  Locally, all queries are continuously verified against the
-#     same oracles by tests/test_parity.py.
+# round.  CORRECTNESS_r04 was 50/50 green, so every query's latest driver
+# row is: r4 for the round-4 front, r3/r2 for the older rotations.  The
+# round-5 front targets the stale-certification tail (VERDICT r4 item 4),
+# in priority order:
+# (a) queries NEW this round — the banded batch-ANN candidate generator
+#     and the per-region seasonal7 pair;
+# (b) queries whose CODE changed after r4's sweep ran — the stitched-
+#     window rewrite call sites (mom_growth/qoq/nl_qoq/o2/events_rolling),
+#     the localCheckpoint CC-loop refactor (near_dup_clusters), and the
+#     decoder-seam refactor (image_features_stub) — their green rows
+#     predate the current code;
+# (c) the entire r2-certified residue (23 micro-queries, three rounds
+#     stale — the oldest rows in the registry);
+# (d) the r3-certified dedup/similarity/multimodal families (the modules
+#     r4/r5 touched most).  The r3 entries left past position 50
+#     (scalar-suite/setop/drilldown/chunking/text/forecast-by-region
+#     micro-queries, unchanged since r3) are the r6 rotation; locally all
+#     queries are continuously verified against the same oracles by
+#     tests/test_parity.py.
 _FRONT = (
     # -- (a) new this round --------------------------------------------------
-    "train_test_split_stats",
-    "stratified_sample_by_lang",
-    "decontam_ngram_overlap",
-    "corpus_token_histogram",
-    "q7_nation_volume",
-    "q13_order_count_distribution",
-    "q22_dormant_customers",
-    "events_sliding_daily",
-    "events_dedup_replay",
-    "token_familiarity_scores",
-    "skew_profile_orders_custkey",
-    "ann_topk_batch",
-    "near_dup_clusters",
-    "funnel_view_click_purchase",
-    "cohort_retention_weekly",
-    "events_rollup_merge",
-    # -- (b) code changed after the r3 sweep ---------------------------------
+    "ann_topk_batch_lsh",
+    "forecast_seasonal7_by_region",
+    "forecast_seasonal7_by_region_pandas",
+    # -- (b) code changed after the r4 sweep ---------------------------------
     "mom_growth_top_month",
     "qoq_delta",
     "nl_qoq_delta",
     "o2_nulls_last",
-    "asof_join_clicks",
-    "range_join_click_bursts",
-    "events_tumbling_daily",
-    "events_sessionize",
-    "forecast_ma",
-    "forecast_seasonal7",
-    "forecast_drift",
-    # -- (c) r2-certified surface, crowded out of r3 -------------------------
-    "kpi_overview",
-    "top_region",
-    "top_product",
-    "top_products_under_30",
-    "region_trends_monthly",
-    "yoy_quarter",
-    "region_divergence",
-    "corr_sales_satisfaction",
-    "sales_daily",
-    "last_two_quarters_satisfaction",
-    "gender_satisfaction",
-    "region_quarter_delta",
-    "nl_yoy_quarter",
-    "nl_last2_quarters_by_region",
-    "nl_monthly_sales_north",
-    "nl_correlation",
-    "q1_pricing_summary",
-    "revenue_by_region",
-    "orders_by_status",
     "events_rolling_7d",
-    "q4_order_priority",
-    "q18_large_orders",
-    "approx_distinct_counts",
+    "near_dup_clusters",
+    "image_features_stub",
+    # -- (c) the full r2-certified residue (oldest rows) ---------------------
+    "q10_returned_revenue",
+    "q12_shipmode_priority",
+    "q14_promo_share",
+    "percentiles_by_status",
+    "p1_project_cast",
+    "p2_eq_filter",
+    "p3_ci_eq_filter",
+    "p4_age_range",
+    "p5_date_range",
+    "p6_inlist_filter",
+    "p7_null_counts",
+    "p8_semi_join",
+    "p8_anti_join",
+    "a4_minmax_dates",
+    "a9_distinct_regions",
+    "a10_having",
+    "a12_kpi_scalars",
+    "o3_top1_subquery",
+    "w1_topk_per_group",
+    "w3_rolling_ma7",
+    "w_rank_dense_ntile",
+    "j2_bounds_broadcast",
+    "salted_distinct_customers",
+    # -- (d) r3-certified dedup / similarity / multimodal families -----------
+    "exact_dedup_stats",
+    "exact_dedup_keep_first",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "near_dup_summary",
+    "simhash_signatures",
+    "simhash_near_pairs",
+    "simhash_pair_sample",
+    "cosine_topk",
+    "lsh_buckets",
+    "embedding_near_dup_pairs",
+    "label_centroid_similarity",
+    "ann_topk_lsh",
+    "ivf_assignments",
+    "ann_topk_ivf",
+    "multimodal_catalog",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive
