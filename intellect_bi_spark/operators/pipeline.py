@@ -242,6 +242,46 @@ def token_familiarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WSAMPLE_MOD = 1_000_000
+WSAMPLE_BASE = 0.5  # acceptance probability at quality == 1.0
+
+
+def weighted_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling — keep each document with probability
+    proportional to its quality score (the standard up-weighting of clean
+    text in a training mix), fully deterministic: the per-doc uniform is
+    the salted md5 bucket (never ``rand()``), so membership is a pure
+    function of doc_id, reproducible across re-runs/engines and
+    re-derivable by any downstream job. Acceptance:
+    ``u(doc) < WSAMPLE_BASE · quality(doc)``.
+
+    The quality expression is textops.quality_scores' (oracle-verified
+    bit-identical across engines), so the float comparison decides
+    identically in both. Map-only classification over the corpus; output
+    is per-language counts + realized rates (exact-integer division only).
+    """
+    from .textops import quality_scores
+
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality")
+    u = (
+        F.expr(_bucket_sql("wsmp:", WSAMPLE_MOD)).cast("double")
+        / F.lit(float(WSAMPLE_MOD))
+    )
+    sampled = (u < F.lit(WSAMPLE_BASE) * F.col("quality")).cast("long")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang")
+        .join(q, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(sampled).alias("n_sampled"),
+            (F.sum(sampled) / F.count(F.lit(1))).alias("sample_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
 def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k most frequent whitespace tokens over the normalized corpus.
 
@@ -267,6 +307,7 @@ QUERIES = {
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "token_familiarity_scores": token_familiarity_scores,
     "corpus_token_histogram": corpus_token_histogram,
+    "weighted_quality_sample": weighted_quality_sample,
 }
 
 _SPLIT_CASE = (
@@ -333,6 +374,21 @@ ORACLES = {
         f" FROM te LEFT JOIN tr ON te.h = tr.h"
         f" GROUP BY te.doc_id ORDER BY te.doc_id"
     ),
+    # quality CTE = textops' oracle verbatim (nested WITH in a subquery),
+    # so the acceptance predicate compares the same doubles both engines
+    "weighted_quality_sample": (
+        "WITH q AS ({quality_oracle}),"
+        " u AS (SELECT doc_id,"
+        " CAST({u_bucket} AS DOUBLE) / {mod}.0 AS u FROM documents)"
+        " SELECT d.lang, COUNT(*) AS n_docs,"
+        " CAST(SUM(CASE WHEN u.u < {base} * q.quality THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_sampled,"
+        " CAST(SUM(CASE WHEN u.u < {base} * q.quality THEN 1 ELSE 0 END)"
+        " AS DOUBLE) / COUNT(*) AS sample_rate"
+        " FROM documents d JOIN q ON q.doc_id = d.doc_id"
+        " JOIN u ON u.doc_id = d.doc_id"
+        " GROUP BY d.lang ORDER BY d.lang"
+    ),
     "corpus_token_histogram": (
         "WITH norm AS (SELECT trim(regexp_replace(text, '\\s+', ' ', 'g'))"
         " AS text FROM documents),"
@@ -343,3 +399,14 @@ ORACLES = {
         f" LIMIT {HISTOGRAM_K}"
     ),
 }
+
+# late-bound: textops' quality oracle is spliced in as the q CTE (kept out
+# of the dict literal so the placeholder text above stays readable)
+from .textops import ORACLES as _TEXTOPS_ORACLES  # noqa: E402
+
+ORACLES["weighted_quality_sample"] = ORACLES["weighted_quality_sample"].format(
+    quality_oracle=_TEXTOPS_ORACLES["text_quality_scores"],
+    u_bucket=_bucket_duck("wsmp:", WSAMPLE_MOD),
+    mod=WSAMPLE_MOD,
+    base=WSAMPLE_BASE,
+)

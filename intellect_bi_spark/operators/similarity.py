@@ -45,7 +45,12 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dot(a: str, b: str) -> Column:
-    """Fold-left dot product with per-element double casts (codegen'd)."""
+    """Fold-left dot product with per-element double casts.
+
+    Spark HOFs interpret their lambda per element — fine for the handful
+    of rows the IVF probe scores, but pair-heavy scoring paths use the
+    vectorized :func:`_cosine_udf` instead (same arithmetic, memory-
+    bandwidth speed)."""
     return F.expr(
         f"aggregate(zip_with({a}, {b},"
         f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
@@ -60,6 +65,40 @@ def _norm(a: str) -> Column:
             f" (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
         )
     )
+
+
+def _cosine_udf():
+    """Arrow-batched cosine — the vectorized twin of
+    ``_dot(a,b) / (_norm(a) * _norm(b))`` for row-heavy scoring paths
+    (candidate reranks score thousands-to-millions of pairs; the
+    interpreted HOF fold costs ~3 boxed lambda steps per element —
+    measured 3.4 s on embedding_near_dup_pairs' rerank alone).
+
+    Bit-exact with the SQL form: each loop iteration adds the rounded
+    products ``x_d·y_d`` / ``x_d·x_d`` / ``y_d·y_d`` (float64) in strict
+    d=1..DIM order — the identical operation/rounding sequence as the
+    fold — then ``sqrt`` and one division, so every oracle cosine is
+    unchanged (same discipline as :func:`_band_keys_udf`)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cosine(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
+        n = len(a_s)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        a = np.stack(a_s.to_numpy()).astype(np.float64)
+        b = np.stack(b_s.to_numpy()).astype(np.float64)
+        dot = np.zeros(n, dtype=np.float64)
+        na = np.zeros(n, dtype=np.float64)
+        nb = np.zeros(n, dtype=np.float64)
+        for d in range(DIM):  # strict d-order: parity with the SQL fold
+            ad, bd = a[:, d], b[:, d]
+            dot += ad * bd
+            na += ad * ad
+            nb += bd * bd
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return cosine
 
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,9 +232,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "i",
             "j",
-            (
-                _dot("emb_i", "emb_j") / (_norm("emb_i") * _norm("emb_j"))
-            ).alias("cosine"),
+            _cosine_udf()(F.col("emb_i"), F.col("emb_j")).alias("cosine"),
         )
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
     )
@@ -396,10 +433,9 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "vec_id",
             "label",
-            (
-                _dot("embedding", "q_emb")
-                / (_norm("embedding") * _norm("q_emb"))
-            ).alias("cosine"),
+            _cosine_udf()(F.col("embedding"), F.col("q_emb")).alias(
+                "cosine"
+            ),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
@@ -454,10 +490,9 @@ def ann_topk_batch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "vec_id",
             "label",
-            (
-                _dot("embedding", "q_emb")
-                / (_norm("embedding") * _norm("q_emb"))
-            ).alias("cosine"),
+            _cosine_udf()(F.col("embedding"), F.col("q_emb")).alias(
+                "cosine"
+            ),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)

@@ -200,6 +200,64 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns: engine-portable regex — no backslash escapes (DuckDB string
+# literals don't process them, Spark SQL ones do — `[.]` sidesteps the
+# difference), no \b (word-boundary semantics differ at string edges).
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+PII_PHONE_RE = "555-[0-9]{4}"
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before text reaches a model: emails and phone-shaped tokens are
+    replaced with typed placeholders, entirely in-plan (regexp_replace is
+    codegen'd JVM regex; no Python, no collect).
+
+    The fixture corpus carries no real PII, so each document gets a
+    deterministic synthetic contact line appended (doc_id-derived email +
+    555 phone) — the redaction then provably fires at least twice per doc
+    and the oracle can synthesize the identical input. Output is a one-row
+    checksum: doc/match counts plus an id-weighted modular hash of every
+    REDACTED text (same binding trick as the multimodal checksums — one
+    wrong replacement anywhere changes the row)."""
+    docs = normalize_text(spark, sf_dir)
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+    base = docs.select("doc_id", pii_text.alias("_pii"))
+    per = base.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("_pii", F.lit(PII_EMAIL_RE), F.lit(0))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all("_pii", F.lit(PII_PHONE_RE), F.lit(0))
+        ).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("_pii", F.lit(PII_EMAIL_RE), F.lit("<EMAIL>")),
+            F.lit(PII_PHONE_RE),
+            F.lit("<PHONE>"),
+        ).alias("redacted"),
+        F.col("_pii").alias("pii_text"),
+    ).withColumn("_check", F.expr(
+        f"((doc_id % {P}) * {md5_mod_hash_sql('redacted')}) % {P}"
+    ))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").alias("n_emails_found"),
+        F.sum("n_phones").alias("n_phones_found"),
+        F.sum("_check").alias("redacted_checksum"),
+        F.sum(
+            (F.length("pii_text") - F.length("redacted")).cast("long")
+        ).alias("chars_removed"),
+    )
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: polynomial rolling hash of the normalized
     text (engine-portable; see functions/text.py)."""
@@ -280,6 +338,7 @@ QUERIES = {
     "text_quality_scores": quality_scores,
     "text_langid": langid_heuristic,
     "doc_fingerprints": doc_fingerprints,
+    "redact_pii": redact_pii,
 }
 
 _NORM = (
@@ -409,6 +468,26 @@ ORACLES = {
         f" 0.5 * distinct_ratio + 0.3 * length_score"
         f" + 0.2 * (1.0 - stop_ratio) AS quality"
         f" FROM m"
+    ),
+    "redact_pii": (
+        f"WITH {_NORM},"
+        f" p AS (SELECT doc_id, text || ' Contact user'"
+        f" || CAST(doc_id AS VARCHAR) || '@example.com or call 555-'"
+        f" || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'"
+        f" AS pii FROM norm),"
+        f" r AS (SELECT doc_id, pii,"
+        f" len(regexp_extract_all(pii, '{PII_EMAIL_RE}')) AS n_emails,"
+        f" len(regexp_extract_all(pii, '{PII_PHONE_RE}')) AS n_phones,"
+        f" regexp_replace(regexp_replace(pii, '{PII_EMAIL_RE}',"
+        f" '<EMAIL>', 'g'), '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted"
+        f" FROM p)"
+        f" SELECT COUNT(*) AS n_docs,"
+        f" CAST(SUM(n_emails) AS BIGINT) AS n_emails_found,"
+        f" CAST(SUM(n_phones) AS BIGINT) AS n_phones_found,"
+        f" CAST(SUM(((doc_id % {P}) * {md5_mod_hash_duck('redacted')})"
+        f" % {P}) AS BIGINT) AS redacted_checksum,"
+        f" CAST(SUM(length(pii) - length(redacted)) AS BIGINT)"
+        f" AS chars_removed FROM r"
     ),
     "rag_search_chunks": _rag_oracle(),
     "text_langid": _langid_oracle(),

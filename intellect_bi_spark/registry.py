@@ -64,26 +64,31 @@ for _mod in _MODULES:
 # row is: r4 for the round-4 front, r3/r2 for the older rotations.  The
 # round-5 front targets the stale-certification tail (VERDICT r4 item 4),
 # in priority order:
-# (a) queries NEW this round — the banded batch-ANN candidate generator
-#     and the per-region seasonal7 pair;
+# (a) queries NEW this round — the banded batch-ANN candidate generator,
+#     the per-region seasonal7 pair, incremental dedup, PII redaction,
+#     and the quality-weighted sampler;
 # (b) queries whose CODE changed after r4's sweep ran — the stitched-
 #     window rewrite call sites (mom_growth/qoq/nl_qoq/o2/events_rolling),
-#     the localCheckpoint CC-loop refactor (near_dup_clusters), and the
-#     decoder-seam refactor (image_features_stub) — their green rows
-#     predate the current code;
+#     the localCheckpoint CC-loop refactor (near_dup_clusters), the
+#     decoder-seam refactor (image_features_stub), and the whole
+#     similarity module (vectorized band-key + cosine UDFs) — their green
+#     rows predate the current code;
 # (c) the entire r2-certified residue (23 micro-queries, three rounds
 #     stale — the oldest rows in the registry);
-# (d) the r3-certified dedup/similarity/multimodal families (the modules
-#     r4/r5 touched most).  The r3 entries left past position 50
-#     (scalar-suite/setop/drilldown/chunking/text/forecast-by-region
-#     micro-queries, unchanged since r3) are the r6 rotation; locally all
-#     queries are continuously verified against the same oracles by
-#     tests/test_parity.py.
+# (d) the r3-certified dedup family (the module r4/r5 touched most).
+#     The r3 entries left past position 50 (simhash/centroid/multimodal-
+#     catalog/scalar-suite/setop/drilldown/chunking/text/forecast-by-
+#     region micro-queries, unchanged since r3) are the r6 rotation;
+#     locally all queries are continuously verified against the same
+#     oracles by tests/test_parity.py.
 _FRONT = (
     # -- (a) new this round --------------------------------------------------
     "ann_topk_batch_lsh",
     "forecast_seasonal7_by_region",
     "forecast_seasonal7_by_region_pandas",
+    "dedup_incremental_summary",
+    "redact_pii",
+    "weighted_quality_sample",
     # -- (b) code changed after the r4 sweep ---------------------------------
     "mom_growth_top_month",
     "qoq_delta",
@@ -92,6 +97,13 @@ _FRONT = (
     "events_rolling_7d",
     "near_dup_clusters",
     "image_features_stub",
+    "cosine_topk",
+    "lsh_buckets",
+    "embedding_near_dup_pairs",
+    "ann_topk_lsh",
+    "ivf_assignments",
+    "ann_topk_ivf",
+    "ann_topk_batch",
     # -- (c) the full r2-certified residue (oldest rows) ---------------------
     "q10_returned_revenue",
     "q12_shipmode_priority",
@@ -116,7 +128,7 @@ _FRONT = (
     "w_rank_dense_ntile",
     "j2_bounds_broadcast",
     "salted_distinct_customers",
-    # -- (d) r3-certified dedup / similarity / multimodal families -----------
+    # -- (d) r3-certified dedup family ---------------------------------------
     "exact_dedup_stats",
     "exact_dedup_keep_first",
     "jaccard_pairs",
@@ -124,16 +136,6 @@ _FRONT = (
     "minhash_lsh_pairs",
     "near_dup_summary",
     "simhash_signatures",
-    "simhash_near_pairs",
-    "simhash_pair_sample",
-    "cosine_topk",
-    "lsh_buckets",
-    "embedding_near_dup_pairs",
-    "label_centroid_similarity",
-    "ann_topk_lsh",
-    "ivf_assignments",
-    "ann_topk_ivf",
-    "multimodal_catalog",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive
