@@ -58,6 +58,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _PERSISTED: list[DataFrame] = []
+_PERSISTED_CAP = 128  # long-lived sessions that never call reset_caches
+# (a server embedding the engine) must not accumulate pinned frames
+# without bound: beyond the cap the OLDEST frame is released — a stale
+# returned DataFrame re-collected later simply recomputes (correct,
+# just unmaterialized). Same concern ADVICE r4 raised for the CC loop.
 
 
 def reset_caches() -> None:
@@ -79,6 +84,12 @@ def _keyed_input(df: DataFrame, b: Column, name: str, materialize: bool) -> Data
         # eager count() here was measured strictly slower (it adds a whole
         # extra job for frames this small).
         keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+        while len(_PERSISTED) >= _PERSISTED_CAP:
+            _old = _PERSISTED.pop(0)
+            try:
+                _old.unpersist()
+            except Exception:
+                pass
         _PERSISTED.append(keyed)
     return keyed
 

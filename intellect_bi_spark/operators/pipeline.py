@@ -42,7 +42,6 @@ from ..functions.text import (
     md5_mod_hash_duck,
     md5_mod_hash_sql,
     shingles_duck_cte,
-    word_shingles,
 )
 
 SPLIT_MOD = 100
@@ -151,21 +150,16 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     amplification. At 100 TB the dictionary is the thing you materialize
     once (or sketch with a bloom filter); this plan inherits that shape.
     """
-    docs = _docs_spread(spark, sf_dir).withColumn("split", _split_col())
-    hashed = (
-        docs.select(
-            "doc_id",
-            "split",
-            F.explode(word_shingles(F.col("text"), DECON_K)).alias("shingle"),
-        )
-        .distinct()
-        .select(
-            "doc_id",
-            "split",
-            F.expr(md5_mod_hash_sql("shingle")).alias("sh_hash"),
-        )
-        .distinct()
-    )
+    # vectorized zero-shuffle shingle build shared with the dedup family
+    # (dedup._distinct_shingles_of: per-doc distinct inside the Arrow
+    # batch, no global DISTINCT exchange of the exploded relation); the
+    # split label is re-derived from doc_id afterwards — it is a pure
+    # function of the key, so it need not ride through the UDF
+    from .dedup import _distinct_shingles_of
+
+    hashed = _distinct_shingles_of(
+        _docs_spread(spark, sf_dir), DECON_K
+    ).withColumn("split", _split_col())
     train_dict = (
         hashed.filter(F.col("split") == "train").select("sh_hash").distinct()
     )
