@@ -441,6 +441,142 @@ def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: the supplier(s) with the maximum revenue over a
+    quarter — the scalar-subquery-on-an-aggregate shape (revenue view +
+    MAX over it + equality back-join).
+
+    Plan: one filtered scan aggregates revenue per supplier; the 1-row MAX
+    frame broadcasts back onto that aggregate (exact DECIMAL equality — a
+    double MAX could tie-break differently per engine); the supplier
+    dimension broadcasts. The fact table is scanned once."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            dsum("l_extendedprice * (1 - l_discount)", 4).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: distinct supplier counts per part attribute group,
+    with NOT-filters on the part side (the fixtures carry no partsupp
+    table, so lineitem's distinct (partkey, suppkey) pairs stand in for
+    the part↔supplier relation — same join/aggregate shape).
+
+    Plan: part-side NOT-predicates push to the part scan; the pair
+    relation is a distinct over two 8-byte keys; countDistinct suppliers
+    per (brand, type, size); top-20 via TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    )
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").startswith("MEDIUM"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+        .limit(20)
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: average yearly revenue from small-quantity orders
+    of one brand's parts — the correlated-scalar-subquery shape
+    (``l_quantity < 0.2 * (SELECT AVG(l_quantity) ... same part)``),
+    decorrelated into a per-part aggregate + equi-join, which is exactly
+    how Catalyst (and every modern optimizer) rewrites it.
+
+    The per-part average is the exact-decimal mean (double division of
+    exact sums), so the 0.2·avg threshold compares identically in both
+    engines. The brand filter prunes the part side BEFORE both the
+    aggregate probe and the join."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    brand_parts = t["part"].filter(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    li_b = li.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part = li_b.groupBy("l_partkey").agg(
+        F.expr(davg_sql("l_quantity")).alias("avg_qty")
+    )
+    return (
+        li_b.join(
+            per_part.withColumnRenamed("l_partkey", "_pk"),
+            F.col("l_partkey") == F.col("_pk"),
+        )
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (
+                dsum("l_extendedprice").cast("double") / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: revenue from three disjunctive brand/size/quantity
+    brackets — the OR-of-ANDs predicate shape that exercises DNF pushdown
+    (the common ``p_partkey = l_partkey`` join key stays conjunctive; the
+    bracket disjunction evaluates post-join on broadcast part columns,
+    and Catalyst extracts the shared l_quantity bounds as a scan filter).
+    """
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
+    )
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(bracket).agg(
+        dsum("l_extendedprice * (1 - l_discount)", 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_region": revenue_by_region,
@@ -454,6 +590,10 @@ QUERIES = {
     "q7_nation_volume": q7_nation_volume,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q22_dormant_customers": q22_dormant_customers,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_part_supplier_counts": q16_part_supplier_counts,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_bracketed_revenue": q19_bracketed_revenue,
     "skew_profile_orders_custkey": skew_profile_orders_custkey,
     "approx_distinct_counts": approx_distinct_counts,
 }
@@ -579,6 +719,51 @@ ORACLES = {
         " GROUP BY c_custkey)"
         " SELECT c_count, COUNT(*) AS custdist FROM per_cust"
         " GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+    ),
+    "q15_top_supplier": (
+        f"WITH rev AS (SELECT l_suppkey,"
+        f" {dsum_sql('l_extendedprice * (1 - l_discount)', 4)}"
+        f" AS total_revenue FROM lineitem"
+        f" WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        f" AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"
+        f" GROUP BY l_suppkey)"
+        f" SELECT s_suppkey, s_name, total_revenue"
+        f" FROM rev JOIN supplier ON l_suppkey = s_suppkey"
+        f" WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)"
+        f" ORDER BY s_suppkey"
+    ),
+    "q16_part_supplier_counts": (
+        "WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)"
+        " SELECT p_brand, p_type, p_size,"
+        " COUNT(DISTINCT l_suppkey) AS supplier_cnt"
+        " FROM pairs JOIN part ON l_partkey = p_partkey"
+        " WHERE p_brand != 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'"
+        " GROUP BY p_brand, p_type, p_size"
+        " ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20"
+    ),
+    "q17_small_quantity_revenue": (
+        f"WITH bp AS (SELECT p_partkey FROM part"
+        f" WHERE p_brand = 'Brand#23'),"
+        f" li_b AS (SELECT l.* FROM lineitem l"
+        f" JOIN bp ON l.l_partkey = bp.p_partkey),"
+        f" pa AS (SELECT l_partkey AS pk,"
+        f" {davg_sql('l_quantity')} AS avg_qty FROM li_b"
+        f" GROUP BY l_partkey)"
+        f" SELECT CAST({dsum_sql('l_extendedprice')} AS DOUBLE) / 7.0"
+        f" AS avg_yearly, COUNT(*) AS n_lineitems"
+        f" FROM li_b JOIN pa ON l_partkey = pk"
+        f" WHERE l_quantity < 0.2 * avg_qty"
+    ),
+    "q19_bracketed_revenue": (
+        f"SELECT {dsum_sql('l_extendedprice * (1 - l_discount)', 4)}"
+        f" AS revenue, COUNT(*) AS n_lineitems"
+        f" FROM lineitem JOIN part ON l_partkey = p_partkey"
+        f" WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5"
+        f" AND l_quantity BETWEEN 1 AND 11)"
+        f" OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10"
+        f" AND l_quantity BETWEEN 10 AND 20)"
+        f" OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15"
+        f" AND l_quantity BETWEEN 20 AND 30)"
     ),
     "q22_dormant_customers": (
         f"SELECT c_mktsegment, COUNT(*) AS n_dormant,"

@@ -104,15 +104,18 @@ _FRONT = (
     "ivf_assignments",
     "ann_topk_ivf",
     "ann_topk_batch",
-    # -- (c) the full r2-certified residue (oldest rows) ---------------------
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q19_bracketed_revenue",
+    # -- (c) the r2-certified residue (oldest rows; p1-p4 — single-predicate
+    #    micro-projections, unchanged since r2 and strict-parity-verified
+    #    locally at both SFs this round — yield their slots to the four
+    #    never-certified Q15/Q16/Q17/Q19 shapes above and rotate in r6) ----
     "q10_returned_revenue",
     "q12_shipmode_priority",
     "q14_promo_share",
     "percentiles_by_status",
-    "p1_project_cast",
-    "p2_eq_filter",
-    "p3_ci_eq_filter",
-    "p4_age_range",
     "p5_date_range",
     "p6_inlist_filter",
     "p7_null_counts",
