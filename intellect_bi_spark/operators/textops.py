@@ -200,6 +200,47 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunker_udtf():
+    """R3 chunking as a PYTHON UDTF — the user-extensible table-function
+    seam (SURVEY §2.12: "chunker as UDTF-style explode"). The registry's
+    hot path stays the pure-SQL sequence→explode form (chunk_documents —
+    codegen'd, no Python); this is the extension point where an arbitrary
+    Python chunker (sentence-, token-, or semantics-aware) slots in as a
+    lateral table function without touching the surrounding plan. Row
+    semantics are IDENTICAL to _chunks_at (proved by
+    tests/test_sources.py::test_udtf_chunker_matches_sql_chunker)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_start int, chunk_text string")
+    class Chunker:
+        def eval(self, text: str, size: int, step: int):
+            t = text or ""
+            # empty docs still emit one (empty) chunk, like sequence(0,
+            # greatest(len-1, 0), step) does
+            n = max(len(t), 1)
+            for start in range(0, n, step):
+                yield start, t[start : start + size]
+
+    return Chunker
+
+
+def chunk_documents_udtf(
+    spark: SparkSession,
+    sf_dir: str,
+    size: int = CHUNK_SIZE,
+    step: int = CHUNK_STEP,
+) -> DataFrame:
+    """LATERAL application of :func:`chunker_udtf` over the normalized
+    corpus — one table-function invocation per document row."""
+    normalize_text(spark, sf_dir).createOrReplaceTempView("_norm_docs")
+    spark.udtf.register("chunker_py", chunker_udtf())
+    return spark.sql(
+        f"SELECT d.doc_id, c.chunk_start, c.chunk_text"
+        f" FROM _norm_docs d,"
+        f" LATERAL chunker_py(d.text, {size}, {step}) c"
+    )
+
+
 # PII patterns: engine-portable regex — no backslash escapes (DuckDB string
 # literals don't process them, Spark SQL ones do — `[.]` sidesteps the
 # difference), no \b (word-boundary semantics differ at string edges).

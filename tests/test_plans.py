@@ -193,3 +193,28 @@ def test_batch_ann_lsh_is_band_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q15_max_subquery_broadcasts(spark, sf_dir):
+    """Q15's MAX-over-aggregate back-join and supplier dim must both
+    broadcast — no sort-merge join anywhere, fact scanned once."""
+    from intellect_bi_spark.operators.relational import q15_top_supplier
+
+    plan = plan_of(q15_top_supplier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line]
+    assert any("l_shipdate" in line for line in pushed), pushed
+
+
+def test_q19_bracket_filter_reaches_scans(spark, sf_dir):
+    """Q19's disjunctive brackets: the part side must broadcast, and the
+    brand/size disjunction must prune the part scan (each bracket
+    constrains p_brand/p_size, so an Or filter is pushable there)."""
+    from intellect_bi_spark.operators.relational import q19_bracketed_revenue
+
+    plan = plan_of(q19_bracketed_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    pushed = [line for line in plan.splitlines() if "PushedFilters" in line]
+    assert any("p_brand" in line for line in pushed), pushed

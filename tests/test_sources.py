@@ -388,6 +388,27 @@ def test_sql_chunker_matches_ingest_chunker(spark, sf_dir):
         assert via_ops == via_ingest
 
 
+def test_udtf_chunker_matches_sql_chunker(spark, sf_dir):
+    """The Python-UDTF chunker (the §2.12 extension seam) must produce
+    row-identical chunks to the codegen'd sequence→explode hot path."""
+    from intellect_bi_spark.operators.textops import (
+        CHUNK_SIZE,
+        CHUNK_STEP,
+        _chunks_at,
+        chunk_documents_udtf,
+    )
+
+    via_sql = {
+        (r["doc_id"], r["chunk_start"]): r["chunk_text"]
+        for r in _chunks_at(spark, sf_dir, CHUNK_SIZE, CHUNK_STEP).collect()
+    }
+    via_udtf = {
+        (r["doc_id"], r["chunk_start"]): r["chunk_text"]
+        for r in chunk_documents_udtf(spark, sf_dir).collect()
+    }
+    assert via_udtf == via_sql and via_sql
+
+
 def test_jsonl_schemaless_quarantines_corrupt_lines(spark, tmp_path):
     """The schema-LESS path must still quarantine malformed lines: the
     inferred schema is extended with _corrupt_record before the full read
