@@ -577,6 +577,65 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped: suppliers who alone held up multi-supplier orders
+    (late = shipped >60 days after the order date; the fixtures carry no
+    commit/receipt dates, so ship-vs-order lateness stands in — the
+    EXISTS + NOT-EXISTS correlation shape is unchanged).
+
+    The oracle states the LITERAL Q21 form (correlated EXISTS for "another
+    supplier participates" + NOT EXISTS for "no other supplier was late");
+    this plan is its aggregation decorrelation — ONE pass over
+    lineitem⋈orders instead of three correlated rescans of lineitem:
+    per-(order, supplier) late-row counts, then per-order stats
+    (#suppliers, #late suppliers, the sole late supplier's row count), and
+    the EXISTS pair becomes the filter ``n_supp ≥ 2 AND n_late_supp = 1``.
+    Hash-equality of the two forms is exactly the rewrite a 100 TB plan
+    needs — the correlated form rescans the fact table per subquery."""
+    t = load_tables(spark, sf_dir)
+    j = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn(
+            "late",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).cast("long"),
+        )
+    )
+    per = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("late").alias("late_rows")
+    )
+    stats = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("late_rows") > 0).cast("long")).alias("n_late_supp"),
+        F.max(
+            F.when(F.col("late_rows") > 0, F.col("l_suppkey"))
+        ).alias("late_supp"),
+        F.sum(
+            F.when(F.col("late_rows") > 0, F.col("late_rows")).otherwise(0)
+        ).alias("late_rows_total"),
+    )
+    qual = stats.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    )
+    return (
+        qual.groupBy("late_supp")
+        .agg(F.sum("late_rows_total").alias("numwait"))
+        .join(
+            F.broadcast(load_tables(spark, sf_dir)["supplier"]),
+            F.col("late_supp") == F.col("s_suppkey"),
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_region": revenue_by_region,
@@ -594,6 +653,7 @@ QUERIES = {
     "q16_part_supplier_counts": q16_part_supplier_counts,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q19_bracketed_revenue": q19_bracketed_revenue,
+    "q21_late_suppliers": q21_late_suppliers,
     "skew_profile_orders_custkey": skew_profile_orders_custkey,
     "approx_distinct_counts": approx_distinct_counts,
 }
@@ -764,6 +824,22 @@ ORACLES = {
         f" AND l_quantity BETWEEN 10 AND 20)"
         f" OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15"
         f" AND l_quantity BETWEEN 20 AND 30)"
+    ),
+    # the literal correlated EXISTS / NOT-EXISTS form — the Spark plan is
+    # its aggregation decorrelation; hash-equality proves the rewrite
+    "q21_late_suppliers": (
+        "SELECT s_name, COUNT(*) AS numwait"
+        " FROM supplier, lineitem l1, orders"
+        " WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey"
+        " AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY"
+        " AND EXISTS (SELECT 1 FROM lineitem l2"
+        " WHERE l2.l_orderkey = l1.l_orderkey"
+        " AND l2.l_suppkey != l1.l_suppkey)"
+        " AND NOT EXISTS (SELECT 1 FROM lineitem l3"
+        " WHERE l3.l_orderkey = l1.l_orderkey"
+        " AND l3.l_suppkey != l1.l_suppkey"
+        " AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)"
+        " GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
     ),
     "q22_dormant_customers": (
         f"SELECT c_mktsegment, COUNT(*) AS n_dormant,"

@@ -66,7 +66,8 @@ for _mod in _MODULES:
 # in priority order:
 # (a) queries NEW this round — the banded batch-ANN candidate generator,
 #     the per-region seasonal7 pair, incremental dedup, PII redaction,
-#     and the quality-weighted sampler;
+#     the quality-weighted sampler, and the Q15/Q16/Q17/Q19/Q21 join-
+#     subquery shapes (listed after the similarity block below);
 # (b) queries whose CODE changed after r4's sweep ran — the stitched-
 #     window rewrite call sites (mom_growth/qoq/nl_qoq/o2/events_rolling),
 #     the localCheckpoint CC-loop refactor (near_dup_clusters), the
@@ -108,15 +109,15 @@ _FRONT = (
     "q16_part_supplier_counts",
     "q17_small_quantity_revenue",
     "q19_bracketed_revenue",
-    # -- (c) the r2-certified residue (oldest rows; p1-p4 — single-predicate
+    "q21_late_suppliers",
+    # -- (c) the r2-certified residue (oldest rows; p1-p5 — single-predicate
     #    micro-projections, unchanged since r2 and strict-parity-verified
-    #    locally at both SFs this round — yield their slots to the four
-    #    never-certified Q15/Q16/Q17/Q19 shapes above and rotate in r6) ----
+    #    locally at both SFs this round — yield their slots to the five
+    #    never-certified Q15-Q21 shapes above and rotate in r6) -------------
     "q10_returned_revenue",
     "q12_shipmode_priority",
     "q14_promo_share",
     "percentiles_by_status",
-    "p5_date_range",
     "p6_inlist_filter",
     "p7_null_counts",
     "p8_semi_join",
