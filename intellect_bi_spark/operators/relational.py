@@ -636,6 +636,35 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_part_value_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q11-shaped: parts whose total line value exceeds a fixed
+    fraction of the GLOBAL total — the HAVING-against-a-scalar-subquery
+    shape (the fixtures carry no partsupp, so lineitem value per part
+    stands in for stock value).
+
+    Plan: one scan aggregates per-part totals; the global total is a
+    second aggregate over the same scan, broadcast as a 1-row frame into
+    the threshold filter (never a rescan per group). Both totals are
+    exact DECIMAL sums cast to double once, and the threshold multiply is
+    one double op — so the > comparison decides identically in DuckDB."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    per = li.groupBy("l_partkey").agg(
+        dsum("l_extendedprice").alias("part_value")
+    )
+    total = li.agg(
+        (dsum("l_extendedprice") * F.lit(0.0001)).alias("_threshold")
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("_threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+        .limit(50)
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_region": revenue_by_region,
@@ -654,6 +683,7 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q19_bracketed_revenue": q19_bracketed_revenue,
     "q21_late_suppliers": q21_late_suppliers,
+    "q11_part_value_concentration": q11_part_value_concentration,
     "skew_profile_orders_custkey": skew_profile_orders_custkey,
     "approx_distinct_counts": approx_distinct_counts,
 }
@@ -824,6 +854,16 @@ ORACLES = {
         f" AND l_quantity BETWEEN 10 AND 20)"
         f" OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15"
         f" AND l_quantity BETWEEN 20 AND 30)"
+    ),
+    "q11_part_value_concentration": (
+        f"WITH per AS (SELECT l_partkey,"
+        f" {dsum_sql('l_extendedprice')} AS part_value"
+        f" FROM lineitem GROUP BY l_partkey),"
+        f" tot AS (SELECT {dsum_sql('l_extendedprice')} * 0.0001"
+        f" AS threshold FROM lineitem)"
+        f" SELECT l_partkey, part_value FROM per, tot"
+        f" WHERE part_value > threshold"
+        f" ORDER BY part_value DESC, l_partkey LIMIT 50"
     ),
     # the literal correlated EXISTS / NOT-EXISTS form — the Spark plan is
     # its aggregation decorrelation; hash-equality proves the rewrite

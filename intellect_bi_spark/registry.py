@@ -66,7 +66,7 @@ for _mod in _MODULES:
 # in priority order:
 # (a) queries NEW this round — the banded batch-ANN candidate generator,
 #     the per-region seasonal7 pair, incremental dedup, PII redaction,
-#     the quality-weighted sampler, and the Q15/Q16/Q17/Q19/Q21 join-
+#     the quality-weighted sampler, and the Q11/Q15/Q16/Q17/Q19/Q21 join-
 #     subquery shapes (listed after the similarity block below);
 # (b) queries whose CODE changed after r4's sweep ran — the stitched-
 #     window rewrite call sites (mom_growth/qoq/nl_qoq/o2/events_rolling),
@@ -74,8 +74,9 @@ for _mod in _MODULES:
 #     decoder-seam refactor (image_features_stub), and the whole
 #     similarity module (vectorized band-key + cosine UDFs) — their green
 #     rows predate the current code;
-# (c) the entire r2-certified residue (23 micro-queries, three rounds
-#     stale — the oldest rows in the registry);
+# (c) the r2-certified residue (three rounds stale — the oldest rows in
+#     the registry), minus the six p1-p6 single-predicate micro-
+#     projections whose slots went to the never-certified shapes;
 # (d) the r3-certified dedup family (the module r4/r5 touched most).
 #     The r3 entries left past position 50 (simhash/centroid/multimodal-
 #     catalog/scalar-suite/setop/drilldown/chunking/text/forecast-by-
@@ -110,15 +111,15 @@ _FRONT = (
     "q17_small_quantity_revenue",
     "q19_bracketed_revenue",
     "q21_late_suppliers",
-    # -- (c) the r2-certified residue (oldest rows; p1-p5 — single-predicate
+    "q11_part_value_concentration",
+    # -- (c) the r2-certified residue (oldest rows; p1-p6 — single-predicate
     #    micro-projections, unchanged since r2 and strict-parity-verified
-    #    locally at both SFs this round — yield their slots to the five
-    #    never-certified Q15-Q21 shapes above and rotate in r6) -------------
+    #    locally at both SFs this round — yield their slots to the six
+    #    never-certified Q11-Q21 shapes above and rotate in r6) -------------
     "q10_returned_revenue",
     "q12_shipmode_priority",
     "q14_promo_share",
     "percentiles_by_status",
-    "p6_inlist_filter",
     "p7_null_counts",
     "p8_semi_join",
     "p8_anti_join",
