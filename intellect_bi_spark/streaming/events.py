@@ -253,3 +253,43 @@ def run_stream_to_memory(
     )
     q.awaitTermination(120)
     assert not q.isActive
+
+
+# --- foreachBatch incremental store (stream → serving table merge) -----------
+
+
+def stream_daily_store(spark: SparkSession, sf_dir: str, out_path: str,
+                       checkpoint: str):
+    """``foreachBatch`` incremental MERGE into a partitioned parquet
+    serving store — the production shape for maintaining a queryable
+    table from a stream when the warehouse format is plain parquet (a
+    Delta/Iceberg MERGE is the drop-in upgrade; this is the streaming
+    twin of ``sources/sinks.upsert_embeddings``' copy-on-write merge).
+
+    Each micro-batch's UPDATED daily aggregates overwrite exactly their
+    ``day=/event_type=`` partitions (dynamic partition overwrite). The
+    partition key matches the aggregation key, so a batch that updates
+    only one (day, type) group replaces only that directory — and because
+    every emitted row carries the group's complete current aggregate,
+    REPLAYING a micro-batch writes identical bytes: the at-least-once
+    ``foreachBatch`` contract yields an exactly-once STORE. Update output
+    mode + watermark keep the streaming state bounded; the store, not the
+    state, is the history."""
+    agg = tumbling_daily_agg(read_events_stream(spark, sf_dir))
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("day", F.col("day_start").cast("date"))
+            .write.mode("overwrite")
+            .partitionBy("day", "event_type")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_path)
+        )
+
+    return (
+        agg.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

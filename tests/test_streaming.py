@@ -117,3 +117,40 @@ def test_stream_parquet_sink_checkpointed(spark, sf_dir, tmp_path):
     n_before = back.count()
     run()
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_foreachbatch_daily_store_equals_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch-merged serving store must equal the batch daily
+    aggregate exactly, and re-running against the same checkpoint must
+    leave the store unchanged (idempotent restart)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "daily_store")
+    ckpt = str(tmp_path / "ckpt_store")
+
+    q = se.stream_daily_store(spark, sf_dir, out, ckpt)
+    q.awaitTermination(120)
+
+    want = {
+        (r["day_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in se.tumbling_daily_agg(
+            se.events_batch(spark, sf_dir)
+        ).collect()
+    }
+    got_rows = (
+        spark.read.parquet(out)
+        .select(
+            F.col("day_start"), "event_type", "n_events", "total_value"
+        )
+        .collect()
+    )
+    got = {
+        (r["day_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in got_rows
+    }
+    assert got == want and len(got_rows) == len(want)
+
+    # restart with the same checkpoint: no new data, store unchanged
+    q2 = se.stream_daily_store(spark, sf_dir, out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == len(want)
