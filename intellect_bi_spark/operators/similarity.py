@@ -5,12 +5,14 @@ api/main.py:1416-1417, cosine HNSW per api/main.py:157). Spark-first
 equivalents:
 
 - brute-force top-k cosine: exact baseline — zip_with/aggregate dot product
-  (JVM codegen, no Python), TakeOrderedAndProject top-k. O(n·d) per query;
-  right answer for one-off queries at any scale because it's a single scan.
-- random-hyperplane LSH near-dup pairs: 8 deterministic hyperplanes → 8-bit
-  bucket signature → equi-join on bucket → exact cosine ≥ τ verification.
-  The scale path for all-pairs similarity (candidates near-linear, never a
-  cross join).
+  (JVM, no Python), TakeOrderedAndProject top-k. O(n·d) per query; right
+  answer for one-off queries at any scale because it's a single scan.
+- random-hyperplane LSH: 16 deterministic hyperplanes → 4 banded 4-bit keys
+  (OR-amplified) → equi-join on (band, key) → exact cosine ≥ τ verification.
+  The scale path for all-pairs similarity and batch retrieval (candidates
+  near-linear, never a cross join). Band keys and pair-heavy cosine reranks
+  run as vectorized Arrow pandas UDFs whose accumulation order is bit-exact
+  vs the SQL fold (see _band_keys_udf / _cosine_udf for the measurements).
 
 Parity notes: embeddings are float32; both engines cast elements to double
 BEFORE any arithmetic, and all folds are left-to-right, so doubles are

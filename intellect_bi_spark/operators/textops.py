@@ -6,8 +6,11 @@ with overlap (R3, api/ingest_docs.py:50-61 / etl/index_docs.py:34-46), plus
 the LLM-data-pipeline text analysis the charter adds: token counting,
 quality scoring, language-ID heuristic, and document fingerprinting.
 
-Everything is built-in Spark SQL functions (codegen'd, no Python UDFs);
-each query has a DuckDB oracle computing the identical expressions.
+Every REGISTRY query here is built-in Spark SQL functions (codegen'd, no
+Python UDFs), each with a DuckDB oracle computing the identical
+expressions; the one Python surface is :func:`chunker_udtf`, the
+deliberately-exposed lateral table-function extension seam (§2.12), which
+is not a registry hot path and is proven row-identical to the SQL chunker.
 """
 
 from __future__ import annotations
