@@ -665,6 +665,77 @@ def q11_part_value_concentration(
     )
 
 
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_2"
+_Q8_VOL = "l_extendedprice * (1 - l_discount)"
+_Q8_COND = (
+    f"CASE WHEN supp_nation = '{_Q8_NATION}' THEN {_Q8_VOL}"
+    f" ELSE CAST(0 AS DOUBLE) END"
+)
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: one supplier nation's share of the volume sold to
+    a region's customers, per year — the conditional-share shape
+    (``sum(CASE WHEN nation THEN vol END) / sum(vol)``) over the widest
+    join in the schema (lineitem⋈orders⋈customer⋈supplier⋈nation⋈region).
+
+    Scale shape: the customer side reduces to a semi-join key set
+    (region-filtered, broadcast) and the supplier side to a broadcast
+    (suppkey → nation) map BEFORE the fact join, so the one real shuffle
+    is lineitem⋈orders. Both volume sums are exact DECIMAL; the share is
+    one double division per year row."""
+    t = load_tables(spark, sf_dir)
+    region_nk = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == _Q8_REGION)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    cust = (
+        t["customer"]
+        .join(
+            F.broadcast(region_nk),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("l_shipdate").alias("o_year"))
+        .agg(
+            dsum(_Q8_COND, 4).alias("nation_volume"),
+            dsum(_Q8_VOL, 4).alias("total_volume"),
+        )
+        .withColumn(
+            "mkt_share", F.col("nation_volume") / F.col("total_volume")
+        )
+        .orderBy("o_year")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_region": revenue_by_region,
@@ -684,6 +755,7 @@ QUERIES = {
     "q19_bracketed_revenue": q19_bracketed_revenue,
     "q21_late_suppliers": q21_late_suppliers,
     "q11_part_value_concentration": q11_part_value_concentration,
+    "q8_market_share": q8_market_share,
     "skew_profile_orders_custkey": skew_profile_orders_custkey,
     "approx_distinct_counts": approx_distinct_counts,
 }
@@ -854,6 +926,27 @@ ORACLES = {
         f" AND l_quantity BETWEEN 10 AND 20)"
         f" OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15"
         f" AND l_quantity BETWEEN 20 AND 30)"
+    ),
+    "q8_market_share": (
+        f"WITH rc AS (SELECT c_custkey FROM customer"
+        f" JOIN nation ON c_nationkey = n_nationkey"
+        f" JOIN region ON n_regionkey = r_regionkey"
+        f" WHERE r_name = '{_Q8_REGION}'),"
+        f" sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier"
+        f" JOIN nation ON s_nationkey = n_nationkey),"
+        f" agg AS (SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INT)"
+        f" AS o_year,"
+        f" {dsum_sql(_Q8_COND, 4)} AS nation_volume,"
+        f" {dsum_sql(_Q8_VOL, 4)} AS total_volume"
+        f" FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        f" JOIN sn ON l_suppkey = s_suppkey"
+        f" WHERE o_custkey IN (SELECT c_custkey FROM rc)"
+        f" AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        f" AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"
+        f" GROUP BY 1)"
+        f" SELECT o_year, nation_volume, total_volume,"
+        f" nation_volume / total_volume AS mkt_share"
+        f" FROM agg ORDER BY o_year"
     ),
     "q11_part_value_concentration": (
         f"WITH per AS (SELECT l_partkey,"

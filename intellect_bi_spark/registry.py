@@ -66,7 +66,7 @@ for _mod in _MODULES:
 # in priority order:
 # (a) queries NEW this round — the banded batch-ANN candidate generator,
 #     the per-region seasonal7 pair, incremental dedup, PII redaction,
-#     the quality-weighted sampler, and the Q11/Q15/Q16/Q17/Q19/Q21 join-
+#     the quality-weighted sampler, and the Q8/Q11/Q15-Q21 join-
 #     subquery shapes (listed after the similarity block below);
 # (b) queries whose CODE changed after r4's sweep ran — the stitched-
 #     window rewrite call sites (mom_growth/qoq/nl_qoq/o2/events_rolling),
@@ -77,7 +77,8 @@ for _mod in _MODULES:
 # (c) the r2-certified residue (three rounds stale — the oldest rows in
 #     the registry), minus the six p1-p6 single-predicate micro-
 #     projections whose slots went to the never-certified shapes;
-# (d) the r3-certified dedup family (the module r4/r5 touched most).
+# (d) the r3-certified dedup family (the module r4/r5 touched most;
+#     simhash_signatures yielded its slot to the never-certified Q8).
 #     The r3 entries left past position 50 (simhash/centroid/multimodal-
 #     catalog/scalar-suite/setop/drilldown/chunking/text/forecast-by-
 #     region micro-queries, unchanged since r3) are the r6 rotation;
@@ -112,6 +113,7 @@ _FRONT = (
     "q19_bracketed_revenue",
     "q21_late_suppliers",
     "q11_part_value_concentration",
+    "q8_market_share",
     # -- (c) the r2-certified residue (oldest rows; p1-p6 — single-predicate
     #    micro-projections, unchanged since r2 and strict-parity-verified
     #    locally at both SFs this round — yield their slots to the six
@@ -140,7 +142,6 @@ _FRONT = (
     "minhash_signatures",
     "minhash_lsh_pairs",
     "near_dup_summary",
-    "simhash_signatures",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive
