@@ -264,20 +264,36 @@ def seasonal7_by_region(
     explode, and the cycle is an equi-join on
     ``rn = 7 - ((i-1) mod 7)`` (rn=7 ⇔ oldest of the tail). No driver
     loop, no Python; the 7-tail relation (7 rows × #regions) broadcasts.
-    Regions with fewer than 7 days emit no rows for the missing offsets —
-    the per-key analogue of the reference's ≥7-point guard."""
+    Regions with fewer than 7 observed days emit NO rows at all (a
+    ``HAVING count >= 7`` on the tail relation) — the per-key analogue of
+    the reference's ≥7-point guard (api/main.py:883), and bit-identical to
+    the :func:`seasonal7_by_region_pandas` twin's short-region behaviour
+    (ADVICE r5: the previous form emitted partial rows for short
+    regions)."""
     daily = (
         sales(spark, sf_dir)
         .groupBy("region", "date")
         .agg(F.expr(dsum_sql("sales")).alias("value"))
     )
+    return _seasonal7_closed(daily, h)
+
+
+def _seasonal7_closed(daily: DataFrame, h: int) -> DataFrame:
     w_desc = Window.partitionBy("region").orderBy(F.desc("date"))
     tail7 = (
         daily.withColumn("rn", F.row_number().over(w_desc))
         .filter(F.col("rn") <= 7)
         .select("region", "rn", "date", "value")
     )
-    last = tail7.groupBy("region").agg(F.max("date").alias("last_date"))
+    last = (
+        tail7.groupBy("region")
+        .agg(
+            F.max("date").alias("last_date"),
+            F.count(F.lit(1)).alias("n7"),
+        )
+        .filter(F.col("n7") >= 7)  # reference's ≥7-point guard, per key
+        .drop("n7")
+    )
     horizon = last.select(
         "region",
         "last_date",
@@ -301,13 +317,16 @@ def seasonal7_by_region_pandas(
     decomposition (statsmodels STL, MLlib pipeline) would slot in. The
     cycle logic carries the values unchanged, so outputs are bit-identical
     and both variants share one oracle."""
-    import pandas as pd
-
     daily = (
         sales(spark, sf_dir)
         .groupBy("region", "date")
         .agg(F.expr(dsum_sql("sales")).alias("value"))
     )
+    return _seasonal7_pandas(daily, h)
+
+
+def _seasonal7_pandas(daily: DataFrame, h: int) -> DataFrame:
+    import pandas as pd
 
     def fc(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("date")
@@ -315,7 +334,10 @@ def seasonal7_by_region_pandas(
         vals = list(tail["value"])
         last = tail["date"].iloc[-1]
         if len(vals) < 7:  # per-key ≥7 guard: emit nothing, like the join
-            return pd.DataFrame({"region": [], "date": [], "value": []})
+            # empty slice of the INPUT frame, not pd.DataFrame({... []}):
+            # bare empty columns default to float64 and Arrow refuses the
+            # float64→date32 cast when the batch is serialized back
+            return pdf[["region", "date", "value"]].head(0)
         return pd.DataFrame(
             {
                 "region": pdf["region"].iloc[0],
@@ -513,8 +535,8 @@ ORACLES = {
         f", ranked AS (SELECT region, date, value, ROW_NUMBER() OVER"
         f" (PARTITION BY region ORDER BY date DESC) AS rn FROM daily)"
         f", tail7 AS (SELECT region, rn, value FROM ranked WHERE rn <= 7)"
-        f", last_d AS (SELECT region, MAX(date) AS last_date FROM daily"
-        f" GROUP BY region)"
+        f", last_d AS (SELECT region, MAX(date) AS last_date FROM ranked"
+        f" WHERE rn <= 7 GROUP BY region HAVING COUNT(*) >= 7)"
         f" SELECT l.region, last_date + CAST(i AS INT) AS date, s.value"
         f" FROM last_d l CROSS JOIN generate_series(1, 14) AS t(i)"
         f" JOIN tail7 s ON s.region = l.region"
@@ -527,8 +549,8 @@ ORACLES = {
         f", ranked AS (SELECT region, date, value, ROW_NUMBER() OVER"
         f" (PARTITION BY region ORDER BY date DESC) AS rn FROM daily)"
         f", tail7 AS (SELECT region, rn, value FROM ranked WHERE rn <= 7)"
-        f", last_d AS (SELECT region, MAX(date) AS last_date FROM daily"
-        f" GROUP BY region)"
+        f", last_d AS (SELECT region, MAX(date) AS last_date FROM ranked"
+        f" WHERE rn <= 7 GROUP BY region HAVING COUNT(*) >= 7)"
         f" SELECT l.region, last_date + CAST(i AS INT) AS date, s.value"
         f" FROM last_d l CROSS JOIN generate_series(1, 14) AS t(i)"
         f" JOIN tail7 s ON s.region = l.region"

@@ -102,6 +102,14 @@ def upsert_embeddings(
     exists = os.path.exists(path)
     out = bucketed
     if exists:
+        # One materialization feeds the affected-bucket list, the anti-join
+        # id set, AND the final write. Without it a nondeterministic input
+        # (sample, rand-salted, non-ordered limit) could re-evaluate to a
+        # different bucket set than the one collected below, and dynamic
+        # overwrite would then drop surviving rows in the uncollected
+        # buckets without merging them (ADVICE r5).
+        bucketed = bucketed.localCheckpoint(eager=True)
+        out = bucketed
         affected = [
             r["bucket"]
             for r in bucketed.select("bucket").distinct().collect()

@@ -111,3 +111,36 @@ def test_mllib_linreg_matches_closed_form_ols(spark, sf_dir):
     for a, b in zip(fc, ols):
         assert a["date"] == b["date"]
         assert abs(a["value"] - b["value"]) <= 1e-9 * max(1.0, abs(b["value"]))
+
+
+def test_seasonal7_twins_agree_on_short_region(spark):
+    """ADVICE r5: a region with <7 observed days must emit NOTHING from
+    BOTH seasonal7 variants (the reference's >=7-point guard, per key) —
+    the closed form previously emitted partial rows there."""
+    import datetime as dt
+
+    from intellect_bi_spark.operators.forecast import (
+        _seasonal7_closed,
+        _seasonal7_pandas,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [("North", d0 + dt.timedelta(days=i), float(i + 1)) for i in range(9)]
+    rows += [("South", d0 + dt.timedelta(days=i), 10.0 * (i + 1)) for i in range(4)]
+    daily = spark.createDataFrame(rows, "region string, date date, value double")
+
+    a = {
+        (r["region"], r["date"]): r["value"]
+        for r in _seasonal7_closed(daily, 14).collect()
+    }
+    b = {
+        (r["region"], r["date"]): r["value"]
+        for r in _seasonal7_pandas(daily, 14).collect()
+    }
+    assert a == b
+    assert not any(k[0] == "South" for k in a)  # short region: zero rows
+    assert sum(1 for k in a if k[0] == "North") == 14
+    # cycle check: day i value == tail7[(i-1) % 7] (tail = values 3..9)
+    tail = [3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0]
+    for i in range(1, 15):
+        assert a[("North", d0 + dt.timedelta(days=8 + i))] == tail[(i - 1) % 7]
