@@ -103,7 +103,7 @@ def test_lag_stitched_plan_has_no_unpartitioned_window(spark):
     # the ordering spec (unpartitioned = spec starts with the order column
     # ascending): partitioned specs list the partition cols first
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
-        assert "_lsg_bkt" in spec, plan
+        assert "_sg_bkt" in spec, plan
 
 
 def test_last_k_by_matches_sort_limit(spark):
