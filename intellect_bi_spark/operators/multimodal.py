@@ -2,18 +2,23 @@
 
 The charter's training-data pipeline treats image/audio/video as opaque
 ``binary`` columns with typed metadata, decoded / feature-extracted /
-frame-sampled via Arrow-batched Pandas UDFs. No media libraries exist in
-this container, so the DECODE step is a deterministic fake (bytes are the
-payload; real codecs slot into the same ``mapInPandas`` body — see
-``operators/README note`` in each docstring), while everything Spark-side —
-binary schema, metadata struct, UDF signature, Arrow batch shape,
-partitioning — is real and oracle-checked.
+frame-sampled via Arrow-batched Pandas UDFs.
 
-Payloads are synthesized from ``documents.text`` (UTF-8 encode → binary).
-The fixture corpus is pure ASCII, so byte arithmetic equals character
-arithmetic and every byte-level feature has an exact DuckDB oracle over
-``ascii(substr(...))`` — the decode stub stays verifiable, not just
-runnable.
+AUDIO is fully real as of round 6: payloads are genuine RIFF/WAVE files
+(16-bit LE mono PCM) and the extractor parses them with the stdlib
+``wave`` reader — see the WAV section below. IMAGE and VIDEO decode
+remain deterministic fakes (no image/video codec libraries exist in this
+container): bytes are the payload, and real codecs slot into the same
+``mapInPandas`` body behind the injected-decoder seam
+(tests/test_multimodal_seam.py). Everything Spark-side — binary schema,
+metadata struct, UDF signature, Arrow batch shape, partitioning — is real
+and oracle-checked for all three modalities.
+
+Image/video payloads are synthesized from ``documents.text`` (UTF-8
+encode → binary). The fixture corpus is pure ASCII, so byte arithmetic
+equals character arithmetic and every byte-level feature has an exact
+DuckDB oracle over ``ascii(substr(...))`` — the decode stub stays
+verifiable, not just runnable.
 
 Scale notes: feature extraction is embarrassingly parallel (mapInPandas,
 no shuffle); frame sampling explodes ~n_bytes/FRAME_BYTES rows but only
@@ -59,7 +64,6 @@ def _pow_table(n: int) -> "np.ndarray":
 
 FRAME_BYTES = 32  # fake "video": consecutive 32-byte frames
 SAMPLE_EVERY = 4  # keep every 4th frame
-RMS_WINDOW = 64  # fake "audio": non-overlapping 64-sample windows
 MIMES = ("image/png", "audio/wav", "video/mp4")
 
 
@@ -248,53 +252,166 @@ def video_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RMS_SCHEMA = "doc_id long, window_idx int, sq_sum long, rms double"
+# --- REAL audio modality: genuine binary WAV encode + decode (round 6) ------
+#
+# The audio path no longer runs on ASCII payloads: each doc carries a real
+# RIFF/WAVE file (44-byte header, fmt + data chunks, 16-bit little-endian
+# mono PCM) synthesized by the stdlib ``wave`` writer from a closed-form
+# int16 sample sequence, and the feature extractor PARSES that binary with
+# the stdlib ``wave`` reader — chunk walk, header fields, byte order and
+# all. The sample formula is pure integer arithmetic on (doc_id, i), so
+# the DuckDB oracle reproduces every decoded value without ever seeing the
+# binary: a wrong header parse, sample-width mix-up, or endianness flip
+# breaks the checksum. (VERDICT r5 item 3 — one modality real; image and
+# video decode remain labeled stubs pending real codec libraries.)
+
+_WAV_RMS_WINDOW = 64  # non-overlapping 64-sample RMS windows
+_WAV_SAMPLE_MOD = 65536
+_WAV_SAMPLE_A = 7919  # doc seed multiplier (prime)
+_WAV_SAMPLE_B = 104729  # per-sample stride (prime)
 
 
-def _audio_rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _wav_n_samples(doc_id: int) -> int:
+    """256 + (doc_id % 7)·64 — always a whole number of RMS windows."""
+    return 256 + (doc_id % 7) * 64
+
+
+def _wav_rate(doc_id: int) -> int:
+    return 8000 + (doc_id % 3) * 4000
+
+
+def _wav_samples(doc_id: int) -> "np.ndarray":
+    """The closed-form int16 sample sequence the oracle mirrors:
+    s[i] = ((doc_id·7919 + i·104729) mod 65536) − 32768."""
+    i = np.arange(_wav_n_samples(doc_id), dtype=np.int64)
+    return (
+        (doc_id * _WAV_SAMPLE_A + i * _WAV_SAMPLE_B) % _WAV_SAMPLE_MOD
+        - _WAV_SAMPLE_MOD // 2
+    )
+
+
+def _encode_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched WAV synthesis: (doc_id) → real RIFF/WAVE bytes."""
+    import io
+    import wave
+
     for batch in batches:
-        out = []
-        for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
-            b = np.frombuffer(bytes(payload), dtype=np.uint8)
-            n_win = b.size // RMS_WINDOW
-            for i in range(n_win):
-                w = b[i * RMS_WINDOW : (i + 1) * RMS_WINDOW].astype(np.int64)
-                # integer sum-of-squares carried exactly; rms is one double
-                # division + sqrt, bit-identical to the SQL oracle's order
-                sq = int((w * w).sum())
-                out.append(
-                    (
-                        int(doc_id),
-                        i,
-                        sq,
-                        float(np.sqrt(float(sq) / RMS_WINDOW)),
-                    )
+        ids, payloads = [], []
+        for doc_id in batch["doc_id"]:
+            doc_id = int(doc_id)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(_wav_rate(doc_id))
+                w.writeframes(_wav_samples(doc_id).astype("<i2").tobytes())
+            ids.append(doc_id)
+            payloads.append(buf.getvalue())
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+def _wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload binary) — one real WAV file per document id. In a
+    production ingest this relation is ``spark.read.format('binaryFile')``
+    over an audio bucket; here the payloads are synthesized (same binary
+    schema) so the decode below is oracle-checkable."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    return docs.mapInPandas(_encode_wav, schema="doc_id long, payload binary")
+
+
+def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """THE audio decoder — a real format parse, stdlib only: the ``wave``
+    reader walks the RIFF chunks, validates the fmt block, and returns
+    (sample_rate_hz, int16 sample array decoded little-endian from the
+    data chunk). A richer codec (ffmpeg/soundfile for FLAC/MP3) slots in
+    behind the same ``bytes -> (rate, samples)`` signature."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError("expected 16-bit mono PCM")
+        rate = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    return rate, np.frombuffer(frames, dtype="<i2").astype(np.int64)
+
+
+_WAV_FEAT_SCHEMA = (
+    "doc_id long, rate_hz int, n_samples int, window_idx int,"
+    " sq_sum long, rms double"
+)
+
+
+def _wav_features_with(decode):
+    """Arrow-batched windowed-RMS extractor around ``decode`` (closure so
+    an injected decoder pickles into the workers — same seam contract as
+    :func:`_image_features_with`)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                rate, s = decode(payload)
+                n = s.size
+                n_win = n // _WAV_RMS_WINDOW
+                # vectorized: reshape to (n_win, 64), exact int64 row sums
+                sq = (
+                    (s[: n_win * _WAV_RMS_WINDOW].reshape(n_win, -1) ** 2)
+                    .sum(axis=1)
                 )
-        yield pd.DataFrame(
-            out, columns=["doc_id", "window_idx", "sq_sum", "rms"]
-        )
+                for i in range(n_win):
+                    out.append(
+                        (
+                            int(doc_id),
+                            int(rate),
+                            int(n),
+                            i,
+                            int(sq[i]),
+                            float(np.sqrt(float(sq[i]) / _WAV_RMS_WINDOW)),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "rate_hz", "n_samples", "window_idx",
+                    "sq_sum", "rms",
+                ],
+            )
+
+    return gen
 
 
-def _audio_rms_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed RMS over byte 'samples' (non-overlapping full windows) —
-    the audio feature-extraction shape."""
-    m = _media(spark, sf_dir).select("doc_id", "payload")
-    return m.mapInPandas(_audio_rms, schema=_RMS_SCHEMA)
+def _wav_feature_rows(
+    spark: SparkSession, sf_dir: str, decode=decode_wav
+) -> DataFrame:
+    """Per-window RMS features decoded from REAL WAV binaries — header
+    fields (rate, frame count) come from the parsed RIFF header, sample
+    values from the PCM data chunk."""
+    m = _wav_media(spark, sf_dir)
+    return m.mapInPandas(_wav_features_with(decode), schema=_WAV_FEAT_SCHEMA)
 
 
-def audio_window_rms_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-row exact checksum over every RMS window: the integer
-    sum-of-squares total verifies all window contents exactly; the overall
-    rms is a single double division + sqrt of exact longs."""
-    wins = _audio_rms_rows(spark, sf_dir)
+def audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact checksum over every decoded RMS window. total_sq_sum
+    verifies every PCM sample exactly; sum_rate_hz / sum_n_samples bind
+    the PARSED header fields; the id-weighted modular term binds each
+    window's content to its document; rms_overall is one double
+    division + sqrt of exact longs."""
+    wins = _wav_feature_rows(spark, sf_dir)
     return wins.agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("window_idx").alias("sum_window_idx"),
         F.sum("sq_sum").alias("total_sq_sum"),
+        F.sum("rate_hz").alias("sum_rate_hz"),
+        F.sum("n_samples").alias("sum_n_samples"),
+        # both factors reduced mod P before multiplying: product < P² < 2^63
+        F.sum(
+            F.expr(f"((doc_id % {P}) * (sq_sum % {P})) % {P}")
+        ).alias("id_weighted_sq_sum"),
         F.sqrt(
             F.sum("sq_sum").cast("double")
-            / (F.count(F.lit(1)) * RMS_WINDOW).cast("double")
+            / (F.count(F.lit(1)) * _WAV_RMS_WINDOW).cast("double")
         ).alias("rms_overall"),
     )
 
@@ -303,7 +420,7 @@ QUERIES = {
     "multimodal_catalog": multimodal_catalog,
     "image_features_stub": image_features_stub,
     "video_frame_sample_stub": video_frame_sample_stub,
-    "audio_window_rms_stub": audio_window_rms_stub,
+    "audio_window_rms": audio_window_rms,
 }
 
 # ASCII corpus ⇒ octet/byte ops == length/ascii char ops in the oracles.
@@ -361,24 +478,30 @@ FULLROW_ORACLES = {
         + " AS frame_hash FROM frames"
         f" WHERE frame_idx % {SAMPLE_EVERY} = 0"
     ),
-    "audio_rms_rows": (
-        "WITH wins AS (SELECT doc_id, text,"
-        f" unnest(range(0, length(text) // {RMS_WINDOW})) AS window_idx"
-        " FROM documents)"
-        " SELECT doc_id, CAST(window_idx AS INT) AS window_idx,"
+    # The WAV oracle never sees the binary: it recomputes every decoded
+    # sample from the closed-form generator s[i] = ((doc_id·7919 +
+    # i·104729) mod 65536) − 32768 that the encoder wrote into the PCM
+    # data chunk, and the header fields from their doc_id formulas.
+    "wav_feature_rows": (
+        "WITH wins AS (SELECT doc_id,"
+        " unnest(range(0, 4 + CAST(doc_id % 7 AS INT))) AS window_idx"
+        " FROM documents),"
+        " f AS (SELECT doc_id, window_idx,"
         " list_reduce(list_prepend(CAST(0 AS BIGINT),"
-        f" list_transform(range(1, {RMS_WINDOW} + 1),"
-        f" i -> CAST(ascii(substr(text, window_idx * {RMS_WINDOW} + i, 1))"
-        " AS BIGINT) * CAST(ascii(substr(text,"
-        f" window_idx * {RMS_WINDOW} + i, 1)) AS BIGINT))),"
-        " (a, c) -> a + c) AS sq_sum,"
-        " sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),"
-        f" list_transform(range(1, {RMS_WINDOW} + 1),"
-        f" i -> CAST(ascii(substr(text, window_idx * {RMS_WINDOW} + i, 1))"
-        " AS BIGINT) * CAST(ascii(substr(text,"
-        f" window_idx * {RMS_WINDOW} + i, 1)) AS BIGINT))),"
-        f" (a, c) -> a + c) AS DOUBLE) / {RMS_WINDOW}) AS rms"
-        " FROM wins"
+        f" list_transform(range(0, {_WAV_RMS_WINDOW}),"
+        f" i -> CAST(((doc_id * {_WAV_SAMPLE_A} + (window_idx *"
+        f" {_WAV_RMS_WINDOW} + i) * {_WAV_SAMPLE_B}) % {_WAV_SAMPLE_MOD})"
+        f" - {_WAV_SAMPLE_MOD // 2} AS BIGINT)"
+        f" * (CAST(((doc_id * {_WAV_SAMPLE_A} + (window_idx *"
+        f" {_WAV_RMS_WINDOW} + i) * {_WAV_SAMPLE_B}) % {_WAV_SAMPLE_MOD})"
+        f" - {_WAV_SAMPLE_MOD // 2} AS BIGINT)))),"
+        " (a, c) -> a + c) AS sq_sum FROM wins)"
+        " SELECT doc_id,"
+        " CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate_hz,"
+        " CAST(256 + (doc_id % 7) * 64 AS INT) AS n_samples,"
+        " CAST(window_idx AS INT) AS window_idx, sq_sum,"
+        f" sqrt(CAST(sq_sum AS DOUBLE) / {_WAV_RMS_WINDOW}) AS rms"
+        " FROM f"
     ),
 }
 
@@ -413,14 +536,18 @@ ORACLES = {
         f" % {P}) AS BIGINT) AS id_weighted_hash_sum"
         " FROM f"
     ),
-    "audio_window_rms_stub": (
-        f"WITH w AS ({FULLROW_ORACLES['audio_rms_rows']})"
+    "audio_window_rms": (
+        f"WITH w AS ({FULLROW_ORACLES['wav_feature_rows']})"
         " SELECT COUNT(*) AS n_windows,"
         " COUNT(DISTINCT doc_id) AS n_docs,"
         " CAST(SUM(window_idx) AS BIGINT) AS sum_window_idx,"
         " CAST(SUM(sq_sum) AS BIGINT) AS total_sq_sum,"
+        " CAST(SUM(rate_hz) AS BIGINT) AS sum_rate_hz,"
+        " CAST(SUM(n_samples) AS BIGINT) AS sum_n_samples,"
+        f" CAST(SUM(((doc_id % {P}) * (sq_sum % {P})) % {P}) AS BIGINT)"
+        " AS id_weighted_sq_sum,"
         " sqrt(CAST(SUM(sq_sum) AS DOUBLE) /"
-        f" CAST(COUNT(*) * {RMS_WINDOW} AS DOUBLE)) AS rms_overall"
+        f" CAST(COUNT(*) * {_WAV_RMS_WINDOW} AS DOUBLE)) AS rms_overall"
         " FROM w"
     ),
 }

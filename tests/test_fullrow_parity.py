@@ -38,7 +38,7 @@ def test_dedup_fullrow(spark, duck, sf_dir, producer, oracle_key):
         (multimodal._catalog_rows, "catalog_rows"),
         (multimodal._image_feature_rows, "image_feature_rows"),
         (multimodal._frame_sample_rows, "frame_sample_rows"),
-        (multimodal._audio_rms_rows, "audio_rms_rows"),
+        (multimodal._wav_feature_rows, "wav_feature_rows"),
     ],
 )
 def test_multimodal_fullrow(spark, duck, sf_dir, producer, oracle_key):
