@@ -14,6 +14,7 @@ textbook SQL equivalent of gap-based session merge.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum_sql
 from ..streaming.events import (
@@ -21,6 +22,7 @@ from ..streaming.events import (
     events_batch,
     session_agg,
     sliding_daily_agg,
+    stream_daily_store,
     tumbling_daily_agg,
 )
 
@@ -43,11 +45,45 @@ def events_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_replayed_events(events_batch(spark, sf_dir))
 
 
+def events_stream_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end certification of the ``foreachBatch`` serving store
+    (streaming/events.py:stream_daily_store — VERDICT r5 item 4): run the
+    REAL availableNow stream (file source → watermark → tumbling agg →
+    per-micro-batch dynamic-partition merge) into a fresh temp store, read
+    the store's parquet back, and return its contents. The oracle is the
+    plain batch tumbling aggregate — the store a stream maintains must
+    equal the table a batch job would have built, including the ``day``
+    directory-partition column the merge derives.
+
+    The re-read frame is localCheckpointed (bounded: the daily aggregate)
+    so the temp store and checkpoint can be deleted before returning."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_stream_store_")
+    try:
+        q = stream_daily_store(
+            spark, sf_dir, out_path=f"{tmp}/store", checkpoint=f"{tmp}/ckpt"
+        )
+        q.awaitTermination(300)
+        assert not q.isActive
+        store = (
+            spark.read.parquet(f"{tmp}/store")
+            .select("day_start", "event_type", "n_events", "total_value",
+                    F.col("day").cast("date").alias("day"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return store
+
+
 QUERIES = {
     "events_tumbling_daily": events_tumbling_daily,
     "events_sessionize": events_sessionize,
     "events_sliding_daily": events_sliding_daily,
     "events_dedup_replay": events_dedup_replay,
+    "stream_daily_store": events_stream_store,
 }
 
 ORACLES = {
@@ -84,6 +120,15 @@ ORACLES = {
         f" SELECT window_start, event_type, COUNT(*) AS n_events,"
         f" {dsum_sql('value')} AS total_value"
         f" FROM x GROUP BY window_start, event_type"
+    ),
+    # the stream-maintained store must equal the batch tumbling aggregate,
+    # plus the day partition column the foreachBatch merge derives
+    "stream_daily_store": (
+        f"SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,"
+        f" event_type,"
+        f" COUNT(*) AS n_events, {dsum_sql('value')} AS total_value,"
+        f" CAST(date_trunc('day', ts) AS DATE) AS day"
+        f" FROM events GROUP BY 1, 2, 5"
     ),
     # replay-dedup collapses the in-plan duplication exactly, so the
     # deduplicated totals equal the totals over the original input
