@@ -61,6 +61,7 @@ HEADLINE = [
     "text_quality_scores",
     "chunk_documents",
     "image_features_stub",
+    "audio_window_rms",  # real WAV binary decode (r6)
     "decontam_ngram_overlap",
     "events_tumbling_daily",
     "events_sessionize",
@@ -124,22 +125,28 @@ def main() -> None:
         )
         for name in per_rep[0]
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(medians.values()), 4),
-                "unit": "sec",
-                "queries": medians,
-                "sf": sf,
-                "reps": reps,
-                "spread": spread,
-                "rep_totals": [
-                    round(sum(r.values()), 4) for r in per_rep
-                ],
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(sum(medians.values()), 4),
+            "unit": "sec",
+            "queries": medians,
+            "sf": sf,
+            "reps": reps,
+            "spread": spread,
+            "rep_totals": [round(sum(r.values()), 4) for r in per_rep],
+        }
     )
+    print(payload)
+    # Also persist next to the repo: the driver's stdout capture truncated
+    # BENCH_r05's line (VERDICT r5 item 6) — a file survives regardless.
+    out_file = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LOCAL.json"),
+    )
+    with open(out_file, "w") as fh:
+        fh.write(payload + "\n")
 
 
 if __name__ == "__main__":

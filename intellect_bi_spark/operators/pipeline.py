@@ -27,14 +27,22 @@ BOTH join sides there carry per-doc rows). The token histogram is a
 hash-aggregate with partial combine + TakeOrderedAndProject top-k: no
 global sort, k rows to the driver.
 
-Everything is built-in Spark SQL (codegen, no Python UDFs); the DuckDB
-oracles compute identical expressions (functions/text.py hash portability
-notes).
+- **repetition-based quality filtering** (round 6) — the Gopher-style
+  top-bigram / duplicated-trigram rules, one Arrow-batched ``mapInPandas``
+  pass (a per-doc ``Counter`` is O(tokens); the in-plan HOF equivalent is
+  quadratic per document).
+- **sequence packing** (round 6) — deterministic hash-ordered concat-and-
+  chop into fixed token budgets, with the global token offset computed as
+  a distributed bucketed prefix sum (no unpartitioned window).
+
+Everything except the repetition Counter is built-in Spark SQL (codegen,
+no Python UDFs); the DuckDB oracles compute identical expressions
+(functions/text.py hash portability notes).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
@@ -295,6 +303,136 @@ def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+def _repetition_rows(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition signals (the Gopher/RefinedWeb-style repetition
+    rules): most-frequent-bigram count and duplicated-trigram occurrence
+    count, via ONE Arrow-batched ``mapInPandas`` pass — a ``Counter`` per
+    document is O(tokens), where the equivalent in-plan higher-order-
+    function form is O(tokens·distinct) per document. Map-only, no
+    shuffle; the same rationale as dedup._distinct_shingles_of."""
+
+    def gen(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                toks = (text or "").split(" ")
+                n = len(toks)
+                max_bi = max(
+                    Counter(zip(toks, toks[1:])).values(), default=0
+                )
+                tri = Counter(zip(toks, toks[1:], toks[2:]))
+                n_tri = max(n - 2, 0)
+                dup_occ = sum(c for c in tri.values() if c >= 2)
+                # integer-exact thresholds: top-bigram fraction
+                # 2·max_bi/n > 0.2 ⇔ 10·max_bi > n; duplicated-trigram
+                # fraction dup_occ/n_tri > 0.3 ⇔ 10·dup_occ > 3·n_tri
+                keep = int(
+                    not (10 * max_bi > n or 10 * dup_occ > 3 * n_tri)
+                )
+                rows.append((int(doc_id), n, max_bi, n_tri, dup_occ, keep))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_tokens", "max_bigram_count", "n_trigrams",
+                    "dup_trigram_occurrences", "keep",
+                ],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen,
+        "doc_id long, n_tokens int, max_bigram_count int, n_trigrams int,"
+        " dup_trigram_occurrences int, keep int",
+    )
+
+
+def quality_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the pretraining-corpus rule family
+    popularized by Gopher's quality heuristics): drop documents whose
+    top bigram exceeds 20% of tokens or whose duplicated trigrams exceed
+    30% of trigram positions. One-row exact checksum over every per-doc
+    signal (integer sums + an id-weighted modular binding, so a single
+    wrong count on any document flips the output)."""
+    from ..functions.text import P
+
+    r = _repetition_rows(_docs_spread(spark, sf_dir))
+    return r.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").alias("n_kept"),
+        F.sum("max_bigram_count").alias("sum_max_bigram"),
+        F.sum("dup_trigram_occurrences").alias("sum_dup_trigram_occ"),
+        F.sum(
+            F.expr(
+                f"((doc_id % {P}) * ((CAST(max_bigram_count AS BIGINT)"
+                f" * 1000003 + dup_trigram_occurrences) % {P})) % {P}"
+            )
+        ).alias("id_weighted_binding"),
+    )
+
+
+def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate the corpus in a deterministic
+    pseudo-random order (md5 of the doc key — the seed-free distributed
+    shuffle) and chop it into PACK_BUDGET-token training sequences; each
+    document is assigned to the sequence where it STARTS. Returns the
+    one-row manifest checksum (sequence count, token totals, max fill,
+    id-weighted binding).
+
+    The global running token offset is a distributed PREFIX SUM, built the
+    same way the stitched windows are (functions/windows.py): cumulative
+    sums within 256 hash-prefix buckets (the 2-hex-char prefix is monotone
+    in the md5 sort key), plus per-bucket offsets from a triangular
+    broadcast join on the 256-row bucket-total relation. No unpartitioned
+    window, no driver loop — the same plan packs 100 TB."""
+    from ..functions.text import P
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias(
+            "n_tok"
+        ),
+    )
+    t = t.withColumn("bkt", F.substring("h", 1, 2))
+    w_in = Window.partitionBy("bkt").orderBy("h")
+    cum_in = t.withColumn("cum_in", F.sum("n_tok").over(w_in))
+    per_bkt = t.groupBy("bkt").agg(F.sum("n_tok").alias("tot"))
+    rhs = per_bkt.select(F.col("bkt").alias("rbkt"), "tot")
+    offs = (
+        per_bkt.select("bkt")
+        .join(F.broadcast(rhs), F.col("rbkt") < F.col("bkt"))
+        .groupBy("bkt")
+        .agg(F.sum("tot").alias("off"))
+    )
+    seqs = (
+        cum_in.join(F.broadcast(offs), "bkt", "left")
+        .withColumn(
+            "cum", F.col("cum_in") + F.coalesce(F.col("off"), F.lit(0))
+        )
+        .withColumn("seq_id", F.expr(f"(cum - n_tok) div {PACK_BUDGET}"))
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("seq_tokens"),
+        )
+    )
+    return seqs.agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("seq_tokens").alias("total_tokens"),
+        F.max("seq_tokens").alias("max_seq_tokens"),
+        F.sum(
+            F.expr(f"((seq_id % {P}) * (seq_tokens % {P})) % {P}")
+        ).alias("id_weighted_tokens"),
+    )
+
+
 QUERIES = {
     "train_test_split_stats": train_test_split_stats,
     "stratified_sample_by_lang": stratified_sample_by_lang,
@@ -302,6 +440,8 @@ QUERIES = {
     "token_familiarity_scores": token_familiarity_scores,
     "corpus_token_histogram": corpus_token_histogram,
     "weighted_quality_sample": weighted_quality_sample,
+    "quality_repetition_stats": quality_repetition_stats,
+    "pack_sequences_manifest": pack_sequences_manifest,
 }
 
 _SPLIT_CASE = (
@@ -310,7 +450,63 @@ _SPLIT_CASE = (
     f" THEN 'val' ELSE 'test' END"
 )
 
+from ..functions.text import P as _P  # noqa: E402
+
 ORACLES = {
+    # linear relational form (unnest → GROUP BY) of the per-doc Counter —
+    # the quadratic list-lambda form is too slow at sf0.1 parity scale
+    "quality_repetition_stats": (
+        "WITH t AS (SELECT doc_id,"
+        " string_split(COALESCE(text, ''), ' ') AS toks FROM documents),"
+        " nn AS (SELECT doc_id, len(toks) AS n FROM t),"
+        " bi AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g"
+        " FROM t, unnest(range(1, len(toks))) AS u(i)),"
+        " bic AS (SELECT doc_id, g, COUNT(*) AS c FROM bi"
+        " GROUP BY doc_id, g),"
+        " bmax AS (SELECT doc_id, MAX(c) AS max_bi FROM bic"
+        " GROUP BY doc_id),"
+        " tri AS (SELECT doc_id,"
+        " toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g"
+        " FROM t, unnest(range(1, len(toks) - 1)) AS u(i)),"
+        " tric AS (SELECT doc_id, g, COUNT(*) AS c FROM tri"
+        " GROUP BY doc_id, g),"
+        " tstat AS (SELECT doc_id,"
+        " SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ,"
+        " SUM(c) AS n_tri FROM tric GROUP BY doc_id),"
+        " m AS (SELECT nn.doc_id, nn.n,"
+        " COALESCE(b.max_bi, 0) AS max_bi,"
+        " COALESCE(ts.n_tri, 0) AS n_tri,"
+        " COALESCE(ts.dup_occ, 0) AS dup_occ"
+        " FROM nn LEFT JOIN bmax b USING (doc_id)"
+        " LEFT JOIN tstat ts USING (doc_id))"
+        " SELECT COUNT(*) AS n_docs,"
+        " CAST(SUM(CASE WHEN NOT (10 * max_bi > n"
+        " OR 10 * dup_occ > 3 * n_tri) THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_kept,"
+        " CAST(SUM(max_bi) AS BIGINT) AS sum_max_bigram,"
+        " CAST(SUM(dup_occ) AS BIGINT) AS sum_dup_trigram_occ,"
+        f" CAST(SUM(((doc_id % {_P}) * ((CAST(max_bi AS BIGINT) * 1000003"
+        f" + dup_occ) % {_P})) % {_P}) AS BIGINT) AS id_weighted_binding"
+        " FROM m"
+    ),
+    "pack_sequences_manifest": (
+        "WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,"
+        " len(string_split(COALESCE(text, ''), ' ')) AS n_tok"
+        " FROM documents),"
+        " c AS (SELECT doc_id, n_tok, SUM(n_tok) OVER (ORDER BY h"
+        " ROWS UNBOUNDED PRECEDING) AS cum FROM t),"
+        f" s AS (SELECT (cum - n_tok) // {PACK_BUDGET} AS seq_id, n_tok"
+        " FROM c),"
+        " g AS (SELECT seq_id, COUNT(*) AS n_docs,"
+        " SUM(n_tok) AS seq_tokens FROM s GROUP BY seq_id)"
+        " SELECT COUNT(*) AS n_seqs,"
+        " CAST(SUM(n_docs) AS BIGINT) AS n_docs,"
+        " CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens,"
+        " CAST(MAX(seq_tokens) AS BIGINT) AS max_seq_tokens,"
+        f" CAST(SUM(((seq_id % {_P}) * (CAST(seq_tokens AS BIGINT)"
+        f" % {_P})) % {_P}) AS BIGINT) AS id_weighted_tokens"
+        " FROM g"
+    ),
     "train_test_split_stats": (
         f"SELECT {_SPLIT_CASE} AS split,"
         f" COUNT(*) AS n_docs,"

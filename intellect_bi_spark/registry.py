@@ -60,88 +60,81 @@ for _mod in _MODULES:
     ORACLES.update(getattr(_mod, "ORACLES", {}))
 
 # The driver's correctness sweep checks the first 50 registry entries per
-# round.  CORRECTNESS_r04 was 50/50 green, so every query's latest driver
-# row is: r4 for the round-4 front, r3/r2 for the older rotations.  The
-# round-5 front targets the stale-certification tail (VERDICT r4 item 4),
-# in priority order:
-# (a) queries NEW this round — the banded batch-ANN candidate generator,
-#     the per-region seasonal7 pair, incremental dedup, PII redaction,
-#     the quality-weighted sampler, and the Q8/Q11/Q15-Q21 join-
-#     subquery shapes (listed after the similarity block below);
-# (b) queries whose CODE changed after r4's sweep ran — the stitched-
-#     window rewrite call sites (mom_growth/qoq/nl_qoq/o2/events_rolling),
-#     the localCheckpoint CC-loop refactor (near_dup_clusters), the
-#     decoder-seam refactor (image_features_stub), and the whole
-#     similarity module (vectorized band-key + cosine UDFs) — their green
-#     rows predate the current code;
-# (c) the r2-certified residue (three rounds stale — the oldest rows in
-#     the registry), minus the six p1-p6 single-predicate micro-
-#     projections whose slots went to the never-certified shapes;
-# (d) the r3-certified dedup family (the module r4/r5 touched most;
-#     simhash_signatures yielded its slot to the never-certified Q8).
-#     The r3 entries left past position 50 (simhash/centroid/multimodal-
-#     catalog/scalar-suite/setop/drilldown/chunking/text/forecast-by-
-#     region micro-queries, unchanged since r3) are the r6 rotation;
-#     locally all queries are continuously verified against the same
-#     oracles by tests/test_parity.py.
+# round.  CORRECTNESS_r05 was 50/50 green, so every query's latest driver
+# row is: r5 for the round-5 front, r4/r3/r2 for earlier rotations.  The
+# round-6 front executes VERDICT r5 item 1 — "no registry query's driver
+# row older than its code" — in priority order:
+# (a) queries NEW this round: the real-WAV audio decode (replacing the
+#     audio ASCII stub), the foreachBatch serving-store certification, the
+#     repetition-quality filter, and the sequence-packing manifest;
+# (b) queries whose CODE changed after r5's sweep ran: the seasonal7 pair
+#     (short-region ≥7 guard, ADVICE r5), the stitched-window collapse
+#     call sites (mom_growth/qoq/nl_qoq/o2/events_rolling), and the two
+#     heaviest consumers of the NULL-guarded shingle builder
+#     (decontam, incremental dedup) plus jaccard/minhash-LSH from the
+#     same module;
+# (c) the complete r3-and-older tail named by VERDICT r5 item 1: p1-p6
+#     (r2), the textops family, multimodal catalog + video stub, the
+#     forecast drift pair + exact OLS, the simhash family, setops,
+#     drilldowns, q3/q5/q6, o1/f_scalar/json_extract/nl_transaction_value/
+#     distinct_products_per_region, and label_centroid_similarity.
+# Everything certified in r4/r5 and untouched since stays past position
+# 50; locally all queries remain continuously verified against the same
+# oracles by tests/test_parity.py at both driver SFs.
 _FRONT = (
     # -- (a) new this round --------------------------------------------------
-    "ann_topk_batch_lsh",
+    "audio_window_rms",
+    "stream_daily_store",
+    "quality_repetition_stats",
+    "pack_sequences_manifest",
+    # -- (b) code changed after the r5 sweep ---------------------------------
     "forecast_seasonal7_by_region",
     "forecast_seasonal7_by_region_pandas",
-    "dedup_incremental_summary",
-    "redact_pii",
-    "weighted_quality_sample",
-    # -- (b) code changed after the r4 sweep ---------------------------------
     "mom_growth_top_month",
     "qoq_delta",
     "nl_qoq_delta",
     "o2_nulls_last",
     "events_rolling_7d",
-    "near_dup_clusters",
-    "image_features_stub",
-    "cosine_topk",
-    "lsh_buckets",
-    "embedding_near_dup_pairs",
-    "ann_topk_lsh",
-    "ivf_assignments",
-    "ann_topk_ivf",
-    "ann_topk_batch",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q19_bracketed_revenue",
-    "q21_late_suppliers",
-    "q11_part_value_concentration",
-    "q8_market_share",
-    # -- (c) the r2-certified residue (oldest rows; p1-p6 — single-predicate
-    #    micro-projections, unchanged since r2 and strict-parity-verified
-    #    locally at both SFs this round — yield their slots to the six
-    #    never-certified Q11-Q21 shapes above and rotate in r6) -------------
-    "q10_returned_revenue",
-    "q12_shipmode_priority",
-    "q14_promo_share",
-    "percentiles_by_status",
-    "p7_null_counts",
-    "p8_semi_join",
-    "p8_anti_join",
-    "a4_minmax_dates",
-    "a9_distinct_regions",
-    "a10_having",
-    "a12_kpi_scalars",
-    "o3_top1_subquery",
-    "w1_topk_per_group",
-    "w3_rolling_ma7",
-    "w_rank_dense_ntile",
-    "j2_bounds_broadcast",
-    "salted_distinct_customers",
-    # -- (d) r3-certified dedup family ---------------------------------------
-    "exact_dedup_stats",
-    "exact_dedup_keep_first",
+    "decontam_ngram_overlap",
+    "dedup_incremental_summary",
     "jaccard_pairs",
-    "minhash_signatures",
     "minhash_lsh_pairs",
-    "near_dup_summary",
+    # -- (c) the stale r2/r3 tail (VERDICT r5 item 1) ------------------------
+    "p1_project_cast",
+    "p2_eq_filter",
+    "p3_ci_eq_filter",
+    "p4_age_range",
+    "p5_date_range",
+    "p6_inlist_filter",
+    "text_langid",
+    "text_token_stats",
+    "text_quality_scores",
+    "doc_fingerprints",
+    "chunk_documents",
+    "chunk_docs_ingest_800_120",
+    "chunk_docs_etl_1500_200",
+    "rag_search_chunks",
+    "multimodal_catalog",
+    "video_frame_sample_stub",
+    "forecast_drift_by_region",
+    "forecast_drift_by_region_pandas",
+    "forecast_linreg_ols",
+    "simhash_signatures",
+    "simhash_near_pairs",
+    "simhash_pair_sample",
+    "setop_union_counts",
+    "setop_intersect_except",
+    "drilldown_cube",
+    "drilldown_rollup",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_delta",
+    "o1_topk_multisort",
+    "f_scalar_suite",
+    "json_extract_events",
+    "nl_transaction_value",
+    "distinct_products_per_region",
+    "label_centroid_similarity",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive
