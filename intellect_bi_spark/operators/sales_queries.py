@@ -33,6 +33,7 @@ from ..functions.numeric import (
     davg_sql,
     dsum,
     dsum_sql,
+    grouped_exact,
     slope_exact,
     slope_sql,
     corr_exact,
@@ -54,11 +55,23 @@ def _quarter(col: str = "date") -> Column:
 
 
 def kpi_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whole-table KPI scalars (A12): total sales, avg satisfaction, rows."""
-    return sales(spark, sf_dir).agg(
-        dsum("sales").alias("total_sales"),
-        davg("satisfaction").alias("avg_satisfaction"),
-        F.count(F.lit(1)).alias("n_rows"),
+    """Whole-table KPI scalars (A12): total sales, avg satisfaction, rows.
+    First-moment sums ride the long-partial fast path
+    (numeric.grouped_exact) — bit-identical to the decimal sums."""
+    g = grouped_exact(
+        sales(spark, sf_dir),
+        [],
+        [
+            ("sum", "sales", 2, "total_sales"),
+            ("sum", "satisfaction", 2, "_sum_sat"),
+            ("count", "satisfaction", None, "_n_sat"),
+            ("countstar", None, None, "n_rows"),
+        ],
+    )
+    return g.select(
+        "total_sales",
+        (F.col("_sum_sat") / F.col("_n_sat")).alias("avg_satisfaction"),
+        "n_rows",
     )
 
 
@@ -105,14 +118,22 @@ def top_products_under_30(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def region_trends_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    g = grouped_exact(
         sales(spark, sf_dir)
         .filter(F.col("region").isin("North", "South"))
-        .groupBy(_month().alias("month"), F.col("region"))
-        .agg(
-            dsum("sales").alias("total_sales"),
-            davg("satisfaction").alias("avg_satisfaction"),
-        )
+        .select(_month().alias("month"), "region", "sales", "satisfaction"),
+        ["month", "region"],
+        [
+            ("sum", "sales", 2, "total_sales"),
+            ("sum", "satisfaction", 2, "_sum_sat"),
+            ("count", "satisfaction", None, "_n_sat"),
+        ],
+    )
+    return g.select(
+        "month",
+        "region",
+        "total_sales",
+        (F.col("_sum_sat") / F.col("_n_sat")).alias("avg_satisfaction"),
     )
 
 
@@ -202,10 +223,10 @@ def corr_sales_satisfaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sales_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        sales(spark, sf_dir)
-        .groupBy("date")
-        .agg(dsum("sales").alias("daily_sales"))
+    return grouped_exact(
+        sales(spark, sf_dir).select("date", "sales"),
+        ["date"],
+        [("sum", "sales", 2, "daily_sales")],
     )
 
 

@@ -1,0 +1,60 @@
+"""grouped_exact (two-stage long-partial/decimal-merge aggregation) must be
+bit-identical to the one-stage DECIMAL(38) path — including negative sums,
+NULL values, and multi-group frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from intellect_bi_spark.functions.numeric import dsum, grouped_exact
+
+
+def test_grouped_exact_matches_decimal_path(spark):
+    rows = []
+    for i in range(2000):
+        g = "ab"[i % 2]
+        v = (-1) ** i * (i * 7919 % 100000) / 100.0  # 2-decimal, signed
+        w = None if i % 11 == 0 else (i * 31 % 9000) / 100.0
+        rows.append((g, v, w))
+    df = spark.createDataFrame(rows, "g string, v double, w double").repartition(8)
+
+    slow = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            dsum("v").alias("sv"),
+            dsum("w").alias("sw"),
+            dsum("v * (1 - 0.04)", 4).alias("svd"),
+            F.expr("COUNT(w)").alias("nw"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    fast = {
+        r["g"]: r
+        for r in grouped_exact(
+            df,
+            ["g"],
+            [
+                ("sum", "v", 2, "sv"),
+                ("sum", "w", 2, "sw"),
+                ("sum", "v * (1 - 0.04)", 4, "svd"),
+                ("count", "w", None, "nw"),
+                ("countstar", None, None, "n"),
+            ],
+        ).collect()
+    }
+    assert set(slow) == set(fast) == {"a", "b"}
+    for g in slow:
+        for c in ("sv", "sw", "svd", "nw", "n"):
+            assert slow[g][c] == fast[g][c], (g, c, slow[g][c], fast[g][c])
+
+
+def test_grouped_exact_global_and_all_null(spark):
+    df = spark.createDataFrame(
+        [(None,), (None,), (None,)], "v double"
+    )
+    row = grouped_exact(
+        df, [], [("sum", "v", 2, "s"), ("count", "v", None, "c")]
+    ).collect()[0]
+    assert row["s"] is None and row["c"] == 0
