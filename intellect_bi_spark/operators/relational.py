@@ -9,7 +9,7 @@ pruning, and join selection for free; dimension joins are broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables, spread_scan
@@ -766,8 +766,227 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- derived partsupp + the three TPC-H shapes that need it ------------------
+#
+# The driver fixtures carry no partsupp table (VERDICT r5 item 7), so the
+# relation is DERIVED deterministically — the same move the sales view
+# makes (catalog.SALES_SELECT_SQL): keys are the DISTINCT
+# (l_partkey, l_suppkey) pairs observed in lineitem (referential
+# integrity with the fact table by construction), and availqty /
+# supplycost are pure integer arithmetic on the keys, identical in both
+# engines. Documented substitution, not a claim of literal TPC-H data —
+# the JOIN/AGGREGATE shapes are the point.
+
+
+def _partsupp(t: dict[str, DataFrame]) -> DataFrame:
+    pairs = (
+        t["lineitem"]
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 1000 + 1)
+        .cast("int")
+        .alias("ps_availqty"),
+        (
+            ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 3) % 90000
+             + 10000).cast("double") / 100.0
+        ).alias("ps_supplycost"),
+    )
+
+
+_PS_CTE = (
+    "ps AS (SELECT ps_partkey, ps_suppkey,"
+    " CAST((ps_partkey * 31 + ps_suppkey * 17) % 1000 + 1 AS INT)"
+    " AS ps_availqty,"
+    " CAST((ps_partkey * 7 + ps_suppkey * 3) % 90000 + 10000 AS DOUBLE)"
+    " / 100.0 AS ps_supplycost"
+    " FROM (SELECT DISTINCT l_partkey AS ps_partkey,"
+    " l_suppkey AS ps_suppkey FROM lineitem))"
+)
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped: for each SMALL-type part, the EUROPE supplier
+    offering the minimum supply cost; top-20 by account balance.
+
+    The correlated MIN subquery decorrelates to a per-part window MIN over
+    the region-filtered partsupp (ONE shuffle on ps_partkey — the groupBy
+    + join-back form would shuffle twice), then an equality filter keeps
+    the min-cost rows. Supplier⋈nation⋈region reduces to a broadcast
+    before touching partsupp; the SMALL-part filter broadcasts too. Final
+    top-k is TakeOrderedAndProject with a full deterministic tie-break."""
+    t = load_tables(spark, sf_dir)
+    eur_supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                t["region"].filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eur_ps = _partsupp(t).join(
+        F.broadcast(eur_supp),
+        F.col("ps_suppkey") == F.col("s_suppkey"),
+    )
+    w_part = Window.partitionBy("ps_partkey")
+    best = (
+        eur_ps.withColumn(
+            "min_cost", F.min("ps_supplycost").over(w_part)
+        )
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+    )
+    parts = t["part"].filter(F.col("p_type") == "SMALL").select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        best.join(
+            F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey")
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            "ps_supplycost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped: profit (revenue − supply cost) per nation per
+    order year for parts whose name matches a pattern.
+
+    The name filter broadcasts and semi-reduces BOTH fact-sized sides
+    (lineitem and partsupp) before the pair join; supplier⋈nation
+    broadcasts; the two real shuffles are the (partkey, suppkey) pair
+    join and lineitem⋈orders. The signed profit aggregate runs on the
+    long-partial fast path (grouped_exact, scale 4)."""
+    t = load_tables(spark, sf_dir)
+    parts = t["part"].filter(F.col("p_name").like("%ring%")).select(
+        "p_partkey"
+    )
+    ps = _partsupp(t).join(
+        F.broadcast(parts),
+        F.col("ps_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    sup = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = (
+        t["lineitem"]
+        .join(
+            F.broadcast(parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "nation",
+            F.year("o_orderdate").alias("o_year"),
+            "l_extendedprice",
+            "l_discount",
+            "l_quantity",
+            "ps_supplycost",
+        )
+    )
+    return grouped_exact(
+        li,
+        ["nation", "o_year"],
+        [
+            ("sum",
+             "l_extendedprice * (1 - l_discount)"
+             " - ps_supplycost * l_quantity", 4, "sum_profit"),
+            ("countstar", None, None, "n_lineitems"),
+        ],
+    ).orderBy("nation", F.desc("o_year"))
+
+
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped: suppliers in one nation holding more than half a
+    year's shipped quantity of any blue part — the nested IN + correlated
+    half-quantity threshold, decorrelated to one aggregation over the
+    date-sliced fact plus an equi-join on the (part, supplier) pair.
+
+    The correlated ``0.5 * SUM(l_quantity)`` subquery becomes a per-pair
+    aggregate (shuffle keyed exactly like the following join); the part
+    name filter broadcasts against partsupp; the final supplier
+    restriction is a left-semi join on the small distinct-supplier set.
+    Inner join to the aggregate preserves the reference NULL semantics
+    (no shipments ⇒ comparison unknown ⇒ excluded)."""
+    t = load_tables(spark, sf_dir)
+    parts = t["part"].filter(F.col("p_name").like("blue%")).select(
+        "p_partkey"
+    )
+    per_pair = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.expr(dsum_sql("l_quantity")).alias("qty"))
+    )
+    cands = (
+        _partsupp(t)
+        .join(
+            F.broadcast(parts),
+            F.col("ps_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            per_pair,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    nat = t["nation"].filter(F.col("n_name") == "NATION_7")
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            cands, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_profit": q9_product_profit,
+    "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
     "revenue_by_region": revenue_by_region,
     "orders_by_status": orders_by_status,
     "events_rolling_7d": events_rolling_7d,
@@ -791,6 +1010,58 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Q2: literal correlated-MIN form — the Spark plan decorrelates it to
+    # a per-part window minimum; the oracle states the textbook shape
+    "q2_min_cost_supplier": (
+        f"WITH {_PS_CTE},"
+        " eur AS (SELECT s_suppkey, s_name, s_acctbal, n_name"
+        " FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey"
+        " WHERE r_name = 'EUROPE'),"
+        " eps AS (SELECT ps.*, eur.s_name, eur.s_acctbal, eur.n_name"
+        " FROM ps JOIN eur ON ps_suppkey = s_suppkey)"
+        " SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,"
+        " ps_supplycost"
+        " FROM eps JOIN part ON ps_partkey = p_partkey"
+        " WHERE p_type = 'SMALL'"
+        " AND ps_supplycost = (SELECT MIN(e2.ps_supplycost) FROM eps e2"
+        " WHERE e2.ps_partkey = eps.ps_partkey)"
+        " ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20"
+    ),
+    "q9_product_profit": (
+        f"WITH {_PS_CTE}"
+        " SELECT nation, o_year,"
+        f" {dsum_sql('amount', 4)} AS sum_profit,"
+        " COUNT(*) AS n_lineitems"
+        " FROM (SELECT n_name AS nation,"
+        " CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,"
+        " l_extendedprice * (1 - l_discount)"
+        " - ps_supplycost * l_quantity AS amount"
+        " FROM lineitem"
+        " JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey"
+        " JOIN part ON p_partkey = l_partkey"
+        " JOIN orders ON o_orderkey = l_orderkey"
+        " JOIN supplier ON s_suppkey = l_suppkey"
+        " JOIN nation ON n_nationkey = s_nationkey"
+        " WHERE p_name LIKE '%ring%') profit"
+        " GROUP BY nation, o_year ORDER BY nation, o_year DESC"
+    ),
+    # Q20: literal nested-IN + correlated half-quantity threshold; the
+    # Spark plan decorrelates to one per-pair aggregate + equi-join
+    "q20_excess_stock_suppliers": (
+        f"WITH {_PS_CTE}"
+        " SELECT s_name, s_acctbal"
+        " FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+        " WHERE n_name = 'NATION_7' AND s_suppkey IN ("
+        " SELECT ps_suppkey FROM ps"
+        " WHERE ps_partkey IN (SELECT p_partkey FROM part"
+        " WHERE p_name LIKE 'blue%')"
+        " AND ps_availqty > (SELECT 0.5 * SUM(l_quantity) FROM lineitem"
+        " WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey"
+        " AND l_shipdate >= TIMESTAMP '1996-01-01'"
+        " AND l_shipdate < TIMESTAMP '1997-01-01'))"
+        " ORDER BY s_name"
+    ),
     "q1_pricing_summary": (
         f"SELECT l_returnflag, l_linestatus,"
         f" {dsum_sql('l_quantity')} AS sum_qty,"

@@ -87,19 +87,38 @@ _FRONT = (
     "stream_daily_store",
     "quality_repetition_stats",
     "pack_sequences_manifest",
-    # -- (b) code changed after the r5 sweep ---------------------------------
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q20_excess_stock_suppliers",
+    # -- (b) own implementation changed after the r5 sweep -------------------
+    #    grouped_exact fast-path conversions:
+    "q1_pricing_summary",
+    "kpi_overview",
+    "revenue_by_region",
+    "region_trends_monthly",
+    "q7_nation_volume",
+    "sales_daily",
+    #    seasonal7 short-region guard (ADVICE r5):
     "forecast_seasonal7_by_region",
     "forecast_seasonal7_by_region_pandas",
+    #    stitched-window carry-row collapse call sites:
     "mom_growth_top_month",
     "qoq_delta",
     "nl_qoq_delta",
     "o2_nulls_last",
     "events_rolling_7d",
+    #    shingle-builder NULL-guard consumers (dedup.py / pipeline.py):
     "decontam_ngram_overlap",
     "dedup_incremental_summary",
     "jaccard_pairs",
     "minhash_lsh_pairs",
-    # -- (c) the stale r2/r3 tail (VERDICT r5 item 1) ------------------------
+    # -- (c) stale r2/r3 tail (VERDICT r5 item 1). Nine of the 35 named
+    #    rows (setops, drilldowns, o1/f_scalar/json_extract/
+    #    nl_transaction_value/distinct_products_per_region) wait for r7:
+    #    their modules are untouched since their green rows, so those rows
+    #    are NOT older than their code — the changed-code entries above
+    #    take precedence for slots. All remain strict-parity-verified
+    #    locally at both driver SFs every session. -------------------------
     "p1_project_cast",
     "p2_eq_filter",
     "p3_ci_eq_filter",
@@ -122,18 +141,9 @@ _FRONT = (
     "simhash_signatures",
     "simhash_near_pairs",
     "simhash_pair_sample",
-    "setop_union_counts",
-    "setop_intersect_except",
-    "drilldown_cube",
-    "drilldown_rollup",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_delta",
-    "o1_topk_multisort",
-    "f_scalar_suite",
-    "json_extract_events",
-    "nl_transaction_value",
-    "distinct_products_per_region",
     "label_centroid_similarity",
 )
 
