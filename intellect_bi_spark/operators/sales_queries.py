@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import datetime
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import sales, sales_cte
@@ -315,7 +315,71 @@ def region_quarter_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-region sales Gini (A+ concentration metric; §2.12 UDAF seam) --------
+
+
+def region_sales_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region Gini coefficient of transaction sales — the inequality/
+    concentration metric a spend-distribution dashboard wants, and the
+    shape Spark has no built-in aggregate for.
+
+    Scale path (this registry query): the rank-sum identity
+    ``G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx)`` over integer cents —
+    a per-region ``row_number`` window (partitioned, parallel across
+    regions) + one grouped aggregation. Both Σ run as DECIMAL(38,0) sums
+    of exact integers, so the result is engine-identical at any
+    partitioning and any data size (ties in x contribute the same rank·x
+    total under any tie order, so row_number nondeterminism cancels).
+    The pandas-UDAF twin (:func:`_gini_udaf`) is the §2.12 grouped-agg
+    extension seam, proven equal in tests/test_numeric.py."""
+    cents = F.expr("CAST(ROUND(sales * 100) AS BIGINT)")
+    w = Window.partitionBy("region").orderBy("c")
+    ranked = (
+        sales(spark, sf_dir)
+        .select("region", cents.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    g = ranked.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0))")).alias("s"),
+        F.sum(F.expr("CAST(rn AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))")).alias("sr"),
+    )
+    return g.select(
+        "region",
+        "n",
+        (
+            (2 * F.col("sr") - (F.col("n") + 1) * F.col("s")).cast("double")
+            / (F.col("n") * F.col("s")).cast("double")
+        ).alias("gini"),
+    ).orderBy("region")
+
+
+def _gini_udaf():
+    """§2.12 grouped-agg pandas UDAF seam: the same Gini as
+    :func:`region_sales_gini`, one Arrow batch per group. Demonstrates
+    the ``groupBy(...).agg(pandas_udf)`` extension point for aggregates
+    Spark lacks; the integer accumulation mirrors the distributed form
+    exactly while n²·max_cents < 2⁶³ (~10⁶ rows/group at 10⁵-unit sales
+    — a per-group bound, so use the window form for bigger groups)."""
+    import numpy as np
+
+    # explicit functionType: the module's deferred annotations (PEP 563)
+    # can't resolve a locally-imported pd.Series hint
+    @F.pandas_udf("double", F.PandasUDFType.GROUPED_AGG)
+    def gini_cents(v):
+        c = np.sort(np.round(v.to_numpy() * 100).astype(np.int64))
+        n = c.size
+        s = int(c.sum())
+        if n == 0 or s == 0:
+            return 0.0
+        sr = int((np.arange(1, n + 1, dtype=np.int64) * c).sum())
+        return float(2 * sr - (n + 1) * s) / float(n * s)
+
+    return gini_cents
+
+
 QUERIES = {
+    "region_sales_gini": region_sales_gini,
     "kpi_overview": kpi_overview,
     "top_region": top_region,
     "top_product": top_product,
@@ -334,6 +398,19 @@ QUERIES = {
 
 
 ORACLES = {
+    "region_sales_gini": sales_cte(
+        ", cents AS (SELECT region,"
+        " CAST(ROUND(sales * 100) AS BIGINT) AS c FROM sales),"
+        " ranked AS (SELECT region, c, ROW_NUMBER() OVER"
+        " (PARTITION BY region ORDER BY c) AS rn FROM cents),"
+        " g AS (SELECT region, COUNT(*) AS n,"
+        " SUM(CAST(c AS DECIMAL(38,0))) AS s,"
+        " SUM(CAST(rn AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS sr"
+        " FROM ranked GROUP BY region)"
+        " SELECT region, n,"
+        " CAST(2 * sr - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE)"
+        " AS gini FROM g ORDER BY region"
+    ),
     "kpi_overview": sales_cte(
         f"SELECT {dsum_sql('sales')} AS total_sales,"
         f" {davg_sql('satisfaction')} AS avg_satisfaction,"

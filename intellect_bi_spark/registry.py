@@ -90,6 +90,7 @@ _FRONT = (
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q20_excess_stock_suppliers",
+    "region_sales_gini",
     # -- (b) own implementation changed after the r5 sweep -------------------
     #    grouped_exact fast-path conversions:
     "q1_pricing_summary",
@@ -102,9 +103,10 @@ _FRONT = (
     "forecast_seasonal7_by_region",
     "forecast_seasonal7_by_region_pandas",
     #    stitched-window carry-row collapse call sites:
+    #    (qoq_delta stands in for nl_qoq_delta's identical lag path —
+    #    its slot went to the new region_sales_gini)
     "mom_growth_top_month",
     "qoq_delta",
-    "nl_qoq_delta",
     "o2_nulls_last",
     "events_rolling_7d",
     #    shingle-builder NULL-guard consumers (dedup.py / pipeline.py):

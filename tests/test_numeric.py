@@ -58,3 +58,34 @@ def test_grouped_exact_global_and_all_null(spark):
         df, [], [("sum", "v", 2, "s"), ("count", "v", None, "c")]
     ).collect()[0]
     assert row["s"] is None and row["c"] == 0
+
+
+def test_gini_udaf_matches_window_form(spark, sf_dir):
+    """§2.12 grouped-agg pandas UDAF seam: the Arrow-batched Gini must
+    equal the distributed rank-window form bit-for-bit (both accumulate
+    exact integer cents; the final division is the same IEEE op)."""
+    from pyspark.sql import functions as F
+
+    from intellect_bi_spark.catalog import sales
+    from intellect_bi_spark.operators.sales_queries import (
+        _gini_udaf,
+        region_sales_gini,
+    )
+
+    dist = {
+        r["region"]: (r["n"], r["gini"])
+        for r in region_sales_gini(spark, sf_dir).collect()
+    }
+    udaf = _gini_udaf()
+    # a grouped-agg pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the twin aggregates alone
+    pand = {
+        r["region"]: r["gini"]
+        for r in sales(spark, sf_dir)
+        .groupBy("region")
+        .agg(udaf("sales").alias("gini"))
+        .collect()
+    }
+    assert {k: v[1] for k, v in dist.items()} == pand
+    for region, (n, g) in dist.items():
+        assert 0.0 <= g < 1.0 and n > 0
