@@ -4,21 +4,23 @@ The charter's training-data pipeline treats image/audio/video as opaque
 ``binary`` columns with typed metadata, decoded / feature-extracted /
 frame-sampled via Arrow-batched Pandas UDFs.
 
-AUDIO is fully real as of round 6: payloads are genuine RIFF/WAVE files
-(16-bit LE mono PCM) and the extractor parses them with the stdlib
-``wave`` reader — see the WAV section below. IMAGE and VIDEO decode
-remain deterministic fakes (no image/video codec libraries exist in this
-container): bytes are the payload, and real codecs slot into the same
-``mapInPandas`` body behind the injected-decoder seam
-(tests/test_multimodal_seam.py). Everything Spark-side — binary schema,
-metadata struct, UDF signature, Arrow batch shape, partitioning — is real
-and oracle-checked for all three modalities.
+AUDIO and IMAGE are fully real as of round 6: audio payloads are genuine
+RIFF/WAVE files (16-bit LE mono PCM) parsed with the stdlib ``wave``
+reader, and ``image_features_ppm`` decodes genuine binary PPM (P6)
+images with a hand-written header/raster parser — see the WAV and PPM
+sections below. VIDEO decode (and the generic byte-feature
+``image_features_stub``, kept as the injected-decoder seam surface)
+remains a deterministic fake: no video codec libraries exist in this
+container; real codecs slot into the same ``mapInPandas`` body behind
+the seam (tests/test_multimodal_seam.py). Everything Spark-side —
+binary schema, metadata struct, UDF signature, Arrow batch shape,
+partitioning — is real and oracle-checked for all three modalities.
 
-Image/video payloads are synthesized from ``documents.text`` (UTF-8
-encode → binary). The fixture corpus is pure ASCII, so byte arithmetic
-equals character arithmetic and every byte-level feature has an exact
-DuckDB oracle over ``ascii(substr(...))`` — the decode stub stays
-verifiable, not just runnable.
+Stub payloads are synthesized from ``documents.text`` (UTF-8 encode →
+binary). The fixture corpus is pure ASCII, so byte arithmetic equals
+character arithmetic and every byte-level feature has an exact DuckDB
+oracle over ``ascii(substr(...))`` — the decode stub stays verifiable,
+not just runnable.
 
 Scale notes: feature extraction is embarrassingly parallel (mapInPandas,
 no shuffle); frame sampling explodes ~n_bytes/FRAME_BYTES rows but only
@@ -416,9 +418,145 @@ def audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- REAL image modality: binary PPM (P6) encode + hand-parsed decode --------
+#
+# Same construction as the WAV path: each doc carries a genuine binary
+# PPM image — the "P6\n<w> <h>\n255\n" ASCII header followed by w·h·3
+# big-endian-order RGB bytes — synthesized from a closed-form pixel
+# generator, and the extractor PARSES the format by hand (magic check,
+# whitespace-delimited header fields, payload-length validation). The
+# oracle recomputes every decoded byte from the generator without seeing
+# the binary, so a header mis-parse or pixel-offset bug fails parity.
+# Only VIDEO decode remains a labeled stub (no codec libs).
+
+_PPM_PIX_A = 7919
+_PPM_PIX_B = 97
+
+
+def _ppm_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + (doc_id % 5) * 4, 6 + (doc_id % 7) * 2  # (width, height)
+
+
+def _ppm_pixels(doc_id: int) -> "np.ndarray":
+    """v[idx] = (doc_id·7919 + idx·97) mod 256 over the w·h·3 flat RGB
+    buffer — the closed form the oracle mirrors."""
+    w, h = _ppm_dims(doc_id)
+    idx = np.arange(w * h * 3, dtype=np.int64)
+    return ((doc_id * _PPM_PIX_A + idx * _PPM_PIX_B) % 256).astype(np.uint8)
+
+
+def _encode_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        ids, payloads = [], []
+        for doc_id in batch["doc_id"]:
+            doc_id = int(doc_id)
+            w, h = _ppm_dims(doc_id)
+            header = f"P6\n{w} {h}\n255\n".encode("ascii")
+            ids.append(doc_id)
+            payloads.append(header + _ppm_pixels(doc_id).tobytes())
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+def _ppm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    return docs.mapInPandas(_encode_ppm, schema="doc_id long, payload binary")
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Hand-parsed binary PPM (P6) decode, stdlib only: validates the
+    magic, reads the whitespace-delimited width/height/maxval header, and
+    returns (width, height, flat uint8 RGB array) from the raster — a
+    real format parse behind the same bytes→array seam as the other
+    decoders."""
+    b = bytes(payload)
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval, then the raster
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("expected 8-bit PPM")
+    raster = b[pos : pos + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError("raster length mismatch")
+    return w, h, np.frombuffer(raster, dtype=np.uint8)
+
+
+_PPM_FEAT_SCHEMA = (
+    "doc_id long, width int, height int, n_pixels int,"
+    " sum_r long, sum_g long, sum_b long, idx_weighted long"
+)
+
+
+def _ppm_features_with(decode):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                w, h, px = decode(payload)
+                rgb = px.reshape(-1, 3).astype(np.int64)
+                idx = np.arange(px.size, dtype=np.int64)
+                # Σ ((idx mod P)·v) mod P — binds every byte to its
+                # position; partial products < P·256 < 2^63
+                iw = int(((idx % P) * px.astype(np.int64) % P).sum())
+                out.append(
+                    (
+                        int(doc_id), w, h, w * h,
+                        int(rgb[:, 0].sum()), int(rgb[:, 1].sum()),
+                        int(rgb[:, 2].sum()), iw,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "sum_r", "sum_g", "sum_b", "idx_weighted",
+                ],
+            )
+
+    return gen
+
+
+def _ppm_feature_rows(
+    spark: SparkSession, sf_dir: str, decode=decode_ppm
+) -> DataFrame:
+    return _ppm_media(spark, sf_dir).mapInPandas(
+        _ppm_features_with(decode), schema=_PPM_FEAT_SCHEMA
+    )
+
+
+def image_features_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact checksum over every decoded PPM: header dims, exact
+    per-channel sums, and an id+position-weighted modular binding."""
+    f = _ppm_feature_rows(spark, sf_dir)
+    return f.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("width").alias("sum_width"),
+        F.sum("height").alias("sum_height"),
+        F.sum("n_pixels").alias("sum_pixels"),
+        F.sum("sum_r").alias("total_r"),
+        F.sum("sum_g").alias("total_g"),
+        F.sum("sum_b").alias("total_b"),
+        F.sum(
+            F.expr(f"((doc_id % {P}) * (idx_weighted % {P})) % {P}")
+        ).alias("id_weighted_binding"),
+    )
+
+
 QUERIES = {
     "multimodal_catalog": multimodal_catalog,
     "image_features_stub": image_features_stub,
+    "image_features_ppm": image_features_ppm,
     "video_frame_sample_stub": video_frame_sample_stub,
     "audio_window_rms": audio_window_rms,
 }
@@ -478,6 +616,31 @@ FULLROW_ORACLES = {
         + " AS frame_hash FROM frames"
         f" WHERE frame_idx % {SAMPLE_EVERY} = 0"
     ),
+    # Like the WAV oracle below, the PPM oracle recomputes every decoded
+    # byte from the closed-form generator v[idx] = (doc_id·7919 + idx·97)
+    # mod 256 and the header dims from their doc_id formulas — it never
+    # sees the binary.
+    "ppm_feature_rows": (
+        "WITH dims AS (SELECT doc_id,"
+        " 8 + CAST(doc_id % 5 AS INT) * 4 AS w,"
+        " 6 + CAST(doc_id % 7 AS INT) * 2 AS h FROM documents),"
+        " px AS (SELECT doc_id, w, h,"
+        " unnest(range(0, w * h * 3)) AS idx FROM dims),"
+        f" v AS (SELECT doc_id, w, h, idx,"
+        f" (doc_id * {_PPM_PIX_A} + idx * {_PPM_PIX_B}) % 256 AS val"
+        " FROM px)"
+        " SELECT doc_id, CAST(ANY_VALUE(w) AS INT) AS width,"
+        " CAST(ANY_VALUE(h) AS INT) AS height,"
+        " CAST(ANY_VALUE(w) * ANY_VALUE(h) AS INT) AS n_pixels,"
+        " CAST(SUM(CASE WHEN idx % 3 = 0 THEN val ELSE 0 END) AS BIGINT)"
+        " AS sum_r,"
+        " CAST(SUM(CASE WHEN idx % 3 = 1 THEN val ELSE 0 END) AS BIGINT)"
+        " AS sum_g,"
+        " CAST(SUM(CASE WHEN idx % 3 = 2 THEN val ELSE 0 END) AS BIGINT)"
+        " AS sum_b,"
+        f" CAST(SUM(((idx % {P}) * val) % {P}) AS BIGINT) AS idx_weighted"
+        " FROM v GROUP BY doc_id"
+    ),
     # The WAV oracle never sees the binary: it recomputes every decoded
     # sample from the closed-form generator s[i] = ((doc_id·7919 +
     # i·104729) mod 65536) − 32768 that the encoder wrote into the PCM
@@ -534,6 +697,19 @@ ORACLES = {
         " CAST(SUM(frame_idx) AS BIGINT) AS sum_frame_idx,"
         f" CAST(SUM((((doc_id * 131 + frame_idx) % {P}) * frame_hash)"
         f" % {P}) AS BIGINT) AS id_weighted_hash_sum"
+        " FROM f"
+    ),
+    "image_features_ppm": (
+        f"WITH f AS ({FULLROW_ORACLES['ppm_feature_rows']})"
+        " SELECT COUNT(*) AS n_images,"
+        " CAST(SUM(width) AS BIGINT) AS sum_width,"
+        " CAST(SUM(height) AS BIGINT) AS sum_height,"
+        " CAST(SUM(n_pixels) AS BIGINT) AS sum_pixels,"
+        " CAST(SUM(sum_r) AS BIGINT) AS total_r,"
+        " CAST(SUM(sum_g) AS BIGINT) AS total_g,"
+        " CAST(SUM(sum_b) AS BIGINT) AS total_b,"
+        f" CAST(SUM(((doc_id % {P}) * (idx_weighted % {P})) % {P})"
+        " AS BIGINT) AS id_weighted_binding"
         " FROM f"
     ),
     "audio_window_rms": (

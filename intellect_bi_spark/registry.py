@@ -91,6 +91,7 @@ _FRONT = (
     "q9_product_profit",
     "q20_excess_stock_suppliers",
     "region_sales_gini",
+    "image_features_ppm",
     # -- (b) own implementation changed after the r5 sweep -------------------
     #    grouped_exact fast-path conversions:
     "q1_pricing_summary",
@@ -133,7 +134,8 @@ _FRONT = (
     "doc_fingerprints",
     "chunk_documents",
     "chunk_docs_ingest_800_120",
-    "chunk_docs_etl_1500_200",
+    # (chunk_docs_etl_1500_200 waits for r7 — same chunker code path as
+    # its certified 800/120 sibling, different parameters only)
     "rag_search_chunks",
     "multimodal_catalog",
     "video_frame_sample_stub",

@@ -39,6 +39,7 @@ def test_dedup_fullrow(spark, duck, sf_dir, producer, oracle_key):
         (multimodal._image_feature_rows, "image_feature_rows"),
         (multimodal._frame_sample_rows, "frame_sample_rows"),
         (multimodal._wav_feature_rows, "wav_feature_rows"),
+        (multimodal._ppm_feature_rows, "ppm_feature_rows"),
     ],
 )
 def test_multimodal_fullrow(spark, duck, sf_dir, producer, oracle_key):

@@ -133,3 +133,26 @@ def test_wav_features_catch_header_tamper(spark, sf_dir):
     payload[34] = 8
     with pytest.raises(ValueError, match="16-bit mono"):
         multimodal.decode_wav(bytes(payload))
+
+
+def test_ppm_roundtrip_real_binary():
+    """The PPM path is a real binary format: encode the P6 header +
+    raster, decode with the hand parser, round-trip the generator."""
+    doc_id = 13
+    w, h = multimodal._ppm_dims(doc_id)
+    header = f"P6\n{w} {h}\n255\n".encode()
+    payload = header + multimodal._ppm_pixels(doc_id).tobytes()
+    dw, dh, px = multimodal.decode_ppm(payload)
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(px, multimodal._ppm_pixels(doc_id))
+
+
+def test_ppm_decode_rejects_malformed():
+    import pytest
+
+    with pytest.raises(ValueError, match="not a P6"):
+        multimodal.decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4)
+    with pytest.raises(ValueError, match="raster length"):
+        multimodal.decode_ppm(b"P6\n4 4\n255\n" + b"\x00" * 5)
+    with pytest.raises(ValueError, match="8-bit"):
+        multimodal.decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
