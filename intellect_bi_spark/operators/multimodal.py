@@ -4,17 +4,20 @@ The charter's training-data pipeline treats image/audio/video as opaque
 ``binary`` columns with typed metadata, decoded / feature-extracted /
 frame-sampled via Arrow-batched Pandas UDFs.
 
-AUDIO and IMAGE are fully real as of round 6: audio payloads are genuine
-RIFF/WAVE files (16-bit LE mono PCM) parsed with the stdlib ``wave``
-reader, and ``image_features_ppm`` decodes genuine binary PPM (P6)
-images with a hand-written header/raster parser — see the WAV and PPM
-sections below. VIDEO decode (and the generic byte-feature
-``image_features_stub``, kept as the injected-decoder seam surface)
-remains a deterministic fake: no video codec libraries exist in this
-container; real codecs slot into the same ``mapInPandas`` body behind
-the seam (tests/test_multimodal_seam.py). Everything Spark-side —
-binary schema, metadata struct, UDF signature, Arrow batch shape,
-partitioning — is real and oracle-checked for all three modalities.
+ALL THREE modalities decode real binary formats as of round 6:
+``audio_window_rms`` parses genuine RIFF/WAVE files with the stdlib
+``wave`` reader, ``image_features_ppm`` decodes binary PPM (P6) with a
+hand-written header/raster parser, and ``video_frame_sample_y4m``
+walks genuine Y4M (YUV4MPEG2) streams — header tags + per-FRAME markers
++ raw C444 planes. Each payload is synthesized from a closed-form
+generator so the DuckDB oracles verify every decoded byte without ever
+seeing the binary. The original byte-feature stubs
+(``image_features_stub``, ``video_frame_sample_stub``) are retained as
+the injected-decoder seam surface (tests/test_multimodal_seam.py) — a
+compressed-codec library (PIL, ffmpeg) slots in behind the same
+``bytes → array`` signatures. Everything Spark-side — binary schema,
+metadata struct, UDF signature, Arrow batch shape, partitioning — is
+real and oracle-checked for all modalities.
 
 Stub payloads are synthesized from ``documents.text`` (UTF-8 encode →
 binary). The fixture corpus is pure ASCII, so byte arithmetic equals
@@ -553,11 +556,172 @@ def image_features_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- REAL video modality: Y4M (YUV4MPEG2) encode + hand-parsed decode --------
+#
+# Y4M is the mjpegtools raw-video interchange format every ffmpeg build
+# speaks: an ASCII stream header ("YUV4MPEG2 W.. H.. F.. C444\n"), then
+# one "FRAME\n" marker + w·h·3 raw plane bytes per frame. Same
+# construction as WAV/PPM: payloads are genuine Y4M streams from a
+# closed-form pixel generator; the extractor parses the container by
+# hand (magic, tagged header fields, per-frame markers) and samples
+# every SAMPLE_EVERY-th frame — decode-then-filter never materializes
+# unsampled frames' features, the property that matters when a frame is
+# a 2 MB keyframe at 100 TB.
+
+_Y4M_PIX_A = 7919
+_Y4M_PIX_F = 131071
+_Y4M_PIX_B = 97
+
+
+def _y4m_geom(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) — doc_id-derived, oracle-mirrored."""
+    return (
+        4 + (doc_id % 4) * 2,
+        4 + (doc_id % 3) * 2,
+        8 + (doc_id % 5) * 4,
+    )
+
+
+def _y4m_frame(doc_id: int, f: int, w: int, h: int) -> "np.ndarray":
+    idx = np.arange(w * h * 3, dtype=np.int64)
+    return (
+        (doc_id * _Y4M_PIX_A + f * _Y4M_PIX_F + idx * _Y4M_PIX_B) % 256
+    ).astype(np.uint8)
+
+
+def _encode_y4m(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        ids, payloads = [], []
+        for doc_id in batch["doc_id"]:
+            doc_id = int(doc_id)
+            w, h, n = _y4m_geom(doc_id)
+            parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+            for f in range(n):
+                parts.append(b"FRAME\n")
+                parts.append(_y4m_frame(doc_id, f, w, h).tobytes())
+            ids.append(doc_id)
+            payloads.append(b"".join(parts))
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+def _y4m_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    return docs.mapInPandas(_encode_y4m, schema="doc_id long, payload binary")
+
+
+def decode_y4m(payload: bytes):
+    """Hand-parsed Y4M decode, stdlib only: validates the YUV4MPEG2
+    magic, reads the tagged W/H/C header fields (requires C444 = three
+    full planes), then yields (frame_idx, flat uint8 array) per FRAME
+    chunk. A real container parse — wrong marker handling or a plane-size
+    slip breaks every downstream checksum."""
+    b = bytes(payload)
+    nl = b.index(b"\n")
+    header = b[:nl].split(b" ")
+    if header[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    c = b"C420"  # Y4M default colourspace when the tag is absent
+    for tag in header[1:]:
+        if tag.startswith(b"W"):
+            w = int(tag[1:])
+        elif tag.startswith(b"H"):
+            h = int(tag[1:])
+        elif tag.startswith(b"C"):
+            c = tag
+    if w is None or h is None:
+        raise ValueError("missing W/H header tags")
+    if not c.startswith(b"C444"):
+        raise ValueError("expected C444 planes")
+    frame_bytes = w * h * 3
+    pos = nl + 1
+    frames = []
+    f = 0
+    while pos < len(b):
+        mark = b.index(b"\n", pos)
+        if b[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        pos = mark + 1
+        raster = b[pos : pos + frame_bytes]
+        if len(raster) != frame_bytes:
+            raise ValueError("truncated frame")
+        frames.append((f, np.frombuffer(raster, dtype=np.uint8)))
+        pos += frame_bytes
+        f += 1
+    return w, h, frames
+
+
+_Y4M_FEAT_SCHEMA = (
+    "doc_id long, width int, height int, frame_idx int,"
+    " frame_sum long, idx_weighted long"
+)
+
+
+def _y4m_features_with(decode):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                w, h, frames = decode(payload)
+                for f, px in frames:
+                    if f % SAMPLE_EVERY != 0:
+                        continue  # decode-then-filter: only sampled
+                        # frames' features are ever computed
+                    v = px.astype(np.int64)
+                    idx = np.arange(v.size, dtype=np.int64)
+                    out.append(
+                        (
+                            int(doc_id), w, h, f,
+                            int(v.sum()),
+                            int(((idx % P) * v % P).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "frame_idx",
+                    "frame_sum", "idx_weighted",
+                ],
+            )
+
+    return gen
+
+
+def _y4m_feature_rows(
+    spark: SparkSession, sf_dir: str, decode=decode_y4m
+) -> DataFrame:
+    return _y4m_media(spark, sf_dir).mapInPandas(
+        _y4m_features_with(decode), schema=_Y4M_FEAT_SCHEMA
+    )
+
+
+def video_frame_sample_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact checksum over every sampled decoded frame: header
+    dims, exact frame sums, and an id+frame+position-weighted modular
+    binding over every sampled byte."""
+    f = _y4m_feature_rows(spark, sf_dir)
+    return f.agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("width").alias("sum_width"),
+        F.sum("height").alias("sum_height"),
+        F.sum("frame_idx").alias("sum_frame_idx"),
+        F.sum("frame_sum").alias("total_frame_sum"),
+        F.sum(
+            F.expr(
+                f"(((doc_id * 131 + frame_idx) % {P})"
+                f" * (idx_weighted % {P})) % {P}"
+            )
+        ).alias("id_weighted_binding"),
+    )
+
+
 QUERIES = {
     "multimodal_catalog": multimodal_catalog,
     "image_features_stub": image_features_stub,
     "image_features_ppm": image_features_ppm,
     "video_frame_sample_stub": video_frame_sample_stub,
+    "video_frame_sample_y4m": video_frame_sample_y4m,
     "audio_window_rms": audio_window_rms,
 }
 
@@ -641,6 +805,28 @@ FULLROW_ORACLES = {
         f" CAST(SUM(((idx % {P}) * val) % {P}) AS BIGINT) AS idx_weighted"
         " FROM v GROUP BY doc_id"
     ),
+    # Y4M oracle: sampled frames and every decoded byte recomputed from
+    # v = (doc_id·7919 + f·131071 + idx·97) mod 256 and the doc_id
+    # geometry formulas — never sees the container bytes.
+    "y4m_feature_rows": (
+        "WITH geom AS (SELECT doc_id,"
+        " 4 + CAST(doc_id % 4 AS INT) * 2 AS w,"
+        " 4 + CAST(doc_id % 3 AS INT) * 2 AS h,"
+        " 8 + CAST(doc_id % 5 AS INT) * 4 AS nf FROM documents),"
+        " fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f"
+        " FROM geom),"
+        f" sampled AS (SELECT * FROM fr WHERE f % {SAMPLE_EVERY} = 0),"
+        " px AS (SELECT doc_id, w, h, f,"
+        " unnest(range(0, w * h * 3)) AS idx FROM sampled),"
+        f" v AS (SELECT doc_id, w, h, f, idx,"
+        f" (doc_id * {_Y4M_PIX_A} + f * {_Y4M_PIX_F}"
+        f" + idx * {_Y4M_PIX_B}) % 256 AS val FROM px)"
+        " SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,"
+        " CAST(f AS INT) AS frame_idx,"
+        " CAST(SUM(val) AS BIGINT) AS frame_sum,"
+        f" CAST(SUM(((idx % {P}) * val) % {P}) AS BIGINT) AS idx_weighted"
+        " FROM v GROUP BY doc_id, w, h, f"
+    ),
     # The WAV oracle never sees the binary: it recomputes every decoded
     # sample from the closed-form generator s[i] = ((doc_id·7919 +
     # i·104729) mod 65536) − 32768 that the encoder wrote into the PCM
@@ -710,6 +896,19 @@ ORACLES = {
         " CAST(SUM(sum_b) AS BIGINT) AS total_b,"
         f" CAST(SUM(((doc_id % {P}) * (idx_weighted % {P})) % {P})"
         " AS BIGINT) AS id_weighted_binding"
+        " FROM f"
+    ),
+    "video_frame_sample_y4m": (
+        f"WITH f AS ({FULLROW_ORACLES['y4m_feature_rows']})"
+        " SELECT COUNT(*) AS n_frames,"
+        " COUNT(DISTINCT doc_id) AS n_docs,"
+        " CAST(SUM(width) AS BIGINT) AS sum_width,"
+        " CAST(SUM(height) AS BIGINT) AS sum_height,"
+        " CAST(SUM(frame_idx) AS BIGINT) AS sum_frame_idx,"
+        " CAST(SUM(frame_sum) AS BIGINT) AS total_frame_sum,"
+        f" CAST(SUM((((doc_id * 131 + frame_idx) % {P})"
+        f" * (idx_weighted % {P})) % {P}) AS BIGINT)"
+        " AS id_weighted_binding"
         " FROM f"
     ),
     "audio_window_rms": (

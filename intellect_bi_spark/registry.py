@@ -92,6 +92,7 @@ _FRONT = (
     "q20_excess_stock_suppliers",
     "region_sales_gini",
     "image_features_ppm",
+    "video_frame_sample_y4m",
     # -- (b) own implementation changed after the r5 sweep -------------------
     #    grouped_exact fast-path conversions:
     "q1_pricing_summary",
@@ -138,7 +139,9 @@ _FRONT = (
     # its certified 800/120 sibling, different parameters only)
     "rag_search_chunks",
     "multimodal_catalog",
-    "video_frame_sample_stub",
+    # (video_frame_sample_stub waits for r7 — its slot went to the new
+    # real-decode video_frame_sample_y4m; the stub shares the module's
+    # locally-verified byte-feature path)
     "forecast_drift_by_region",
     "forecast_drift_by_region_pandas",
     "forecast_linreg_ols",

@@ -40,6 +40,7 @@ def test_dedup_fullrow(spark, duck, sf_dir, producer, oracle_key):
         (multimodal._frame_sample_rows, "frame_sample_rows"),
         (multimodal._wav_feature_rows, "wav_feature_rows"),
         (multimodal._ppm_feature_rows, "ppm_feature_rows"),
+        (multimodal._y4m_feature_rows, "y4m_feature_rows"),
     ],
 )
 def test_multimodal_fullrow(spark, duck, sf_dir, producer, oracle_key):

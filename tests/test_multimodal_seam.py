@@ -156,3 +156,31 @@ def test_ppm_decode_rejects_malformed():
         multimodal.decode_ppm(b"P6\n4 4\n255\n" + b"\x00" * 5)
     with pytest.raises(ValueError, match="8-bit"):
         multimodal.decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+
+
+def test_y4m_roundtrip_real_binary():
+    """The Y4M path is a real container format: stream header + FRAME
+    markers + raw C444 planes, round-tripped through the hand parser."""
+    doc_id = 9
+    w, h, n = multimodal._y4m_geom(doc_id)
+    parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+    for f in range(n):
+        parts.append(b"FRAME\n")
+        parts.append(multimodal._y4m_frame(doc_id, f, w, h).tobytes())
+    dw, dh, frames = multimodal.decode_y4m(b"".join(parts))
+    assert (dw, dh) == (w, h) and len(frames) == n
+    for f, px in frames:
+        assert np.array_equal(px, multimodal._y4m_frame(doc_id, f, w, h))
+
+
+def test_y4m_decode_rejects_malformed():
+    import pytest
+
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        multimodal.decode_y4m(b"JUNK W4 H4 C444\n")
+    with pytest.raises(ValueError, match="C444"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W4 H4 C420jpeg\nFRAME\n" + b"\0" * 24)
+    with pytest.raises(ValueError, match="bad FRAME marker"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 C444\nXRAME\n" + b"\0" * 12)
+    with pytest.raises(ValueError, match="truncated frame"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 C444\nFRAME\n" + b"\0" * 5)
