@@ -50,6 +50,9 @@ HEADLINE = [
     "q18_large_orders",
     "q7_nation_volume",
     "q13_order_count_distribution",
+    "q2_min_cost_supplier",  # derived-partsupp trio (r6)
+    "q9_product_profit",
+    "region_sales_gini",  # rank-window Gini (r6)
     # training-data pipeline (charter extensions)
     "exact_dedup_stats",
     "near_dup_summary",
@@ -62,6 +65,10 @@ HEADLINE = [
     "chunk_documents",
     "image_features_stub",
     "audio_window_rms",  # real WAV binary decode (r6)
+    "image_features_ppm",  # real PPM binary decode (r6)
+    "video_frame_sample_y4m",  # real Y4M container decode (r6)
+    "quality_repetition_stats",  # Gopher repetition rules (r6)
+    "pack_sequences_manifest",  # sequence packing prefix sum (r6)
     "decontam_ngram_overlap",
     "events_tumbling_daily",
     "events_sessionize",

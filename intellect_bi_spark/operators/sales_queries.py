@@ -324,25 +324,50 @@ def region_sales_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape Spark has no built-in aggregate for.
 
     Scale path (this registry query): the rank-sum identity
-    ``G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx)`` over integer cents —
-    a per-region ``row_number`` window (partitioned, parallel across
-    regions) + one grouped aggregation. Both Σ run as DECIMAL(38,0) sums
-    of exact integers, so the result is engine-identical at any
-    partitioning and any data size (ties in x contribute the same rank·x
-    total under any tie order, so row_number nondeterminism cancels).
-    The pandas-UDAF twin (:func:`_gini_udaf`) is the §2.12 grouped-agg
-    extension seam, proven equal in tests/test_numeric.py."""
+    ``G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx)`` over integer cents,
+    computed WITHOUT ranking individual rows. A per-row ``row_number``
+    window would sort the whole fact through one task per region — the
+    single-task funnel this codebase bans. Instead rows first collapse
+    to the DISTINCT-VALUE relation (``groupBy(region, cents)`` — a
+    parallel hash aggregate; cardinality is bounded by the price grid,
+    not the row count), and each value block's rank sum comes from the
+    closed form ``cnt·cum_before + cnt(cnt+1)/2`` with ``cum_before`` a
+    running count over the small distinct-value relation. Ties in x
+    contribute the same rank·x total under ANY tie order, so this equals
+    the row-ranked form exactly — the oracle states the literal
+    row_number version and parity proves the identity. All Σ run as
+    DECIMAL(38,0) over exact integers ⇒ engine-identical at any
+    partitioning and any data size. The pandas-UDAF twin
+    (:func:`_gini_udaf`) is the §2.12 grouped-agg extension seam, proven
+    equal in tests/test_numeric.py."""
     cents = F.expr("CAST(ROUND(sales * 100) AS BIGINT)")
-    w = Window.partitionBy("region").orderBy("c")
-    ranked = (
+    by_val = (
         sales(spark, sf_dir)
         .select("region", cents.alias("c"))
-        .withColumn("rn", F.row_number().over(w))
+        .groupBy("region", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    g = ranked.groupBy("region").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.expr("CAST(c AS DECIMAL(38,0))")).alias("s"),
-        F.sum(F.expr("CAST(rn AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))")).alias("sr"),
+    w = (
+        Window.partitionBy("region")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blocks = by_val.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ).withColumn(
+        "rank_sum",
+        F.expr(
+            "CAST(cnt AS DECIMAL(38,0)) * CAST(cum_before AS DECIMAL(38,0))"
+            " + CAST(cnt AS DECIMAL(38,0))"
+            " * (CAST(cnt AS DECIMAL(38,0)) + 1) / 2"
+        ),
+    )
+    g = blocks.groupBy("region").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(
+            F.expr("CAST(c AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))")
+        ).alias("s"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * rank_sum")).alias("sr"),
     )
     return g.select(
         "region",
