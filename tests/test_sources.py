@@ -492,3 +492,54 @@ def test_orc_sink_roundtrip(spark, sf_dir, tmp_path):
     assert {r["event_id"] for r in back.collect()} == {
         r["event_id"] for r in ev.collect()
     }
+
+
+def test_xml_roundtrip_documents(spark, sf_dir, tmp_path):
+    """Native Spark-4 XML source/sink: documents round-trip through
+    <doc> row elements with values intact."""
+    from intellect_bi_spark.sources.xmldocs import docs_from_xml, write_xml
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang", "source")
+        .limit(50)
+    )
+    write_xml(docs, str(tmp_path / "xml"))
+    # (a filter referencing only the corrupt-derived column is disallowed
+    # — QUERY_ONLY_CORRUPT_RECORD_COLUMN — so collect once and assert)
+    back_rows = docs_from_xml(spark, str(tmp_path / "xml")).collect()
+    assert not any(r["is_corrupt"] for r in back_rows)
+    a = {r["doc_id"]: (r["text"], r["lang"]) for r in docs.collect()}
+    b = {r["doc_id"]: (r["text"], r["lang"]) for r in back_rows}
+    assert a == b
+
+
+def test_xml_quarantines_malformed_rows(spark, tmp_path):
+    """A row element with unparseable nested structure lands in the
+    corrupt-record column; well-formed siblings still parse (the
+    count-don't-die ingest contract, same as JSONL)."""
+    from intellect_bi_spark.sources.xmldocs import read_xml
+
+    p = tmp_path / "feed.xml"
+    p.write_text(
+        "<docs>"
+        "<doc><doc_id>1</doc_id><text>alpha</text></doc>"
+        "<doc><doc_id><bad><nested/></bad></doc_id><text>beta</text></doc>"
+        "<doc><doc_id>3</doc_id><text>gamma</text></doc>"
+        "</docs>"
+    )
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = read_xml(spark, str(p), schema=schema)
+    rows = df.collect()
+    assert len(rows) == 3
+    good = {r["doc_id"]: r["text"] for r in rows if r["_corrupt_record"] is None}
+    assert good == {1: "alpha", 3: "gamma"}
+    assert sum(1 for r in rows if r["_corrupt_record"] is not None) == 1
