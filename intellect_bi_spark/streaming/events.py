@@ -239,6 +239,62 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+# --- transformWithState: the modern arbitrary-stateful-processing API --------
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` running (count, sum) per user — the
+    modern custom-stateful-operator surface (§2.13 / §2.12), successor to
+    ``applyInPandasWithState`` (typed state handles, timers, TTL, state
+    schema evolution). Semantics identical to
+    :func:`running_user_totals`; the unit test pins both to the batch
+    aggregate. Requires the RocksDB state-store provider (bundled with
+    Spark 4) — set on the session here — AND the ``protobuf`` package
+    (the TWS state-API client speaks protobuf to the JVM;
+    ``google.protobuf`` is absent in this container, so the test
+    importorskips — the certified stateful path here remains
+    :func:`running_user_totals`). The processor class is defined locally
+    so (a) the module imports on Spark builds without the API and
+    (b) cloudpickle ships it by value to the TWS driver worker."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _RunningTotalsTWS(StatefulProcessor):
+        def init(self, handle) -> None:  # StatefulProcessorHandle
+            self._state = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark = events.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotalsTWS(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:

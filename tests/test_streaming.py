@@ -154,3 +154,37 @@ def test_foreachbatch_daily_store_equals_batch(spark, sf_dir, tmp_path):
     q2 = se.stream_daily_store(spark, sf_dir, out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == len(want)
+
+
+def test_transform_with_state_running_totals(spark, sf_dir):
+    """The modern transformWithStateInPandas processor must reach the same
+    final per-user totals as both the legacy applyInPandasWithState
+    operator and the plain batch aggregate. Skips where the TWS state-API
+    client's protobuf dependency is absent (this container)."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    stream = se.read_events_stream(spark, sf_dir)
+    got = _drain(
+        spark, se.running_user_totals_tws(stream), "t_tws", mode="update"
+    )
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+    )
+    want = (
+        se.events_batch(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    f = {r["user_id"]: r for r in final.collect()}
+    w = {r["user_id"]: r for r in want.collect()}
+    assert set(f) == set(w)
+    for uid, row in w.items():
+        assert f[uid]["n_events"] == row["n_events"]
+        assert f[uid]["total_value"] == pytest.approx(
+            row["total_value"], abs=1e-6
+        )
