@@ -240,6 +240,88 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- semantic (embedding-space) eval decontamination -------------------------
+
+SEM_DECON_TAU = 0.4  # "too close to training data" cosine threshold
+SEM_SPLIT_MOD = 100
+SEM_TRAIN_END = 80
+SEM_TEST_START = 90
+
+
+def _sem_split_bucket() -> Column:
+    """Deterministic hash split on vec_id (salt 'sdc:') — the embeddings
+    table's analogue of pipeline._split_col; seed-free, re-derivable."""
+    return F.expr(
+        "CAST(conv(substr(md5(CONCAT('sdc:', CAST(vec_id AS STRING))),"
+        f" 1, 15), 16, 10) AS BIGINT) % {SEM_SPLIT_MOD}"
+    )
+
+
+def semantic_decontam_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval decontamination — the modern complement of the
+    exact n-gram check (pipeline.decontam_ngram_overlap): a held-out
+    vector is contaminated when its max cosine to ANY training vector is
+    ≥ τ. Paraphrases and translations that share no 8-gram still land
+    next to their source in embedding space, which is why production
+    decontam runs both.
+
+    Scale shape: banded-LSH candidate generation BETWEEN the two splits
+    (test bands ⋈ train bands on (band_id, band_key) — never test×train),
+    exact cosine only on candidates, per-test max + left join back so
+    zero-candidate test vectors are still counted. The oracle mirrors the
+    LSH bucketing literally (the operator's contract is 'contaminated
+    according to this index', exactly like the other LSH oracles)."""
+    emb = _emb(spark, sf_dir)
+    tagged = emb.withColumn("_b", _sem_split_bucket())
+    test = tagged.filter(F.col("_b") >= SEM_TEST_START).drop("_b")
+    train = tagged.filter(F.col("_b") < SEM_TRAIN_END).drop("_b")
+    tb = _bands_df(test).select(
+        F.col("vec_id").alias("test_id"), "band_id", "band_key"
+    )
+    rb = _bands_df(train).select(
+        F.col("vec_id").alias("train_id"), "band_id", "band_key"
+    )
+    cands = (
+        tb.join(rb, ["band_id", "band_key"])
+        .select("test_id", "train_id")
+        .distinct()
+    )
+    et = test.select(
+        F.col("vec_id").alias("test_id"), F.col("embedding").alias("emb_t")
+    )
+    er = train.select(
+        F.col("vec_id").alias("train_id"), F.col("embedding").alias("emb_r")
+    )
+    scored = (
+        cands.join(et, "test_id")
+        .join(er, "train_id")
+        .select(
+            "test_id",
+            _cosine_udf()(F.col("emb_t"), F.col("emb_r")).alias("cos"),
+        )
+    )
+    per_test = scored.groupBy("test_id").agg(
+        F.max("cos").alias("max_cos")
+    )
+    full = et.select("test_id").join(per_test, "test_id", "left")
+    from ..functions.text import P
+
+    return full.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.count("max_cos").alias("n_with_candidates"),
+        F.sum(
+            F.when(F.col("max_cos") >= SEM_DECON_TAU, 1).otherwise(0)
+        ).alias("n_contaminated"),
+        F.sum(
+            F.when(
+                F.col("max_cos") >= SEM_DECON_TAU,
+                F.expr(f"test_id % {P}"),
+            ).otherwise(0)
+        ).alias("contaminated_id_sum"),
+        F.max("max_cos").alias("max_similarity"),
+    )
+
+
 QUANT = 1 << 20  # element quantization grid for exact centroid sums
 
 
@@ -512,6 +594,7 @@ QUERIES = {
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_batch": ann_topk_batch,
     "ann_topk_batch_lsh": ann_topk_batch_lsh,
+    "semantic_decontam_summary": semantic_decontam_summary,
 }
 
 
@@ -559,7 +642,41 @@ def _bands_duck() -> str:
     )
 
 
+_SEM_SPLIT_DUCK = (
+    "(CAST('0x' || substr(md5('sdc:' || CAST(vec_id AS VARCHAR)), 1, 15)"
+    f" AS BIGINT) % {SEM_SPLIT_MOD})"
+)
+
 ORACLES = {
+    "semantic_decontam_summary": (
+        f"WITH split AS (SELECT vec_id, embedding, {_SEM_SPLIT_DUCK} AS b"
+        " FROM embeddings),"
+        f" test AS (SELECT vec_id, embedding FROM split"
+        f" WHERE b >= {SEM_TEST_START}),"
+        f" train AS (SELECT vec_id, embedding FROM split"
+        f" WHERE b < {SEM_TRAIN_END}),"
+        f" bands AS ({{bands}}),"
+        " tb AS (SELECT bands.vec_id AS test_id, band_id, band_key"
+        " FROM bands JOIN test ON bands.vec_id = test.vec_id),"
+        " rb AS (SELECT bands.vec_id AS train_id, band_id, band_key"
+        " FROM bands JOIN train ON bands.vec_id = train.vec_id),"
+        " cands AS (SELECT DISTINCT test_id, train_id FROM tb"
+        " JOIN rb USING (band_id, band_key)),"
+        " scored AS (SELECT c.test_id,"
+        f" {{dot}} / ({{norm_a}} * {{norm_b}}) AS cos"
+        " FROM cands c JOIN embeddings ea ON ea.vec_id = c.test_id"
+        " JOIN embeddings eb ON eb.vec_id = c.train_id),"
+        " per AS (SELECT test_id, MAX(cos) AS max_cos FROM scored"
+        " GROUP BY test_id)"
+        " SELECT COUNT(*) AS n_test, COUNT(max_cos) AS n_with_candidates,"
+        f" CAST(SUM(CASE WHEN max_cos >= {SEM_DECON_TAU} THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_contaminated,"
+        f" CAST(SUM(CASE WHEN max_cos >= {SEM_DECON_TAU}"
+        f" THEN test.vec_id % {{p}} ELSE 0 END) AS BIGINT)"
+        " AS contaminated_id_sum,"
+        " MAX(max_cos) AS max_similarity"
+        " FROM test LEFT JOIN per ON test.vec_id = per.test_id"
+    ),
     "cosine_topk": (
         f"WITH q AS (SELECT embedding AS q_emb FROM embeddings"
         f" WHERE vec_id = {QUERY_VEC_ID})"
@@ -682,3 +799,15 @@ ORACLES = {
         + " FROM embeddings GROUP BY label"
     ),
 }
+
+from ..functions.text import P as _P  # noqa: E402
+
+ORACLES["semantic_decontam_summary"] = ORACLES[
+    "semantic_decontam_summary"
+].format(
+    bands=_bands_duck(),
+    dot=_dot_duck("ea.embedding", "eb.embedding"),
+    norm_a=_norm_duck("ea.embedding"),
+    norm_b=_norm_duck("eb.embedding"),
+    p=_P,
+)

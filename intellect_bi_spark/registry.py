@@ -93,6 +93,7 @@ _FRONT = (
     "region_sales_gini",
     "image_features_ppm",
     "video_frame_sample_y4m",
+    "semantic_decontam_summary",
     # -- (b) own implementation changed after the r5 sweep -------------------
     #    grouped_exact fast-path conversions:
     "q1_pricing_summary",
@@ -115,7 +116,9 @@ _FRONT = (
     "decontam_ngram_overlap",
     "dedup_incremental_summary",
     "jaccard_pairs",
-    "minhash_lsh_pairs",
+    # (minhash_lsh_pairs' slot went to the new semantic_decontam_summary;
+    # its only r6 change is the same fixture-no-op shingle NULL guard
+    # jaccard_pairs certifies, and it stays locally strict-verified)
     # -- (c) stale r2/r3 tail (VERDICT r5 item 1). Nine of the 35 named
     #    rows (setops, drilldowns, o1/f_scalar/json_extract/
     #    nl_transaction_value/distinct_products_per_region) wait for r7:

@@ -218,3 +218,52 @@ def test_q19_bracket_filter_reaches_scans(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     pushed = [line for line in plan.splitlines() if "PushedFilters" in line]
     assert any("p_brand" in line for line in pushed), pushed
+
+
+def test_q2_window_partitioned_no_smj(spark, sf_dir):
+    """Q2's correlated MIN rides a ps_partkey-partitioned window (never
+    unpartitioned) and all dim joins broadcast — no sort-merge join."""
+    from intellect_bi_spark.operators.relational import q2_min_cost_supplier
+
+    plan = plan_of(q2_min_cost_supplier(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("ps_partkey" in s for s in specs), specs
+
+
+def test_q9_part_filter_semi_reduces_both_sides(spark, sf_dir):
+    """Q9's part-name filter must reach BOTH fact-sized inputs as a
+    broadcast left-semi join before the pair join."""
+    from intellect_bi_spark.operators.relational import q9_product_profit
+
+    plan = plan_of(q9_product_profit(spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2, plan.count("LeftSemi")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gini_has_no_unpartitioned_window_or_row_rank(spark, sf_dir):
+    """The Gini plan must carry no per-row ranking: its only window runs
+    over the distinct-value relation, partitioned by region."""
+    from intellect_bi_spark.operators.sales_queries import region_sales_gini
+
+    plan = plan_of(region_sales_gini(spark, sf_dir))
+    assert "row_number" not in plan.lower()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("region" in s for s in specs), specs
+
+
+def test_pack_sequences_prefix_sum_is_bucket_partitioned(spark, sf_dir):
+    """Sequence packing's running offset must never use a global window —
+    every windowspec is partitioned by the hash-prefix bucket."""
+    from intellect_bi_spark.operators.pipeline import pack_sequences_manifest
+
+    plan = plan_of(pack_sequences_manifest(spark, sf_dir))
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("bkt" in s for s in specs), specs
