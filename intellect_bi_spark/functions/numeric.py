@@ -150,6 +150,14 @@ def grouped_exact(
     for i, (kind, expr, scale, alias) in enumerate(specs):
         p = f"_gx{i}"
         if kind == "sum":
+            if scale is None or scale < 1:
+                # scale 0 would build a malformed '0.1' rescale literal
+                # (silently dividing every sum by 10); integer-grid data
+                # should pass scale=1 (exact, one spare digit)
+                raise ValueError(
+                    f"grouped_exact sum spec {alias!r} needs scale >= 1,"
+                    f" got {scale!r}"
+                )
             partials.append(
                 F.expr(
                     f"SUM(CAST(ROUND(({expr}) * {10 ** scale}) AS BIGINT))"
@@ -167,11 +175,14 @@ def grouped_exact(
                 ).alias(alias)
             )
         elif kind == "count":
+            # COALESCE: a keys=[] global aggregate over an EMPTY input has
+            # zero stage-1 partial rows, and SUM(<nothing>) is NULL — but
+            # the COUNT contract this replaces returns 0
             partials.append(F.expr(f"COUNT({expr})").alias(p))
-            finals.append(F.expr(f"SUM({p})").alias(alias))
+            finals.append(F.expr(f"COALESCE(SUM({p}), 0)").alias(alias))
         elif kind == "countstar":
             partials.append(F.count(F.lit(1)).alias(p))
-            finals.append(F.expr(f"SUM({p})").alias(alias))
+            finals.append(F.expr(f"COALESCE(SUM({p}), 0)").alias(alias))
         else:  # pragma: no cover - programming error
             raise ValueError(f"unknown grouped_exact kind: {kind}")
     part = df.withColumn("_gx_pid", F.spark_partition_id()).groupBy(

@@ -106,21 +106,29 @@ def reset_caches() -> None:
     _PERSISTED.clear()
 
 
+def register_cache(df: DataFrame) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK, lazy — AQE fills it bottom-up
+    from whichever branch runs first) and register it for
+    :func:`reset_caches`, evicting the oldest entry past the cap. Public
+    for callers outside this module that fan a frame into multiple
+    branches (e.g. pipeline's sequence-packing prefix sum)."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    while len(_PERSISTED) >= _PERSISTED_CAP:
+        _old = _PERSISTED.pop(0)
+        try:
+            _old.unpersist()
+        except Exception:
+            pass
+    _PERSISTED.append(df)
+    return df
+
+
 def _keyed_input(df: DataFrame, b: Column, name: str, materialize: bool) -> DataFrame:
     keyed = df.withColumn(name, b)
     if materialize:
-        # Lazy persist: AQE materializes query stages bottom-up, so the
-        # first branch to run fills the cache and the others read it — an
-        # eager count() here was measured strictly slower (it adds a whole
-        # extra job for frames this small).
-        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
-        while len(_PERSISTED) >= _PERSISTED_CAP:
-            _old = _PERSISTED.pop(0)
-            try:
-                _old.unpersist()
-            except Exception:
-                pass
-        _PERSISTED.append(keyed)
+        # Lazy persist: an eager count() here was measured strictly
+        # slower (it adds a whole extra job for frames this small).
+        keyed = register_cache(keyed)
     return keyed
 
 

@@ -359,10 +359,16 @@ def _wav_features_with(decode):
                 rate, s = decode(payload)
                 n = s.size
                 n_win = n // _WAV_RMS_WINDOW
-                # vectorized: reshape to (n_win, 64), exact int64 row sums
+                # vectorized: reshape to (n_win, 64), exact int64 row sums.
+                # Explicit width, not -1: numpy cannot infer a dimension
+                # for an empty array, so a clip shorter than one window
+                # (n_win = 0 — possible from an injected real codec)
+                # must reshape to (0, 64) and yield no rows, not raise.
                 sq = (
-                    (s[: n_win * _WAV_RMS_WINDOW].reshape(n_win, -1) ** 2)
-                    .sum(axis=1)
+                    (
+                        s[: n_win * _WAV_RMS_WINDOW]
+                        .reshape(n_win, _WAV_RMS_WINDOW) ** 2
+                    ).sum(axis=1)
                 )
                 for i in range(n_win):
                     out.append(
@@ -638,9 +644,11 @@ def decode_y4m(payload: bytes):
     frames = []
     f = 0
     while pos < len(b):
-        mark = b.index(b"\n", pos)
         if b[pos : pos + 5] != b"FRAME":
             raise ValueError("bad FRAME marker")
+        mark = b.find(b"\n", pos)
+        if mark == -1:  # header cut off mid-marker-line
+            raise ValueError("truncated frame")
         pos = mark + 1
         raster = b[pos : pos + frame_bytes]
         if len(raster) != frame_bytes:

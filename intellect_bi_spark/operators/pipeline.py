@@ -392,6 +392,8 @@ def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, no driver loop — the same plan packs 100 TB."""
     from ..functions.text import P
 
+    from ..functions.windows import register_cache
+
     t = _docs(spark, sf_dir).select(
         "doc_id",
         F.md5(F.col("doc_id").cast("string")).alias("h"),
@@ -399,7 +401,12 @@ def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tok"
         ),
     )
-    t = t.withColumn("bkt", F.substring("h", 1, 2))
+    # Persisted: the window branch AND the per-bucket totals branch both
+    # read t; without materialization each re-scans the corpus text to
+    # recompute the token counts. The persisted frame is the NARROW
+    # (doc_id, hash, n_tok) projection — ~40 bytes/doc, spillable, far
+    # cheaper than a second pass over the raw text at any corpus size.
+    t = register_cache(t.withColumn("bkt", F.substring("h", 1, 2)))
     w_in = Window.partitionBy("bkt").orderBy("h")
     cum_in = t.withColumn("cum_in", F.sum("n_tok").over(w_in))
     per_bkt = t.groupBy("bkt").agg(F.sum("n_tok").alias("tot"))

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_tables, spread_scan
+from ..catalog import load_tables
 from ..functions.numeric import davg_sql, dsum, dsum_sql, grouped_exact
 from ..functions.windows import rolling_stitched
 

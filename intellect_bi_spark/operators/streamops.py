@@ -61,12 +61,17 @@ def events_stream_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix="sgraft_stream_store_")
+    q = None
     try:
         q = stream_daily_store(
             spark, sf_dir, out_path=f"{tmp}/store", checkpoint=f"{tmp}/ckpt"
         )
         q.awaitTermination(300)
-        assert not q.isActive
+        if q.isActive:
+            # raise explicitly, never assert (stripped under python -O —
+            # registry.py rule): a timed-out stream must not be read as a
+            # complete store
+            raise TimeoutError("stream_daily_store did not drain in 300 s")
         store = (
             spark.read.parquet(f"{tmp}/store")
             .select("day_start", "event_type", "n_events", "total_value",
@@ -74,6 +79,13 @@ def events_stream_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     finally:
+        # stop a still-active query BEFORE deleting its checkpoint/output,
+        # so no zombie micro-batches keep failing in the shared session
+        if q is not None and q.isActive:
+            try:
+                q.stop()
+            except Exception:
+                pass
         shutil.rmtree(tmp, ignore_errors=True)
     return store
 

@@ -184,3 +184,24 @@ def test_y4m_decode_rejects_malformed():
         multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 C444\nXRAME\n" + b"\0" * 12)
     with pytest.raises(ValueError, match="truncated frame"):
         multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 C444\nFRAME\n" + b"\0" * 5)
+
+
+def test_wav_features_tolerate_short_clip():
+    """An injected codec may decode fewer samples than one RMS window —
+    the extractor must emit zero rows for that clip, not crash (the
+    reshape(n, -1) form raised on empty arrays)."""
+    import pandas as pd
+
+    def tiny_decode(payload):
+        return 8000, np.arange(10, dtype=np.int64)  # < 64 samples
+
+    gen = multimodal._wav_features_with(tiny_decode)
+    out = list(gen(iter([pd.DataFrame({"doc_id": [1], "payload": [b"x"]})])))
+    assert sum(len(p) for p in out) == 0
+
+
+def test_y4m_truncated_marker_line():
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated frame"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 C444\nFRAME")

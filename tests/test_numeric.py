@@ -89,3 +89,29 @@ def test_gini_udaf_matches_window_form(spark, sf_dir):
     assert {k: v[1] for k, v in dist.items()} == pand
     for region, (n, g) in dist.items():
         assert 0.0 <= g < 1.0 and n > 0
+
+
+def test_grouped_exact_empty_global_counts_are_zero(spark):
+    """keys=[] over an EMPTY input: counts must be 0 (the COUNT contract),
+    not NULL from summing zero partials."""
+    df = spark.createDataFrame([], "g string, v double").filter("1 = 0")
+    row = grouped_exact(
+        df,
+        [],
+        [
+            ("sum", "v", 2, "s"),
+            ("count", "v", None, "c"),
+            ("countstar", None, None, "n"),
+        ],
+    ).collect()[0]
+    assert row["s"] is None and row["c"] == 0 and row["n"] == 0
+
+
+def test_grouped_exact_rejects_bad_scale(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="scale >= 1"):
+        grouped_exact(df, [], [("sum", "v", 0, "s")])
+    with pytest.raises(ValueError, match="scale >= 1"):
+        grouped_exact(df, [], [("sum", "v", None, "s")])
