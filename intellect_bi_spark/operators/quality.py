@@ -1,0 +1,174 @@
+"""Data-quality audit operators — charter extension.
+
+The checks every warehouse runs before trusting a drop: referential
+integrity (orphan foreign keys) and per-column null rates. Both are
+pure relational plans:
+
+- ``fk_integrity_check``: one LEFT-ANTI join per FK edge. Dimension
+  sides broadcast; the one big-big edge (lineitem → orders) shuffles on
+  the join key exactly once. Anti-join output is counted per edge and
+  unioned — at 100 TB each edge is a single scan + hash anti-join, and
+  a healthy table costs one pass with near-zero output.
+- ``null_rate_profile``: per-column null counts over the fact tables in
+  ONE aggregate pass per table (no per-column jobs), unioned into a
+  (table, column, n_rows, n_nulls, null_rate) relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+
+# (edge name, child table, child key, parent table, parent key, broadcast)
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey", False),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey", True),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey", True),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey", True),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey", True),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey", True),
+)
+
+
+def fk_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan count per foreign-key edge: child rows whose key has no
+    parent (NULL child keys are counted separately — a NULL FK is a
+    different defect than a dangling one)."""
+    t = load_tables(spark, sf_dir)
+    parts = []
+    for name, child, ckey, parent, pkey, bcast in _FK_EDGES:
+        par = t[parent].select(F.col(pkey).alias(ckey)).distinct()
+        if bcast:
+            par = F.broadcast(par)
+        orphans = (
+            t[child]
+            .filter(F.col(ckey).isNotNull())
+            .join(par, ckey, "left_anti")
+        )
+        parts.append(
+            orphans.agg(
+                F.lit(name).alias("fk_edge"),
+                F.count(F.lit(1)).alias("n_orphans"),
+            ).crossJoin(
+                t[child].agg(
+                    F.sum(
+                        F.col(ckey).isNull().cast("long")
+                    ).alias("n_null_keys"),
+                    F.count(F.lit(1)).alias("n_child_rows"),
+                )
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "fk_edge", "n_child_rows", "n_null_keys", "n_orphans"
+    ).orderBy("fk_edge")
+
+
+_PROFILE_TABLES = ("lineitem", "orders", "events", "documents")
+
+
+def null_rate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(table, column, n_rows, n_nulls, null_rate) for every column of the
+    fact tables — one aggregate pass per table (all columns' null counts
+    in a single map-side-combined agg), not a job per column."""
+    t = load_tables(spark, sf_dir)
+    parts = []
+    for name in _PROFILE_TABLES:
+        df = t[name]
+        aggs = [F.count(F.lit(1)).alias("_n")] + [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_z_{c}")
+            for c in df.columns
+        ]
+        wide = df.agg(*aggs)
+        stack = ", ".join(f"'{c}', _z_{c}" for c in df.columns)
+        parts.append(
+            wide.selectExpr(
+                f"'{name}' AS table_name",
+                f"stack({len(df.columns)}, {stack}) AS (column_name, n_nulls)",
+                "_n AS n_rows",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "table_name",
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        (F.col("n_nulls").cast("double") / F.col("n_rows")).alias(
+            "null_rate"
+        ),
+    ).orderBy("table_name", "column_name")
+
+
+QUERIES = {
+    "fk_integrity_check": fk_integrity_check,
+    "null_rate_profile": null_rate_profile,
+}
+
+
+def _fk_edge_sql(name, child, ckey, parent, pkey):
+    return (
+        f"SELECT '{name}' AS fk_edge,"
+        f" (SELECT COUNT(*) FROM {child}) AS n_child_rows,"
+        f" (SELECT CAST(SUM(CASE WHEN {ckey} IS NULL THEN 1 ELSE 0 END)"
+        f" AS BIGINT) FROM {child}) AS n_null_keys,"
+        f" (SELECT COUNT(*) FROM {child} c WHERE c.{ckey} IS NOT NULL"
+        f" AND NOT EXISTS (SELECT 1 FROM {parent} p"
+        f" WHERE p.{pkey} = c.{ckey})) AS n_orphans"
+    )
+
+
+_PROFILE_COLS = {
+    "lineitem": (
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    ),
+    "orders": (
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ),
+    "events": ("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents": ("doc_id", "text", "lang", "source", "n_chars"),
+}
+
+
+def _profile_sql(table, cols):
+    return " UNION ALL ".join(
+        f"SELECT '{table}' AS table_name, '{c}' AS column_name,"
+        f" (SELECT COUNT(*) FROM {table}) AS n_rows,"
+        f" (SELECT CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+        f" AS BIGINT) FROM {table}) AS n_nulls,"
+        f" (SELECT CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+        f" AS DOUBLE) / COUNT(*) FROM {table}) AS null_rate"
+        for c in cols
+    )
+
+
+ORACLES = {
+    "fk_integrity_check": (
+        " UNION ALL ".join(
+            _fk_edge_sql(name, child, ckey, parent, pkey)
+            for name, child, ckey, parent, pkey, _ in _FK_EDGES
+        )
+        + " ORDER BY fk_edge"
+    ),
+    "null_rate_profile": (
+        " UNION ALL ".join(
+            _profile_sql(tbl, cols) for tbl, cols in _PROFILE_COLS.items()
+        )
+        + " ORDER BY table_name, column_name"
+    ),
+}

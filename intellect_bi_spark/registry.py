@@ -19,6 +19,7 @@ from .operators import (
     multimodal,
     nl_queries,
     pipeline,
+    quality,
     relational,
     sales_queries,
     similarity,
@@ -41,6 +42,7 @@ _MODULES = (
     inventory,
     temporal,
     eventops,
+    quality,
     textops,
     pipeline,
     streamops,
@@ -94,6 +96,8 @@ _FRONT = (
     "image_features_ppm",
     "video_frame_sample_y4m",
     "semantic_decontam_summary",
+    "fk_integrity_check",
+    "null_rate_profile",
     # -- (b) own implementation changed after the r5 sweep -------------------
     #    grouped_exact fast-path conversions:
     "q1_pricing_summary",
@@ -126,9 +130,10 @@ _FRONT = (
     #    are NOT older than their code — the changed-code entries above
     #    take precedence for slots. All remain strict-parity-verified
     #    locally at both driver SFs every session. -------------------------
+    #    (p2/p3 wait for r7 — two of six same-shaped single-predicate
+    #    micro-filters; their slots went to the new data-quality pair and
+    #    the family stays certified via p1/p4/p5/p6)
     "p1_project_cast",
-    "p2_eq_filter",
-    "p3_ci_eq_filter",
     "p4_age_range",
     "p5_date_range",
     "p6_inlist_filter",
