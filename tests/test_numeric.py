@@ -115,3 +115,44 @@ def test_grouped_exact_rejects_bad_scale(spark):
         grouped_exact(df, [], [("sum", "v", 0, "s")])
     with pytest.raises(ValueError, match="scale >= 1"):
         grouped_exact(df, [], [("sum", "v", None, "s")])
+
+
+def test_grouped_exact_property_random_frames(spark):
+    """Property check: for arbitrary signed 2-decimal frames with NULLs
+    and arbitrary group shapes, the two-stage long-partial form equals the
+    one-stage DECIMAL(38) sums bit-for-bit. Deterministic seed sweep (a
+    hypothesis @given over a SparkSession fixture re-enters Spark per
+    example, which is prohibitively slow; the seeded sweep covers the
+    same space reproducibly)."""
+    import random
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        n = rng.randint(1, 400)
+        n_groups = rng.randint(1, 6)
+        rows = []
+        for i in range(n):
+            g = f"g{rng.randrange(n_groups)}"
+            v = (
+                None
+                if rng.random() < 0.15
+                else rng.randint(-10**9, 10**9) / 100.0
+            )
+            rows.append((g, v))
+        df = spark.createDataFrame(rows, "g string, v double").repartition(
+            rng.choice([1, 3, 8])
+        )
+        slow = {
+            r["g"]: (r["s"], r["c"])
+            for r in df.groupBy("g")
+            .agg(dsum("v").alias("s"), F.expr("COUNT(v)").alias("c"))
+            .collect()
+        }
+        fast = {
+            r["g"]: (r["s"], r["c"])
+            for r in grouped_exact(
+                df, ["g"],
+                [("sum", "v", 2, "s"), ("count", "v", None, "c")],
+            ).collect()
+        }
+        assert slow == fast, f"seed {seed}: {slow} != {fast}"
