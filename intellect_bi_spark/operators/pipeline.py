@@ -306,6 +306,65 @@ def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_BUDGET = 2048  # tokens per packed training sequence
 
 
+def temperature_resample_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-based language rebalancing (the mC4/ROOTS-style mix
+    flattening): resample so the language mix follows p^α instead of p,
+    boosting low-resource languages. With α = 1/2 the per-language keep
+    rate has the closed form ``sqrt(n_min / n_l)`` (rarest language kept
+    in full) — chosen deliberately because IEEE ``sqrt`` is correctly
+    rounded in both engines, where a general ``pow(x, α)`` may differ by
+    1 ulp between libms and flip a document at the acceptance boundary.
+
+    Membership is a pure hash predicate (salt 'temp:'): a doc is kept
+    when its 52-bit md5 fraction < keep_rate. 52 bits (13 hex chars), not
+    the 60-bit bucket hash the splits use: ≤ 2^52 converts to double
+    EXACTLY, so the comparison is deterministic across engines. Per-lang
+    counts broadcast as a 1-row-per-lang frame; the acceptance itself is
+    a map-side predicate — no shuffle beyond the summary aggregate."""
+    frac = (
+        "CAST(conv(substr(md5(CONCAT('temp:', CAST(doc_id AS STRING))),"
+        " 1, 13), 16, 10) AS BIGINT)"
+        f" / CAST({1 << 52} AS DOUBLE)"
+    )
+    counts = _docs(spark, sf_dir).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_docs",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_docs")).alias(
+            "keep_rate"
+        ),
+    )
+    kept = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", F.expr(frac).alias("_f"))
+        .join(F.broadcast(rates.select("lang", "keep_rate")), "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                (F.col("_f") < F.col("keep_rate")).cast("long")
+            ).alias("n_kept")
+        )
+    )
+    return (
+        rates.join(kept, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "keep_rate",
+            "n_kept",
+            (F.col("n_kept").cast("double") / F.col("n_docs")).alias(
+                "realized_rate"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 def _repetition_rows(docs: DataFrame) -> DataFrame:
     """Per-doc repetition signals (the Gopher/RefinedWeb-style repetition
     rules): most-frequent-bigram count and duplicated-trigram occurrence
@@ -449,6 +508,7 @@ QUERIES = {
     "weighted_quality_sample": weighted_quality_sample,
     "quality_repetition_stats": quality_repetition_stats,
     "pack_sequences_manifest": pack_sequences_manifest,
+    "temperature_resample_stats": temperature_resample_stats,
 }
 
 _SPLIT_CASE = (
@@ -460,6 +520,25 @@ _SPLIT_CASE = (
 from ..functions.text import P as _P  # noqa: E402
 
 ORACLES = {
+    "temperature_resample_stats": (
+        "WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents"
+        " GROUP BY lang),"
+        " m AS (SELECT MIN(n_docs) AS n_min FROM counts),"
+        " rates AS (SELECT lang, n_docs,"
+        " sqrt(CAST(n_min AS DOUBLE) / n_docs) AS keep_rate"
+        " FROM counts, m),"
+        " kept AS (SELECT d.lang,"
+        " CAST(SUM(CASE WHEN"
+        " (CAST('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)),"
+        f" 1, 13) AS BIGINT) / CAST({1 << 52} AS DOUBLE)) < r.keep_rate"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS n_kept"
+        " FROM documents d JOIN rates r ON d.lang = r.lang"
+        " GROUP BY d.lang)"
+        " SELECT rates.lang, n_docs, keep_rate, n_kept,"
+        " CAST(n_kept AS DOUBLE) / n_docs AS realized_rate"
+        " FROM rates JOIN kept ON rates.lang = kept.lang"
+        " ORDER BY rates.lang"
+    ),
     # linear relational form (unnest → GROUP BY) of the per-doc Counter —
     # the quadratic list-lambda form is too slow at sf0.1 parity scale
     "quality_repetition_stats": (

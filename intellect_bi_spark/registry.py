@@ -98,6 +98,7 @@ _FRONT = (
     "semantic_decontam_summary",
     "fk_integrity_check",
     "null_rate_profile",
+    "temperature_resample_stats",
     # -- (b) own implementation changed after the r5 sweep -------------------
     #    grouped_exact fast-path conversions:
     "q1_pricing_summary",
@@ -138,7 +139,9 @@ _FRONT = (
     "p5_date_range",
     "p6_inlist_filter",
     "text_langid",
-    "text_token_stats",
+    # (text_token_stats waits for r7 — fourth member of the unchanged
+    # textops token-split family certified via langid/quality/fingerprints;
+    # its slot went to the new temperature_resample_stats)
     "text_quality_scores",
     "doc_fingerprints",
     "chunk_documents",
