@@ -69,6 +69,10 @@ HEADLINE = [
     "video_frame_sample_y4m",  # real Y4M container decode (r6)
     "quality_repetition_stats",  # Gopher repetition rules (r6)
     "pack_sequences_manifest",  # sequence packing prefix sum (r6)
+    "temperature_resample_stats",  # p^alpha language rebalance (r6)
+    "semantic_decontam_summary",  # embedding-space decontam (r6)
+    "fk_integrity_check",  # data-quality audits (r6)
+    "null_rate_profile",
     "decontam_ngram_overlap",
     "events_tumbling_daily",
     "events_sessionize",
