@@ -355,11 +355,16 @@ def region_sales_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = by_val.withColumn(
         "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
     ).withColumn(
-        "rank_sum",
+        # 2·rank_sum, not rank_sum: cnt·(2·cum + cnt + 1) keeps the block
+        # rank total in pure DECIMAL MULTIPLIES — the /2 form paid a
+        # BigDecimal DIVISION per distinct value (measured ~0.4 s per
+        # 600 k values); the doubled total just drops the leading 2 from
+        # the closing identity
+        "rank_sum2",
         F.expr(
-            "CAST(cnt AS DECIMAL(38,0)) * CAST(cum_before AS DECIMAL(38,0))"
-            " + CAST(cnt AS DECIMAL(38,0))"
-            " * (CAST(cnt AS DECIMAL(38,0)) + 1) / 2"
+            "CAST(cnt AS DECIMAL(38,0))"
+            " * (2 * CAST(cum_before AS DECIMAL(38,0))"
+            " + CAST(cnt AS DECIMAL(38,0)) + 1)"
         ),
     )
     g = blocks.groupBy("region").agg(
@@ -367,13 +372,13 @@ def region_sales_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.expr("CAST(c AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))")
         ).alias("s"),
-        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * rank_sum")).alias("sr"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * rank_sum2")).alias("sr2"),
     )
     return g.select(
         "region",
         "n",
         (
-            (2 * F.col("sr") - (F.col("n") + 1) * F.col("s")).cast("double")
+            (F.col("sr2") - (F.col("n") + 1) * F.col("s")).cast("double")
             / (F.col("n") * F.col("s")).cast("double")
         ).alias("gini"),
     ).orderBy("region")
