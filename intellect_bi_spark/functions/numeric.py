@@ -158,6 +158,20 @@ def grouped_exact(
                     f"grouped_exact sum spec {alias!r} needs scale >= 1,"
                     f" got {scale!r}"
                 )
+            if scale > 6:
+                # the stage-2 rescale DECIMAL(38,0) * DECIMAL(scale+1,scale)
+                # needs result precision 38+scale+1 > 38 for scale >= 7; under
+                # spark.sql.decimalOperations.allowPrecisionLoss=true the
+                # result scale is then clamped to min(scale, 6), silently
+                # ROUNDING the 7th+ decimal digit while this function still
+                # claims bit-exactness. Fail loudly instead; the engine's
+                # exact-decimal contract tops out at scale 6 (money² * money
+                # products) everywhere else too (dsum_sql call sites)
+                raise ValueError(
+                    f"grouped_exact sum spec {alias!r}: scale {scale} > 6"
+                    " would overflow DECIMAL(38) in the rescale multiply"
+                    " and silently lose exactness"
+                )
             partials.append(
                 F.expr(
                     f"SUM(CAST(ROUND(({expr}) * {10 ** scale}) AS BIGINT))"

@@ -340,15 +340,31 @@ def region_sales_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning and any data size. The pandas-UDAF twin
     (:func:`_gini_udaf`) is the §2.12 grouped-agg extension seam, proven
     equal in tests/test_numeric.py."""
-    cents = F.expr("CAST(ROUND(sales * 100) AS BIGINT)")
+    return gini_by_group(sales(spark, sf_dir), "region", "sales")
+
+
+def gini_by_group(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Distributed per-group Gini over integer cents; the engine core behind
+    :func:`region_sales_gini` (see its docstring for the rank-sum identity
+    and scale argument). Returns ``(key, n, gini)``; NULL values are ignored
+    (a group with no non-null values disappears — the grain is non-null
+    transactions) and a group whose cent-sum is 0 (sum-cancelling signed
+    values, or all zeros) gets a NULL gini — agreed with the UDAF twin and
+    covered by tests/test_numeric.py edge cases."""
+    cents = F.expr(f"CAST(ROUND({value} * 100) AS BIGINT)")
     by_val = (
-        sales(spark, sf_dir)
-        .select("region", cents.alias("c"))
-        .groupBy("region", "c")
+        # NULL values contribute nothing to a Gini, and unfiltered they would
+        # diverge from the oracle: Spark's window ORDER BY sorts NULL first
+        # (shifting every real value's cum_before) while DuckDB's ROW_NUMBER
+        # sorts NULL last. The current sales view cannot produce NULLs, but
+        # the function should not depend on that unstated contract.
+        df.filter(F.col(value).isNotNull())
+        .select(key, cents.alias("c"))
+        .groupBy(key, "c")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w = (
-        Window.partitionBy("region")
+        Window.partitionBy(key)
         .orderBy("c")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -367,7 +383,7 @@ def region_sales_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + CAST(cnt AS DECIMAL(38,0)) + 1)"
         ),
     )
-    g = blocks.groupBy("region").agg(
+    g = blocks.groupBy(key).agg(
         F.sum("cnt").alias("n"),
         F.sum(
             F.expr("CAST(c AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))")
@@ -375,13 +391,21 @@ def region_sales_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * rank_sum2")).alias("sr2"),
     )
     return g.select(
-        "region",
+        key,
         "n",
-        (
+        # explicit NULL on the s=0 edge (empty group or sum-cancelling signed
+        # values): a Gini is undefined when total spend is zero, and the
+        # guard keeps this form and the UDAF twin in agreement instead of
+        # leaving the edge to engine division-by-zero semantics
+        F.when(
+            (F.col("n") == 0) | (F.col("s") == 0), F.lit(None).cast("double")
+        )
+        .otherwise(
             (F.col("sr2") - (F.col("n") + 1) * F.col("s")).cast("double")
             / (F.col("n") * F.col("s")).cast("double")
-        ).alias("gini"),
-    ).orderBy("region")
+        )
+        .alias("gini"),
+    ).orderBy(key)
 
 
 def _gini_udaf():
@@ -397,11 +421,14 @@ def _gini_udaf():
     # can't resolve a locally-imported pd.Series hint
     @F.pandas_udf("double", F.PandasUDFType.GROUPED_AGG)
     def gini_cents(v):
-        c = np.sort(np.round(v.to_numpy() * 100).astype(np.int64))
+        vals = v.to_numpy()
+        vals = vals[~np.isnan(vals)]
+        c = np.sort(np.round(vals * 100).astype(np.int64))
         n = c.size
         s = int(c.sum())
         if n == 0 or s == 0:
-            return 0.0
+            # undefined, same contract as the distributed form's NULL guard
+            return None
         sr = int((np.arange(1, n + 1, dtype=np.int64) * c).sum())
         return float(2 * sr - (n + 1) * s) / float(n * s)
 

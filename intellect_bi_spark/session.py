@@ -30,6 +30,11 @@ def get_spark(app_name: str = "intellect_bi_spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # grouped_exact's overflow contract ("a pathological stage-1 BIGINT
+        # partial throws, never wraps", functions/numeric.py) relies on ANSI
+        # arithmetic. Spark 4 defaults it on, but a caller-built session may
+        # not — pin it so the contract is independent of who built the session
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", DEFAULT_CPUS)
@@ -52,6 +57,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """
     for key, value in (
         ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.ansi.enabled", "true"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),

@@ -91,6 +91,43 @@ def test_gini_udaf_matches_window_form(spark, sf_dir):
         assert 0.0 <= g < 1.0 and n > 0
 
 
+def test_gini_edge_cases_twins_agree(spark):
+    """ADVICE r6: the distributed form and the UDAF twin must agree on the
+    degenerate edges — NULL values ignored, all-zero group → NULL gini,
+    sum-cancelling signed group → NULL gini."""
+    from pyspark.sql import functions as F
+
+    from intellect_bi_spark.operators.sales_queries import (
+        _gini_udaf,
+        gini_by_group,
+    )
+
+    rows = [
+        ("ok", 10.0), ("ok", 30.0), ("ok", None), ("ok", 20.0),
+        ("zeros", 0.0), ("zeros", 0.0),
+        ("cancel", 5.0), ("cancel", -5.0),
+        ("nulls", None), ("nulls", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(4)
+    dist = {r["g"]: (r["n"], r["gini"]) for r in gini_by_group(df, "g", "v").collect()}
+    udaf = _gini_udaf()
+    pand = {
+        r["g"]: r["gini"]
+        for r in df.groupBy("g").agg(udaf("v").alias("gini")).collect()
+    }
+    # NULL-only group: the distributed form drops it entirely (no non-null
+    # rows survive the filter — the grain is non-null transactions), while
+    # the per-group UDAF still sees the group and yields NULL; both report
+    # "no gini" for it
+    assert "nulls" not in dist and pand["nulls"] is None
+    assert dist["zeros"] == (2, None) and dist["cancel"] == (2, None)
+    # NULL values ignored: n counts the 3 real rows
+    assert dist["ok"][0] == 3 and dist["ok"][1] is not None
+    assert {k: v[1] for k, v in dist.items()} == {
+        k: v for k, v in pand.items() if k != "nulls"
+    }
+
+
 def test_grouped_exact_empty_global_counts_are_zero(spark):
     """keys=[] over an EMPTY input: counts must be 0 (the COUNT contract),
     not NULL from summing zero partials."""
