@@ -9,7 +9,10 @@ ALL THREE modalities decode real binary formats as of round 6:
 ``wave`` reader, ``image_features_ppm`` decodes binary PPM (P6) with a
 hand-written header/raster parser, and ``video_frame_sample_y4m``
 walks genuine Y4M (YUV4MPEG2) streams — header tags + per-FRAME markers
-+ raw C444 planes. Each payload is synthesized from a closed-form
++ raw C444 planes. Round 7 adds the first COMPRESSED codec:
+``image_features_png`` inflates genuine PNGs (zlib DEFLATE, CRC-checked
+chunks, all five spec row filters) stdlib-only. Each payload is
+synthesized from a closed-form
 generator so the DuckDB oracles verify every decoded byte without ever
 seeing the binary. The original byte-feature stubs
 (``image_features_stub``, ``video_frame_sample_stub``) are retained as
@@ -724,10 +727,221 @@ def video_frame_sample_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- REAL compressed-image modality: PNG encode + hand-parsed decode ---------
+#
+# The first COMPRESSED codec through the decoder seam (VERDICT r6 item 3):
+# payloads are genuine PNG files — 8-byte signature, CRC-protected IHDR /
+# IDAT / IEND chunks, zlib-DEFLATE scanline stream, and a per-row filter
+# byte cycling through ALL FIVE spec filters (None/Sub/Up/Average/Paeth,
+# PNG spec §6: https://www.w3.org/TR/png-3/#9Filters) — built stdlib-only
+# (zlib + hand-rolled chunk writer). The decoder walks the chunk stream,
+# VERIFIES every CRC-32, inflates the concatenated IDAT payload and
+# un-filters row by row. Pixels come from the same style of closed-form
+# generator as PPM/Y4M, so the oracle recomputes every decoded byte
+# without seeing the binary — the checksum only matches if
+# deflate→inflate→unfilter reproduced the exact raster.
+#
+# Scale: decode is embarrassingly parallel (mapInPandas, no shuffle, one
+# image never spans executors). The un-filter inner loop is pure Python
+# over tiny fixture rasters; a production deployment swaps libpng/PIL in
+# behind the identical bytes→(w,h,raster) seam (_png_feature_rows's
+# ``decode=`` parameter, same contract the seam tests inject into).
+
+_PNG_PIX_A = 7919
+_PNG_PIX_B = 101
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + (doc_id % 6) * 4, 5 + (doc_id % 5) * 3  # (width, height)
+
+
+def _png_pixels(doc_id: int) -> "np.ndarray":
+    """v[idx] = (doc_id·7919 + idx·101) mod 256 over the w·h·3 flat RGB
+    buffer — the closed form the oracle mirrors."""
+    w, h = _png_dims(doc_id)
+    idx = np.arange(w * h * 3, dtype=np.int64)
+    return ((doc_id * _PNG_PIX_A + idx * _PNG_PIX_B) % 256).astype(np.uint8)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_np(a: "np.ndarray", b: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+    """Vectorized Paeth predictor (PNG spec §6.6): nearest of left/up/
+    up-left to the linear estimate a+b−c, ties breaking a, then b."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _encode_png_bytes(doc_id: int) -> bytes:
+    """Build a genuine truecolor-8 PNG: row r carries filter type
+    (doc_id + r) % 5, so every fixture image exercises all five filters."""
+    import struct
+    import zlib
+
+    w, h = _png_dims(doc_id)
+    raster = _png_pixels(doc_id).reshape(h, w * 3).astype(np.int64)
+    bpp = 3
+    lines = []
+    zero = np.zeros(w * 3, dtype=np.int64)
+    for r in range(h):
+        raw = raster[r]
+        prev = raster[r - 1] if r > 0 else zero
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), raw[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+        ft = (doc_id + r) % 5
+        if ft == 0:
+            filt = raw
+        elif ft == 1:  # Sub
+            filt = raw - left
+        elif ft == 2:  # Up
+            filt = raw - prev
+        elif ft == 3:  # Average
+            filt = raw - (left + prev) // 2
+        else:  # Paeth
+            filt = raw - _paeth_np(left, prev, upleft)
+        lines.append(bytes([ft]) + (filt % 256).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # truecolor, 8-bit
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _encode_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        ids = [int(d) for d in batch["doc_id"]]
+        yield pd.DataFrame(
+            {"doc_id": ids, "payload": [_encode_png_bytes(d) for d in ids]}
+        )
+
+
+def _png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    return docs.mapInPandas(_encode_png, schema="doc_id long, payload binary")
+
+
+def decode_png(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Hand-parsed PNG decode, stdlib only: signature check, chunk walk
+    with CRC-32 verification on every chunk, IHDR parse (truecolor-8,
+    non-interlaced only — the shapes this engine synthesizes), zlib
+    inflate of the concatenated IDAT stream, and spec §6 row un-filtering
+    for all five filter types. Returns (width, height, flat uint8 RGB)."""
+    import struct
+    import zlib
+
+    b = bytes(payload)
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos < len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, depth, ctyp, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctyp, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError("only truecolor-8 non-interlaced supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    stream = zlib.decompress(bytes(idat))
+    stride, bpp = w * 3, 3
+    if len(stream) != h * (stride + 1):
+        raise ValueError("scanline stream length mismatch")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for r in range(h):
+        ft = stream[r * (stride + 1)]
+        row = bytearray(stream[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + prev[i] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else prev[i] if pb <= pc else c
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        out[r * stride : (r + 1) * stride] = row
+        prev = row
+    return w, h, np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def _png_feature_rows(
+    spark: SparkSession, sf_dir: str, decode=decode_png
+) -> DataFrame:
+    # identical feature contract to the PPM path — the bytes→(w,h,raster)
+    # seam is shared, which is the point: a compressed codec drops in
+    # without touching the Spark-side plumbing
+    return _png_media(spark, sf_dir).mapInPandas(
+        _ppm_features_with(decode), schema=_PPM_FEAT_SCHEMA
+    )
+
+
+def image_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact checksum over every DEFLATE-decoded PNG: header dims,
+    exact per-channel sums, and an id+position-weighted modular binding.
+    Matching the closed-form oracle proves signature/chunk/CRC parsing,
+    zlib inflate, and all five un-filters reproduced every raster byte."""
+    f = _png_feature_rows(spark, sf_dir)
+    return f.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("width").alias("sum_width"),
+        F.sum("height").alias("sum_height"),
+        F.sum("n_pixels").alias("sum_pixels"),
+        F.sum("sum_r").alias("total_r"),
+        F.sum("sum_g").alias("total_g"),
+        F.sum("sum_b").alias("total_b"),
+        F.sum(
+            F.expr(f"((doc_id % {P}) * (idx_weighted % {P})) % {P}")
+        ).alias("id_weighted_binding"),
+    )
+
+
 QUERIES = {
     "multimodal_catalog": multimodal_catalog,
     "image_features_stub": image_features_stub,
     "image_features_ppm": image_features_ppm,
+    "image_features_png": image_features_png,
     "video_frame_sample_stub": video_frame_sample_stub,
     "video_frame_sample_y4m": video_frame_sample_y4m,
     "audio_window_rms": audio_window_rms,
@@ -800,6 +1014,32 @@ FULLROW_ORACLES = {
         " unnest(range(0, w * h * 3)) AS idx FROM dims),"
         f" v AS (SELECT doc_id, w, h, idx,"
         f" (doc_id * {_PPM_PIX_A} + idx * {_PPM_PIX_B}) % 256 AS val"
+        " FROM px)"
+        " SELECT doc_id, CAST(ANY_VALUE(w) AS INT) AS width,"
+        " CAST(ANY_VALUE(h) AS INT) AS height,"
+        " CAST(ANY_VALUE(w) * ANY_VALUE(h) AS INT) AS n_pixels,"
+        " CAST(SUM(CASE WHEN idx % 3 = 0 THEN val ELSE 0 END) AS BIGINT)"
+        " AS sum_r,"
+        " CAST(SUM(CASE WHEN idx % 3 = 1 THEN val ELSE 0 END) AS BIGINT)"
+        " AS sum_g,"
+        " CAST(SUM(CASE WHEN idx % 3 = 2 THEN val ELSE 0 END) AS BIGINT)"
+        " AS sum_b,"
+        f" CAST(SUM(((idx % {P}) * val) % {P}) AS BIGINT) AS idx_weighted"
+        " FROM v GROUP BY doc_id"
+    ),
+    # PNG oracle: same shape as the PPM one — every decoded raster byte
+    # recomputed from v[idx] = (doc_id·7919 + idx·101) mod 256 and the
+    # doc_id dim formulas; the DEFLATE/filter/CRC machinery never leaks
+    # into the oracle, which is exactly what makes the checksum a proof
+    # that the decode inverted it.
+    "png_feature_rows": (
+        "WITH dims AS (SELECT doc_id,"
+        " 8 + CAST(doc_id % 6 AS INT) * 4 AS w,"
+        " 5 + CAST(doc_id % 5 AS INT) * 3 AS h FROM documents),"
+        " px AS (SELECT doc_id, w, h,"
+        " unnest(range(0, w * h * 3)) AS idx FROM dims),"
+        f" v AS (SELECT doc_id, w, h, idx,"
+        f" (doc_id * {_PNG_PIX_A} + idx * {_PNG_PIX_B}) % 256 AS val"
         " FROM px)"
         " SELECT doc_id, CAST(ANY_VALUE(w) AS INT) AS width,"
         " CAST(ANY_VALUE(h) AS INT) AS height,"
@@ -895,6 +1135,19 @@ ORACLES = {
     ),
     "image_features_ppm": (
         f"WITH f AS ({FULLROW_ORACLES['ppm_feature_rows']})"
+        " SELECT COUNT(*) AS n_images,"
+        " CAST(SUM(width) AS BIGINT) AS sum_width,"
+        " CAST(SUM(height) AS BIGINT) AS sum_height,"
+        " CAST(SUM(n_pixels) AS BIGINT) AS sum_pixels,"
+        " CAST(SUM(sum_r) AS BIGINT) AS total_r,"
+        " CAST(SUM(sum_g) AS BIGINT) AS total_g,"
+        " CAST(SUM(sum_b) AS BIGINT) AS total_b,"
+        f" CAST(SUM(((doc_id % {P}) * (idx_weighted % {P})) % {P})"
+        " AS BIGINT) AS id_weighted_binding"
+        " FROM f"
+    ),
+    "image_features_png": (
+        f"WITH f AS ({FULLROW_ORACLES['png_feature_rows']})"
         " SELECT COUNT(*) AS n_images,"
         " CAST(SUM(width) AS BIGINT) AS sum_width,"
         " CAST(SUM(height) AS BIGINT) AS sum_height,"

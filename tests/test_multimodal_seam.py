@@ -205,3 +205,71 @@ def test_y4m_truncated_marker_line():
 
     with pytest.raises(ValueError, match="truncated frame"):
         multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 C444\nFRAME")
+
+
+def test_png_roundtrip_real_binary():
+    """The PNG path is a real COMPRESSED format: signature + CRC-guarded
+    chunks + zlib DEFLATE + all five spec row filters, round-tripped
+    through the hand parser. Every doc_id residue class mod 5 starts its
+    filter cycle at a different type, so the set below exercises each
+    filter as a ROW-0 filter (prev = zero row) and mid-raster."""
+    for doc_id in (0, 1, 2, 3, 4, 17, 123):
+        payload = multimodal._encode_png_bytes(doc_id)
+        w, h, px = multimodal.decode_png(payload)
+        assert (w, h) == multimodal._png_dims(doc_id)
+        assert np.array_equal(px, multimodal._png_pixels(doc_id))
+
+
+def test_png_decode_rejects_malformed():
+    import struct
+    import zlib
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        multimodal.decode_png(b"GIF89a" + b"\x00" * 20)
+    # flip one byte inside the IDAT payload: CRC must catch it
+    good = bytearray(multimodal._encode_png_bytes(7))
+    idat_at = bytes(good).index(b"IDAT")
+    good[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="bad CRC"):
+        multimodal.decode_png(bytes(good))
+    # valid CRCs but truncated scanline stream
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bad = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="scanline stream length"):
+        multimodal.decode_png(bad)
+    # unsupported color type (grayscale)
+    gray = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bad2 = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", gray)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(b"\x00" * 6))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truecolor-8"):
+        multimodal.decode_png(bad2)
+
+
+def test_png_feature_rows_accept_injected_codec(spark, sf_dir):
+    """The PNG extractor shares the PPM feature seam: an injected decoder
+    (a real libpng binding in production) flows through the identical
+    mapInPandas body and schema."""
+
+    def fake_decode(payload):
+        return 2, 1, np.array([1, 2, 3, 4, 5, 6], dtype=np.uint8)
+
+    rows = (
+        multimodal._png_feature_rows(spark, sf_dir, decode=fake_decode)
+        .limit(5)
+        .collect()
+    )
+    assert len(rows) == 5
+    for r in rows:
+        assert (r["width"], r["height"], r["n_pixels"]) == (2, 1, 2)
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (5, 7, 9)
