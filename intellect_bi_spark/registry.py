@@ -21,8 +21,10 @@ from .operators import (
     pipeline,
     quality,
     relational,
+    roundtrip,
     sales_queries,
     similarity,
+    skewops,
     streamops,
     temporal,
     textops,
@@ -43,6 +45,8 @@ _MODULES = (
     temporal,
     eventops,
     quality,
+    roundtrip,
+    skewops,
     textops,
     pipeline,
     streamops,
