@@ -267,3 +267,92 @@ def test_pack_sequences_prefix_sum_is_bucket_partitioned(spark, sf_dir):
 
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("bkt" in s for s in specs), specs
+
+
+def test_salted_join_plan_and_salt_spread(spark, sf_dir):
+    """skewops.salted_join must (a) replicate the dim via explode —
+    visible as a Generate node feeding the join, (b) join on BOTH the key
+    and the salt, (c) never degrade into a broadcast (the scenario is
+    'dim too big to broadcast'), and (d) actually spread the hot key:
+    the big side must carry all N_SALTS distinct salts for the -1 guest
+    key, so the key's rows occupy N_SALTS shuffle partitions instead of
+    one."""
+    from pyspark.sql import functions as F
+
+    from intellect_bi_spark.operators import skewops
+
+    ev = skewops.skewed_events(spark, sf_dir)
+    dim = skewops.profile_dim(ev)
+    j = skewops.salted_join(ev, dim, "profile_key", "event_id")
+    plan = plan_of(j)
+    assert "Generate" in plan and "explode" in plan, plan
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan
+    # join condition carries the salt column next to the key
+    assert "_salt" in plan
+    big_salts = (
+        ev.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("event_id")), F.lit(skewops.N_SALTS)),
+        )
+        .filter(F.col("profile_key") == -1)
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert big_salts == skewops.N_SALTS
+
+
+def test_aqe_splits_skewed_smj(spark, sf_dir, tmp_path):
+    """The AQE remedy, exercised end to end: a genuinely skewed
+    sort-merge join (70% of rows on one key) under production-shaped
+    thresholds must come out of execution with the join marked
+    ``skew=true`` (OptimizeSkewedJoin split the monster partition at
+    runtime).
+
+    The upstream ``repartition`` matters: AQE splits a skewed REDUCE
+    partition along its MAP-side block boundaries, and the single-row-
+    group fixture parquet yields ONE populated map block (every other
+    scan task reads an empty byte range) — one block is unsplittable, so
+    without the rebalance the rule correctly reports nothing to split.
+    On a production cluster the fact table arrives from thousands of map
+    tasks and the split applies directly; the repartition recreates that
+    shape locally. This is exactly the granularity a 100 TB layout must
+    respect: skew-join splitting needs many map blocks, i.e. many input
+    splits/row groups."""
+    from pyspark.sql import functions as F
+
+    from intellect_bi_spark.operators import skewops
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        ev = skewops.skewed_events(spark, sf_dir).repartition(16)
+        dim_path = str(tmp_path / "profile_dim")
+        skewops.profile_dim(ev).write.mode("overwrite").parquet(dim_path)
+        dim = spark.read.parquet(dim_path)
+        j = ev.hint("merge").join(dim, "profile_key", "inner")
+        n = len(j.collect())
+        # every event with a non-null key joins exactly once
+        expected = skewops.skewed_events(spark, sf_dir).filter(
+            F.col("profile_key").isNotNull()
+        ).count()
+        assert n == expected
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
