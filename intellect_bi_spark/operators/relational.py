@@ -211,29 +211,29 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4-shaped: priority counts for orders in one quarter with at
-    least one late-shipped lineitem (EXISTS over the fact table).
+    """TPC-H Q4: priority counts for orders in one quarter with at least
+    one lineitem received after its committed date — the LITERAL
+    ``l_commitdate < l_receiptdate`` predicate since round 7, both dates
+    derived closed-form from the spec value model (_COMMIT_SQL /
+    _RECEIPT_SQL; previously ship-vs-order lateness stood in).
 
     The EXISTS is a LEFT SEMI join on the order key with the lateness
     predicate as a residual condition — at scale this shuffles only the
-    quarter's orders plus lineitem's two join columns (key + shipdate,
-    pruned at the scan), and each order emits at most once regardless of
-    how many lineitems match. Never a correlated per-row subquery.
+    quarter's orders plus lineitem's three pruned columns, and each
+    order emits at most once regardless of how many lineitems match.
+    Never a correlated per-row subquery.
     """
     t = load_tables(spark, sf_dir)
     o = t["orders"].filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    li = t["lineitem"].select("l_orderkey", "l_linenumber", "l_shipdate")
     return (
         o.join(
             li,
             (F.col("o_orderkey") == F.col("l_orderkey"))
-            & (
-                F.col("l_shipdate")
-                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-            ),
+            & F.expr(f"({_RECEIPT_SQL}) > ({_COMMIT_SQL})"),
             "left_semi",
         )
         .groupBy("o_orderpriority")
@@ -507,28 +507,27 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16-shaped: distinct supplier counts per part attribute group,
-    with NOT-filters on the part side (the fixtures carry no partsupp
-    table, so lineitem's distinct (partkey, suppkey) pairs stand in for
-    the part↔supplier relation — same join/aggregate shape).
+    """TPC-H Q16: distinct supplier counts per part attribute group over
+    the PARTSUPP relation itself (literal since round 7 — previously
+    lineitem's observed pairs stood in), with the NOT-filters on the
+    part side. The spec's supplier-complaint NOT IN is omitted (the
+    fixture supplier table carries no comment column).
 
-    Plan: part-side NOT-predicates push to the part scan; the pair
-    relation is a distinct over two 8-byte keys; countDistinct suppliers
-    per (brand, type, size); top-20 via TakeOrderedAndProject."""
+    Plan: part-side NOT-predicates push to the part scan and broadcast;
+    countDistinct suppliers per (brand, type, size); top-20 via
+    TakeOrderedAndProject."""
     t = load_tables(spark, sf_dir)
-    pairs = (
-        t["lineitem"].select("l_partkey", "l_suppkey").distinct()
-    )
     parts = t["part"].filter(
         (F.col("p_brand") != "Brand#45")
         & (~F.col("p_type").startswith("MEDIUM"))
     )
     return (
-        pairs.join(
-            F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+        _partsupp(t)
+        .join(
+            F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey")
         )
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(
             F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
         )
@@ -608,10 +607,18 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21-shaped: suppliers who alone held up multi-supplier orders
-    (late = shipped >60 days after the order date; the fixtures carry no
-    commit/receipt dates, so ship-vs-order lateness stands in — the
-    EXISTS + NOT-EXISTS correlation shape is unchanged).
+    """TPC-H Q21: suppliers who alone held up multi-supplier orders, with
+    the LITERAL lateness predicate ``l_receiptdate > l_commitdate``
+    (upgraded round 7 from the ship-vs-order substitute). The fixtures
+    carry no commit/receipt date columns, so both derive closed-form
+    from the spec's value model (TPC-H §4.2.3: commitdate = orderdate +
+    [30..90] days, receiptdate = shipdate + [1..30] days) with the
+    random draw replaced by key arithmetic both engines compute
+    identically (see _COMMIT/_RECEIPT below). l_suppkey is the spec
+    supplier (``_lineitem_ps``), consistent with the partsupp world.
+    The spec's single-nation and o_orderstatus filters are relaxed —
+    the fixture orders carry no matching status domain and one nation
+    would leave a near-empty answer at test scale.
 
     The oracle states the LITERAL Q21 form (correlated EXISTS for "another
     supplier participates" + NOT EXISTS for "no other supplier was late");
@@ -624,17 +631,14 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs — the correlated form rescans the fact table per subquery."""
     t = load_tables(spark, sf_dir)
     j = (
-        t["lineitem"]
+        _lineitem_ps(t)
         .join(
             t["orders"].select("o_orderkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .withColumn(
             "late",
-            (
-                F.col("l_shipdate")
-                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-            ).cast("long"),
+            F.expr(f"({_RECEIPT_SQL}) > ({_COMMIT_SQL})").cast("long"),
         )
     )
     per = j.groupBy("l_orderkey", "l_suppkey").agg(
@@ -669,28 +673,48 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_part_value_concentration(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """TPC-H Q11-shaped: parts whose total line value exceeds a fixed
-    fraction of the GLOBAL total — the HAVING-against-a-scalar-subquery
-    shape (the fixtures carry no partsupp, so lineitem value per part
-    stands in for stock value).
+    """TPC-H Q11: parts whose STOCK value (ps_supplycost · ps_availqty,
+    literal since round 7 — previously lineitem value stood in) held by
+    one nation's suppliers exceeds a fraction of that nation's global
+    stock value — the HAVING-against-a-scalar-subquery shape.
 
-    Plan: one scan aggregates per-part totals; the global total is a
-    second aggregate over the same scan, broadcast as a 1-row frame into
-    the threshold filter (never a rescan per group). Both totals are
-    exact DECIMAL sums cast to double once, and the threshold multiply is
-    one double op — so the > comparison decides identically in DuckDB."""
-    li = load_tables(spark, sf_dir)["lineitem"]
-    per = li.groupBy("l_partkey").agg(
-        dsum("l_extendedprice").alias("part_value")
+    Plan: nation⋈supplier broadcasts into the spec partsupp; ONE
+    aggregate pass produces per-part totals, a second 1-row aggregate of
+    the same filtered relation broadcasts as the threshold (never a
+    rescan per group). supplycost is 2-decimal and availqty integral, so
+    the products are 2-decimal exact and both totals are exact DECIMAL
+    sums cast to double once — the > comparison decides identically in
+    DuckDB. The threshold fraction is 0.001 (spec: 0.0001/SF) sized to
+    the fixture cardinalities."""
+    t = load_tables(spark, sf_dir)
+    nat_supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
     )
-    total = li.agg(
-        (dsum("l_extendedprice") * F.lit(0.0001)).alias("_threshold")
+    ps = _partsupp(t).join(
+        F.broadcast(nat_supp),
+        F.col("ps_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    per = ps.groupBy("ps_partkey").agg(
+        dsum("ps_supplycost * ps_availqty").alias("part_value")
+    )
+    total = ps.agg(
+        (dsum("ps_supplycost * ps_availqty") * F.lit(0.001)).alias(
+            "_threshold"
+        )
     )
     return (
         per.crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > F.col("_threshold"))
-        .select("l_partkey", "part_value")
-        .orderBy(F.desc("part_value"), "l_partkey")
+        .select("ps_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "ps_partkey")
         .limit(50)
     )
 
@@ -766,49 +790,128 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- derived partsupp + the three TPC-H shapes that need it ------------------
+# --- spec-formula partsupp + the TPC-H shapes that need it -------------------
 #
-# The driver fixtures carry no partsupp table (VERDICT r5 item 7), so the
-# relation is DERIVED deterministically — the same move the sales view
-# makes (catalog.SALES_SELECT_SQL): keys are the DISTINCT
-# (l_partkey, l_suppkey) pairs observed in lineitem (referential
-# integrity with the fact table by construction), and availqty /
-# supplycost are pure integer arithmetic on the keys, identical in both
-# engines. Documented substitution, not a claim of literal TPC-H data —
-# the JOIN/AGGREGATE shapes are the point.
+# The driver fixtures carry no partsupp table and /root/testdata is
+# read-only, so the relation cannot land as a parquet fixture and the
+# DuckDB oracle can only see the ten pre-registered views — a generator
+# CTE in both engines is the only honest construction available. Round 7
+# upgrades that generator from "observed lineitem pairs" to the LITERAL
+# TPC-H dbgen structure (TPC-H spec §4.2.3: partsupp has exactly four
+# rows per part, suppliers assigned by the arithmetic spread
+# ps_suppkey = (ps_partkey + i·(S/4 + ps_partkey/S)) mod S; reference
+# analogue: the star-schema substitution note in SURVEY §8):
+#
+#   ps_suppkey(p, i) = (p + i·(S div 4) + p div S) mod S,  i ∈ 0..3
+#
+# with S = COUNT(supplier). (The per-part term sits OUTSIDE the i
+# multiplier — with the fixtures' small S the spec's inner placement can
+# make i·step collide mod S; the outer form keeps the four suppliers
+# provably distinct for any S ≥ 4 while preserving the spec's
+# evenly-spread, part-dependent assignment.) ps_availqty / ps_supplycost
+# take the spec VALUE RANGES (1..9999 and 1.00..1000.00) from
+# deterministic key arithmetic instead of dbgen's RNG so both engines
+# derive identical values. lineitem joins partsupp through
+# ``_lineitem_ps``, which maps each row's arbitrary fixture suppkey to
+# the part's i = (l_suppkey mod 4)-th spec supplier — exactly how dbgen
+# itself draws l_suppkey from the part's four partsupp rows — restoring
+# full referential integrity (every lineitem pair exists in partsupp by
+# construction). Q2/Q9/Q16/Q20 then run literal TPC-H join/aggregate
+# semantics; only the generator CTE itself remains a documented
+# substitution for the missing fixture.
+
+_PS_AVAILQTY = "CAST((ps_partkey * 31 + ps_suppkey * 17) % 9999 + 1 AS INT)"
+_PS_SUPPLYCOST = (
+    "CAST((ps_partkey * 7 + ps_suppkey * 3) % 99900 + 100 AS DOUBLE) / 100.0"
+)
+# ns / four / ps0 / ps — the shared oracle CTE chain (DuckDB `//` is
+# integer division; Spark side spells it DIV). _PS_CTE and _LPS_CTE both
+# require _NS_CTE ahead of them in the WITH list.
+_NS_CTE = "ns AS (SELECT COUNT(*) AS n_s FROM supplier)"
+_PS_CTE = (
+    "four AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(i)),"
+    " ps0 AS (SELECT p_partkey AS ps_partkey,"
+    " (p_partkey + i * (n_s // 4) + p_partkey // n_s) % n_s AS ps_suppkey"
+    " FROM part, ns, four),"
+    f" ps AS (SELECT ps_partkey, ps_suppkey, {_PS_AVAILQTY} AS ps_availqty,"
+    f" {_PS_SUPPLYCOST} AS ps_supplycost FROM ps0)"
+)
+# lineitem with its suppkey remapped to the spec supplier (dbgen's own
+# l_suppkey draw); all other columns pass through unchanged
+_LPS_CTE = (
+    "lps AS (SELECT l_orderkey, l_partkey,"
+    " (l_partkey + (l_suppkey % 4) * (n_s // 4) + l_partkey // n_s) % n_s"
+    " AS l_suppkey,"
+    " l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,"
+    " l_returnflag, l_linestatus, l_shipdate FROM lineitem, ns)"
+)
 
 
 def _partsupp(t: dict[str, DataFrame]) -> DataFrame:
-    pairs = (
-        t["lineitem"]
+    n_s = t["supplier"].agg(F.count(F.lit(1)).alias("n_s"))
+    return (
+        t["part"]
+        .select("p_partkey")
+        .crossJoin(F.broadcast(n_s))
         .select(
-            F.col("l_partkey").alias("ps_partkey"),
-            F.col("l_suppkey").alias("ps_suppkey"),
+            "p_partkey",
+            "n_s",
+            F.explode(F.expr("sequence(0, 3)")).alias("i"),
         )
-        .distinct()
-    )
-    return pairs.select(
-        "ps_partkey",
-        "ps_suppkey",
-        ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 1000 + 1)
-        .cast("int")
-        .alias("ps_availqty"),
-        (
-            ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 3) % 90000
-             + 10000).cast("double") / 100.0
-        ).alias("ps_supplycost"),
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.expr(
+                "(p_partkey + i * (n_s DIV 4) + p_partkey DIV n_s) % n_s"
+            ).alias("ps_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            F.expr(_PS_AVAILQTY).alias("ps_availqty"),
+            F.expr(_PS_SUPPLYCOST).alias("ps_supplycost"),
+        )
     )
 
 
-_PS_CTE = (
-    "ps AS (SELECT ps_partkey, ps_suppkey,"
-    " CAST((ps_partkey * 31 + ps_suppkey * 17) % 1000 + 1 AS INT)"
-    " AS ps_availqty,"
-    " CAST((ps_partkey * 7 + ps_suppkey * 3) % 90000 + 10000 AS DOUBLE)"
-    " / 100.0 AS ps_supplycost"
-    " FROM (SELECT DISTINCT l_partkey AS ps_partkey,"
-    " l_suppkey AS ps_suppkey FROM lineitem))"
+# Derived commit/receipt dates (q21): the spec value model with the RNG
+# replaced by key arithmetic. DATE_ADD spelling for Spark; the oracle
+# uses DuckDB's date + int form of the SAME expressions.
+_COMMIT_SQL = (
+    "DATE_ADD(CAST(o_orderdate AS DATE),"
+    " CAST(30 + (l_orderkey * 7 + l_linenumber * 3) % 61 AS INT))"
 )
+_RECEIPT_SQL = (
+    "DATE_ADD(CAST(l_shipdate AS DATE),"
+    " CAST(1 + (l_orderkey * 5 + l_linenumber * 11) % 30 AS INT))"
+)
+_COMMIT_DUCK = (
+    "(CAST(o_orderdate AS DATE)"
+    " + CAST(30 + (l_orderkey * 7 + l_linenumber * 3) % 61 AS INT))"
+)
+_RECEIPT_DUCK = (
+    "(CAST(l_shipdate AS DATE)"
+    " + CAST(1 + (l_orderkey * 5 + l_linenumber * 11) % 30 AS INT))"
+)
+
+
+def _lineitem_ps(t: dict[str, DataFrame]) -> DataFrame:
+    """lineitem with ``l_suppkey`` remapped into the part's four spec
+    suppliers (i = fixture suppkey mod 4) — the dbgen draw, giving every
+    row a matching partsupp pair. The 1-row supplier count broadcasts;
+    the remap is a map-side projection, no shuffle."""
+    n_s = t["supplier"].agg(F.count(F.lit(1)).alias("n_s"))
+    return (
+        t["lineitem"]
+        .crossJoin(F.broadcast(n_s))
+        .withColumn(
+            "l_suppkey",
+            F.expr(
+                "(l_partkey + (l_suppkey % 4) * (n_s DIV 4)"
+                " + l_partkey DIV n_s) % n_s"
+            ),
+        )
+        .drop("n_s")
+    )
 
 
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -871,7 +974,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem and partsupp) before the pair join; supplier⋈nation
     broadcasts; the two real shuffles are the (partkey, suppkey) pair
     join and lineitem⋈orders. The signed profit aggregate runs on the
-    long-partial fast path (grouped_exact, scale 4)."""
+    long-partial fast path (grouped_exact, scale 4). Literal Q9
+    semantics over the spec partsupp: every lineitem row carries its
+    part's spec supplier (``_lineitem_ps``), so the pair join is a
+    true PK join, never a filter."""
     t = load_tables(spark, sf_dir)
     parts = t["part"].filter(F.col("p_name").like("%ring%")).select(
         "p_partkey"
@@ -890,7 +996,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", F.col("n_name").alias("nation"))
     )
     li = (
-        t["lineitem"]
+        _lineitem_ps(t)
         .join(
             F.broadcast(parts),
             F.col("l_partkey") == F.col("p_partkey"),
@@ -944,7 +1050,7 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey"
     )
     per_pair = (
-        t["lineitem"]
+        _lineitem_ps(t)
         .filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -1013,7 +1119,7 @@ ORACLES = {
     # Q2: literal correlated-MIN form — the Spark plan decorrelates it to
     # a per-part window minimum; the oracle states the textbook shape
     "q2_min_cost_supplier": (
-        f"WITH {_PS_CTE},"
+        f"WITH {_NS_CTE}, {_PS_CTE},"
         " eur AS (SELECT s_suppkey, s_name, s_acctbal, n_name"
         " FROM supplier JOIN nation ON s_nationkey = n_nationkey"
         " JOIN region ON n_regionkey = r_regionkey"
@@ -1029,7 +1135,7 @@ ORACLES = {
         " ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20"
     ),
     "q9_product_profit": (
-        f"WITH {_PS_CTE}"
+        f"WITH {_NS_CTE}, {_PS_CTE}, {_LPS_CTE}"
         " SELECT nation, o_year,"
         f" {dsum_sql('amount', 4)} AS sum_profit,"
         " COUNT(*) AS n_lineitems"
@@ -1037,7 +1143,7 @@ ORACLES = {
         " CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,"
         " l_extendedprice * (1 - l_discount)"
         " - ps_supplycost * l_quantity AS amount"
-        " FROM lineitem"
+        " FROM lps"
         " JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey"
         " JOIN part ON p_partkey = l_partkey"
         " JOIN orders ON o_orderkey = l_orderkey"
@@ -1049,14 +1155,14 @@ ORACLES = {
     # Q20: literal nested-IN + correlated half-quantity threshold; the
     # Spark plan decorrelates to one per-pair aggregate + equi-join
     "q20_excess_stock_suppliers": (
-        f"WITH {_PS_CTE}"
+        f"WITH {_NS_CTE}, {_PS_CTE}, {_LPS_CTE}"
         " SELECT s_name, s_acctbal"
         " FROM supplier JOIN nation ON s_nationkey = n_nationkey"
         " WHERE n_name = 'NATION_7' AND s_suppkey IN ("
         " SELECT ps_suppkey FROM ps"
         " WHERE ps_partkey IN (SELECT p_partkey FROM part"
         " WHERE p_name LIKE 'blue%')"
-        " AND ps_availqty > (SELECT 0.5 * SUM(l_quantity) FROM lineitem"
+        " AND ps_availqty > (SELECT 0.5 * SUM(l_quantity) FROM lps"
         " WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey"
         " AND l_shipdate >= TIMESTAMP '1996-01-01'"
         " AND l_shipdate < TIMESTAMP '1997-01-01'))"
@@ -1125,6 +1231,8 @@ ORACLES = {
         f" AS promo_share"
         f" FROM lineitem JOIN part ON l_partkey = p_partkey"
     ),
+    # Q4: literal commit-vs-receipt lateness (same derived-date
+    # expressions as q21's oracle, correlated to the outer order)
     "q4_order_priority": (
         "SELECT o_orderpriority, COUNT(*) AS order_count"
         " FROM orders o"
@@ -1132,7 +1240,7 @@ ORACLES = {
         " AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'"
         " AND EXISTS (SELECT 1 FROM lineitem l"
         " WHERE l.l_orderkey = o.o_orderkey"
-        " AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)"
+        f" AND {_RECEIPT_DUCK} > {_COMMIT_DUCK})"
         " GROUP BY o_orderpriority ORDER BY o_orderpriority"
     ),
     "q18_large_orders": (
@@ -1195,11 +1303,12 @@ ORACLES = {
         f" WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)"
         f" ORDER BY s_suppkey"
     ),
+    # Q16: literal — counts over the spec partsupp relation itself
     "q16_part_supplier_counts": (
-        "WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)"
+        f"WITH {_NS_CTE}, {_PS_CTE}"
         " SELECT p_brand, p_type, p_size,"
-        " COUNT(DISTINCT l_suppkey) AS supplier_cnt"
-        " FROM pairs JOIN part ON l_partkey = p_partkey"
+        " COUNT(DISTINCT ps_suppkey) AS supplier_cnt"
+        " FROM ps JOIN part ON ps_partkey = p_partkey"
         " WHERE p_brand != 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'"
         " GROUP BY p_brand, p_type, p_size"
         " ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20"
@@ -1249,30 +1358,42 @@ ORACLES = {
         f" nation_volume / total_volume AS mkt_share"
         f" FROM agg ORDER BY o_year"
     ),
+    # Q11: literal — stock value over the spec partsupp, one nation,
+    # HAVING against the scalar-subquery threshold
     "q11_part_value_concentration": (
-        f"WITH per AS (SELECT l_partkey,"
-        f" {dsum_sql('l_extendedprice')} AS part_value"
-        f" FROM lineitem GROUP BY l_partkey),"
-        f" tot AS (SELECT {dsum_sql('l_extendedprice')} * 0.0001"
-        f" AS threshold FROM lineitem)"
-        f" SELECT l_partkey, part_value FROM per, tot"
+        f"WITH {_NS_CTE}, {_PS_CTE},"
+        " nps AS (SELECT ps.* FROM ps"
+        " JOIN supplier ON ps_suppkey = s_suppkey"
+        " JOIN nation ON s_nationkey = n_nationkey"
+        " WHERE n_name = 'NATION_3'),"
+        f" per AS (SELECT ps_partkey,"
+        f" {dsum_sql('ps_supplycost * ps_availqty')} AS part_value"
+        f" FROM nps GROUP BY ps_partkey),"
+        f" tot AS (SELECT {dsum_sql('ps_supplycost * ps_availqty')} * 0.001"
+        f" AS threshold FROM nps)"
+        f" SELECT ps_partkey, part_value FROM per, tot"
         f" WHERE part_value > threshold"
-        f" ORDER BY part_value DESC, l_partkey LIMIT 50"
+        f" ORDER BY part_value DESC, ps_partkey LIMIT 50"
     ),
     # the literal correlated EXISTS / NOT-EXISTS form — the Spark plan is
     # its aggregation decorrelation; hash-equality proves the rewrite
     "q21_late_suppliers": (
-        "SELECT s_name, COUNT(*) AS numwait"
-        " FROM supplier, lineitem l1, orders"
-        " WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey"
-        " AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY"
-        " AND EXISTS (SELECT 1 FROM lineitem l2"
+        f"WITH {_NS_CTE}, {_LPS_CTE},"
+        # ld: lineitem + derived commit/receipt dates (spec value model)
+        f" ld AS (SELECT lps.*, {_COMMIT_DUCK} AS l_commitdate,"
+        f" {_RECEIPT_DUCK} AS l_receiptdate"
+        " FROM lps JOIN orders ON o_orderkey = l_orderkey)"
+        " SELECT s_name, COUNT(*) AS numwait"
+        " FROM supplier, ld l1"
+        " WHERE s_suppkey = l1.l_suppkey"
+        " AND l1.l_receiptdate > l1.l_commitdate"
+        " AND EXISTS (SELECT 1 FROM ld l2"
         " WHERE l2.l_orderkey = l1.l_orderkey"
         " AND l2.l_suppkey != l1.l_suppkey)"
-        " AND NOT EXISTS (SELECT 1 FROM lineitem l3"
+        " AND NOT EXISTS (SELECT 1 FROM ld l3"
         " WHERE l3.l_orderkey = l1.l_orderkey"
         " AND l3.l_suppkey != l1.l_suppkey"
-        " AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)"
+        " AND l3.l_receiptdate > l3.l_commitdate)"
         " GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"
     ),
     "q22_dormant_customers": (
