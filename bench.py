@@ -50,9 +50,12 @@ HEADLINE = [
     "q18_large_orders",
     "q7_nation_volume",
     "q13_order_count_distribution",
-    "q2_min_cost_supplier",  # derived-partsupp trio (r6)
+    "q2_min_cost_supplier",  # spec-partsupp family (literal since r7)
     "q9_product_profit",
+    "q16_part_supplier_counts",  # literal partsupp counts (r7)
+    "q21_late_suppliers",  # literal commit-vs-receipt lateness (r7)
     "region_sales_gini",  # rank-window Gini (r6)
+    "skewed_join_sales",  # salted hot-key join (r7)
     # training-data pipeline (charter extensions)
     "exact_dedup_stats",
     "near_dup_summary",
@@ -66,7 +69,10 @@ HEADLINE = [
     "image_features_stub",
     "audio_window_rms",  # real WAV binary decode (r6)
     "image_features_ppm",  # real PPM binary decode (r6)
+    "image_features_png",  # DEFLATE-compressed PNG decode (r7)
     "video_frame_sample_y4m",  # real Y4M container decode (r6)
+    "xml_roundtrip_checksum",  # interchange sink+scan certification (r7)
+    "jsonl_roundtrip_checksum",
     "quality_repetition_stats",  # Gopher repetition rules (r6)
     "pack_sequences_manifest",  # sequence packing prefix sum (r6)
     "temperature_resample_stats",  # p^alpha language rebalance (r6)
