@@ -17,7 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum_sql
+from ..functions.text import P
 from ..streaming.events import (
+    click_purchase_pairs,
     dedup_replayed_events,
     events_batch,
     session_agg,
@@ -43,6 +45,32 @@ def events_sliding_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_replayed_events(events_batch(spark, sf_dir))
+
+
+def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming/events.py:click_purchase_pairs): per purchase day, how
+    many (purchase, click) attribution pairs landed, how many distinct
+    purchases had at least one attributed click, and an exact
+    pair-binding checksum that only matches if every purchase met
+    exactly its own user's in-window clicks. The streaming run of the
+    SAME operator is proven row-identical in tests/test_streaming.py."""
+    pairs = click_purchase_pairs(events_batch(spark, sf_dir))
+    return (
+        pairs.groupBy(
+            F.col("purchase_ts").cast("date").alias("purchase_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            F.sum(
+                F.expr(
+                    f"((purchase_id % {P}) * (click_id % {P})) % {P}"
+                )
+            ).alias("pair_binding"),
+        )
+        .orderBy("purchase_day")
+    )
 
 
 def events_stream_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,9 +124,28 @@ QUERIES = {
     "events_sliding_daily": events_sliding_daily,
     "events_dedup_replay": events_dedup_replay,
     "stream_daily_store": events_stream_store,
+    "click_purchase_attribution": click_purchase_attribution,
 }
 
 ORACLES = {
+    # the interval self-join stated directly; Spark's plan is the
+    # user-key equi-join with the interval as residual predicate (and the
+    # state-expiring stream-stream join when run as a stream)
+    "click_purchase_attribution": (
+        "WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id"
+        " FROM events WHERE event_type = 'click'),"
+        " p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id"
+        " FROM events WHERE event_type = 'purchase')"
+        " SELECT CAST(purchase_ts AS DATE) AS purchase_day,"
+        " COUNT(*) AS n_pairs,"
+        " COUNT(DISTINCT purchase_id) AS n_purchases,"
+        f" CAST(SUM(((purchase_id % {P}) * (click_id % {P})) % {P})"
+        " AS BIGINT) AS pair_binding"
+        " FROM p JOIN c ON c.user_id = p.user_id"
+        " AND c.click_ts >= p.purchase_ts - INTERVAL '1 hour'"
+        " AND c.click_ts <= p.purchase_ts"
+        " GROUP BY 1 ORDER BY 1"
+    ),
     "events_tumbling_daily": (
         f"SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,"
         f" event_type,"

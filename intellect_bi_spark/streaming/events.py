@@ -295,6 +295,48 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+ATTRIBUTION_WINDOW = "1 hour"
+
+
+def click_purchase_pairs(events: DataFrame) -> DataFrame:
+    """Stream-stream INTERVAL JOIN (§2.13): attribute each purchase to the
+    same user's clicks in the preceding :data:`ATTRIBUTION_WINDOW` — the
+    canonical conversion-attribution shape. Works unchanged on a stream
+    pair or a batch frame:
+
+    - streaming: both sides carry watermarks and the join condition
+      time-bounds click_ts relative to purchase_ts, which is exactly what
+      lets Spark EXPIRE join state (an unbounded stream-stream join would
+      buffer both streams forever at 100 TB);
+    - batch: the same plan is an equi-join on user_id with the interval
+      as a residual range predicate.
+
+    Both sides derive from ONE events source by filtering event_type —
+    a stream-stream self-join, which Structured Streaming supports."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", WATERMARK)
+        purchases = purchases.withWatermark("purchase_ts", WATERMARK)
+    return purchases.join(
+        clicks,
+        F.expr(
+            "c_user_id = p_user_id"
+            f" AND click_ts >= purchase_ts - INTERVAL {ATTRIBUTION_WINDOW}"
+            " AND click_ts <= purchase_ts"
+        ),
+        "inner",
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:

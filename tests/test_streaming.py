@@ -188,3 +188,26 @@ def test_transform_with_state_running_totals(spark, sf_dir):
         assert f[uid]["total_value"] == pytest.approx(
             row["total_value"], abs=1e-6
         )
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """The stream-stream interval self-join (click→purchase attribution)
+    must emit exactly the batch twin's pairs: same (purchase_id,
+    click_id) set, drained with availableNow in append mode (the only
+    output mode stream-stream joins support). The watermark + interval
+    bound is what lets Spark expire join state — this test locks the
+    operator end to end, not just the batch plan."""
+    stream = se.read_events_stream(spark, sf_dir)
+    got = _drain(
+        spark,
+        se.click_purchase_pairs(stream).select("purchase_id", "click_id"),
+        "t_cpjoin",
+        mode="append",
+    )
+    want = (
+        se.click_purchase_pairs(se.events_batch(spark, sf_dir))
+        .select("purchase_id", "click_id")
+    )
+    got_pairs = {(r["purchase_id"], r["click_id"]) for r in got.collect()}
+    want_pairs = {(r["purchase_id"], r["click_id"]) for r in want.collect()}
+    assert got_pairs == want_pairs and len(want_pairs) > 0
