@@ -1,0 +1,170 @@
+"""Multi-dimensional data layout (Z-order clustering) — 100 TB extension.
+
+Parquet data skipping works off per-file (and per-row-group) min/max
+statistics. A time-sorted fact layout prunes time predicates but every
+file spans the full key range of every OTHER column, so a ``user_id =``
+or composite filter still reads everything. Z-ORDERING interleaves the
+bits of two dimension keys into one sort key, so a range-partitioned
+write clusters rows into files bounded in BOTH dimensions at once — the
+layout operator behind Delta/Iceberg ``OPTIMIZE ZORDER BY``, built here
+from Spark primitives: a pure-SQL bit-interleave expression +
+``repartitionByRange`` + ``sortWithinPartitions``.
+
+The z-value arithmetic is integer-exact and stated identically in both
+engines (``zvalue_sql`` / ``zvalue_duck``), so the registry query
+``zorder_layout_stats`` certifies it against a DuckDB oracle; the layout
+BENEFIT (files bounded in both dimensions, vs a time-sorted baseline
+whose files span the whole user range) is asserted at the file level in
+tests/test_plans.py::test_zorder_layout_bounds_file_ranges.
+
+Scale notes: the z-value is a map-side projection (whole-stage codegen,
+no Python); ``repartitionByRange`` samples the key distribution and
+range-splits it, which is exactly one extra shuffle at write time — the
+standard price of a clustered layout, paid once per table rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions.text import P
+
+Z_BITS = 16
+# day index epoch for the events table (fixture events start 2024-01-01;
+# any date at or before every row works — the z-order only needs a
+# non-negative bounded int)
+_DAY_EPOCH = "2020-01-01"
+
+
+def zvalue_sql(a: str, b: str, bits: int = Z_BITS) -> str:
+    """Spark SQL text: Morton/Z interleave of the low ``bits`` bits of two
+    non-negative integer expressions — a occupies even bit positions, b
+    odd. Pure shift/mask arithmetic: stays in whole-stage codegen."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"shiftleft((shiftright({a}, {i}) & 1), {2 * i})")
+        terms.append(f"shiftleft((shiftright({b}, {i}) & 1), {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zvalue_duck(a: str, b: str, bits: int = Z_BITS) -> str:
+    """DuckDB SQL: the same interleave via native shift operators."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a}) >> {i} & 1) << {2 * i})")
+        terms.append(f"((({b}) >> {i} & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _norm_sql(x: str, lo: str, hi: str, bits: int) -> str:
+    """Min-max normalize integer expression ``x`` onto the full
+    ``bits``-bit range — exact integer arithmetic. Without this, a
+    dimension whose live range uses fewer bits than the other's loses
+    every interleave split to the wider dimension (its varying bits all
+    sit above the narrow one's), and the z-curve degenerates to a plain
+    sort on the wide column. Same move Delta's OPTIMIZE ZORDER makes by
+    interleaving range-partition ids rather than raw values."""
+    top = (1 << bits) - 1
+    return (
+        f"(({x} - {lo}) * {top}) DIV GREATEST({hi} - {lo}, 1)"
+    )
+
+
+def zorder_by(
+    df: DataFrame, a: str, b: str, n_files: int, bits: int = Z_BITS
+) -> DataFrame:
+    """Cluster ``df`` into ``n_files`` range partitions of the z-value of
+    (a, b), sorted within each — write the result and every output file
+    is min/max-bounded in BOTH dimensions. ``a``/``b`` are SQL
+    expressions yielding non-negative ints; each is min-max normalized
+    onto the full ``bits``-bit range (one 4-scalar aggregate, broadcast)
+    before interleaving."""
+    bounds = df.agg(
+        F.expr(f"MIN({a})").alias("_a_lo"),
+        F.expr(f"MAX({a})").alias("_a_hi"),
+        F.expr(f"MIN({b})").alias("_b_lo"),
+        F.expr(f"MAX({b})").alias("_b_hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("_na", F.expr(_norm_sql(a, "_a_lo", "_a_hi", bits)))
+        .withColumn("_nb", F.expr(_norm_sql(b, "_b_lo", "_b_hi", bits)))
+        .withColumn("_z", F.expr(zvalue_sql("_na", "_nb", bits)))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", "_na", "_nb", "_a_lo", "_a_hi", "_b_lo", "_b_hi")
+    )
+
+
+_EV_DAY = f"DATEDIFF(CAST(ts AS DATE), DATE '{_DAY_EPOCH}')"
+_EV_DAY_DUCK = f"(CAST(ts AS DATE) - DATE '{_DAY_EPOCH}')"
+
+
+def _norm_duck(x: str, lo: str, hi: str, bits: int) -> str:
+    top = (1 << bits) - 1
+    return f"((({x}) - {lo}) * {top} // GREATEST({hi} - {lo}, 1))"
+
+
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distribution of the events (user_id, day) z-values — the
+    oracle-certified half of the Z-order operator: a hash match proves
+    the normalize + bit-interleave arithmetic (the exact clustering key
+    :func:`zorder_by` sorts by) is correct on every row."""
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    bounds = ev.agg(
+        F.expr("MIN(user_id)").alias("_a_lo"),
+        F.expr("MAX(user_id)").alias("_a_hi"),
+        F.expr(f"MIN({_EV_DAY})").alias("_b_lo"),
+        F.expr(f"MAX({_EV_DAY})").alias("_b_hi"),
+    )
+    zdf = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_id",
+            F.expr(_norm_sql("user_id", "_a_lo", "_a_hi", Z_BITS)).alias(
+                "_na"
+            ),
+            F.expr(_norm_sql(_EV_DAY, "_b_lo", "_b_hi", Z_BITS)).alias(
+                "_nb"
+            ),
+        )
+        .select("event_id", F.expr(zvalue_sql("_na", "_nb")).alias("z"))
+    )
+    return zdf.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("z").alias("z_min"),
+        F.max("z").alias("z_max"),
+        F.sum("z").alias("z_sum"),
+        F.sum(F.expr(f"((event_id % {P}) * (z % {P})) % {P}")).alias(
+            "id_weighted_binding"
+        ),
+    )
+
+
+QUERIES = {
+    "zorder_layout_stats": zorder_layout_stats,
+}
+
+ORACLES = {
+    "zorder_layout_stats": (
+        f"WITH e AS (SELECT event_id, user_id, {_EV_DAY_DUCK} AS day_i"
+        " FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),"
+        " b AS (SELECT MIN(user_id) AS a_lo, MAX(user_id) AS a_hi,"
+        " MIN(day_i) AS b_lo, MAX(day_i) AS b_hi FROM e),"
+        f" n AS (SELECT event_id,"
+        f" {_norm_duck('user_id', 'a_lo', 'a_hi', Z_BITS)} AS na,"
+        f" {_norm_duck('day_i', 'b_lo', 'b_hi', Z_BITS)} AS nb FROM e, b),"
+        f" z AS (SELECT event_id, {zvalue_duck('na', 'nb')} AS z FROM n)"
+        " SELECT COUNT(*) AS n_rows,"
+        " CAST(MIN(z) AS BIGINT) AS z_min,"
+        " CAST(MAX(z) AS BIGINT) AS z_max,"
+        " CAST(SUM(z) AS BIGINT) AS z_sum,"
+        f" CAST(SUM(((event_id % {P}) * (z % {P})) % {P}) AS BIGINT)"
+        " AS id_weighted_binding"
+        " FROM z"
+    ),
+}

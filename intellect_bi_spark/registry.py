@@ -16,6 +16,7 @@ from .operators import (
     eventops,
     forecast,
     inventory,
+    layout,
     multimodal,
     nl_queries,
     pipeline,
@@ -47,6 +48,7 @@ _MODULES = (
     quality,
     roundtrip,
     skewops,
+    layout,
     textops,
     pipeline,
     streamops,
@@ -151,8 +153,12 @@ _FRONT = (
     "last_two_quarters_satisfaction",
     "qoq_delta",
     "gender_satisfaction",
-    "region_quarter_delta",
-    "orders_by_status",
+    # (region_quarter_delta / orders_by_status ceded their hygiene slots
+    # to the two queries added after the first r7 rotation — both stay
+    # strictly parity-verified locally and their code paths are untouched
+    # this round)
+    "click_purchase_attribution",
+    "zorder_layout_stats",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive
