@@ -56,6 +56,9 @@ HEADLINE = [
     "q21_late_suppliers",  # literal commit-vs-receipt lateness (r7)
     "region_sales_gini",  # rank-window Gini (r6)
     "skewed_join_sales",  # salted hot-key join (r7)
+    "sketch_rollup_daily_users",  # mergeable HLL rollup (r7)
+    "zorder_layout_stats",  # Z-order clustering key (r7)
+    "click_purchase_attribution",  # interval-join attribution (r7)
     # training-data pipeline (charter extensions)
     "exact_dedup_stats",
     "near_dup_summary",

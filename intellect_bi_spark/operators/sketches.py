@@ -1,0 +1,103 @@
+"""Mergeable-sketch rollups (Apache DataSketches HLL) — 100 TB extension.
+
+The pattern every petabyte warehouse runs on: COUNT(DISTINCT) does not
+decompose over pre-aggregation (daily distincts don't sum to monthly),
+so the rollup table stores a MERGEABLE SKETCH per grain cell instead of
+a number. Spark 3.5+ ships the DataSketches HLL family natively:
+``hll_sketch_agg`` builds the per-cell sketch, ``hll_union_agg`` merges
+cells at query time, ``hll_sketch_estimate`` reads the estimate — so a
+100 TB fact table is scanned ONCE to build the rollup, and every
+coarser-grain distinct-count query runs off the tiny sketch table.
+
+Verification follows the engine's self-checking-sketch rule
+(relational.approx_distinct_counts, VERDICT r2): sketch internals are
+engine-specific, so the registry row emits the EXACT values plus
+in-bounds flags comparing the merged-sketch estimate against the exact
+distinct computed in the same query — the flags' oracle is literal 1,
+everything else exact. The mergeability property itself (union of
+per-type sketches == sketch of the union) is locked by a unit test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+
+# default lgConfigK=12 → relative standard error ~1.6%; 6% is ~3.7σ and
+# HLL is near-exact at fixture cardinalities anyway. The ±3 absolute
+# slack covers tiny groups where a 6% band is below one unit.
+_REL_BOUND = 0.06
+_ABS_SLACK = 3
+
+
+def user_sketch_rollup(ev: DataFrame) -> DataFrame:
+    """The maintained rollup table: one HLL sketch of user_id + exact row
+    count per (day, event_type) cell. At 100 TB this is the only pass
+    over the raw fact; everything below queries this table."""
+    return ev.groupBy(
+        F.expr("CAST(ts AS DATE)").alias("day"), "event_type"
+    ).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def sketch_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users from MERGED per-(day, type) sketches,
+    self-checked against the exact distinct computed in the same query.
+    A green row proves the rollup→merge→estimate path lands within the
+    sketch's error bound on every day while the exact columns hash-match
+    the oracle."""
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = (
+        user_sketch_rollup(ev)
+        .groupBy("day")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    exact = ev.groupBy(F.expr("CAST(ts AS DATE)").alias("day")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    in_bounds = (
+        F.abs(F.col("est") - F.col("exact_users"))
+        <= F.greatest(
+            (F.col("exact_users") * F.lit(_REL_BOUND)),
+            F.lit(_ABS_SLACK),
+        )
+    )
+    return (
+        daily.join(exact, "day")
+        .select(
+            "day",
+            "n_events",
+            "exact_users",
+            F.when(in_bounds, 1).otherwise(0).cast("int").alias(
+                "sketch_in_bounds"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES = {
+    "sketch_rollup_daily_users": sketch_rollup_daily_users,
+}
+
+ORACLES = {
+    # exact columns stated exactly; the sketch flag's oracle is literal 1
+    # (the self-checking-sketch rule — sketch bytes are engine-specific)
+    "sketch_rollup_daily_users": (
+        "SELECT CAST(ts AS DATE) AS day,"
+        " COUNT(*) AS n_events,"
+        " COUNT(DISTINCT user_id) AS exact_users,"
+        " CAST(1 AS INT) AS sketch_in_bounds"
+        " FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+        " GROUP BY 1 ORDER BY 1"
+    ),
+}

@@ -25,6 +25,7 @@ from .operators import (
     roundtrip,
     sales_queries,
     similarity,
+    sketches,
     skewops,
     streamops,
     temporal,
@@ -49,6 +50,7 @@ _MODULES = (
     roundtrip,
     skewops,
     layout,
+    sketches,
     textops,
     pipeline,
     streamops,
@@ -152,13 +154,13 @@ _FRONT = (
     "corr_sales_satisfaction",
     "last_two_quarters_satisfaction",
     "qoq_delta",
-    "gender_satisfaction",
-    # (region_quarter_delta / orders_by_status ceded their hygiene slots
-    # to the two queries added after the first r7 rotation — both stay
-    # strictly parity-verified locally and their code paths are untouched
-    # this round)
+    # (gender_satisfaction / region_quarter_delta / orders_by_status
+    # ceded their hygiene slots to the three queries added after the
+    # first r7 rotation — all three stay strictly parity-verified locally
+    # and their code paths are untouched this round)
     "click_purchase_attribution",
     "zorder_layout_stats",
+    "sketch_rollup_daily_users",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive

@@ -16,3 +16,31 @@ def test_approx_within_bounds(spark, sf_dir):
     assert r["exact_customers"] > 0
     assert r["approx_customers_in_bounds"] == 1
     assert r["approx_p50_in_bounds"] == 1
+
+
+def test_hll_rollup_merge_equals_direct_sketch(spark, sf_dir):
+    """The property the sketch-rollup pattern rests on: merging the
+    per-(day, type) sketches must estimate the same cardinality as
+    sketching the raw rows directly — pre-aggregation loses nothing."""
+    from pyspark.sql import functions as F
+
+    from intellect_bi_spark.catalog import load_tables
+    from intellect_bi_spark.operators.sketches import user_sketch_rollup
+
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    merged = {
+        r["day"]: r["est"]
+        for r in user_sketch_rollup(ev)
+        .groupBy("day")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+        .collect()
+    }
+    direct = {
+        r["day"]: r["est"]
+        for r in ev.groupBy(F.expr("CAST(ts AS DATE)").alias("day"))
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est"))
+        .collect()
+    }
+    assert merged == direct and len(direct) > 10
