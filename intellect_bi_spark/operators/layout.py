@@ -41,20 +41,28 @@ _DAY_EPOCH = "2020-01-01"
 def zvalue_sql(a: str, b: str, bits: int = Z_BITS) -> str:
     """Spark SQL text: Morton/Z interleave of the low ``bits`` bits of two
     non-negative integer expressions — a occupies even bit positions, b
-    odd. Pure shift/mask arithmetic: stays in whole-stage codegen."""
+    odd. Pure shift/mask arithmetic: stays in whole-stage codegen.
+
+    Operands are cast to BIGINT first: with the default bits=16 the
+    interleave shifts to bit position 31, where an INT32 operand would
+    silently wrap negative in Spark but raise an overflow error in
+    DuckDB — the cast makes the helpers safe for any integral input."""
+    ca, cb = f"CAST({a} AS BIGINT)", f"CAST({b} AS BIGINT)"
     terms = []
     for i in range(bits):
-        terms.append(f"shiftleft((shiftright({a}, {i}) & 1), {2 * i})")
-        terms.append(f"shiftleft((shiftright({b}, {i}) & 1), {2 * i + 1})")
+        terms.append(f"shiftleft((shiftright({ca}, {i}) & 1), {2 * i})")
+        terms.append(f"shiftleft((shiftright({cb}, {i}) & 1), {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"
 
 
 def zvalue_duck(a: str, b: str, bits: int = Z_BITS) -> str:
-    """DuckDB SQL: the same interleave via native shift operators."""
+    """DuckDB SQL: the same interleave via native shift operators (same
+    BIGINT-cast rationale as :func:`zvalue_sql`)."""
+    ca, cb = f"CAST({a} AS BIGINT)", f"CAST({b} AS BIGINT)"
     terms = []
     for i in range(bits):
-        terms.append(f"((({a}) >> {i} & 1) << {2 * i})")
-        terms.append(f"((({b}) >> {i} & 1) << {2 * i + 1})")
+        terms.append(f"(({ca} >> {i} & 1) << {2 * i})")
+        terms.append(f"(({cb} >> {i} & 1) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"
 
 
@@ -72,15 +80,12 @@ def _norm_sql(x: str, lo: str, hi: str, bits: int) -> str:
     )
 
 
-def zorder_by(
-    df: DataFrame, a: str, b: str, n_files: int, bits: int = Z_BITS
-) -> DataFrame:
-    """Cluster ``df`` into ``n_files`` range partitions of the z-value of
-    (a, b), sorted within each — write the result and every output file
-    is min/max-bounded in BOTH dimensions. ``a``/``b`` are SQL
-    expressions yielding non-negative ints; each is min-max normalized
-    onto the full ``bits``-bit range (one 4-scalar aggregate, broadcast)
-    before interleaving."""
+def _with_z(df: DataFrame, a: str, b: str, bits: int = Z_BITS) -> DataFrame:
+    """Attach the normalized z-value as column ``_z`` (plus the transient
+    ``_na``/``_nb``/bounds columns): ONE shared implementation of
+    bounds-aggregate → broadcast → normalize → interleave, so the key the
+    oracle certifies (zorder_layout_stats) is by construction the key the
+    layout writer sorts by (zorder_by)."""
     bounds = df.agg(
         F.expr(f"MIN({a})").alias("_a_lo"),
         F.expr(f"MAX({a})").alias("_a_hi"),
@@ -92,9 +97,26 @@ def zorder_by(
         .withColumn("_na", F.expr(_norm_sql(a, "_a_lo", "_a_hi", bits)))
         .withColumn("_nb", F.expr(_norm_sql(b, "_b_lo", "_b_hi", bits)))
         .withColumn("_z", F.expr(zvalue_sql("_na", "_nb", bits)))
+    )
+
+
+_Z_TMP_COLS = ("_z", "_na", "_nb", "_a_lo", "_a_hi", "_b_lo", "_b_hi")
+
+
+def zorder_by(
+    df: DataFrame, a: str, b: str, n_files: int, bits: int = Z_BITS
+) -> DataFrame:
+    """Cluster ``df`` into ``n_files`` range partitions of the z-value of
+    (a, b), sorted within each — write the result and every output file
+    is min/max-bounded in BOTH dimensions. ``a``/``b`` are SQL
+    expressions yielding non-negative ints; each is min-max normalized
+    onto the full ``bits``-bit range (one 4-scalar aggregate, broadcast)
+    before interleaving."""
+    return (
+        _with_z(df, a, b, bits)
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
-        .drop("_z", "_na", "_nb", "_a_lo", "_a_hi", "_b_lo", "_b_hi")
+        .drop(*_Z_TMP_COLS)
     )
 
 
@@ -115,24 +137,8 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"].filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
-    bounds = ev.agg(
-        F.expr("MIN(user_id)").alias("_a_lo"),
-        F.expr("MAX(user_id)").alias("_a_hi"),
-        F.expr(f"MIN({_EV_DAY})").alias("_b_lo"),
-        F.expr(f"MAX({_EV_DAY})").alias("_b_hi"),
-    )
-    zdf = (
-        ev.crossJoin(F.broadcast(bounds))
-        .select(
-            "event_id",
-            F.expr(_norm_sql("user_id", "_a_lo", "_a_hi", Z_BITS)).alias(
-                "_na"
-            ),
-            F.expr(_norm_sql(_EV_DAY, "_b_lo", "_b_hi", Z_BITS)).alias(
-                "_nb"
-            ),
-        )
-        .select("event_id", F.expr(zvalue_sql("_na", "_nb")).alias("z"))
+    zdf = _with_z(ev, "user_id", _EV_DAY).select(
+        "event_id", F.col("_z").alias("z")
     )
     return zdf.agg(
         F.count(F.lit(1)).alias("n_rows"),

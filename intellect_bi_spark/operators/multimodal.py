@@ -851,8 +851,15 @@ def decode_png(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     w = h = None
     idat = bytearray()
     while pos < len(b):
+        if pos + 8 > len(b):
+            # ValueError (not struct.error) on truncation — the error
+            # contract shared by decode_ppm/decode_y4m, which quarantine
+            # paths pattern-match on
+            raise ValueError("truncated chunk header")
         (length,) = struct.unpack(">I", b[pos : pos + 4])
         ctype = b[pos + 4 : pos + 8]
+        if pos + 12 + length > len(b):
+            raise ValueError(f"truncated {ctype!r} chunk")
         data = b[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:

@@ -244,6 +244,13 @@ def test_png_decode_rejects_malformed():
     )
     with pytest.raises(ValueError, match="scanline stream length"):
         multimodal.decode_png(bad)
+    # truncation mid-chunk must raise ValueError (the decoder-family
+    # error contract), never a bare struct.error
+    whole = multimodal._encode_png_bytes(3)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_png(whole[:20])  # cut inside IHDR
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_png(whole[:-6])  # cut inside IEND's CRC
     # unsupported color type (grayscale)
     gray = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
     bad2 = (

@@ -331,13 +331,7 @@ def test_aqe_splits_skewed_smj(spark, sf_dir, tmp_path):
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
     }
-    old = {}
-    for k, v in confs.items():
-        try:
-            old[k] = spark.conf.get(k)
-        except Exception:
-            old[k] = None
-        spark.conf.set(k, v)
+    old = _with_confs(spark, confs)
     try:
         ev = skewops.skewed_events(spark, sf_dir).repartition(16)
         dim_path = str(tmp_path / "profile_dim")
@@ -353,9 +347,10 @@ def test_aqe_splits_skewed_smj(spark, sf_dir, tmp_path):
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in plan, plan
     finally:
-        for k, v in old.items():
-            if v is not None:
-                spark.conf.set(k, v)
+        # _restore_confs unsets confs that had no prior value — a plain
+        # "set back if old is not None" would leak the test's '-1'
+        # broadcast thresholds into the shared session-scoped fixture
+        _restore_confs(spark, old)
 
 
 def _with_confs(spark, confs):
