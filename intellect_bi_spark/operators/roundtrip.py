@@ -145,9 +145,42 @@ def jsonl_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def orc_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ORC sink → ORC scan → one-row id-weighted checksum vs
+    the original table. No planted corruption here: ORC is a striped
+    binary columnar format, so a malformed record is not a row-level
+    concept the reader quarantines (unlike line/element-oriented
+    JSONL/XML) — the certification is lossless type-preserving
+    serialization of the full column set."""
+    from ..sources.sinks import read_orc, write_orc
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "text", "lang", "source"
+    )
+    tmp = tempfile.mkdtemp(prefix="sgraft_orc_rt_")
+    try:
+        path = os.path.join(tmp, "docs_orc")
+        write_orc(docs, path)
+        back = read_orc(spark, path)
+        chk = back.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_id"),
+            F.sum(F.length("text").cast("long")).alias("sum_chars"),
+            F.sum(
+                F.expr(
+                    f"((doc_id % {P}) * {md5_mod_hash_sql(_DOC_BIND)}) % {P}"
+                )
+            ).alias("content_binding"),
+        )
+        return chk.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 QUERIES = {
     "xml_roundtrip_checksum": xml_roundtrip_checksum,
     "jsonl_roundtrip_checksum": jsonl_roundtrip_checksum,
+    "orc_roundtrip_checksum": orc_roundtrip_checksum,
 }
 
 # The oracles never see the interchange bytes: they recompute every
@@ -159,6 +192,14 @@ ORACLES = {
     "xml_roundtrip_checksum": (
         f"SELECT CAST({N_PLANTED_CORRUPT} AS BIGINT) AS n_corrupt,"
         " CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        " CAST(SUM(doc_id) AS BIGINT) AS sum_id,"
+        " CAST(SUM(length(text)) AS BIGINT) AS sum_chars,"
+        f" CAST(SUM(((doc_id % {P}) * {md5_mod_hash_duck(_DOC_BIND_DUCK)})"
+        f" % {P}) AS BIGINT) AS content_binding"
+        " FROM documents"
+    ),
+    "orc_roundtrip_checksum": (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,"
         " CAST(SUM(doc_id) AS BIGINT) AS sum_id,"
         " CAST(SUM(length(text)) AS BIGINT) AS sum_chars,"
         f" CAST(SUM(((doc_id % {P}) * {md5_mod_hash_duck(_DOC_BIND_DUCK)})"
