@@ -85,8 +85,94 @@ def sketch_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# KLL rank-error at the default k=200 is ~1.65% (two-sided, 99%
+# confidence); 6% rank slack is far outside it and also covers the
+# probability mass sitting exactly on the returned element.
+_RANK_SLACK = 0.06
+
+
+def value_sketch_rollup(ev: DataFrame) -> DataFrame:
+    """The quantile half of the rollup table: one KLL sketch of the cent
+    value per (day, event_type) cell — quantiles, like distinct counts,
+    do not decompose over pre-aggregation, and KLL is the mergeable
+    answer (same DataSketches family, kll_sketch_merge_* at query
+    time)."""
+    return ev.groupBy(
+        F.expr("CAST(ts AS DATE)").alias("day"), "event_type"
+    ).agg(
+        F.expr(
+            "kll_sketch_agg_bigint(CAST(ROUND(value * 100) AS BIGINT))"
+        ).alias("sk")
+    )
+
+
+def sketch_rollup_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type median value from MERGED per-(day, type) KLL sketches,
+    self-checked two ways in the same query: the EXACT discrete median
+    (percentile_disc — an actual data element in integer cents, so it
+    hash-matches DuckDB's quantile_disc), and a rank check that the
+    sketch's estimated median sits within rank 0.5 ± slack of the true
+    distribution. Exact columns oracle-matched; the flag's oracle is
+    literal 1 (the self-checking-sketch rule)."""
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    # Spark exposes KLL merge as a two-sketch SCALAR (unlike HLL's
+    # hll_union_agg), so the query-time merge folds the collected
+    # per-cell sketches — cells per group are few (one per day), which
+    # is the whole point of querying the rollup instead of the raw fact
+    merged = (
+        value_sketch_rollup(ev)
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "kll_sketch_get_quantile_bigint("
+                "reduce(collect_list(sk), CAST(NULL AS BINARY),"
+                " (acc, x) -> CASE WHEN acc IS NULL THEN x"
+                " ELSE kll_sketch_merge_bigint(acc, x) END), 0.5)"
+            ).alias("est")
+        )
+    )
+    cents = "CAST(ROUND(value * 100) AS BIGINT)"
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            f"CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY {cents})"
+            " AS BIGINT)"
+        ).alias("exact_p50_cents"),
+    )
+    # exact rank of the sketch's estimate, computed against the raw rows
+    # (est is a tiny per-type frame — broadcast back into one scan)
+    ranked = (
+        ev.join(F.broadcast(merged), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.avg(
+                F.expr(f"CASE WHEN {cents} <= est THEN 1.0 ELSE 0.0 END")
+            ).alias("est_rank")
+        )
+    )
+    in_bounds = (
+        (F.col("est_rank") >= 0.5 - _RANK_SLACK)
+        & (F.col("est_rank") <= 0.5 + _RANK_SLACK)
+    )
+    return (
+        exact.join(ranked, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "exact_p50_cents",
+            F.when(in_bounds, 1).otherwise(0).cast("int").alias(
+                "sketch_rank_in_bounds"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "sketch_rollup_daily_users": sketch_rollup_daily_users,
+    "sketch_rollup_value_median": sketch_rollup_value_median,
 }
 
 ORACLES = {
@@ -99,5 +185,13 @@ ORACLES = {
         " CAST(1 AS INT) AS sketch_in_bounds"
         " FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL"
         " GROUP BY 1 ORDER BY 1"
+    ),
+    "sketch_rollup_value_median": (
+        "SELECT event_type, COUNT(*) AS n_events,"
+        " CAST(quantile_disc(CAST(ROUND(value * 100) AS BIGINT), 0.5)"
+        " AS BIGINT) AS exact_p50_cents,"
+        " CAST(1 AS INT) AS sketch_rank_in_bounds"
+        " FROM events WHERE value IS NOT NULL AND ts IS NOT NULL"
+        " GROUP BY event_type ORDER BY event_type"
     ),
 }
