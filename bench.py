@@ -78,6 +78,7 @@ HEADLINE = [
     "jsonl_roundtrip_checksum",
     "quality_repetition_stats",  # Gopher repetition rules (r6)
     "pack_sequences_manifest",  # sequence packing prefix sum (r6)
+    "corpus_prep_funnel",  # composed prep recipe (r7)
     "temperature_resample_stats",  # p^alpha language rebalance (r6)
     "semantic_decontam_summary",  # embedding-space decontam (r6)
     "fk_integrity_check",  # data-quality audits (r6)

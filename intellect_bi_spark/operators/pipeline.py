@@ -499,7 +499,70 @@ def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stages COMPOSED: language filter → repetition-quality filter →
+    exact-dedup keep-first → train split, in one job — the capstone
+    "recipe" a real corpus build runs, where each stage is the operator
+    certified individually elsewhere in this module. Returns the one-row
+    funnel manifest (survivor count after every stage, plus an
+    id+length-weighted binding over the final train set, so a single
+    document surviving or dying wrongly at ANY stage flips the row).
+
+    One pass over the filtered corpus: the per-doc quality flags join
+    back once, the keep-first winner per content digest comes from a
+    digest-keyed aggregate (the same hash-groupBy shape as
+    exact_dedup_keep_first), and every funnel count is a conditional sum
+    in ONE final aggregate — stages don't rescan the corpus."""
+    from ..functions.text import P
+
+    docs = _docs_spread(spark, sf_dir)
+    en = docs.filter(F.col("lang") == "en")
+    rep = _repetition_rows(en).select("doc_id", "keep")
+    base = (
+        en.select("doc_id", "text")
+        .join(rep, "doc_id")
+        .withColumn(
+            "dg", F.md5(F.coalesce(F.col("text"), F.lit("")))
+        )
+        .withColumn("bkt", F.expr(_bucket_sql("split:", SPLIT_MOD)))
+        .withColumn("n_chars", F.length(F.coalesce("text", F.lit(""))))
+    )
+    firsts = (
+        base.filter(F.col("keep") == 1)
+        .groupBy("dg")
+        .agg(F.min("doc_id").alias("first_id"))
+    )
+    flagged = base.join(firsts, "dg", "left").withColumn(
+        "is_first",
+        (F.col("keep") == 1) & (F.col("doc_id") == F.col("first_id")),
+    )
+    funnel = flagged.agg(
+        F.count(F.lit(1)).alias("n_lang_en"),
+        F.sum("keep").alias("n_quality_kept"),
+        F.sum(F.col("is_first").cast("long")).alias("n_unique"),
+        F.sum(
+            (F.col("is_first") & (F.col("bkt") < TRAIN_END)).cast("long")
+        ).alias("n_train"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN is_first AND bkt < {TRAIN_END} THEN"
+                f" ((doc_id % {P}) * (n_chars % {P})) % {P} END"
+            )
+        ).alias("train_binding"),
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return total.crossJoin(F.broadcast(funnel)).select(
+        "n_total",
+        "n_lang_en",
+        "n_quality_kept",
+        "n_unique",
+        "n_train",
+        "train_binding",
+    )
+
+
 QUERIES = {
+    "corpus_prep_funnel": corpus_prep_funnel,
     "train_test_split_stats": train_test_split_stats,
     "stratified_sample_by_lang": stratified_sample_by_lang,
     "decontam_ngram_overlap": decontam_ngram_overlap,
@@ -520,6 +583,58 @@ _SPLIT_CASE = (
 from ..functions.text import P as _P  # noqa: E402
 
 ORACLES = {
+    # the composed funnel stated as one WITH chain: the repetition CTEs
+    # are the quality_repetition_stats oracle's, the keep-first winner is
+    # MIN(doc_id) per content digest, the split is the shared bucket CASE
+    "corpus_prep_funnel": (
+        "WITH en AS (SELECT doc_id, text FROM documents"
+        " WHERE lang = 'en'),"
+        " t AS (SELECT doc_id,"
+        " string_split(COALESCE(text, ''), ' ') AS toks FROM en),"
+        " nn AS (SELECT doc_id, len(toks) AS n FROM t),"
+        " bi AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g"
+        " FROM t, unnest(range(1, len(toks))) AS u(i)),"
+        " bic AS (SELECT doc_id, g, COUNT(*) AS c FROM bi"
+        " GROUP BY doc_id, g),"
+        " bmax AS (SELECT doc_id, MAX(c) AS max_bi FROM bic"
+        " GROUP BY doc_id),"
+        " tri AS (SELECT doc_id,"
+        " toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g"
+        " FROM t, unnest(range(1, len(toks) - 1)) AS u(i)),"
+        " tric AS (SELECT doc_id, g, COUNT(*) AS c FROM tri"
+        " GROUP BY doc_id, g),"
+        " tstat AS (SELECT doc_id,"
+        " SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ,"
+        " SUM(c) AS n_tri FROM tric GROUP BY doc_id),"
+        " flags AS (SELECT en.doc_id, en.text,"
+        " CASE WHEN NOT (10 * COALESCE(b.max_bi, 0) > nn.n"
+        " OR 10 * COALESCE(ts.dup_occ, 0) > 3 * COALESCE(ts.n_tri, 0))"
+        " THEN 1 ELSE 0 END AS keep,"
+        " md5(COALESCE(en.text, '')) AS dg,"
+        " length(COALESCE(en.text, '')) AS n_chars"
+        " FROM en JOIN nn ON en.doc_id = nn.doc_id"
+        " LEFT JOIN bmax b ON en.doc_id = b.doc_id"
+        " LEFT JOIN tstat ts ON en.doc_id = ts.doc_id),"
+        " firsts AS (SELECT dg, MIN(doc_id) AS first_id FROM flags"
+        " WHERE keep = 1 GROUP BY dg),"
+        # bkt computed here, where doc_id is unambiguous (firsts carries
+        # only dg/first_id)
+        " fl AS (SELECT flags.*,"
+        f" {_bucket_duck('split:', SPLIT_MOD)} AS bkt,"
+        " (keep = 1 AND doc_id = first_id) AS is_first"
+        " FROM flags LEFT JOIN firsts USING (dg))"
+        " SELECT (SELECT COUNT(*) FROM documents) AS n_total,"
+        " COUNT(*) AS n_lang_en,"
+        " CAST(SUM(keep) AS BIGINT) AS n_quality_kept,"
+        " CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_unique,"
+        f" CAST(SUM(CASE WHEN is_first AND bkt < {TRAIN_END}"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS n_train,"
+        f" CAST(SUM(CASE WHEN is_first AND bkt < {TRAIN_END} THEN"
+        f" ((doc_id % {_P}) * (n_chars % {_P})) % {_P} END) AS BIGINT)"
+        " AS train_binding"
+        " FROM fl"
+    ),
     "temperature_resample_stats": (
         "WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents"
         " GROUP BY lang),"

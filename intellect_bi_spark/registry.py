@@ -153,14 +153,15 @@ _FRONT = (
     "region_divergence",
     "corr_sales_satisfaction",
     "last_two_quarters_satisfaction",
-    "qoq_delta",
-    # (gender_satisfaction / region_quarter_delta / orders_by_status
-    # ceded their hygiene slots to the three queries added after the
-    # first r7 rotation — all three stay strictly parity-verified locally
-    # and their code paths are untouched this round)
+    # (qoq_delta / gender_satisfaction / region_quarter_delta /
+    # orders_by_status ceded their hygiene slots to the four queries
+    # added after the first r7 rotation — all four ceders stay strictly
+    # parity-verified locally and their code paths are untouched this
+    # round)
     "click_purchase_attribution",
     "zorder_layout_stats",
     "sketch_rollup_daily_users",
+    "corpus_prep_funnel",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive
