@@ -75,8 +75,12 @@ def _norm_sql(x: str, lo: str, hi: str, bits: int) -> str:
     sort on the wide column. Same move Delta's OPTIMIZE ZORDER makes by
     interleaving range-partition ids rather than raw values."""
     top = (1 << bits) - 1
+    # BIGINT cast BEFORE the multiply: an INT32 column whose live range
+    # is >= 32769 would overflow (x - lo) * 65535 in 32-bit — throwing
+    # under ANSI in Spark while DuckDB promotes and succeeds
     return (
-        f"(({x} - {lo}) * {top}) DIV GREATEST({hi} - {lo}, 1)"
+        f"(CAST({x} - {lo} AS BIGINT) * {top})"
+        f" DIV GREATEST({hi} - {lo}, 1)"
     )
 
 
@@ -126,7 +130,10 @@ _EV_DAY_DUCK = f"(CAST(ts AS DATE) - DATE '{_DAY_EPOCH}')"
 
 def _norm_duck(x: str, lo: str, hi: str, bits: int) -> str:
     top = (1 << bits) - 1
-    return f"((({x}) - {lo}) * {top} // GREATEST({hi} - {lo}, 1))"
+    return (
+        f"(CAST(({x}) - {lo} AS BIGINT) * {top}"
+        f" // GREATEST({hi} - {lo}, 1))"
+    )
 
 
 def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

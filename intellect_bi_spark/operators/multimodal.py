@@ -866,6 +866,11 @@ def decode_png(payload: bytes) -> tuple[int, int, "np.ndarray"]:
             raise ValueError(f"bad CRC in {ctype!r} chunk")
         pos += 12 + length
         if ctype == b"IHDR":
+            if len(data) != 13:
+                # ValueError, not struct.error: the decoder-family
+                # malformed-input contract (a CRC-valid chunk can still
+                # carry the wrong payload length)
+                raise ValueError("IHDR length must be 13")
             w, h, depth, ctyp, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
@@ -877,7 +882,12 @@ def decode_png(payload: bytes) -> tuple[int, int, "np.ndarray"]:
             break
     if w is None:
         raise ValueError("missing IHDR")
-    stream = zlib.decompress(bytes(idat))
+    try:
+        stream = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # same contract: a CRC-valid but undecodable DEFLATE stream is
+        # malformed input, not an internal error
+        raise ValueError(f"bad IDAT deflate stream: {e}") from e
     stride, bpp = w * 3, 3
     if len(stream) != h * (stride + 1):
         raise ValueError("scanline stream length mismatch")

@@ -515,10 +515,18 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ONE final aggregate — stages don't rescan the corpus."""
     from ..functions.text import P
 
+    from ..functions.windows import register_cache
+
     docs = _docs_spread(spark, sf_dir)
     en = docs.filter(F.col("lang") == "en")
     rep = _repetition_rows(en).select("doc_id", "keep")
-    base = (
+    # Persisted NARROW frame (text projected away after deriving
+    # digest/length): the firsts aggregate and the outer join both read
+    # base, and without materialization each branch re-runs the corpus
+    # scan AND the O(tokens)-per-doc Arrow repetition pass — the same
+    # two-branches-one-expensive-frame shape pack_sequences_manifest
+    # caches. ~60 bytes/doc, spillable.
+    base = register_cache(
         en.select("doc_id", "text")
         .join(rep, "doc_id")
         .withColumn(
@@ -526,6 +534,7 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("bkt", F.expr(_bucket_sql("split:", SPLIT_MOD)))
         .withColumn("n_chars", F.length(F.coalesce("text", F.lit(""))))
+        .drop("text")
     )
     firsts = (
         base.filter(F.col("keep") == 1)

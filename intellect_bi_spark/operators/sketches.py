@@ -117,19 +117,17 @@ def sketch_rollup_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"].filter(
         F.col("value").isNotNull() & F.col("ts").isNotNull()
     )
-    # Spark exposes KLL merge as a two-sketch SCALAR (unlike HLL's
-    # hll_union_agg), so the query-time merge folds the collected
-    # per-cell sketches — cells per group are few (one per day), which
-    # is the whole point of querying the rollup instead of the raw fact
+    # kll_merge_agg_bigint is KLL's aggregate union — the direct
+    # analogue of hll_union_agg (the two-sketch scalar
+    # kll_sketch_merge_bigint also exists, but an aggregate needs no
+    # collect_list fold)
     merged = (
         value_sketch_rollup(ev)
         .groupBy("event_type")
         .agg(
             F.expr(
                 "kll_sketch_get_quantile_bigint("
-                "reduce(collect_list(sk), CAST(NULL AS BINARY),"
-                " (acc, x) -> CASE WHEN acc IS NULL THEN x"
-                " ELSE kll_sketch_merge_bigint(acc, x) END), 0.5)"
+                "kll_merge_agg_bigint(sk), 0.5)"
             ).alias("est")
         )
     )
@@ -141,14 +139,32 @@ def sketch_rollup_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("exact_p50_cents"),
     )
-    # exact rank of the sketch's estimate, computed against the raw rows
-    # (est is a tiny per-type frame — broadcast back into one scan)
+    # exact MIDRANK of the sketch's estimate, computed against the raw
+    # rows (est is a tiny per-type frame — broadcast back into one
+    # scan). Midrank (P(X<est) + P(X<=est)) / 2, not P(X<=est): a
+    # probability atom sitting exactly on the returned element would
+    # otherwise push the plain CDF past the slack band even when the
+    # sketch answered EXACTLY right (discrete cents make atoms likely)
     ranked = (
         ev.join(F.broadcast(merged), "event_type")
         .groupBy("event_type")
         .agg(
-            F.avg(
-                F.expr(f"CASE WHEN {cents} <= est THEN 1.0 ELSE 0.0 END")
+            (
+                (
+                    F.avg(
+                        F.expr(
+                            f"CASE WHEN {cents} < est THEN 1.0"
+                            " ELSE 0.0 END"
+                        )
+                    )
+                    + F.avg(
+                        F.expr(
+                            f"CASE WHEN {cents} <= est THEN 1.0"
+                            " ELSE 0.0 END"
+                        )
+                    )
+                )
+                / 2
             ).alias("est_rank")
         )
     )

@@ -81,8 +81,9 @@ for _mod in _MODULES:
 #     conversions to literal spec-partsupp / derived commit-receipt
 #     semantics (q2/q4/q9/q11/q16/q20/q21, relational.py) and the Gini
 #     NULL/zero-sum edge fix (region_sales_gini, sales_queries.py);
-# (c) queries NEW in round 7: the PNG compressed-codec decode, the two
-#     interchange roundtrip checksums, and the salted skew join;
+# (c) queries NEW in round 7: the PNG compressed-codec decode, the
+#     three interchange roundtrip checksums (XML/JSONL/ORC), and the
+#     salted skew join;
 # (d) the grouped_exact consumers (functions/numeric.py gained a
 #     scale>6 guard — pure input validation, but the module changed, so
 #     re-certify its six callers);
@@ -131,6 +132,7 @@ _FRONT = (
     "image_features_png",
     "xml_roundtrip_checksum",
     "jsonl_roundtrip_checksum",
+    "orc_roundtrip_checksum",
     "skewed_join_sales",
     # -- (d) grouped_exact consumers (numeric.py changed) -------------------
     "q1_pricing_summary",
@@ -149,18 +151,19 @@ _FRONT = (
     "top_product",
     "top_products_under_30",
     "mom_growth_top_month",
-    "yoy_quarter",
     "region_divergence",
     "corr_sales_satisfaction",
-    "last_two_quarters_satisfaction",
-    # (qoq_delta / gender_satisfaction / region_quarter_delta /
-    # orders_by_status ceded their hygiene slots to the four queries
-    # added after the first r7 rotation — all four ceders stay strictly
-    # parity-verified locally and their code paths are untouched this
-    # round)
+    # Disclosed deferral: yoy_quarter / last_two_quarters_satisfaction /
+    # qoq_delta / gender_satisfaction / region_quarter_delta /
+    # orders_by_status ceded their hygiene slots to the seven queries
+    # added after the first r7 rotation (below) — every ceder's code
+    # path is untouched this round (sales_queries.py's r7 diff is
+    # Gini-only) and all stay strictly parity-verified locally at both
+    # driver SFs by tests/test_parity.py every session.
     "click_purchase_attribution",
     "zorder_layout_stats",
     "sketch_rollup_daily_users",
+    "sketch_rollup_value_median",
     "corpus_prep_funnel",
 )
 

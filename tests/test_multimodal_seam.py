@@ -280,3 +280,31 @@ def test_png_feature_rows_accept_injected_codec(spark, sf_dir):
     for r in rows:
         assert (r["width"], r["height"], r["n_pixels"]) == (2, 1, 2)
         assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (5, 7, 9)
+
+
+def test_png_crc_valid_but_malformed_payloads_raise_valueerror():
+    """CRC-valid chunks with broken payloads must still land in the
+    ValueError contract: wrong-length IHDR and an undecodable DEFLATE
+    stream (the CRC only proves transport integrity, not validity)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    short_ihdr = struct.pack(">IIBBBB", 2, 2, 8, 2, 0, 0)  # 12 bytes
+    bad = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", short_ihdr)
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IHDR length"):
+        multimodal.decode_png(bad)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bad2 = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", b"\x99not-deflate\x99")
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="bad IDAT"):
+        multimodal.decode_png(bad2)
