@@ -57,6 +57,7 @@ HEADLINE = [
     "region_sales_gini",  # rank-window Gini (r6)
     "skewed_join_sales",  # salted hot-key join (r7)
     "sketch_rollup_daily_users",  # mergeable HLL rollup (r7)
+    "theta_audience_overlap",  # theta set algebra (r7)
     "zorder_layout_stats",  # Z-order clustering key (r7)
     "click_purchase_attribution",  # interval-join attribution (r7)
     # training-data pipeline (charter extensions)

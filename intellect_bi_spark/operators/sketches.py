@@ -186,9 +186,90 @@ def sketch_rollup_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# theta intersection/difference error is relative to the UNION size, not
+# the (possibly much smaller) result — hence the wider band plus an
+# absolute slack for small audiences.
+_THETA_REL = 0.10
+_THETA_ABS = 5
+
+
+def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience SET ALGEBRA from mergeable theta sketches — the question
+    distinct-count rollups fundamentally cannot answer: |click ∪
+    purchase|, |click ∩ purchase| and |click \\ purchase| user audiences,
+    computed from per-DAY theta sketches merged at query time
+    (``theta_union_agg``) and combined with the scalar
+    ``theta_union``/``theta_intersection``/``theta_difference``. HLL can
+    only union; theta's retained-sample construction supports the full
+    algebra, which is why audience-overlap systems store theta sketches.
+    Self-checked against the exact per-user flag aggregate in the same
+    query (exact columns hash-matched; flags literal 1)."""
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    )
+    daily = ev.groupBy(F.expr("CAST(ts AS DATE)").alias("day")).agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'click'"
+            " THEN user_id END)"
+        ).alias("sk_c"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'purchase'"
+            " THEN user_id END)"
+        ).alias("sk_p"),
+    )
+    est = daily.agg(
+        F.expr("theta_union_agg(sk_c)").alias("mc"),
+        F.expr("theta_union_agg(sk_p)").alias("mp"),
+    ).select(
+        F.expr("theta_sketch_estimate(theta_union(mc, mp))").alias("e_u"),
+        F.expr(
+            "theta_sketch_estimate(theta_intersection(mc, mp))"
+        ).alias("e_i"),
+        F.expr("theta_sketch_estimate(theta_difference(mc, mp))").alias(
+            "e_d"
+        ),
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                (F.col("event_type") == "click").cast("long")
+            ).alias("hc"),
+            F.max(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("hp"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(F.col("hc") * F.col("hp")).alias("exact_overlap"),
+            F.sum(F.col("hc") * (1 - F.col("hp"))).alias(
+                "exact_click_only"
+            ),
+        )
+    )
+
+    def flag(est_col: str, exact_col: str, alias: str):
+        ok = F.abs(F.col(est_col) - F.col(exact_col)) <= F.greatest(
+            F.col(exact_col) * F.lit(_THETA_REL), F.lit(_THETA_ABS)
+        )
+        return F.when(ok, 1).otherwise(0).cast("int").alias(alias)
+
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_union",
+        "exact_overlap",
+        "exact_click_only",
+        flag("e_u", "exact_union", "union_in_bounds"),
+        flag("e_i", "exact_overlap", "overlap_in_bounds"),
+        flag("e_d", "exact_click_only", "difference_in_bounds"),
+    )
+
+
 QUERIES = {
     "sketch_rollup_daily_users": sketch_rollup_daily_users,
     "sketch_rollup_value_median": sketch_rollup_value_median,
+    "theta_audience_overlap": theta_audience_overlap,
 }
 
 ORACLES = {
@@ -201,6 +282,20 @@ ORACLES = {
         " CAST(1 AS INT) AS sketch_in_bounds"
         " FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL"
         " GROUP BY 1 ORDER BY 1"
+    ),
+    "theta_audience_overlap": (
+        "WITH f AS (SELECT user_id,"
+        " MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,"
+        " MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hp"
+        " FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+        " AND event_type IN ('click', 'purchase') GROUP BY user_id)"
+        " SELECT COUNT(*) AS exact_union,"
+        " CAST(SUM(hc * hp) AS BIGINT) AS exact_overlap,"
+        " CAST(SUM(hc * (1 - hp)) AS BIGINT) AS exact_click_only,"
+        " CAST(1 AS INT) AS union_in_bounds,"
+        " CAST(1 AS INT) AS overlap_in_bounds,"
+        " CAST(1 AS INT) AS difference_in_bounds"
+        " FROM f"
     ),
     "sketch_rollup_value_median": (
         "SELECT event_type, COUNT(*) AS n_events,"

@@ -152,18 +152,18 @@ _FRONT = (
     "top_products_under_30",
     "mom_growth_top_month",
     "region_divergence",
-    "corr_sales_satisfaction",
-    # Disclosed deferral: yoy_quarter / last_two_quarters_satisfaction /
-    # qoq_delta / gender_satisfaction / region_quarter_delta /
-    # orders_by_status ceded their hygiene slots to the seven queries
-    # added after the first r7 rotation (below) — every ceder's code
-    # path is untouched this round (sales_queries.py's r7 diff is
-    # Gini-only) and all stay strictly parity-verified locally at both
-    # driver SFs by tests/test_parity.py every session.
+    # Disclosed deferral: corr_sales_satisfaction / yoy_quarter /
+    # last_two_quarters_satisfaction / qoq_delta / gender_satisfaction /
+    # region_quarter_delta / orders_by_status ceded their hygiene slots
+    # to the eight queries added after the first r7 rotation (below) —
+    # every ceder's code path is untouched this round (sales_queries.py's
+    # r7 diff is Gini-only) and all stay strictly parity-verified locally
+    # at both driver SFs by tests/test_parity.py every session.
     "click_purchase_attribution",
     "zorder_layout_stats",
     "sketch_rollup_daily_users",
     "sketch_rollup_value_median",
+    "theta_audience_overlap",
     "corpus_prep_funnel",
 )
 
