@@ -25,9 +25,14 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_tables
 
-# default lgConfigK=12 → relative standard error ~1.6%; 6% is ~3.7σ and
-# HLL is near-exact at fixture cardinalities anyway. The ±3 absolute
-# slack covers tiny groups where a 6% band is below one unit.
+# lgConfigK=14 → relative standard error ~0.8%, so the 6% band is ~7.3σ
+# PER DAY: the query emits one in-bounds flag per day, and with hundreds
+# of independent daily flags the JOINT tail at the default lgK=12 (3.7σ
+# → ~2e-4/day) would accumulate to a real flake probability at larger
+# scale factors (ADVICE r7). At 7.3σ the joint risk stays negligible at
+# any day count this engine will ever see. The ±3 absolute slack covers
+# tiny groups where a 6% band is below one unit.
+_HLL_LGK = 14
 _REL_BOUND = 0.06
 _ABS_SLACK = 3
 
@@ -39,7 +44,7 @@ def user_sketch_rollup(ev: DataFrame) -> DataFrame:
     return ev.groupBy(
         F.expr("CAST(ts AS DATE)").alias("day"), "event_type"
     ).agg(
-        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.expr(f"hll_sketch_agg(user_id, {_HLL_LGK})").alias("sk"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

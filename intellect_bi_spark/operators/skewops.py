@@ -85,7 +85,20 @@ def salted_join(
     silently degrade into a broadcast (the scenario is 'dim too big to
     broadcast'); each hot key now occupies ``n_salts`` shuffle
     partitions. Exactly equal to the unsalted join: every big row meets
-    precisely the one dim replica carrying its salt."""
+    precisely the one dim replica carrying its salt.
+
+    ``salt_src`` must be HIGH-CARDINALITY WITHIN each hot key (a row id,
+    event id, or similar unique column). If it is constant per key —
+    worst case, the join key itself — every hot-key row hashes to one
+    salt and the join silently keeps its skew while paying the dim
+    explosion. Passing the join key is therefore rejected outright
+    (ADVICE r7); correctness never depends on the choice, only spread."""
+    if salt_src == key:
+        raise ValueError(
+            "salt_src must not be the join key: a per-key-constant salt"
+            " puts every hot-key row in one salt bucket and defeats the"
+            " spread (pass a unique/high-cardinality column instead)"
+        )
     big_s = big.withColumn(
         "_salt",
         F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).cast("int"),

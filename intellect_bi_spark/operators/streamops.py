@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import dsum_sql
 from ..functions.text import P
 from ..streaming.events import (
+    ATTRIBUTION_WINDOW,
     click_purchase_pairs,
     dedup_replayed_events,
     events_batch,
@@ -142,7 +143,9 @@ ORACLES = {
         f" CAST(SUM(((purchase_id % {P}) * (click_id % {P})) % {P})"
         " AS BIGINT) AS pair_binding"
         " FROM p JOIN c ON c.user_id = p.user_id"
-        " AND c.click_ts >= p.purchase_ts - INTERVAL '1 hour'"
+        # the window constant is interpolated from streaming/events.py so
+        # operator and oracle can never silently desync (ADVICE r7)
+        f" AND c.click_ts >= p.purchase_ts - INTERVAL '{ATTRIBUTION_WINDOW}'"
         " AND c.click_ts <= p.purchase_ts"
         " GROUP BY 1 ORDER BY 1"
     ),

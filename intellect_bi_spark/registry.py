@@ -99,9 +99,11 @@ for _mod in _MODULES:
 # git diff 3b8e755.. -- intellect_bi_spark/operators/relational.py).
 # orders_by_status re-certifies as the module's representative filler in
 # the last slot. session.py's ANSI pin applies engine-wide and is
-# behavior-neutral on Spark 4 (ANSI is already the default); all 146
-# queries stay strictly parity-verified at sf0.01 AND sf0.1 every
-# session by tests/test_parity.py.
+# behavior-neutral on Spark 4 (ANSI is already the default); every
+# registry query stays strictly parity-verified by tests/test_parity.py
+# each session at SPARK_GRAFT_TEST_SF_DIR (default sf0.001 per
+# tests/conftest.py — run the suite with the env var pointed at sf0.01 /
+# sf0.1 for the larger-SF matrix; the driver's own gate runs at sf0.01).
 _FRONT = (
     # -- (a) VERDICT r6 stale rows ------------------------------------------
     "video_frame_sample_stub",

@@ -308,3 +308,36 @@ def test_png_crc_valid_but_malformed_payloads_raise_valueerror():
     )
     with pytest.raises(ValueError, match="bad IDAT"):
         multimodal.decode_png(bad2)
+
+
+def test_png_unfilter_vector_path_byte_exact():
+    """The r8 hybrid-vectorized un-filter (stride >= _PNG_VEC_MIN_STRIDE)
+    must agree byte-for-byte with the reference byte loop — a wide raster
+    with every filter type as a row filter, including row 0 (prev = zero
+    row), plus the full decode_png roundtrip through the vector path."""
+    rng = np.random.default_rng(20260814)
+    w, h = 200, 23  # stride 600: vector path; h covers all 5 filters 4x
+    assert w * 3 >= multimodal._PNG_VEC_MIN_STRIDE
+    raster = rng.integers(0, 256, size=(h, w * 3), dtype=np.int64)
+    for start in range(5):  # every filter type as the row-0 filter
+        fts = (start + np.arange(h)) % 5
+        payload = multimodal._encode_png_raster(raster, fts, w, h)
+        dw, dh, px = multimodal.decode_png(payload)
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(px, raster.ravel().astype(np.uint8))
+    # direct agreement of the two unfilter implementations
+    import struct
+    import zlib
+
+    payload = multimodal._encode_png_raster(raster, np.arange(h) % 5, w, h)
+    pos, idat = 8, b""
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        if payload[pos + 4 : pos + 8] == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    stream = zlib.decompress(idat)
+    assert np.array_equal(
+        multimodal._png_unfilter_vec(stream, h, w * 3, 3),
+        multimodal._png_unfilter_bytes(stream, h, w * 3, 3),
+    )
