@@ -501,21 +501,41 @@ def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stages COMPOSED: language filter → repetition-quality filter →
-    exact-dedup keep-first → train split, in one job — the capstone
-    "recipe" a real corpus build runs, where each stage is the operator
-    certified individually elsewhere in this module. Returns the one-row
-    funnel manifest (survivor count after every stage, plus an
-    id+length-weighted binding over the final train set, so a single
-    document surviving or dying wrongly at ANY stage flips the row).
+    exact-dedup keep-first → MinHash-LSH near-dedup keep-cluster-min →
+    train split, in one job — the capstone "recipe" a real corpus build
+    runs, where each stage is the operator certified individually
+    elsewhere (this module + dedup.py). Returns the one-row funnel
+    manifest (survivor count after every stage, plus an id+length-
+    weighted binding over the final train set, so a single document
+    surviving or dying wrongly at ANY stage flips the row).
 
     One pass over the filtered corpus: the per-doc quality flags join
     back once, the keep-first winner per content digest comes from a
     digest-keyed aggregate (the same hash-groupBy shape as
     exact_dedup_keep_first), and every funnel count is a conditional sum
-    in ONE final aggregate — stages don't rescan the corpus."""
+    in ONE final aggregate — stages don't rescan the corpus.
+
+    The near-dup stage (r8, VERDICT r7 item 3) reuses dedup.py's
+    machinery verbatim: per-doc MinHash band signatures depend only on
+    each document's OWN (corpus-wide DF-capped) shingles, so filtering
+    to exact-dedup survivors cannot change any signature — the funnel
+    simply restricts the already-verified LSH pair relation
+    (_lsh_scored_pairs, memoized+persisted, so co-running dedup queries
+    share the physical work) to pairs whose BOTH endpoints survived, and
+    runs min-label connected components over that edge list; each
+    cluster keeps its minimum doc_id. The oracle restates the whole
+    thing — MinHash bands, candidate join, exact-Jaccard verify, WITH
+    RECURSIVE transitive closure — in one SQL chain. At 100 TB every
+    added piece is the already-audited candidate-generation shape:
+    equi-joins on band hashes, never all-pairs."""
     from ..functions.text import P
 
     from ..functions.windows import register_cache
+    from .dedup import (
+        JACCARD_THRESHOLD,
+        _lsh_scored_pairs,
+        _min_label_components,
+    )
 
     docs = _docs_spread(spark, sf_dir)
     en = docs.filter(F.col("lang") == "en")
@@ -541,20 +561,51 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dg")
         .agg(F.min("doc_id").alias("first_id"))
     )
-    flagged = base.join(firsts, "dg", "left").withColumn(
-        "is_first",
-        (F.col("keep") == 1) & (F.col("doc_id") == F.col("first_id")),
+    # Persisted like base: the survivor semi-join below and the final
+    # aggregate both read flagged; is_first is two joins deep.
+    flagged = register_cache(
+        base.join(firsts, "dg", "left").withColumn(
+            "is_first",
+            (F.col("keep") == 1) & (F.col("doc_id") == F.col("first_id")),
+        )
     )
-    funnel = flagged.agg(
+    # near-dup stage: verified LSH pairs restricted to survivors, then
+    # connected components; a survivor dies iff it sits in a cluster
+    # above that cluster's min doc_id
+    surv = flagged.filter("is_first").select("doc_id")
+    scored = _lsh_scored_pairs(spark, sf_dir)
+    pairs = (
+        scored.withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("n_i") + F.col("n_j") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .join(surv.select(F.col("doc_id").alias("i")), "i", "left_semi")
+        .join(surv.select(F.col("doc_id").alias("j")), "j", "left_semi")
+        .select("i", "j")
+    )
+    losers = (
+        _min_label_components(pairs)
+        .filter(F.col("node") != F.col("label"))
+        .select(F.col("node").alias("doc_id"), F.lit(1).alias("_loser"))
+    )
+    final = flagged.join(losers, "doc_id", "left").withColumn(
+        "is_near_unique", F.col("is_first") & F.col("_loser").isNull()
+    )
+    funnel = final.agg(
         F.count(F.lit(1)).alias("n_lang_en"),
         F.sum("keep").alias("n_quality_kept"),
         F.sum(F.col("is_first").cast("long")).alias("n_unique"),
+        F.sum(F.col("is_near_unique").cast("long")).alias("n_near_unique"),
         F.sum(
-            (F.col("is_first") & (F.col("bkt") < TRAIN_END)).cast("long")
+            (F.col("is_near_unique") & (F.col("bkt") < TRAIN_END)).cast(
+                "long"
+            )
         ).alias("n_train"),
         F.sum(
             F.expr(
-                f"CASE WHEN is_first AND bkt < {TRAIN_END} THEN"
+                f"CASE WHEN is_near_unique AND bkt < {TRAIN_END} THEN"
                 f" ((doc_id % {P}) * (n_chars % {P})) % {P} END"
             )
         ).alias("train_binding"),
@@ -565,6 +616,7 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lang_en",
         "n_quality_kept",
         "n_unique",
+        "n_near_unique",
         "n_train",
         "train_binding",
     )
@@ -594,9 +646,12 @@ from ..functions.text import P as _P  # noqa: E402
 ORACLES = {
     # the composed funnel stated as one WITH chain: the repetition CTEs
     # are the quality_repetition_stats oracle's, the keep-first winner is
-    # MIN(doc_id) per content digest, the split is the shared bucket CASE
+    # MIN(doc_id) per content digest, the near-dup stage is dedup.py's
+    # MinHash-band candidate join + exact-Jaccard verify + WITH RECURSIVE
+    # transitive closure (spliced in below the dict — see the late-bound
+    # assignment), the split is the shared bucket CASE
     "corpus_prep_funnel": (
-        "WITH en AS (SELECT doc_id, text FROM documents"
+        "WITH RECURSIVE en AS (SELECT doc_id, text FROM documents"
         " WHERE lang = 'en'),"
         " t AS (SELECT doc_id,"
         " string_split(COALESCE(text, ''), ' ') AS toks FROM en),"
@@ -631,18 +686,21 @@ ORACLES = {
         " fl AS (SELECT flags.*,"
         f" {_bucket_duck('split:', SPLIT_MOD)} AS bkt,"
         " (keep = 1 AND doc_id = first_id) AS is_first"
-        " FROM flags LEFT JOIN firsts USING (dg))"
+        " FROM flags LEFT JOIN firsts USING (dg)),"
+        " {neardup_ctes}"
         " SELECT (SELECT COUNT(*) FROM documents) AS n_total,"
         " COUNT(*) AS n_lang_en,"
         " CAST(SUM(keep) AS BIGINT) AS n_quality_kept,"
         " CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)"
         " AS n_unique,"
-        f" CAST(SUM(CASE WHEN is_first AND bkt < {TRAIN_END}"
+        " CAST(SUM(CASE WHEN is_near THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_near_unique,"
+        f" CAST(SUM(CASE WHEN is_near AND bkt < {TRAIN_END}"
         " THEN 1 ELSE 0 END) AS BIGINT) AS n_train,"
-        f" CAST(SUM(CASE WHEN is_first AND bkt < {TRAIN_END} THEN"
+        f" CAST(SUM(CASE WHEN is_near AND bkt < {TRAIN_END} THEN"
         f" ((doc_id % {_P}) * (n_chars % {_P})) % {_P} END) AS BIGINT)"
         " AS train_binding"
-        " FROM fl"
+        " FROM final"
     ),
     "temperature_resample_stats": (
         "WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents"
@@ -809,4 +867,47 @@ ORACLES["weighted_quality_sample"] = ORACLES["weighted_quality_sample"].format(
     u_bucket=_bucket_duck("wsmp:", WSAMPLE_MOD),
     mod=WSAMPLE_MOD,
     base=WSAMPLE_BASE,
+)
+
+# late-bound: the funnel's near-dup stage restates dedup.py's MinHash-band
+# candidate join + exact-Jaccard verify + recursive transitive closure,
+# restricted to the exact-dedup survivors (surv). Spliced here so the two
+# modules share ONE definition of the minhash/shingle SQL (_minhash_duck)
+# and the Jaccard threshold — the same single-source rule as the
+# ATTRIBUTION_WINDOW interpolation (ADVICE r7).
+from .dedup import (  # noqa: E402
+    JACCARD_THRESHOLD as _JT,
+    _SIZES as _DEDUP_SIZES,
+    _minhash_duck as _MINHASH_DUCK,
+)
+
+ORACLES["corpus_prep_funnel"] = ORACLES["corpus_prep_funnel"].format(
+    neardup_ctes=(
+        f"{_MINHASH_DUCK()}, {_DEDUP_SIZES},"
+        " surv AS (SELECT doc_id FROM fl WHERE is_first),"
+        " cands AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j"
+        " FROM sig a JOIN sig b ON a.band_id = b.band_id"
+        " AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"
+        " WHERE a.doc_id IN (SELECT doc_id FROM surv)"
+        " AND b.doc_id IN (SELECT doc_id FROM surv)),"
+        " shr AS (SELECT c.i, c.j, COUNT(*) AS shared FROM cands c"
+        " JOIN ds sa ON sa.doc_id = c.i"
+        " JOIN ds sb ON sb.doc_id = c.j AND sb.sh_hash = sa.sh_hash"
+        " GROUP BY 1, 2),"
+        " prs AS (SELECT i, j FROM shr"
+        " JOIN sizes si ON si.doc_id = i JOIN sizes sj ON sj.doc_id = j"
+        " WHERE CAST(shared AS DOUBLE) / (si.n_sh + sj.n_sh - shared)"
+        f" >= {_JT}),"
+        " edges AS (SELECT i AS a, j AS b FROM prs"
+        " UNION SELECT j, i FROM prs),"
+        " walk(node, origin) AS ("
+        " SELECT a, a FROM (SELECT DISTINCT a FROM edges)"
+        " UNION"
+        " SELECT e.b, w.origin FROM walk w JOIN edges e ON w.node = e.a),"
+        " lbl AS (SELECT node, MIN(origin) AS cmin FROM walk"
+        " GROUP BY node),"
+        " losers AS (SELECT node FROM lbl WHERE node != cmin),"
+        " final AS (SELECT fl.*, (is_first AND doc_id NOT IN"
+        " (SELECT node FROM losers)) AS is_near FROM fl)"
+    )
 )

@@ -90,6 +90,70 @@ def sketch_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_rollup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of the rollup (r8, VERDICT r7 item 6): the
+    per-(day, event_type) HLL sketch table is WRITTEN to parquet
+    (directory-partitioned by day, sketch bytes as a binary column),
+    read BACK from the store, and the per-type distinct-user estimates
+    are merged from the STORED bytes — proving DataSketches HLL blobs
+    survive the parquet write/read cycle and stay mergeable, the
+    property the one-scan-then-query-the-rollup architecture rests on.
+    Mirrors the interchange-roundtrip pattern (roundtrip.py): the oracle
+    never sees the store; exact columns hash-match, the in-bounds flag's
+    oracle is literal 1 (self-checking-sketch rule).
+
+    The re-read aggregate is localCheckpointed (bounded: one row per
+    event type) so the temp store can be deleted before returning —
+    same lifecycle discipline as streamops.events_stream_store."""
+    import shutil
+    import tempfile
+
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    tmp = tempfile.mkdtemp(prefix="sgraft_sketch_store_")
+    try:
+        user_sketch_rollup(ev).withColumn(
+            "day_part", F.col("day").cast("string")
+        ).write.partitionBy("day_part").parquet(f"{tmp}/rollup")
+        merged = (
+            spark.read.parquet(f"{tmp}/rollup")
+            .groupBy("event_type")
+            .agg(
+                F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
+                    "est"
+                ),
+                F.sum("n_events").alias("n_events"),
+            )
+        )
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_users")
+        )
+        in_bounds = (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.greatest(
+                F.col("exact_users") * F.lit(_REL_BOUND),
+                F.lit(_ABS_SLACK),
+            )
+        )
+        out = (
+            merged.join(exact, "event_type")
+            .select(
+                "event_type",
+                "n_events",
+                "exact_users",
+                F.when(in_bounds, 1).otherwise(0).cast("int").alias(
+                    "store_in_bounds"
+                ),
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # KLL rank-error at the default k=200 is ~1.65% (two-sided, 99%
 # confidence); 6% rank slack is far outside it and also covers the
 # probability mass sitting exactly on the returned element.
@@ -273,6 +337,7 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sketch_rollup_daily_users": sketch_rollup_daily_users,
+    "sketch_rollup_store": sketch_rollup_store,
     "sketch_rollup_value_median": sketch_rollup_value_median,
     "theta_audience_overlap": theta_audience_overlap,
 }
@@ -287,6 +352,14 @@ ORACLES = {
         " CAST(1 AS INT) AS sketch_in_bounds"
         " FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL"
         " GROUP BY 1 ORDER BY 1"
+    ),
+    "sketch_rollup_store": (
+        "SELECT event_type,"
+        " COUNT(*) AS n_events,"
+        " COUNT(DISTINCT user_id) AS exact_users,"
+        " CAST(1 AS INT) AS store_in_bounds"
+        " FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+        " GROUP BY event_type ORDER BY event_type"
     ),
     "theta_audience_overlap": (
         "WITH f AS (SELECT user_id,"

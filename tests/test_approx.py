@@ -44,3 +44,34 @@ def test_hll_rollup_merge_equals_direct_sketch(spark, sf_dir):
         .collect()
     }
     assert merged == direct and len(direct) > 10
+
+
+def test_sketch_bytes_survive_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """The property sketch_rollup_store certifies, isolated: HLL sketch
+    blobs written to parquet and read back must merge to EXACTLY the
+    estimates the in-memory union produces (byte-level survival, not
+    just in-bounds)."""
+    from pyspark.sql import functions as F
+
+    from intellect_bi_spark.catalog import load_tables
+    from intellect_bi_spark.operators.sketches import user_sketch_rollup
+
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    rollup = user_sketch_rollup(ev)
+    path = str(tmp_path / "rollup")
+    rollup.write.parquet(path)
+    agg = [
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+        F.sum("n_events").alias("n"),
+    ]
+    direct = {
+        r["event_type"]: (r["est"], r["n"])
+        for r in rollup.groupBy("event_type").agg(*agg).collect()
+    }
+    stored = {
+        r["event_type"]: (r["est"], r["n"])
+        for r in spark.read.parquet(path).groupBy("event_type").agg(*agg).collect()
+    }
+    assert stored == direct and len(stored) > 0
