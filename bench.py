@@ -57,6 +57,7 @@ HEADLINE = [
     "region_sales_gini",  # rank-window Gini (r6)
     "skewed_join_sales",  # salted hot-key join (r7)
     "sketch_rollup_daily_users",  # mergeable HLL rollup (r7)
+    "sketch_rollup_store",  # parquet-persisted sketch store (r8)
     "theta_audience_overlap",  # theta set algebra (r7)
     "zorder_layout_stats",  # Z-order clustering key (r7)
     "click_purchase_attribution",  # interval-join attribution (r7)
@@ -74,6 +75,7 @@ HEADLINE = [
     "audio_window_rms",  # real WAV binary decode (r6)
     "image_features_ppm",  # real PPM binary decode (r6)
     "image_features_png",  # DEFLATE-compressed PNG decode (r7)
+    "image_features_jpeg",  # baseline-JPEG entropy-coded decode (r8)
     "video_frame_sample_y4m",  # real Y4M container decode (r6)
     "xml_roundtrip_checksum",  # interchange sink+scan certification (r7)
     "jsonl_roundtrip_checksum",

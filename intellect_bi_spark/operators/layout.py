@@ -75,12 +75,15 @@ def _norm_sql(x: str, lo: str, hi: str, bits: int) -> str:
     sort on the wide column. Same move Delta's OPTIMIZE ZORDER makes by
     interleaving range-partition ids rather than raw values."""
     top = (1 << bits) - 1
-    # BIGINT cast BEFORE the multiply: an INT32 column whose live range
-    # is >= 32769 would overflow (x - lo) * 65535 in 32-bit — throwing
-    # under ANSI in Spark while DuckDB promotes and succeeds
+    # BIGINT cast on X ITSELF, not on the subtraction result (r8 review):
+    # casting (x - lo) still evaluates the subtraction in the input's
+    # type, so an INT32 column spanning more than 2^31 (x near INT_MAX,
+    # lo near INT_MIN) overflows BEFORE the cast — and the multiply by
+    # 65535 overflows for live ranges >= 32769. Promoting x first makes
+    # every step 64-bit; same fix applied to the hi - lo divisor.
     return (
-        f"(CAST({x} - {lo} AS BIGINT) * {top})"
-        f" DIV GREATEST({hi} - {lo}, 1)"
+        f"((CAST({x} AS BIGINT) - {lo}) * {top})"
+        f" DIV GREATEST(CAST({hi} AS BIGINT) - {lo}, 1)"
     )
 
 
@@ -129,10 +132,11 @@ _EV_DAY_DUCK = f"(CAST(ts AS DATE) - DATE '{_DAY_EPOCH}')"
 
 
 def _norm_duck(x: str, lo: str, hi: str, bits: int) -> str:
+    # same pre-subtraction BIGINT promotion as _norm_sql (r8 review)
     top = (1 << bits) - 1
     return (
-        f"(CAST(({x}) - {lo} AS BIGINT) * {top}"
-        f" // GREATEST({hi} - {lo}, 1))"
+        f"((CAST({x} AS BIGINT) - {lo}) * {top}"
+        f" // GREATEST(CAST({hi} AS BIGINT) - {lo}, 1))"
     )
 
 

@@ -944,39 +944,50 @@ def decode_png(payload: bytes) -> tuple[int, int, "np.ndarray"]:
 _PNG_VEC_MIN_STRIDE = 128
 
 
+def _png_unfilter_row_serial(
+    ft: int, row: list[int], pv: list[int], stride: int, bpp: int
+) -> None:
+    """THE single serial un-filter implementation (r8 review: Average/
+    Paeth previously existed twice, once per width path — a fix applied
+    to one copy would silently diverge the paths at the
+    _PNG_VEC_MIN_STRIDE boundary). Mutates ``row`` (raw filtered bytes as
+    ints) into the reconstructed scanline given ``pv`` (previous decoded
+    row); ft 0 is the caller's no-op."""
+    if ft == 1:  # Sub
+        for i in range(bpp, stride):
+            row[i] = (row[i] + row[i - bpp]) & 0xFF
+    elif ft == 2:  # Up
+        for i in range(stride):
+            row[i] = (row[i] + pv[i]) & 0xFF
+    elif ft == 3:  # Average
+        for i in range(stride):
+            left = row[i - bpp] if i >= bpp else 0
+            row[i] = (row[i] + (left + pv[i]) // 2) & 0xFF
+    elif ft == 4:  # Paeth
+        for i in range(stride):
+            a = row[i - bpp] if i >= bpp else 0
+            c = pv[i - bpp] if i >= bpp else 0
+            b = pv[i]
+            # |p−a| = |b−c|, |p−b| = |a−c|, |p−c| = |a+b−2c| for
+            # p = a+b−c: the abs-reduced Paeth form
+            pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+            pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+            row[i] = (row[i] + pred) & 0xFF
+    else:
+        raise ValueError(f"unknown filter type {ft}")
+
+
 def _png_unfilter_bytes(
     stream: bytes, h: int, stride: int, bpp: int
 ) -> "np.ndarray":
     """Reference per-byte un-filter — fastest for narrow scanlines."""
     out = bytearray(h * stride)
-    prev = bytearray(stride)
+    prev: list[int] = [0] * stride
     for r in range(h):
         ft = stream[r * (stride + 1)]
-        row = bytearray(stream[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
-        if ft == 0:
-            pass
-        elif ft == 1:  # Sub
-            for i in range(bpp, stride):
-                row[i] = (row[i] + row[i - bpp]) & 0xFF
-        elif ft == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
-        elif ft == 3:  # Average
-            for i in range(stride):
-                left = row[i - bpp] if i >= bpp else 0
-                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
-        elif ft == 4:  # Paeth
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                c = prev[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                # |p−a| = |b−c|, |p−b| = |a−c|, |p−c| = |a+b−2c| for
-                # p = a+b−c: the abs-reduced Paeth form
-                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
-                row[i] = (row[i] + pred) & 0xFF
-        else:
-            raise ValueError(f"unknown filter type {ft}")
+        row = list(stream[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ft != 0:
+            _png_unfilter_row_serial(ft, row, prev, stride, bpp)
         out[r * stride : (r + 1) * stride] = row
         prev = row
     return np.frombuffer(bytes(out), dtype=np.uint8)
@@ -1016,26 +1027,11 @@ def _png_unfilter_vec(
             cur = np.cumsum(raw64[r].reshape(-1, bpp), axis=0).ravel() & 0xFF
         elif ft == 2:  # Up
             cur = (raw64[r] + prev) & 0xFF
-        elif ft in (3, 4):  # serial on decoded-left: Python int loop
+        elif ft in (3, 4):  # serial on decoded-left: the shared int loop
             row = arr[r, 1:].tolist()
             if prev_list is None:
                 prev_list = prev.tolist()
-            pv = prev_list
-            if ft == 3:  # Average
-                for i in range(stride):
-                    left = row[i - bpp] if i >= bpp else 0
-                    row[i] = (row[i] + (left + pv[i]) // 2) & 0xFF
-            else:  # Paeth
-                for i in range(stride):
-                    a = row[i - bpp] if i >= bpp else 0
-                    c = pv[i - bpp] if i >= bpp else 0
-                    b = pv[i]
-                    # |p−a| = |b−c|, |p−b| = |a−c|, |p−c| = |a+b−2c|
-                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                    pred = (
-                        a if pa <= pb and pa <= pc else b if pb <= pc else c
-                    )
-                    row[i] = (row[i] + pred) & 0xFF
+            _png_unfilter_row_serial(ft, row, prev_list, stride, bpp)
             out[r] = row
             prev = out[r].astype(np.int64)
             prev_list = row
@@ -1164,6 +1160,11 @@ _JPEG_AC_VALS = tuple(
     (r << 4) | s for r in range(16) for s in range(1, 11)
 ) + (0x00, 0xF0)
 
+# Encode-side canonical tables are pure functions of the constants above:
+# built ONCE at import, not per document inside the mapInPandas encode
+# loop (r8 review finding — ~50k rebuilds of 174 dict entries at sf1).
+# The decode-side tables are necessarily per-file (rebuilt from DHT).
+
 
 def _huff_encode_table(bits, vals) -> dict[int, tuple[int, int]]:
     """Canonical Huffman assignment (spec C.2): symbol → (code, length)."""
@@ -1260,24 +1261,13 @@ def _jpeg_encode_block(
     return dc
 
 
-def _encode_jpeg_bytes(doc_id: int) -> bytes:
-    """Build a genuine baseline JFIF/JPEG: 3 components, 4:4:4, two flat
-    quant tables, four DHT tables (DC/AC × luma/chroma ids), one
-    interleaved scan. The luma AC sits at zigzag index 39 = (4,4), 38
-    zeros after the DC — so every block with a nonzero AC exercises TWO
-    ZRL escapes before the coefficient code."""
+def _jpeg_static_segments() -> tuple[bytes, bytes]:
+    """(pre-SOF static segments, post-SOF static segments) — everything
+    in the header except the dimension-carrying SOF0, assembled once."""
     import struct
 
-    w, h = _jpeg_dims(doc_id)
-    n_mcu = (w // 8) * (h // 8)
     qt = bytes([_JPEG_QVAL] * 64)
     dqt = b"\x00" + qt + b"\x01" + qt
-    sof = (
-        struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x11, 0])  # Y: 1×1 sampling, quant table 0
-        + bytes([2, 0x11, 1])  # Cb: quant table 1
-        + bytes([3, 0x11, 1])  # Cr: quant table 1
-    )
 
     def dht(cls: int, tid: int, bits, vals) -> bytes:
         return bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
@@ -1289,7 +1279,7 @@ def _encode_jpeg_bytes(doc_id: int) -> bytes:
         + dht(1, 1, _JPEG_AC_BITS, _JPEG_AC_VALS)
     )
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
-    head = b"".join(
+    pre = b"".join(
         (
             b"\xff\xd8",  # SOI
             b"\xff\xe0"
@@ -1298,13 +1288,46 @@ def _encode_jpeg_bytes(doc_id: int) -> bytes:
             + struct.pack(">HH", 1, 1)
             + b"\x00\x00",
             b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt,
-            b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof,
+        )
+    )
+    post = b"".join(
+        (
             b"\xff\xc4" + struct.pack(">H", 2 + len(tables)) + tables,
             b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos,
         )
     )
-    dc_codes = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_codes = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    return pre, post
+
+
+_JPEG_DC_CODES = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+_JPEG_AC_CODES = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+_JPEG_PRE_SOF, _JPEG_POST_SOF = _jpeg_static_segments()
+
+
+def _encode_jpeg_bytes(doc_id: int) -> bytes:
+    """Build a genuine baseline JFIF/JPEG: 3 components, 4:4:4, two flat
+    quant tables, four DHT tables (DC/AC × luma/chroma ids), one
+    interleaved scan. The luma AC sits at zigzag index 39 = (4,4), 38
+    zeros after the DC — so every block with a nonzero AC exercises TWO
+    ZRL escapes before the coefficient code."""
+    import struct
+
+    w, h = _jpeg_dims(doc_id)
+    n_mcu = (w // 8) * (h // 8)
+    sof = (
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0])  # Y: 1×1 sampling, quant table 0
+        + bytes([2, 0x11, 1])  # Cb: quant table 1
+        + bytes([3, 0x11, 1])  # Cr: quant table 1
+    )
+    head = (
+        _JPEG_PRE_SOF
+        + b"\xff\xc0"
+        + struct.pack(">H", 2 + len(sof))
+        + sof
+        + _JPEG_POST_SOF
+    )
+    dc_codes, ac_codes = _JPEG_DC_CODES, _JPEG_AC_CODES
     bw = _JpegBitWriter()
     preds = [0, 0, 0]
     zz44 = _ZZ_POS[(4, 4)]
@@ -1451,6 +1474,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     scan: list[tuple[int, int, int]] = []
     data_start = None
     while pos < len(b):
+        if pos + 2 > len(b):
+            # a lone 0xFF at the buffer end must land in the decoder-
+            # family ValueError contract, not IndexError (r8 review)
+            raise ValueError("truncated marker")
         if b[pos] != 0xFF:
             raise ValueError("bad marker alignment")
         marker = b[pos + 1]
@@ -1491,6 +1518,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, "np.ndarray"]:
                 )
                 o += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            # length-validate BEFORE indexing: a seglen-valid but
+            # structurally short segment must raise ValueError, not
+            # IndexError/struct.error (r8 review)
+            if len(seg) < 6 or len(seg) < 6 + 3 * seg[5]:
+                raise ValueError("truncated SOF0 segment")
             if seg[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             h, w = struct.unpack(">HH", seg[1:5])
@@ -1508,6 +1540,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, "np.ndarray"]:
             if seg != b"\x00\x00":
                 raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
+                raise ValueError("truncated SOS segment")
             ns = seg[0]
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]

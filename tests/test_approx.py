@@ -25,7 +25,10 @@ def test_hll_rollup_merge_equals_direct_sketch(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from intellect_bi_spark.catalog import load_tables
-    from intellect_bi_spark.operators.sketches import user_sketch_rollup
+    from intellect_bi_spark.operators.sketches import (
+        _HLL_LGK,
+        user_sketch_rollup,
+    )
 
     ev = load_tables(spark, sf_dir)["events"].filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
@@ -37,10 +40,19 @@ def test_hll_rollup_merge_equals_direct_sketch(spark, sf_dir):
         .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
         .collect()
     }
+    # direct sketch at the SAME lgConfigK as the rollup (r8 review: with
+    # the default lgK=12 here, merge==direct would only hold while both
+    # sketches stay in exact sparse mode — true at fixture cardinality,
+    # silently false at scale)
     direct = {
         r["day"]: r["est"]
         for r in ev.groupBy(F.expr("CAST(ts AS DATE)").alias("day"))
-        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est"))
+        .agg(
+            F.expr(
+                "hll_sketch_estimate("
+                f"hll_sketch_agg(user_id, {_HLL_LGK}))"
+            ).alias("est")
+        )
         .collect()
     }
     assert merged == direct and len(direct) > 10

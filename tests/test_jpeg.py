@@ -191,3 +191,81 @@ def test_jpeg_decoder_is_generic_not_fixture_shaped():
     exp[:, :, 2] = np.floor(y_p + 1.772 * cbc + 0.5)
     exp = np.clip(exp, 0, 255).astype(np.uint8).reshape(-1)
     assert np.array_equal(px, exp)
+
+
+def test_jpeg_error_contract_on_structural_truncation():
+    """seglen-valid but structurally short segments and a lone trailing
+    0xFF must raise the decoder-family ValueError, never IndexError
+    (r8 review finding)."""
+    import struct
+
+    good = m._encode_jpeg_bytes(3)
+    # lone 0xFF at buffer end (marker byte cut off)
+    with pytest.raises(ValueError, match="truncated marker"):
+        m.decode_jpeg(good[:2] + b"\xff")
+    # SOF0 whose declared length is consistent but body too short
+    short_sof = b"\xff\xc0" + struct.pack(">H", 4) + b"\x08\x00"
+    with pytest.raises(ValueError, match="truncated SOF0"):
+        m.decode_jpeg(b"\xff\xd8" + short_sof)
+    # SOS with component count pointing past its body
+    short_sos = b"\xff\xda" + struct.pack(">H", 4) + b"\x03\x01"
+    with pytest.raises(ValueError, match="truncated SOS"):
+        m.decode_jpeg(b"\xff\xd8" + short_sos)
+
+
+def test_jpeg_decodes_non_multiple_of_8_dims():
+    """Real-world JPEGs pad partial edge blocks to full MCUs and the
+    decoder crops; the fixture dims are all multiples of 8, so this
+    exercises the (w+7)//8 block count + [:h,:w] crop path directly
+    (r8 review finding). Reference decode computed independently."""
+    import struct
+
+    w, h = 12, 10  # 2x2 padded MCUs, crop 16x16 -> 12x10
+    sof = (
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    )
+    head = (
+        m._JPEG_PRE_SOF
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        + m._JPEG_POST_SOF
+    )
+    bw = m._JpegBitWriter()
+    preds = [0, 0, 0]
+    zz44 = m._ZZ_POS[(4, 4)]
+    coefs = []
+    for b in range(4):
+        y = [0] * 64
+        y[0], y[zz44] = 10 + 3 * b, 2 - b
+        cb = [0] * 64
+        cb[0] = -4 + b
+        cr = [0] * 64
+        cr[0] = 6
+        coefs.append((y[:], cb[:], cr[:]))
+        for ci, blk in enumerate((y, cb, cr)):
+            preds[ci] = m._jpeg_encode_block(
+                bw, blk, preds[ci], m._JPEG_DC_CODES, m._JPEG_AC_CODES
+            )
+    bw.flush()
+    dw, dh, px = m.decode_jpeg(head + bytes(bw.buf) + b"\xff\xd9")
+    assert (dw, dh) == (w, h)
+    # closed-form reference: Q=8 flat, DC/8 = coef, (4,4) AC = s(x)s(y)*coef
+    s = np.array(m._JPEG_S, dtype=np.float64)
+    ss = np.outer(s, s)
+    exp = np.empty((h, w, 3), dtype=np.uint8)
+    for b in range(4):
+        yq = coefs[b]
+        yv = 128.0 + yq[0][0] + ss * yq[0][zz44]
+        r = np.floor(yv + 1.402 * yq[2][0] + 0.5)
+        g = np.floor(yv - 0.344136 * yq[1][0] - 0.714136 * yq[2][0] + 0.5)
+        bl = np.floor(yv + 1.772 * yq[1][0] + 0.5)
+        by, bx = divmod(b, 2)
+        block = np.stack([r, g, bl], axis=-1)
+        # crop the padded block to what survives inside (h, w)
+        rows = min(8, h - by * 8)
+        cols = min(8, w - bx * 8)
+        if rows > 0 and cols > 0:
+            exp[by * 8 : by * 8 + rows, bx * 8 : bx * 8 + cols] = (
+                block[:rows, :cols]
+            )
+    assert np.array_equal(px, exp.reshape(-1))
