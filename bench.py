@@ -60,6 +60,7 @@ HEADLINE = [
     "sketch_rollup_store",  # parquet-persisted sketch store (r8)
     "theta_audience_overlap",  # theta set algebra (r7)
     "zorder_layout_stats",  # Z-order clustering key (r7)
+    "bucketed_join_sales",  # shuffle-free bucketed co-located join (r8)
     "click_purchase_attribution",  # interval-join attribution (r7)
     # training-data pipeline (charter extensions)
     "exact_dedup_stats",
@@ -69,6 +70,7 @@ HEADLINE = [
     "cosine_topk",
     "ann_topk_ivf",
     "ann_topk_batch_lsh",  # banded batch candidate generation (r5)
+    "ann_topk_sq8",  # SQ8-quantized ADC search (r8)
     "text_quality_scores",
     "chunk_documents",
     "image_features_stub",

@@ -76,8 +76,10 @@ for _mod in _MODULES:
 # (a) ALL 31 queries whose newest driver row is CORRECTNESS_r04 (the
 #     complete r4 cohort VERDICT r7 enumerated — after this round the
 #     oldest row anywhere is r5);
-# (b) queries NEW in round 8: the baseline-JPEG lossy-codec decode and
-#     the persisted HLL sketch store (parquet write→read→merge);
+# (b) queries NEW in round 8: the baseline-JPEG lossy-codec decode, the
+#     persisted HLL sketch store (parquet write→read→merge), the
+#     shuffle-free bucketed co-located join, and the SQ8 embedding
+#     quantization pair (code-relation checksum + bit-exact ADC top-k);
 # (c) queries whose CODE PATH changed in round 8: the funnel (gained the
 #     MinHash near-dup stage + n_near_unique column), the four real-codec
 #     checksums (repartitioned id spine + the PNG size-adaptive
@@ -87,9 +89,11 @@ for _mod in _MODULES:
 #     now interpolates ATTRIBUTION_WINDOW — string byte-identical, cheap
 #     to re-certify anyway);
 # (d) changed-module hygiene (paths untouched, file changed): the three
-#     multimodal stub/catalog queries, sketches' KLL median + theta
-#     algebra, pipeline's repetition stats (the funnel's quality source),
-#     and dedup's LSH pairs + CC clusters (the funnel's near-dup source).
+#     multimodal stub/catalog queries and sketches' KLL median + theta
+#     algebra. Three hygiene fillers originally slotted here (pipeline's
+#     repetition stats, dedup's LSH pairs + CC clusters — all with fresh
+#     r5–r7 rows and untouched code paths) ceded their slots to the
+#     three later r8 additions in (b).
 # Disclosed deferral: every query NOT listed has an r5+ row AND a
 # byte-identical code path this round (r8's diff touches multimodal.py,
 # pipeline.py funnel block, sketches.py, skewops.py, layout.py,
@@ -134,6 +138,9 @@ _FRONT = (
     # -- (b) new in r8 ------------------------------------------------------
     "image_features_jpeg",
     "sketch_rollup_store",
+    "bucketed_join_sales",
+    "embedding_sq8_codes",
+    "ann_topk_sq8",
     # -- (c) r8 changed code paths ------------------------------------------
     "corpus_prep_funnel",
     "image_features_png",
@@ -150,9 +157,6 @@ _FRONT = (
     "video_frame_sample_stub",
     "sketch_rollup_value_median",
     "theta_audience_overlap",
-    "quality_repetition_stats",
-    "minhash_lsh_pairs",
-    "near_dup_clusters",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive

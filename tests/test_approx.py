@@ -87,3 +87,43 @@ def test_sketch_bytes_survive_parquet_roundtrip(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(path).groupBy("event_type").agg(*agg).collect()
     }
     assert stored == direct and len(stored) > 0
+
+
+def test_sq8_reconstruction_error_bounded_and_recall(spark, sf_dir):
+    """SQ8 quality properties, beyond the bit-exact oracle parity:
+    (1) every dequantized value sits within half a quantization step of
+    the original (the defining property of round-to-nearest min-max
+    scalar quantization); (2) the ADC top-10 recalls most of the exact
+    top-10 at 64 dims (sanity floor 0.6 — typically 0.9+)."""
+    from pyspark.sql import functions as F
+
+    from intellect_bi_spark.operators import similarity as sim
+
+    deq = sim._sq8_codes(spark, sf_dir).withColumn(
+        "deq", F.expr(sim._SQ8_DEQ_EXPR)
+    )
+    err = deq.select(
+        F.posexplode(
+            F.expr(
+                "zip_with(embedding, deq,"
+                " (x, y) -> abs(CAST(x AS DOUBLE) - y))"
+            )
+        ).alias("d", "abs_err"),
+    ).join(
+        deq.select(
+            F.posexplode(
+                F.expr(
+                    "zip_with(lo_arr, hi_arr,"
+                    f" (l, h) -> (h - l) / {sim.SQ_LEVELS}.0 / 2.0)"
+                )
+            ).alias("d", "half_step")
+        ).distinct(),
+        "d",
+    )
+    # tiny numeric headroom for the float32->double cast of the source
+    viol = err.filter(F.col("abs_err") > F.col("half_step") + 1e-9).count()
+    assert viol == 0
+    exact = {r["vec_id"] for r in sim.cosine_topk(spark, sf_dir).collect()}
+    approx = {r["vec_id"] for r in sim.ann_topk_sq8(spark, sf_dir).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall

@@ -501,3 +501,58 @@ def test_zorder_layout_bounds_file_ranges(spark, sf_dir, tmp_path):
         == spark.read.parquet(base_path).count()
     )
     assert z_spread < 0.6 * base_spread, (z_spread, base_spread)
+
+
+def test_bucketed_join_has_no_exchange_on_join_inputs(spark, sf_dir):
+    """The co-located-join property (r8): with both tables bucketed
+    N_BUCKETS on the join key, the SortMergeJoin consumes the bucketed
+    scans DIRECTLY — no Exchange anywhere between scan and join (the
+    only exchanges in the full query are the post-join aggregate's).
+    Also asserts the result equals the plain (shuffled) join row-for-row,
+    so the layout never changes semantics."""
+    import re
+    import uuid
+
+    from intellect_bi_spark.operators import layout
+
+    token = uuid.uuid4().hex[:12]
+    tbl_o = tbl_c = None
+    try:
+        tbl_o, tbl_c = layout.bucketed_tables(spark, sf_dir, token)
+        j = layout.bucketed_join_result(spark, tbl_o, tbl_c)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Bucketed: true") == 2
+        # no exchange on either join input's key
+        assert not re.search(
+            r"Exchange hashpartitioning\((o_custkey|c_custkey)", plan
+        ), plan
+        # isolate the join subtree: nothing between SMJ and the scans may
+        # be an Exchange (sorts/filters are fine — bucketed tables are
+        # sorted per-bucket but Spark still inserts a defensive sort)
+        smj_at = plan.index("SortMergeJoin")
+        join_subtree = plan[smj_at:]
+        assert "Exchange" not in join_subtree, join_subtree
+        t = layout.load_tables(spark, sf_dir)
+        plain = (
+            t["orders"]
+            .join(
+                t["customer"],
+                t["orders"]["o_custkey"] == t["customer"]["c_custkey"],
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                layout.F.count(layout.F.lit(1)).alias("n_orders"),
+                layout.F.expr(
+                    "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+                ).alias("total_cents"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        assert [tuple(r) for r in j.collect()] == [
+            tuple(r) for r in plain.collect()
+        ]
+    finally:
+        for tbl in (tbl_o, tbl_c):
+            if tbl is not None:
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
