@@ -61,6 +61,7 @@ HEADLINE = [
     "theta_audience_overlap",  # theta set algebra (r7)
     "zorder_layout_stats",  # Z-order clustering key (r7)
     "bucketed_join_sales",  # shuffle-free bucketed co-located join (r8)
+    "scd2_customer_versions",  # SCD2 dimension-versioning merge (r8)
     "click_purchase_attribution",  # interval-join attribution (r7)
     # training-data pipeline (charter extensions)
     "exact_dedup_stats",

@@ -24,6 +24,7 @@ from .operators import (
     relational,
     roundtrip,
     sales_queries,
+    scd,
     similarity,
     sketches,
     skewops,
@@ -47,6 +48,7 @@ _MODULES = (
     temporal,
     eventops,
     quality,
+    scd,
     roundtrip,
     skewops,
     layout,
@@ -78,8 +80,9 @@ for _mod in _MODULES:
 #     oldest row anywhere is r5);
 # (b) queries NEW in round 8: the baseline-JPEG lossy-codec decode, the
 #     persisted HLL sketch store (parquet write→read→merge), the
-#     shuffle-free bucketed co-located join, and the SQ8 embedding
-#     quantization pair (code-relation checksum + bit-exact ADC top-k);
+#     shuffle-free bucketed co-located join, the SQ8 embedding
+#     quantization pair (code-relation checksum + bit-exact ADC top-k),
+#     and the SCD2 dimension-versioning merge;
 # (c) queries whose CODE PATH changed in round 8: the funnel (gained the
 #     MinHash near-dup stage + n_near_unique column), the four real-codec
 #     checksums (repartitioned id spine + the PNG size-adaptive
@@ -89,11 +92,11 @@ for _mod in _MODULES:
 #     now interpolates ATTRIBUTION_WINDOW — string byte-identical, cheap
 #     to re-certify anyway);
 # (d) changed-module hygiene (paths untouched, file changed): the three
-#     multimodal stub/catalog queries and sketches' KLL median + theta
-#     algebra. Three hygiene fillers originally slotted here (pipeline's
-#     repetition stats, dedup's LSH pairs + CC clusters — all with fresh
-#     r5–r7 rows and untouched code paths) ceded their slots to the
-#     three later r8 additions in (b).
+#     multimodal stub/catalog queries and sketches' KLL median. Four
+#     hygiene fillers originally slotted here (pipeline's repetition
+#     stats, dedup's LSH pairs + CC clusters, sketches' theta algebra —
+#     all with fresh r5–r7 rows and untouched code paths) ceded their
+#     slots to the four later r8 additions in (b).
 # Disclosed deferral: every query NOT listed has an r5+ row AND a
 # byte-identical code path this round (r8's diff touches multimodal.py,
 # pipeline.py funnel block, sketches.py, skewops.py, layout.py,
@@ -141,6 +144,7 @@ _FRONT = (
     "bucketed_join_sales",
     "embedding_sq8_codes",
     "ann_topk_sq8",
+    "scd2_customer_versions",
     # -- (c) r8 changed code paths ------------------------------------------
     "corpus_prep_funnel",
     "image_features_png",
@@ -156,7 +160,6 @@ _FRONT = (
     "image_features_stub",
     "video_frame_sample_stub",
     "sketch_rollup_value_median",
-    "theta_audience_overlap",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive
