@@ -46,6 +46,7 @@ HEADLINE = [
     "events_rolling_7d",
     "asof_join_clicks",
     "range_join_click_bursts",
+    "gap_fill_daily_revenue",  # calendar-spine forward fill (r8)
     "q4_order_priority",
     "q18_large_orders",
     "q7_nation_volume",

@@ -212,13 +212,141 @@ def range_join_click_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Calendar-spine gap filling with forward fill (r8) ------------------------
+#
+# The third charter temporal operator: time-series gap filling — generate
+# the full calendar spine, left-join the observed daily aggregate, and
+# FORWARD-FILL each gap with the latest prior observation (plus gap
+# flags and staleness age), the shape every metrics/feature pipeline
+# runs before a model ever sees a daily series. Spark has no native
+# ``fill forward``; the composition here is the portable one:
+#
+#   grp  = COUNT(observed) OVER (PARTITION BY key ORDER BY day)  — the
+#          running observation count, which is CONSTANT across each
+#          observation-then-gap run and increments exactly at the next
+#          observation;
+#   fill = MAX(observed)  OVER (PARTITION BY key, grp)           — each
+#          run contains exactly one observation (its first row), so the
+#          unordered per-run aggregate IS the forward fill.
+#
+# This avoids ``last_value IGNORE NULLS`` (supported inconsistently
+# across engines) and keeps every window PARTITIONED BY KEY — at 100 TB
+# the spine is millions of entities × days and no global sort ever
+# happens. The fixture series has no natural gaps (all 30 days present
+# for every type), so a deterministic hash-bucketed "feed outage" drops
+# ~20% of (type, day) cells — stated identically in both engines, the
+# same salted-md5-bucket device as pipeline.py's splits — making leading
+# gaps, interior runs, and staleness ages all real in the output.
+
+_GF_CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
+_GF_OUTAGE_MOD = 5  # drop cells whose bucket ≡ 0 → ~20% outage rate
+
+
+def gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, calendar day): observed cents (NULL in a gap),
+    forward-filled cents, gap flag, and days-since-last-observation —
+    the full spine relation, row-for-row oracle-matched."""
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = (
+        ev.groupBy(
+            "event_type", F.expr("CAST(ts AS DATE)").alias("day")
+        )
+        .agg(F.expr(f"SUM({_GF_CENTS})").alias("cents"))
+        .filter(
+            F.expr(
+                "CAST(conv(substr(md5(CONCAT('outage:', event_type, ':',"
+                " CAST(day AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+                f" % {_GF_OUTAGE_MOD} != 0"
+            )
+        )
+    )
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(d0, d1, interval 1 day)")
+            ).alias("day"),
+        )
+    )
+    j = spine.join(daily, ["event_type", "day"], "left")
+    return forward_fill(j, key="event_type", day="day", val="cents").orderBy(
+        "event_type", "day"
+    )
+
+
+def forward_fill(
+    j: DataFrame, key: str, day: str, val: str
+) -> DataFrame:
+    """The portable forward-fill core (docstring above) over a spine
+    frame ``(key, day, val-nullable)``: returns (key, day,
+    <val>_observed, <val>_filled, is_gap, days_since_obs). Rows before
+    a key's first observation stay NULL-filled with NULL staleness (the
+    grp = 0 run has nothing to carry) — locked by the synthetic
+    leading-gap unit test."""
+    w_cum = (
+        Window.partitionBy(key)
+        .orderBy(day)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = j.withColumn("grp", F.count(val).over(w_cum))
+    w_run = Window.partitionBy(key, "grp")
+    return g.select(
+        key,
+        day,
+        F.col(val).alias(f"{val}_observed"),
+        F.max(val).over(w_run).alias(f"{val}_filled"),
+        F.col(val).isNull().cast("int").alias("is_gap"),
+        F.when(
+            F.col("grp") > 0,
+            F.datediff(F.col(day), F.min(day).over(w_run)),
+        ).alias("days_since_obs"),
+    )
+
+
 QUERIES = {
     "asof_join_clicks": asof_join_clicks,
     "range_join_click_bursts": range_join_click_bursts,
+    "gap_fill_daily_revenue": gap_fill_daily_revenue,
 }
 
 
 ORACLES = {
+    # the identical spine → outage filter → run-group forward fill,
+    # restated with DuckDB's generate_series and the same window pair
+    "gap_fill_daily_revenue": (
+        "WITH daily_all AS (SELECT event_type, CAST(ts AS DATE) AS day,"
+        f" SUM({_GF_CENTS}) AS cents FROM events"
+        " WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),"
+        " daily AS (SELECT * FROM daily_all WHERE"
+        " CAST('0x' || substr(md5('outage:' || event_type || ':' ||"
+        f" CAST(day AS VARCHAR)), 1, 15) AS BIGINT) % {_GF_OUTAGE_MOD}"
+        " != 0),"
+        " b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),"
+        " spine AS (SELECT t.event_type,"
+        " CAST(unnest(generate_series(CAST(b.d0 AS TIMESTAMP),"
+        " CAST(b.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day"
+        " FROM (SELECT DISTINCT event_type FROM daily) t, b),"
+        " j AS (SELECT s.event_type, s.day, d.cents FROM spine s"
+        " LEFT JOIN daily d USING (event_type, day)),"
+        " g AS (SELECT *, COUNT(cents) OVER (PARTITION BY event_type"
+        " ORDER BY day ROWS UNBOUNDED PRECEDING) AS grp FROM j)"
+        " SELECT event_type, day,"
+        " cents AS cents_observed,"
+        " MAX(cents) OVER (PARTITION BY event_type, grp)"
+        " AS cents_filled,"
+        " CAST(cents IS NULL AS INT) AS is_gap,"
+        " CAST(CASE WHEN grp > 0 THEN day - MIN(day) OVER"
+        " (PARTITION BY event_type, grp) END AS INT) AS days_since_obs"
+        " FROM g ORDER BY event_type, day"
+    ),
     # DuckDB's native ASOF JOIN over the same deduplicated click relation;
     # epoch_us on both sides matches Spark's unix_micros exactly (µs longs).
     "asof_join_clicks": (

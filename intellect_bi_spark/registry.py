@@ -82,7 +82,8 @@ for _mod in _MODULES:
 #     persisted HLL sketch store (parquet write→read→merge), the
 #     shuffle-free bucketed co-located join, the SQ8 embedding
 #     quantization pair (code-relation checksum + bit-exact ADC top-k),
-#     and the SCD2 dimension-versioning merge;
+#     the SCD2 dimension-versioning merge, and the calendar-spine
+#     gap-fill/forward-fill;
 # (c) queries whose CODE PATH changed in round 8: the funnel (gained the
 #     MinHash near-dup stage + n_near_unique column), the four real-codec
 #     checksums (repartitioned id spine + the PNG size-adaptive
@@ -92,11 +93,11 @@ for _mod in _MODULES:
 #     now interpolates ATTRIBUTION_WINDOW — string byte-identical, cheap
 #     to re-certify anyway);
 # (d) changed-module hygiene (paths untouched, file changed): the three
-#     multimodal stub/catalog queries and sketches' KLL median. Four
-#     hygiene fillers originally slotted here (pipeline's repetition
-#     stats, dedup's LSH pairs + CC clusters, sketches' theta algebra —
-#     all with fresh r5–r7 rows and untouched code paths) ceded their
-#     slots to the four later r8 additions in (b).
+#     multimodal stub/catalog queries. Five hygiene fillers originally
+#     slotted here (pipeline's repetition stats, dedup's LSH pairs + CC
+#     clusters, sketches' theta algebra + KLL median — all with fresh
+#     r5–r7 rows and untouched code paths) ceded their slots to the five
+#     later r8 additions in (b).
 # Disclosed deferral: every query NOT listed has an r5+ row AND a
 # byte-identical code path this round (r8's diff touches multimodal.py,
 # pipeline.py funnel block, sketches.py, skewops.py, layout.py,
@@ -145,6 +146,7 @@ _FRONT = (
     "embedding_sq8_codes",
     "ann_topk_sq8",
     "scd2_customer_versions",
+    "gap_fill_daily_revenue",
     # -- (c) r8 changed code paths ------------------------------------------
     "corpus_prep_funnel",
     "image_features_png",
@@ -159,7 +161,6 @@ _FRONT = (
     "multimodal_catalog",
     "image_features_stub",
     "video_frame_sample_stub",
-    "sketch_rollup_value_median",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive

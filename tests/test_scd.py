@@ -60,3 +60,42 @@ def test_scd2_version_chains(spark, sf_dir):
     ).count()
     assert bad == 0
     h.unpersist()
+
+
+def test_forward_fill_leading_and_interior_gaps(spark):
+    """Synthetic spine covering the shapes the fixture may not produce:
+    a key whose series STARTS with gaps (grp=0 run stays NULL with NULL
+    staleness), interior multi-day runs (staleness counts up), and a
+    fully-observed key (no-op)."""
+    import datetime as dt
+
+    from intellect_bi_spark.operators.temporal import forward_fill
+
+    d = dt.date
+    rows = [
+        # key 'a': leading gaps, then obs 10 at day3, gaps, obs 20 at day6
+        ("a", d(2024, 1, 1), None),
+        ("a", d(2024, 1, 2), None),
+        ("a", d(2024, 1, 3), 10),
+        ("a", d(2024, 1, 4), None),
+        ("a", d(2024, 1, 5), None),
+        ("a", d(2024, 1, 6), 20),
+        # key 'b': fully observed
+        ("b", d(2024, 1, 1), 7),
+        ("b", d(2024, 1, 2), 8),
+    ]
+    j = spark.createDataFrame(rows, "k string, day date, v long")
+    out = {
+        (r["k"], r["day"]): (
+            r["v_filled"], r["is_gap"], r["days_since_obs"]
+        )
+        for r in forward_fill(j, key="k", day="day", val="v").collect()
+    }
+    assert out[("a", d(2024, 1, 1))] == (None, 1, None)
+    assert out[("a", d(2024, 1, 2))] == (None, 1, None)
+    assert out[("a", d(2024, 1, 3))] == (10, 0, 0)
+    assert out[("a", d(2024, 1, 4))] == (10, 1, 1)
+    assert out[("a", d(2024, 1, 5))] == (10, 1, 2)
+    assert out[("a", d(2024, 1, 6))] == (20, 0, 0)
+    assert out[("b", d(2024, 1, 1))] == (7, 0, 0)
+    assert out[("b", d(2024, 1, 2))] == (8, 0, 0)
