@@ -39,6 +39,7 @@ HEADLINE = [
     "mom_growth_top_month",
     "yoy_quarter",
     "region_divergence",
+    "pivot_region_quarter",  # pinned-values PIVOT cross-tab (r8)
     "corr_sales_satisfaction",
     "sales_daily",
     "last_two_quarters_satisfaction",

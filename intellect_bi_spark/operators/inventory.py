@@ -303,6 +303,29 @@ def drilldown_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pivot_region_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (rows → columns): the per-region revenue matrix across
+    calendar quarters — the BI cross-tab shape the cube/rollup pair
+    above doesn't cover (r8). The pivot VALUES are pinned explicitly:
+    Spark then skips the extra distinct-scan job it otherwise runs to
+    discover the pivot columns, and the output schema is stable at any
+    scale — the production rule for pivoting anything high-cardinality
+    (pin the columns or pre-aggregate first). Reference analogue: the
+    drill-down tab family (reference ui/app.py:54-56) widened per
+    charter."""
+    p = (
+        sales(spark, sf_dir)
+        .withColumn("qtr", F.expr("CONCAT('Q', QUARTER(date))"))
+        .groupBy("region")
+        .pivot("qtr", ["Q1", "Q2", "Q3", "Q4"])
+        .agg(dsum("sales"))
+    )
+    return p.select(
+        "region",
+        *[F.col(f"Q{i}").alias(f"q{i}_sales") for i in range(1, 5)],
+    ).orderBy("region")
+
+
 def drilldown_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sales(spark, sf_dir)
@@ -634,6 +657,7 @@ QUERIES = {
     "json_extract_events": json_extract_events,
     "drilldown_cube": drilldown_cube,
     "drilldown_rollup": drilldown_rollup,
+    "pivot_region_quarter": pivot_region_quarter,
     "distinct_products_per_region": distinct_products_per_region,
     "setop_union_counts": setop_union_counts,
     "setop_intersect_except": setop_intersect_except,
@@ -821,6 +845,19 @@ ORACLES = {
         " AS sum_k,"
         " COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,"
         " COUNT(*) AS n FROM events GROUP BY event_type"
+    ),
+    # pivot = conditional aggregation per pinned quarter column
+    "pivot_region_quarter": sales_cte(
+        "SELECT region, "
+        + dsum_sql("CASE WHEN quarter(date) = 1 THEN sales END")
+        + " AS q1_sales, "
+        + dsum_sql("CASE WHEN quarter(date) = 2 THEN sales END")
+        + " AS q2_sales, "
+        + dsum_sql("CASE WHEN quarter(date) = 3 THEN sales END")
+        + " AS q3_sales, "
+        + dsum_sql("CASE WHEN quarter(date) = 4 THEN sales END")
+        + " AS q4_sales"
+        + " FROM sales GROUP BY region ORDER BY region"
     ),
     "drilldown_cube": sales_cte(
         f"SELECT region, gender, {dsum_sql('sales')} AS total_sales,"
