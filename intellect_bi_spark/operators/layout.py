@@ -165,14 +165,24 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_BUCKETS = 8
 
 
+def bucket_table_names(token: str) -> tuple[str, str]:
+    """The per-call table names — exposed separately from the writes so
+    callers can register BOTH names for cleanup BEFORE any write starts
+    (r8 review: a failure between the two saveAsTable calls previously
+    leaked the first table in the warehouse, since the names were only
+    returned on full success)."""
+    return f"sgraft_bkt_orders_{token}", f"sgraft_bkt_cust_{token}"
+
+
 def bucketed_tables(
     spark: SparkSession, sf_dir: str, token: str
 ) -> tuple[str, str]:
     """Write orders and customer as Hive-BUCKETED tables (bucketBy on the
-    join key, sortBy within buckets) under unique names; returns the two
-    table names. Caller drops them (see :func:`bucketed_join_sales`)."""
+    join key, sortBy within buckets) under the :func:`bucket_table_names`
+    names; returns them. Callers own the drop (see
+    :func:`bucketed_join_sales`)."""
     t = load_tables(spark, sf_dir)
-    tbl_o, tbl_c = f"sgraft_bkt_orders_{token}", f"sgraft_bkt_cust_{token}"
+    tbl_o, tbl_c = bucket_table_names(token)
     (
         t["orders"]
         .write.bucketBy(N_BUCKETS, "o_custkey")
@@ -230,16 +240,17 @@ def bucketed_join_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     token = uuid.uuid4().hex[:12]
-    tbl_o = tbl_c = None
+    # names resolved BEFORE any write: a failure mid-way through the two
+    # bucketed writes still drops whatever landed (r8 review)
+    tbl_o, tbl_c = bucket_table_names(token)
     try:
-        tbl_o, tbl_c = bucketed_tables(spark, sf_dir, token)
+        bucketed_tables(spark, sf_dir, token)
         return bucketed_join_result(spark, tbl_o, tbl_c).localCheckpoint(
             eager=True
         )
     finally:
         for tbl in (tbl_o, tbl_c):
-            if tbl is not None:
-                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
 QUERIES = {

@@ -647,7 +647,14 @@ _SQ8_DEQ_EXPR = (
 
 def _sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    return emb.crossJoin(F.broadcast(_sq8_bounds(emb))).withColumn(
+    # the ONE-ROW bounds frame is materialized eagerly: ann_topk_sq8
+    # references the codes frame from two join branches (broadcast query
+    # side + corpus side), and Spark has no common-subplan reuse — an
+    # un-materialized bounds subtree would re-run the full posexplode +
+    # aggregate once per branch (r8 review). One tiny localCheckpoint
+    # makes both branches read a cached single row.
+    bounds = _sq8_bounds(emb).localCheckpoint(eager=True)
+    return emb.crossJoin(F.broadcast(bounds)).withColumn(
         "codes", F.expr(_SQ8_CODE_EXPR)
     )
 

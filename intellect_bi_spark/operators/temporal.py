@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..functions.text import md5_mod_hash_duck, md5_mod_hash_sql
 
 
 def _epoch_us(c: Column) -> Column:
@@ -240,6 +241,8 @@ def range_join_click_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GF_CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
 _GF_OUTAGE_MOD = 5  # drop cells whose bucket ≡ 0 → ~20% outage rate
+_GF_OUTAGE_KEY_SQL = "CONCAT('outage:', event_type, ':', CAST(day AS STRING))"
+_GF_OUTAGE_KEY_DUCK = "('outage:' || event_type || ':' || CAST(day AS VARCHAR))"
 
 
 def gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,9 +258,10 @@ def gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.expr(f"SUM({_GF_CENTS})").alias("cents"))
         .filter(
+            # one owner for the cross-engine md5→60-bit-parse device
+            # (functions/text.py), composed with the outage modulus
             F.expr(
-                "CAST(conv(substr(md5(CONCAT('outage:', event_type, ':',"
-                " CAST(day AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+                f"{md5_mod_hash_sql(_GF_OUTAGE_KEY_SQL)}"
                 f" % {_GF_OUTAGE_MOD} != 0"
             )
         )
@@ -322,12 +326,14 @@ ORACLES = {
     # the identical spine → outage filter → run-group forward fill,
     # restated with DuckDB's generate_series and the same window pair
     "gap_fill_daily_revenue": (
+        # final sums CAST to BIGINT (SUM(BIGINT) widens to HUGEINT in
+        # DuckDB — r8 review); the outage bucket reuses the shared
+        # md5_mod_hash device, one owner per engine
         "WITH daily_all AS (SELECT event_type, CAST(ts AS DATE) AS day,"
-        f" SUM({_GF_CENTS}) AS cents FROM events"
+        f" CAST(SUM({_GF_CENTS}) AS BIGINT) AS cents FROM events"
         " WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),"
         " daily AS (SELECT * FROM daily_all WHERE"
-        " CAST('0x' || substr(md5('outage:' || event_type || ':' ||"
-        f" CAST(day AS VARCHAR)), 1, 15) AS BIGINT) % {_GF_OUTAGE_MOD}"
+        f" {md5_mod_hash_duck(_GF_OUTAGE_KEY_DUCK)} % {_GF_OUTAGE_MOD}"
         " != 0),"
         " b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),"
         " spine AS (SELECT t.event_type,"

@@ -516,9 +516,9 @@ def test_bucketed_join_has_no_exchange_on_join_inputs(spark, sf_dir):
     from intellect_bi_spark.operators import layout
 
     token = uuid.uuid4().hex[:12]
-    tbl_o = tbl_c = None
+    tbl_o, tbl_c = layout.bucket_table_names(token)
     try:
-        tbl_o, tbl_c = layout.bucketed_tables(spark, sf_dir, token)
+        layout.bucketed_tables(spark, sf_dir, token)
         j = layout.bucketed_join_result(spark, tbl_o, tbl_c)
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan
@@ -554,5 +554,4 @@ def test_bucketed_join_has_no_exchange_on_join_inputs(spark, sf_dir):
         ]
     finally:
         for tbl in (tbl_o, tbl_c):
-            if tbl is not None:
-                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
