@@ -17,16 +17,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum_sql
-from ..functions.text import P
+from ..functions.text import P, md5_mod_hash_duck
 from ..streaming.events import (
     ATTRIBUTION_WINDOW,
+    N_TIERS,
     click_purchase_pairs,
     dedup_replayed_events,
     events_batch,
     session_agg,
     sliding_daily_agg,
     stream_daily_store,
+    tier_daily_agg,
     tumbling_daily_agg,
+    user_tier_dim,
 )
 
 SESSION_GAP_MIN = 30
@@ -71,6 +74,18 @@ def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_binding"),
         )
         .orderBy("purchase_day")
+    )
+
+
+def events_tier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join
+    (streaming/events.py:tier_daily_agg): per (day, tier) event counts
+    and exact value sums after joining the deterministic user→tier
+    dimension. The streaming run of the SAME operator (static side
+    broadcast into each micro-batch) is proven row-identical in
+    tests/test_streaming.py."""
+    return tier_daily_agg(
+        events_batch(spark, sf_dir), user_tier_dim(spark, sf_dir)
     )
 
 
@@ -126,6 +141,7 @@ QUERIES = {
     "events_dedup_replay": events_dedup_replay,
     "stream_daily_store": events_stream_store,
     "click_purchase_attribution": click_purchase_attribution,
+    "events_tier_daily": events_tier_daily,
 }
 
 ORACLES = {
@@ -154,6 +170,19 @@ ORACLES = {
         f" event_type,"
         f" COUNT(*) AS n_events, {dsum_sql('value')} AS total_value"
         f" FROM events GROUP BY 1, 2"
+    ),
+    # dimension + join + aggregate restated; the tier bucket reuses the
+    # shared md5_mod_hash device (single owner per engine)
+    "events_tier_daily": (
+        "WITH tiers AS (SELECT DISTINCT user_id,"
+        " 'T' || CAST("
+        + md5_mod_hash_duck("('tier:' || CAST(user_id AS VARCHAR))")
+        + f" % {N_TIERS} AS VARCHAR) AS tier"
+        " FROM events WHERE user_id IS NOT NULL)"
+        " SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,"
+        f" tier, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value"
+        " FROM events JOIN tiers USING (user_id)"
+        " GROUP BY 1, 2"
     ),
     "events_sessionize": (
         f"WITH marked AS (SELECT user_id, ts, value,"

@@ -83,7 +83,8 @@ for _mod in _MODULES:
 #     shuffle-free bucketed co-located join, the SQ8 embedding
 #     quantization pair (code-relation checksum + bit-exact ADC top-k),
 #     the SCD2 dimension-versioning merge, the calendar-spine
-#     gap-fill/forward-fill, and the pinned-values PIVOT cross-tab;
+#     gap-fill/forward-fill, the pinned-values PIVOT cross-tab, and the
+#     stream-static tier-enrichment join's batch twin;
 # (c) queries whose CODE PATH changed in round 8: the funnel (gained the
 #     MinHash near-dup stage + n_near_unique column), the four real-codec
 #     checksums (repartitioned id spine + the PNG size-adaptive
@@ -92,12 +93,13 @@ for _mod in _MODULES:
 #     skew join (salt_src==key guard), and the attribution twin (oracle
 #     now interpolates ATTRIBUTION_WINDOW — string byte-identical, cheap
 #     to re-certify anyway);
-# (d) changed-module hygiene (paths untouched, file changed): the two
-#     multimodal byte-feature stubs. Six hygiene fillers originally
-#     slotted here (pipeline's repetition stats, dedup's LSH pairs + CC
+# (d) changed-module hygiene (paths untouched, file changed): the
+#     multimodal video stub. Seven hygiene fillers originally slotted
+#     here (pipeline's repetition stats, dedup's LSH pairs + CC
 #     clusters, sketches' theta algebra + KLL median, the multimodal
-#     catalog — all with fresh r5–r7 rows and untouched code paths)
-#     ceded their slots to the six later r8 additions in (b).
+#     catalog + image stub — all with fresh r5–r7 rows and untouched
+#     code paths) ceded their slots to the seven later r8 additions
+#     in (b).
 # Disclosed deferral: every query NOT listed has an r5+ row AND a
 # byte-identical code path this round (r8's diff touches multimodal.py,
 # pipeline.py funnel block, sketches.py, skewops.py, layout.py,
@@ -148,6 +150,7 @@ _FRONT = (
     "scd2_customer_versions",
     "gap_fill_daily_revenue",
     "pivot_region_quarter",
+    "events_tier_daily",
     # -- (c) r8 changed code paths ------------------------------------------
     "corpus_prep_funnel",
     "image_features_png",
@@ -159,7 +162,6 @@ _FRONT = (
     "skewed_join_sales",
     "click_purchase_attribution",
     # -- (d) changed-module hygiene -----------------------------------------
-    "image_features_stub",
     "video_frame_sample_stub",
 )
 

@@ -337,6 +337,62 @@ def click_purchase_pairs(events: DataFrame) -> DataFrame:
     )
 
 
+# --- stream-static enrichment join (r8) --------------------------------------
+#
+# The remaining §2.13 shape: a STREAM joined against a STATIC dimension
+# (the user→tier lookup every real-time personalization / billing
+# pipeline runs). Spark re-evaluates the static side per micro-batch and
+# broadcasts it into each; no state is kept for the join itself — only
+# the downstream windowed aggregate holds (watermark-bounded) state.
+# The tier dimension is derived deterministically (md5-bucketed user_id)
+# so the DuckDB oracle can restate dimension + join + aggregate exactly.
+
+N_TIERS = 3
+
+
+def user_tier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The static enrichment dimension: one deterministic tier per
+    distinct user (a BATCH frame even when the fact side streams)."""
+    from ..functions.text import md5_mod_hash_sql
+
+    bucket = md5_mod_hash_sql("CONCAT('tier:', CAST(user_id AS STRING))")
+    return (
+        events_batch(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "tier",
+            F.expr(
+                f"CONCAT('T', CAST({bucket} % {N_TIERS} AS STRING))"
+            ),
+        )
+    )
+
+
+def tier_daily_agg(events: DataFrame, tiers: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + watermarked tumbling daily
+    aggregate per tier — identical plan on a stream or a batch frame
+    (the static side is broadcast either way)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", WATERMARK)
+    return (
+        df.join(F.broadcast(tiers), "user_id")
+        .groupBy(F.window("ts", "1 day").alias("w"), "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(dsum_sql("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("day_start"),
+            "tier",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:

@@ -211,3 +211,15 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     got_pairs = {(r["purchase_id"], r["click_id"]) for r in got.collect()}
     want_pairs = {(r["purchase_id"], r["click_id"]) for r in want.collect()}
     assert got_pairs == want_pairs and len(want_pairs) > 0
+
+
+def test_stream_static_tier_join_equals_batch(spark, sf_dir):
+    """Stream-static enrichment join (r8): the streaming run — static
+    tier dimension broadcast into each micro-batch, watermarked daily
+    aggregate downstream — must produce exactly the batch twin's rows."""
+    stream = se.read_events_stream(spark, sf_dir)
+    tiers = se.user_tier_dim(spark, sf_dir)
+    assert not tiers.isStreaming
+    got = _drain(spark, se.tier_daily_agg(stream, tiers), "t_tierjoin")
+    want = se.tier_daily_agg(se.events_batch(spark, sf_dir), tiers)
+    _same_rows(got, want)
