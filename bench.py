@@ -95,6 +95,7 @@ HEADLINE = [
     "events_tumbling_daily",
     "events_sessionize",
     "events_sliding_daily",
+    "events_tier_daily",  # stream-static enrichment join twin (r8)
     "forecast_drift_by_region",
     "forecast_seasonal7_by_region",  # per-key seasonal7 (r5)
 ]
