@@ -85,6 +85,7 @@ HEADLINE = [
     "video_frame_sample_y4m",  # real Y4M container decode (r6)
     "xml_roundtrip_checksum",  # interchange sink+scan certification (r7)
     "jsonl_roundtrip_checksum",
+    "schema_evolution_checksum",  # mergeSchema evolved-feed scan (r8)
     "quality_repetition_stats",  # Gopher repetition rules (r6)
     "pack_sequences_manifest",  # sequence packing prefix sum (r6)
     "corpus_prep_funnel",  # composed prep recipe (r7)

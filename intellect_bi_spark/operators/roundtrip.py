@@ -177,8 +177,55 @@ def orc_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SE_ABSENT = "<absent>"  # sentinel for the pre-evolution rows' new column
+
+
+def schema_evolution_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-EVOLUTION certification (r8): two parquet batches land in
+    one directory with different schemas — v1 (doc_id, text, lang) for
+    even ids, then v2 adds the ``source`` column for odd ids — and the
+    scan reads them back with ``mergeSchema``, the production answer to
+    a feed that grew a column mid-stream. v1 rows must surface the new
+    column as NULL; the one-row checksum binds every id to its
+    text/lang/source content with the NULL sentinel, so a dropped
+    column, mis-merged schema, or wrong NULL backfill flips the row.
+    The oracle restates the slice rule from the ORIGINAL table — it
+    never sees the landing files."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tmp = tempfile.mkdtemp(prefix="sgraft_schevo_")
+    try:
+        path = os.path.join(tmp, "docs_evolving")
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text", "lang"
+        ).write.mode("append").parquet(path)
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "text", "lang", "source"
+        ).write.mode("append").parquet(path)
+        back = spark.read.option("mergeSchema", "true").parquet(path)
+        bind = (
+            "concat(text, '|', lang, '|',"
+            f" COALESCE(source, '{_SE_ABSENT}'))"
+        )
+        chk = back.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_id"),
+            F.sum(F.col("source").isNotNull().cast("long")).alias(
+                "n_with_source"
+            ),
+            F.sum(
+                F.expr(
+                    f"((doc_id % {P}) * {md5_mod_hash_sql(bind)}) % {P}"
+                )
+            ).alias("content_binding"),
+        )
+        return chk.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 QUERIES = {
     "xml_roundtrip_checksum": xml_roundtrip_checksum,
+    "schema_evolution_checksum": schema_evolution_checksum,
     "jsonl_roundtrip_checksum": jsonl_roundtrip_checksum,
     "orc_roundtrip_checksum": orc_roundtrip_checksum,
 }
@@ -196,6 +243,22 @@ ORACLES = {
         " CAST(SUM(length(text)) AS BIGINT) AS sum_chars,"
         f" CAST(SUM(((doc_id % {P}) * {md5_mod_hash_duck(_DOC_BIND_DUCK)})"
         f" % {P}) AS BIGINT) AS content_binding"
+        " FROM documents"
+    ),
+    # the evolved-schema NULL-backfill rule restated from the original
+    # table: v1 (even-id) rows never carried source, so their binding
+    # uses the sentinel
+    "schema_evolution_checksum": (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        " CAST(SUM(doc_id) AS BIGINT) AS sum_id,"
+        " CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_with_source,"
+        f" CAST(SUM(((doc_id % {P}) * "
+        + md5_mod_hash_duck(
+            "(text || '|' || lang || '|' || CASE WHEN doc_id % 2 = 1"
+            f" THEN source ELSE '{_SE_ABSENT}' END)"
+        )
+        + f") % {P}) AS BIGINT) AS content_binding"
         " FROM documents"
     ),
     "orc_roundtrip_checksum": (
