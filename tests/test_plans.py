@@ -555,3 +555,25 @@ def test_bucketed_join_has_no_exchange_on_join_inputs(spark, sf_dir):
     finally:
         for tbl in (tbl_o, tbl_c):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_codec_stages_run_at_full_parallelism(spark, sf_dir):
+    """Regression lock on the r8 codec-throughput fix: the real-codec
+    media builders must repartition the id spine to session parallelism
+    BEFORE the Python encode mapInPandas — the single-file documents
+    scan otherwise feeds 1-2 partitions and the expensive decode stages
+    run near-serial (measured ~9 s single-threaded at sf1 before the
+    fix). Checks the physical partition count of every real-codec media
+    frame and that the cheap stub path deliberately keeps the scan
+    partitioning (its shuffle was measured a net loss)."""
+    from intellect_bi_spark.operators import multimodal as m
+
+    want = spark.sparkContext.defaultParallelism
+    for builder in (m._png_media, m._ppm_media, m._y4m_media, m._wav_media):
+        media = builder(spark, sf_dir)
+        assert media.rdd.getNumPartitions() == want, builder.__name__
+    jpeg = m._jpeg_media(spark, sf_dir)
+    assert jpeg.rdd.getNumPartitions() == want
+    # stub path: scan partitioning preserved (no exchange)
+    stub = m._media(spark, sf_dir).select("doc_id", "payload")
+    assert stub.rdd.getNumPartitions() < want
