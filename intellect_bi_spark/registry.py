@@ -104,13 +104,20 @@ for _mod in _MODULES:
 #     re-certifying an unchanged path the local parity suite already
 #     strictly verifies at both driver SFs every session.
 # Disclosed deferral: every query NOT listed has an r5+ row AND a
-# byte-identical code path this round (r8's diff touches multimodal.py,
-# pipeline.py funnel block, sketches.py, skewops.py, layout.py,
-# streamops.py oracle string, registry.py — verify: git diff f8b4fdd..
-# --stat); all stay strictly parity-verified by tests/test_parity.py
-# each session at SPARK_GRAFT_TEST_SF_DIR (default sf0.001 per
-# tests/conftest.py — run the suite with the env var pointed at sf0.01 /
-# sf0.1 for the larger-SF matrix; the driver's own gate runs at sf0.01).
+# byte-identical code path this round — except schema_evolution_checksum
+# (NEW after the 50 slots filled; first in the r9 rotation). The r8 diff
+# touches multimodal.py (codec sections + media builders; stub/catalog
+# paths byte-identical), pipeline.py (funnel block only), sketches.py,
+# skewops.py (guard), layout.py, streamops.py, temporal.py (gap-fill
+# addition; asof/range untouched and front-listed anyway), similarity.py
+# (SQ8 additions + one top-level import; all other paths byte-identical),
+# inventory.py (pivot addition only), scd.py + roundtrip.py (additions),
+# streaming/events.py (tier-join addition), registry.py, bench.py —
+# verify: git diff f8b4fdd.. --stat. All queries stay strictly
+# parity-verified by tests/test_parity.py each session at
+# SPARK_GRAFT_TEST_SF_DIR (default sf0.001 per tests/conftest.py — run
+# the suite with the env var pointed at sf0.01 / sf0.1 for the
+# larger-SF matrix; the driver's own gate runs at sf0.01).
 _FRONT = (
     # -- (a) the complete r4 cohort, oldest rows first ----------------------
     "corr_sales_satisfaction",
