@@ -80,6 +80,7 @@ HEADLINE = [
     "image_features_stub",
     "audio_window_rms",  # real WAV binary decode (r6)
     "image_features_ppm",  # real PPM binary decode (r6)
+    "image_thumbnails_ppm",  # nearest-neighbor pixel resize (r8)
     "image_features_png",  # DEFLATE-compressed PNG decode (r7)
     "image_features_jpeg",  # baseline-JPEG entropy-coded decode (r8)
     "video_frame_sample_y4m",  # real Y4M container decode (r6)

@@ -1669,8 +1669,78 @@ def image_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- REAL pixel resize: nearest-neighbor thumbnails over decoded PPM (r8) ----
+#
+# The catalog's thumbnail columns are a metadata transform; this makes
+# the PIXEL half real: decode the PPM raster, resample it to a fixed
+# thumbnail edge with nearest-neighbor (thumb pixel (ty,tx) reads source
+# pixel (ty·h div TH, tx·w div TW) — pure integer index arithmetic, so
+# the oracle restates every resampled byte from the same closed-form
+# generator), and checksum the RESIZED raster. Map-only like every other
+# decode stage; a real resampler (PIL bilinear) slots in behind the same
+# decode seam with the thumbnail contract unchanged.
+
+_THUMB_W = 8
+_THUMB_H = 6
+
+
+def _ppm_thumbnails_with(decode):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                w, h, px = decode(payload)
+                img = px.reshape(h, w, 3)
+                ys = (np.arange(_THUMB_H, dtype=np.int64) * h) // _THUMB_H
+                xs = (np.arange(_THUMB_W, dtype=np.int64) * w) // _THUMB_W
+                thumb = img[ys][:, xs].astype(np.int64)  # (TH, TW, 3)
+                flat = thumb.reshape(-1)
+                idx = np.arange(flat.size, dtype=np.int64)
+                out.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        int(flat.sum()),
+                        int(((idx % P) * flat % P).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "src_w", "src_h", "thumb_sum", "idx_weighted",
+                ],
+            )
+
+    return gen
+
+
+def image_thumbnails_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact checksum over every nearest-neighbor thumbnail:
+    source dims, exact resampled-byte totals, and an id+position-weighted
+    binding over every thumbnail byte — a wrong stride, axis swap, or
+    rounding in the resample flips the row."""
+    rows = _ppm_media(spark, sf_dir).mapInPandas(
+        _ppm_thumbnails_with(decode_ppm),
+        schema=(
+            "doc_id long, src_w int, src_h int,"
+            " thumb_sum long, idx_weighted long"
+        ),
+    )
+    return rows.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("src_w").alias("sum_src_w"),
+        F.sum("src_h").alias("sum_src_h"),
+        F.sum("thumb_sum").alias("total_thumb"),
+        F.sum(
+            F.expr(f"((doc_id % {P}) * (idx_weighted % {P})) % {P}")
+        ).alias("id_weighted_binding"),
+    )
+
+
 QUERIES = {
     "multimodal_catalog": multimodal_catalog,
+    "image_thumbnails_ppm": image_thumbnails_ppm,
     "image_features_stub": image_features_stub,
     "image_features_ppm": image_features_ppm,
     "image_features_png": image_features_png,
@@ -1938,6 +2008,33 @@ ORACLES = {
         f" CAST(SUM(((doc_id % {P}) * (idx_weighted % {P})) % {P})"
         " AS BIGINT) AS id_weighted_binding"
         " FROM f"
+    ),
+    # thumbnail oracle: every RESAMPLED byte restated — thumb index ti
+    # decomposes to (ty, tx, c), the nearest-neighbor source index is
+    # ((ty·h div TH)·w + (tx·w div TW))·3 + c, and the byte value comes
+    # from the same closed-form generator; integer arithmetic throughout
+    "image_thumbnails_ppm": (
+        "WITH dims AS (SELECT doc_id,"
+        " 8 + CAST(doc_id % 5 AS INT) * 4 AS w,"
+        " 6 + CAST(doc_id % 7 AS INT) * 2 AS h FROM documents),"
+        " t AS (SELECT doc_id, w, h,"
+        f" unnest(range(0, {_THUMB_H} * {_THUMB_W} * 3)) AS ti FROM dims),"
+        f" v AS (SELECT doc_id, w, h, ti,"
+        f" (doc_id * {_PPM_PIX_A} +"
+        f" ((((ti // ({_THUMB_W} * 3)) * h // {_THUMB_H}) * w"
+        f" + (((ti // 3) % {_THUMB_W}) * w // {_THUMB_W})) * 3 + ti % 3)"
+        f" * {_PPM_PIX_B}) % 256 AS val FROM t),"
+        " per_doc AS (SELECT doc_id, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,"
+        " SUM(val) AS thumb_sum,"
+        f" SUM(((ti % {P}) * val) % {P}) AS idx_weighted"
+        " FROM v GROUP BY doc_id)"
+        " SELECT COUNT(*) AS n_images,"
+        " CAST(SUM(w) AS BIGINT) AS sum_src_w,"
+        " CAST(SUM(h) AS BIGINT) AS sum_src_h,"
+        " CAST(SUM(thumb_sum) AS BIGINT) AS total_thumb,"
+        f" CAST(SUM(((doc_id % {P}) * (idx_weighted % {P})) % {P})"
+        " AS BIGINT) AS id_weighted_binding"
+        " FROM per_doc"
     ),
     "image_features_jpeg": (
         f"WITH f AS ({FULLROW_ORACLES['jpeg_feature_rows']})"
