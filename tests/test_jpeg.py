@@ -269,3 +269,137 @@ def test_jpeg_decodes_non_multiple_of_8_dims():
                 block[:rows, :cols]
             )
     assert np.array_equal(px, exp.reshape(-1))
+
+
+def test_png_roundtrip_property_random_rasters():
+    """Property test: ANY raster with ANY per-row filter assignment must
+    survive encode→decode byte-exactly — both un-filter width paths
+    (narrow byte loop and wide hybrid-vector) exercised by the width
+    choice."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.sampled_from([2, 5, 20, 50]),  # 50 -> stride 150: vector path
+        h=st.integers(min_value=1, max_value=12),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, seed):
+        rng = np.random.default_rng(seed)
+        raster = rng.integers(0, 256, size=(h, w * 3), dtype=np.int64)
+        fts = rng.integers(0, 5, size=h)
+        payload = m._encode_png_raster(raster, fts, w, h)
+        dw, dh, px = m.decode_png(payload)
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(px, raster.ravel().astype(np.uint8))
+
+    check()
+
+
+def test_jpeg_roundtrip_property_random_coefficients():
+    """Property test: arbitrary sparse quantized coefficient layouts
+    (random positions incl. long zero runs needing ZRL, random signs and
+    magnitudes across DC categories) must decode to the independent
+    dequant→dezigzag→IDCT reference."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    qt = bytes(range(8, 72))
+    dqt = b"\x00" + qt + b"\x01" + qt
+
+    def dht(cls, tid, bits, vals):
+        return bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+
+    tables = (
+        dht(0, 0, m._JPEG_DC_BITS, m._JPEG_DC_VALS)
+        + dht(1, 0, m._JPEG_AC_BITS, m._JPEG_AC_VALS)
+        + dht(0, 1, m._JPEG_DC_BITS, m._JPEG_DC_VALS)
+        + dht(1, 1, m._JPEG_AC_BITS, m._JPEG_AC_VALS)
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+
+    @settings(max_examples=25, deadline=None)
+    @given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+    def check(seed):
+        rng = np.random.default_rng(seed)
+        w, h = 8 * int(rng.integers(1, 4)), 8 * int(rng.integers(1, 3))
+        n_mcu = (w // 8) * (h // 8)
+        sof = (
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, 0x11, 0])
+            + bytes([2, 0x11, 1])
+            + bytes([3, 0x11, 1])
+        )
+        head = b"".join((
+            b"\xff\xd8",
+            b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt,
+            b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof,
+            b"\xff\xc4" + struct.pack(">H", 2 + len(tables)) + tables,
+            b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos,
+        ))
+        bw = m._JpegBitWriter()
+        preds = [0, 0, 0]
+        blocks = []
+        for _ in range(n_mcu):
+            mcu = []
+            for _ci in range(3):
+                blk = [0] * 64
+                blk[0] = int(rng.integers(-200, 201))  # DC up to cat 8
+                for _ in range(int(rng.integers(0, 6))):
+                    pos = int(rng.integers(1, 64))
+                    blk[pos] = int(rng.integers(-100, 101))
+                mcu.append(blk)
+            blocks.append(mcu)
+            for ci, blk in enumerate(mcu):
+                preds[ci] = m._jpeg_encode_block(
+                    bw, blk, preds[ci], m._JPEG_DC_CODES, m._JPEG_AC_CODES
+                )
+        bw.flush()
+        dw, dh, px = m.decode_jpeg(head + bytes(bw.buf) + b"\xff\xd9")
+        assert (dw, dh) == (w, h)
+        # independent reference: dequant + dezigzag + IDCT + conversion
+        M = m._idct_matrix()
+        qv = np.frombuffer(qt, dtype=np.uint8).astype(np.int64)
+        bw_ct = w // 8
+        planes = []
+        for ci in range(3):
+            mats = []
+            for mcu_i in range(n_mcu):
+                zz = np.array(blocks[mcu_i][ci], dtype=np.int64) * qv
+                nat = np.zeros(64, dtype=np.int64)
+                nat[m._ZZ_NAT] = zz
+                mats.append(M @ nat.astype(np.float64))
+            plane = np.clip(
+                np.floor(
+                    np.stack(mats)
+                    .reshape(h // 8, bw_ct, 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(h, w)
+                    + 128.5
+                ),
+                0,
+                255,
+            )
+            planes.append(plane)
+        y_p, cb_p, cr_p = planes
+        cbc, crc = cb_p - 128.0, cr_p - 128.0
+        exp = np.clip(
+            np.stack(
+                [
+                    np.floor(y_p + 1.402 * crc + 0.5),
+                    np.floor(
+                        y_p - 0.344136 * cbc - 0.714136 * crc + 0.5
+                    ),
+                    np.floor(y_p + 1.772 * cbc + 0.5),
+                ],
+                axis=-1,
+            ),
+            0,
+            255,
+        ).astype(np.uint8).reshape(-1)
+        assert np.array_equal(px, exp)
+
+    check()
