@@ -101,6 +101,16 @@ HEADLINE = [
     "events_tier_daily",  # stream-static enrichment join twin (r8)
     "forecast_drift_by_region",
     "forecast_seasonal7_by_region",  # per-key seasonal7 (r5)
+    "kmeans_embedding_clusters",  # broadcast-model Lloyd k-means (r8)
+    "bm25_topk_docs",  # lexical retrieval baseline (r8)
+    "fuzzy_name_match_summary",  # blocked edit-distance matching (r8)
+    "group_aware_split_stats",  # leakage-safe cluster-keyed split (r8)
+    "mv_incremental_orders",  # partial-agg MV refresh merge (r8)
+    "revenue_anomaly_days",  # median/MAD robust anomaly scan (r8)
+    "trade_pagerank_nations",  # condense-then-iterate graph rank (r8)
+    "domain_mix_selection",  # per-domain token-budget mixing (r8)
+    "snapshot_diff_orders",  # CDC full-outer snapshot diff (r8)
+    "sketch_sliding_7d_users",  # windowed re-merge of stored sketches (r8)
 ]
 
 

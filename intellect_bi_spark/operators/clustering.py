@@ -1,0 +1,233 @@
+"""Distributed k-means (Lloyd) over the embeddings table — 100 TB extension.
+
+The coarse-quantizer training step every vector platform runs (IVF cell
+centroids for similarity.py's IVF index, corpus clustering for data-mix
+curation).  No reference counterpart (the reference's vector path is
+Chroma retrieval only, reference api/main.py:1416-1417); charter
+extension alongside the ANN family in similarity.py.
+
+Scale design — the textbook distributed k-means shape, stated
+declaratively:
+
+- **Assignment is map-side.** The model (K×DIM centroids) lives on the
+  driver and is inlined as literal arrays, so each Lloyd assignment is a
+  pure projection over one corpus scan — no shuffle, no join.  This is
+  exactly MLlib's broadcast-model pattern; at 100 TB each iteration is
+  one embarrassingly-parallel pass.
+- **The update is one tiny partial-aggregable shuffle.** Per-dimension
+  sums are exact BIGINT quantizations (associative, map-side combined,
+  O(K·DIM) state total), so the shuffle moves K rows of 64 integers —
+  bytes, regardless of corpus size.
+- The only driver state is the model itself (K·DIM doubles + counts),
+  the same model-boundary `.collect()` class as forecast.py's 7-row
+  tail.
+
+Parity discipline (bit-exact, no float tolerance):
+
+- Distances fold in strict d=1..DIM order in both engines
+  (``aggregate(zip_with(...))`` vs ``list_reduce(list_prepend(...))`` —
+  the proven similarity.py `_dot`/`_dot_duck` pattern), so every
+  distance double is bit-identical.
+- Centroid updates avoid partition-order-dependent float sums entirely:
+  each element is quantized to an exact BIGINT (similarity.py
+  `_quant_sql` discipline, k = FLOOR(v·2^20 + 0.5)) and the new
+  centroid component is the two-step IEEE division
+  ``(S/n)/2^20`` — Python, Spark, and DuckDB all perform the identical
+  correctly-rounded operations on identical integers.
+- Argmin ties break on the lower centroid id in both engines
+  (lexicographic struct-min vs ``ORDER BY dist, cid`` row_number).
+- |quantized element| ≤ 2^21 and corpus sums stay far below 2^53, so
+  every CAST(... AS DOUBLE) is exact at any tested SF (at extreme
+  cardinality the BIGINT sums would move to DECIMAL — same caveat class
+  as the sketch quantizers).
+
+An empty cluster simply drops out of the next round in both engines
+(inner aggregation), keeping the unrolled oracle a faithful restatement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions.text import P
+
+DIM = 64
+K = 4  # IVF-coarse-style cell count at fixture scale
+QUANT = 1 << 20
+N_CENTROID_DIMS = 4  # centroid components reported in the driver face
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", "embedding"
+    )
+
+
+def _q_sql(elem: str) -> str:
+    """Exact BIGINT quantization of one element (similarity.py:_quant_sql
+    rationale: the double arithmetic and FLOOR are bit-exact in any IEEE
+    engine for float32 inputs)."""
+    return f"CAST(FLOOR(CAST({elem} AS DOUBLE) * {QUANT}.0 + 0.5) AS BIGINT)"
+
+
+def _dist_sql(centroid: list[float]) -> str:
+    """Squared-L2 distance to one literal centroid, folded in strict
+    d-order (bit-exact twin of the oracle's list_reduce fold)."""
+    lits = ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in centroid)
+    return (
+        f"aggregate(zip_with(embedding, array({lits}),"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _assign(points: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Map-side Lloyd assignment: argmin over K literal centroids via
+    lexicographic struct array_min (ties → lowest cid)."""
+    structs = [
+        F.struct(
+            F.expr(_dist_sql(carr)).alias("dist"),
+            F.lit(cid).cast("long").alias("cid"),
+        )
+        for cid, carr in centroids
+    ]
+    return points.withColumn("a", F.array_min(F.array(*structs)))
+
+
+def _init_centroids(points: DataFrame) -> list[tuple[int, list[float]]]:
+    """Deterministic seeding: the embeddings of vec_id 0..K-1 (float32
+    elements widen exactly to double)."""
+    rows = points.filter(F.col("vec_id") < K).collect()
+    return sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+    )
+
+
+def _update(assigned: DataFrame) -> list[tuple[int, list[float]]]:
+    """One Lloyd update: exact quantized per-dimension sums (map-side
+    combined), then the model refresh on the driver — K rows of
+    integers, the only data that ever leaves the cluster."""
+    aggs = [
+        F.sum(F.expr(_q_sql(f"element_at(embedding, {d + 1})"))).alias(
+            f"s{d}"
+        )
+        for d in range(DIM)
+    ]
+    rows = (
+        assigned.groupBy(F.col("a.cid").alias("cid"))
+        .agg(F.count(F.lit(1)).alias("n"), *aggs)
+        .collect()
+    )
+    return sorted(
+        (
+            int(r["cid"]),
+            [(r[f"s{d}"] / r["n"]) / QUANT for d in range(DIM)],
+        )
+        for r in rows
+    )
+
+
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations from the deterministic seed, reported as the
+    second-iteration cluster summary: size, member-id binding, exact
+    quantized inertia (against the assignment centroids), and the first
+    four components of the post-assignment centroid refresh."""
+    points = _points(spark, sf_dir)
+    c0 = _init_centroids(points)
+    c1 = _update(_assign(points, c0))
+    assigned = _assign(points, c1)
+    dims = []
+    for d in range(N_CENTROID_DIMS):
+        s = F.sum(F.expr(_q_sql(f"element_at(embedding, {d + 1})")))
+        dims.append(
+            (
+                (s.cast("double") / F.count(F.lit(1)).cast("double"))
+                / F.lit(float(QUANT))
+            ).alias(f"c{d}")
+        )
+    return (
+        assigned.groupBy(F.col("a.cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("vec_id") % P).alias("id_checksum"),
+            F.sum(
+                F.expr(f"CAST(FLOOR(a.dist * {QUANT}.0 + 0.5) AS BIGINT)")
+            ).alias("inertia_q"),
+            *dims,
+        )
+        .orderBy("cluster_id")
+    )
+
+
+QUERIES = {
+    "kmeans_embedding_clusters": kmeans_embedding_clusters,
+}
+
+
+def _dist_duck(emb: str, cen: str, cast_centroid: bool) -> str:
+    """The oracle's strict d-order fold; ``cast_centroid`` covers the
+    seed round where centroids are still float32 arrays."""
+    c = f"CAST({cen}[i] AS DOUBLE)" if cast_centroid else f"{cen}[i]"
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, {DIM} + 1),"
+        f" i -> (CAST({emb}[i] AS DOUBLE) - {c})"
+        f" * (CAST({emb}[i] AS DOUBLE) - {c}))),"
+        " (acc, v) -> acc + v)"
+    )
+
+
+_Q_DUCK = (
+    f"CAST(FLOOR(CAST(e.embedding[d] AS DOUBLE) * {QUANT}.0 + 0.5)"
+    " AS BIGINT)"
+)
+
+ORACLES = {
+    # the full two-iteration Lloyd run restated: seed (vec_id < K) →
+    # assignment 1 (row_number argmin, ties on cid) → exact quantized
+    # update → assignment 2 → final summary. Identical fold orders and
+    # the identical (S/n)/2^20 division sequence make every double
+    # bit-exact.
+    "kmeans_embedding_clusters": (
+        "WITH pts AS (SELECT vec_id, embedding FROM embeddings),"
+        f" seed AS (SELECT vec_id AS cid, embedding AS cemb"
+        f" FROM embeddings WHERE vec_id < {K}),"
+        " d1 AS (SELECT p.vec_id, s.cid,"
+        f" {_dist_duck('p.embedding', 's.cemb', True)} AS dist"
+        " FROM pts p CROSS JOIN seed s),"
+        " a1 AS (SELECT vec_id, cid FROM"
+        " (SELECT vec_id, cid, ROW_NUMBER() OVER"
+        " (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)"
+        " WHERE rn = 1),"
+        " s1 AS (SELECT cid, d,"
+        f" SUM({_Q_DUCK}) AS s, COUNT(*) AS n"
+        " FROM a1 JOIN embeddings e USING (vec_id),"
+        f" unnest(range(1, {DIM} + 1)) AS u(d)"
+        " GROUP BY cid, d),"
+        " c1 AS (SELECT cid,"
+        " list((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+        f" / {QUANT}.0 ORDER BY d) AS cemb"
+        " FROM s1 GROUP BY cid),"
+        " d2 AS (SELECT p.vec_id, c.cid,"
+        f" {_dist_duck('p.embedding', 'c.cemb', False)} AS dist"
+        " FROM pts p CROSS JOIN c1 c),"
+        " a2 AS (SELECT vec_id, cid, dist FROM"
+        " (SELECT vec_id, cid, dist, ROW_NUMBER() OVER"
+        " (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)"
+        " WHERE rn = 1)"
+        " SELECT cid AS cluster_id, COUNT(*) AS n_points,"
+        f" CAST(SUM(vec_id % {P}) AS BIGINT) AS id_checksum,"
+        f" CAST(SUM(CAST(FLOOR(dist * {QUANT}.0 + 0.5) AS BIGINT))"
+        " AS BIGINT) AS inertia_q,"
+        + ",".join(
+            f" (CAST(SUM(CAST(FLOOR(CAST(e.embedding[{d + 1}] AS DOUBLE)"
+            f" * {QUANT}.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+            f" / CAST(COUNT(*) AS DOUBLE)) / {QUANT}.0 AS c{d}"
+            for d in range(N_CENTROID_DIMS)
+        )
+        + " FROM a2 JOIN embeddings e USING (vec_id)"
+        " GROUP BY cid ORDER BY cluster_id"
+    ),
+}

@@ -1,0 +1,173 @@
+"""Graph analytics over warehouse-derived edges — 100 TB extension.
+
+Weighted PageRank over the nation→nation trade graph: edges are
+(customer nation → supplier nation, Σ revenue cents) derived from the
+full lineitem fact — the 100 TB step is the EDGE DERIVATION (a star join
++ hash aggregation over the fact table, dimensions broadcast); the rank
+iteration then runs on the condensed adjacency (≤ |nations|² rows), so
+iterating costs nothing at any corpus scale.  This two-phase
+condense-then-iterate shape is how warehouse graph analytics actually
+runs (entity-influence, supplier-risk propagation); dedup.py's
+``_min_label_components`` is the sibling that iterates on the FULL node
+set when condensation isn't possible.
+
+No reference counterpart (charter extension alongside eventops).
+
+Parity discipline: ranks are exact BIGINTs in fixed-point (2^20 = 1.0).
+Every update is the identical op sequence in both engines —
+``c = FLOOR(r_u · (w/W_u))`` per edge (two IEEE roundings on exact
+integers), an order-independent integer SUM, then
+``r' = BASE + FLOOR(0.85 · S)`` — so the unrolled two-iteration oracle
+matches bit-for-bit.  All operands stay far below 2^53 (ranks ≤ ~2^21,
+cents sums < 2^46 at tested SFs; extreme scale would move the weight
+sums to DECIMAL, the usual caveat class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+
+Q = 1 << 20  # fixed-point 1.0
+DAMP_LIT = "0.85"  # identical literal text in both engines
+BASE = 157286  # FLOOR(0.15 · 2^20), precomputed so neither engine derives it
+N_ITERS = 2
+
+_CENTS = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src nation, dst nation, w cents): the fact-scale condensation.
+    Dimensions broadcast; the only big shuffle is lineitem⋈orders on
+    the order key, then the tiny (≤625-cell) aggregation."""
+    t = load_tables(spark, sf_dir)
+    # only nation is UNCONDITIONALLY broadcast-safe (25 rows at every
+    # SF); customer/supplier scale with the data, so their joins are
+    # left unhinted — AQE broadcasts them at fixture scale and falls
+    # back to shuffle joins at 100 TB, both correct
+    cn = F.broadcast(
+        t["nation"].select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("src"),
+        )
+    )
+    sn = F.broadcast(
+        t["nation"].select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("dst"),
+        )
+    )
+    cust_nat = t["customer"].join(
+        cn, F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey", "src")
+    supp_nat = t["supplier"].join(
+        sn, F.col("s_nationkey") == F.col("sn_key")
+    ).select("s_suppkey", "dst")
+    li = t["lineitem"].select(
+        "l_orderkey", "l_suppkey", F.expr(_CENTS).alias("cents")
+    )
+    fact = (
+        li.join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust_nat, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return fact.groupBy("src", "dst").agg(F.sum("cents").alias("w"))
+
+
+def trade_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two damped weighted-PageRank iterations over the trade graph,
+    from a uniform fixed-point start; per-nation final rank plus the
+    adjacency row the rank was computed from (out-weight, in-weight)."""
+    t = load_tables(spark, sf_dir)
+    nodes = t["nation"].select(F.col("n_name").alias("node"))
+    edges = _edges(spark, sf_dir)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    ew = edges.join(outw, "src")
+
+    ranks = nodes.select("node", F.lit(Q).cast("long").alias("r"))
+    for _ in range(N_ITERS):
+        contrib = ew.join(
+            F.broadcast(ranks), F.col("src") == F.col("node")
+        ).select(
+            "dst",
+            F.expr(
+                "CAST(FLOOR(CAST(r AS DOUBLE)"
+                " * (CAST(w AS DOUBLE) / CAST(wout AS DOUBLE)))"
+                " AS BIGINT)"
+            ).alias("c"),
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(
+            sums, F.col("node") == F.col("dst"), "left"
+        ).select(
+            "node",
+            F.expr(
+                f"CAST({BASE} AS BIGINT) + CAST(FLOOR({DAMP_LIT}"
+                " * CAST(COALESCE(s, 0) AS DOUBLE)) AS BIGINT)"
+            ).alias("r"),
+        )
+
+    inw = edges.groupBy("dst").agg(F.sum("w").alias("win"))
+    return (
+        ranks.join(outw, F.col("node") == F.col("src"), "left")
+        .join(inw, F.col("node") == F.col("dst"), "left")
+        .select(
+            F.col("node").alias("nation"),
+            F.col("r").alias("rank_q"),
+            F.coalesce("wout", F.lit(0)).alias("out_cents"),
+            F.coalesce("win", F.lit(0)).alias("in_cents"),
+        )
+        .orderBy(F.desc("rank_q"), "nation")
+    )
+
+
+QUERIES = {
+    "trade_pagerank_nations": trade_pagerank_nations,
+}
+
+_ITER_DUCK = (
+    "(SELECT n.node,"
+    f" CAST({BASE} AS BIGINT) + CAST(FLOOR({DAMP_LIT}"
+    " * CAST(COALESCE(s.s, 0) AS DOUBLE)) AS BIGINT) AS r"
+    " FROM nodes n LEFT JOIN (SELECT dst, CAST(SUM(c) AS BIGINT) AS s"
+    " FROM (SELECT e.dst, CAST(FLOOR(CAST(p.r AS DOUBLE)"
+    " * (CAST(e.w AS DOUBLE) / CAST(e.wout AS DOUBLE))) AS BIGINT) AS c"
+    " FROM ew e JOIN {prev} p ON p.node = e.src)"
+    " GROUP BY dst) s ON s.dst = n.node)"
+)
+
+ORACLES = {
+    # the full unrolled run: edge condensation from the raw star schema,
+    # then two identical fixed-point damped updates
+    "trade_pagerank_nations": (
+        "WITH edges AS (SELECT cn.n_name AS src, sn.n_name AS dst,"
+        f" CAST(SUM({_CENTS}) AS BIGINT) AS w"
+        " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        " JOIN customer c ON o.o_custkey = c.c_custkey"
+        " JOIN nation cn ON c.c_nationkey = cn.n_nationkey"
+        " JOIN supplier su ON l.l_suppkey = su.s_suppkey"
+        " JOIN nation sn ON su.s_nationkey = sn.n_nationkey"
+        " GROUP BY src, dst),"
+        " outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout"
+        " FROM edges GROUP BY src),"
+        " ew AS (SELECT e.src, e.dst, e.w, o.wout FROM edges e"
+        " JOIN outw o ON o.src = e.src),"
+        " nodes AS (SELECT n_name AS node FROM nation),"
+        f" r0 AS (SELECT node, CAST({Q} AS BIGINT) AS r FROM nodes),"
+        f" r1 AS {_ITER_DUCK.format(prev='r0')},"
+        f" r2 AS {_ITER_DUCK.format(prev='r1')},"
+        " inw AS (SELECT dst, CAST(SUM(w) AS BIGINT) AS win"
+        " FROM edges GROUP BY dst)"
+        " SELECT r2.node AS nation, r2.r AS rank_q,"
+        " COALESCE(o.wout, 0) AS out_cents,"
+        " COALESCE(i.win, 0) AS in_cents"
+        " FROM r2 LEFT JOIN outw o ON o.src = r2.node"
+        " LEFT JOIN inw i ON i.dst = r2.node"
+        " ORDER BY rank_q DESC, nation"
+    ),
+}

@@ -1,0 +1,273 @@
+"""Warehouse maintenance operators — 100 TB extensions.
+
+- **Incremental materialized-view maintenance**: the production pattern
+  for keeping a rollup current without re-scanning history — the stored
+  MV holds PARTIAL aggregates (count + exact integer sum per cell), a
+  new-data batch aggregates the same partials over only its own rows,
+  and the refresh is a cells-level merge (union → re-aggregate), exactly
+  how Spark's own map-side combine merges partial states.  The oracle
+  certifies the algebra from the other direction: one direct GROUP BY
+  over the full table — merge-of-partials must equal recompute, cell for
+  cell.  At 100 TB the merge touches O(cells) + O(batch), never history.
+- **Robust anomaly detection** over the daily revenue series: median/MAD
+  z-scores (the outlier-resistant alternative to mean/stddev, standard
+  for pipeline-health monitoring).  The heavy lift — folding 100 TB of
+  facts to one row per day — is a plain partial-aggregable GROUP BY; the
+  median/MAD pass then runs on the tiny day series (thousands of rows),
+  so the exact ``percentile`` sort never sees raw data.
+
+No reference counterpart (the reference recomputes every dashboard
+aggregate from the base table per request, reference api/main.py:
+179-235); charter extensions beside scd.py / sketches.py.
+
+Parity: money is exact integer cents (scd.py's ROUND(×100) discipline);
+counts/sums are integers, so the MV merge is wholly exact.  The anomaly
+math is deterministic IEEE on exact operands: day sums are integers,
+medians interpolate two exact values (both engines compute the identical
+midpoint of .0-valued doubles far below 2^52), and the score chain
+|x−med| / (1.4826·mad) is the same two-rounding sequence in both
+engines — bit-identical doubles, no quantization needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+
+MV_CUTOFF = "2000-01-01"  # batch boundary: ~5y history + ~1.6y "new" data
+EPOCH = "1995-01-01"
+MAD_K = "1.4826"  # identical literal text in both engines
+Z_MAX = "3.0"
+
+_CENTS = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["orders"]
+
+
+def mv_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refresh of the (month × status) revenue MV by merging the stored
+    partials with the new batch's partials — certified against a direct
+    full recompute (the oracle)."""
+    o = _orders(spark, sf_dir).select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.col("o_orderstatus").alias("status"),
+        F.expr(_CENTS).alias("cents"),
+        (F.col("o_orderdate") < F.lit(MV_CUTOFF).cast("timestamp")).alias(
+            "is_base"
+        ),
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("month", "status").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+
+    base = partials(o.filter("is_base"))
+    delta = partials(o.filter("NOT is_base"))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("month", "status")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+    return merged.select(
+        "month",
+        "status",
+        "n_orders",
+        "sum_cents",
+        (
+            F.col("sum_cents").cast("double")
+            / F.col("n_orders").cast("double")
+        ).alias("avg_cents"),
+    ).orderBy("month", "status")
+
+
+def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-scores over the daily revenue series; one
+    summary row (day count, anomalies, anomalous-day binding, extremes)."""
+    daily = (
+        _orders(spark, sf_dir)
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.expr(_CENTS)).alias("x"))
+    )
+    med = daily.agg(F.expr("percentile(x, 0.5)").alias("med"))
+    d2 = daily.crossJoin(F.broadcast(med)).withColumn(
+        "dev", F.abs(F.col("x") - F.col("med"))
+    )
+    mad = d2.agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    d3 = d2.crossJoin(F.broadcast(mad)).withColumn(
+        "score",
+        F.expr(
+            "CASE WHEN mad = 0 THEN CAST(NULL AS DOUBLE)"
+            f" ELSE dev / ({MAD_K} * mad) END"
+        ),
+    )
+    flag = F.expr(f"CASE WHEN score > {Z_MAX} THEN 1 ELSE 0 END")
+    return d3.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(flag).cast("long").alias("n_anomalies"),
+        F.sum(
+            flag * F.expr(f"DATEDIFF(day, DATE '{EPOCH}')").cast("long")
+        ).alias("day_binding"),
+        F.max("score").alias("max_score"),
+        F.max("med").alias("median_cents"),
+        F.max("mad").alias("mad_cents"),
+    )
+
+
+INS_MOD, INS_REM = 19, 7  # keys absent from snapshot A ("inserted later")
+DEL_MOD, DEL_REM = 17, 3  # keys absent from snapshot B ("deleted")
+STA_MOD, STA_REM = 11, 5  # status mutation slice
+AMT_MOD, AMT_REM = 13, 2  # amount mutation slice
+AMT_DELTA = 999
+STA_NEW = "X"
+
+
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture table diff: two closed-form snapshots of
+    ``orders`` (A = before, B = after inserts/deletes/updates on
+    deterministic key slices) compared with ONE full-outer join on the
+    key — the added/removed/changed/unchanged ledger every lakehouse
+    CDF/audit job produces.  Change detection COMPARES the payloads
+    (status, cents); nothing is inferred from the slice definitions.
+
+    Scale: the diff is a single key-equi full-outer join (co-partitioned
+    sort-merge at 100 TB — the plan you want, since both snapshots hash
+    the same key) followed by a one-row conditional aggregate."""
+    o = _orders(spark, sf_dir).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.expr(_CENTS).alias("cents"),
+    )
+    snap_a = o.filter(F.col("k") % INS_MOD != INS_REM).select(
+        "k", F.col("status").alias("sa"), F.col("cents").alias("ca")
+    )
+    snap_b = (
+        o.filter(F.col("k") % DEL_MOD != DEL_REM)
+        .select(
+            "k",
+            F.when(F.col("k") % STA_MOD == STA_REM, F.lit(STA_NEW))
+            .otherwise(F.col("status"))
+            .alias("sb"),
+            (
+                F.col("cents")
+                + F.when(
+                    F.col("k") % AMT_MOD == AMT_REM, F.lit(AMT_DELTA)
+                ).otherwise(F.lit(0))
+            ).alias("cb"),
+        )
+    )
+    d = snap_a.join(snap_b, "k", "full_outer")
+    added = F.col("sa").isNull() & F.col("sb").isNotNull()
+    removed = F.col("sa").isNotNull() & F.col("sb").isNull()
+    changed = (
+        F.col("sa").isNotNull()
+        & F.col("sb").isNotNull()
+        & ((F.col("sa") != F.col("sb")) | (F.col("ca") != F.col("cb")))
+    )
+    unchanged = (
+        F.col("sa").isNotNull()
+        & F.col("sb").isNotNull()
+        & (F.col("sa") == F.col("sb"))
+        & (F.col("ca") == F.col("cb"))
+    )
+    kp = F.col("k") % 1_000_000_007
+    return d.agg(
+        F.sum(added.cast("long")).alias("n_added"),
+        F.sum(removed.cast("long")).alias("n_removed"),
+        F.sum(changed.cast("long")).alias("n_changed"),
+        F.sum(unchanged.cast("long")).alias("n_unchanged"),
+        F.sum(F.when(added, kp).otherwise(0)).alias("added_binding"),
+        F.sum(F.when(removed, kp).otherwise(0)).alias("removed_binding"),
+        F.sum(F.when(changed, kp).otherwise(0)).alias("changed_binding"),
+        F.sum(F.when(changed, F.col("cb") - F.col("ca")).otherwise(0)).alias(
+            "changed_cents_delta"
+        ),
+    )
+
+
+QUERIES = {
+    "mv_incremental_orders": mv_incremental_orders,
+    "revenue_anomaly_days": revenue_anomaly_days,
+    "snapshot_diff_orders": snapshot_diff_orders,
+}
+
+ORACLES = {
+    # deliberately NOT the merge: the direct one-pass recompute — the MV
+    # refresh algebra (merge of partials) must land on the same cells
+    "mv_incremental_orders": (
+        "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,"
+        " o_orderstatus AS status, COUNT(*) AS n_orders,"
+        f" CAST(SUM({_CENTS}) AS BIGINT) AS sum_cents,"
+        f" CAST(SUM({_CENTS}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+        " AS avg_cents"
+        " FROM orders GROUP BY month, status ORDER BY month, status"
+    ),
+    "revenue_anomaly_days": (
+        "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,"
+        f" CAST(SUM({_CENTS}) AS BIGINT) AS x FROM orders GROUP BY day),"
+        " m AS (SELECT quantile_cont(x, 0.5) AS med FROM daily),"
+        " d2 AS (SELECT day, x, med, abs(x - med) AS dev"
+        " FROM daily CROSS JOIN m),"
+        " m2 AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d2),"
+        " d3 AS (SELECT day, dev, med, mad,"
+        " CASE WHEN mad = 0 THEN NULL"
+        f" ELSE dev / ({MAD_K} * mad) END AS score"
+        " FROM d2 CROSS JOIN m2)"
+        " SELECT COUNT(*) AS n_days,"
+        f" CAST(SUM(CASE WHEN score > {Z_MAX} THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_anomalies,"
+        f" CAST(SUM((CASE WHEN score > {Z_MAX} THEN 1 ELSE 0 END)"
+        f" * (day - DATE '{EPOCH}')) AS BIGINT) AS day_binding,"
+        " MAX(score) AS max_score,"
+        " MAX(med) AS median_cents,"
+        " MAX(mad) AS mad_cents"
+        " FROM d3"
+    ),
+}
+
+# the same two snapshots restated from the base table and diffed with an
+# independent FULL OUTER JOIN — every class count and binding recomputed
+ORACLES["snapshot_diff_orders"] = (
+    "WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,"
+    f" {_CENTS} AS cents FROM orders),"
+    f" a AS (SELECT k, status AS sa, cents AS ca FROM o"
+    f" WHERE k % {INS_MOD} != {INS_REM}),"
+    f" b AS (SELECT k,"
+    f" CASE WHEN k % {STA_MOD} = {STA_REM} THEN '{STA_NEW}'"
+    " ELSE status END AS sb,"
+    f" cents + (CASE WHEN k % {AMT_MOD} = {AMT_REM} THEN {AMT_DELTA}"
+    " ELSE 0 END) AS cb"
+    f" FROM o WHERE k % {DEL_MOD} != {DEL_REM}),"
+    " d AS (SELECT COALESCE(a.k, b.k) AS k, sa, ca, sb, cb"
+    " FROM a FULL OUTER JOIN b ON a.k = b.k)"
+    " SELECT"
+    " CAST(SUM(CASE WHEN sa IS NULL AND sb IS NOT NULL THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS n_added,"
+    " CAST(SUM(CASE WHEN sa IS NOT NULL AND sb IS NULL THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS n_removed,"
+    " CAST(SUM(CASE WHEN sa IS NOT NULL AND sb IS NOT NULL"
+    " AND (sa != sb OR ca != cb) THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_changed,"
+    " CAST(SUM(CASE WHEN sa IS NOT NULL AND sb IS NOT NULL"
+    " AND sa = sb AND ca = cb THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_unchanged,"
+    " CAST(SUM(CASE WHEN sa IS NULL AND sb IS NOT NULL"
+    " THEN k % 1000000007 ELSE 0 END) AS BIGINT) AS added_binding,"
+    " CAST(SUM(CASE WHEN sa IS NOT NULL AND sb IS NULL"
+    " THEN k % 1000000007 ELSE 0 END) AS BIGINT) AS removed_binding,"
+    " CAST(SUM(CASE WHEN sa IS NOT NULL AND sb IS NOT NULL"
+    " AND (sa != sb OR ca != cb) THEN k % 1000000007 ELSE 0 END)"
+    " AS BIGINT) AS changed_binding,"
+    " CAST(SUM(CASE WHEN sa IS NOT NULL AND sb IS NOT NULL"
+    " AND (sa != sb OR ca != cb) THEN cb - ca ELSE 0 END) AS BIGINT)"
+    " AS changed_cents_delta"
+    " FROM d"
+)

@@ -622,6 +622,89 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_DEN = 4  # over-represented (even-indexed) sources keep 3/4 of their
+MIX_NUM_EVEN = 3  # tokens; odd-indexed sources are downsampled to 1/4
+MIX_NUM_ODD = 1
+
+
+def domain_mix_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing to a per-source token budget — the recipe step that
+    turns a raw crawl into a mixture (downweight over-represented
+    domains, keep the rest), deterministic end to end.
+
+    Per source: budget = FLOOR(total_tokens · num/4) with num keyed off
+    the source index parity (a stand-in for the recipe table); documents
+    are then admitted in salted-hash order until the NEXT doc would
+    exceed the budget (strict running-sum prefix — the same greedy
+    shape pack_sequences_manifest uses).  Hash-order admission makes
+    the selection a uniform subsample of the domain, independent of
+    ingest order.
+
+    Scale: one tokenize pass, a per-source aggregate for budgets
+    (broadcast back — O(domains) rows), and ONE window sorted per
+    source — the unavoidable cost of greedy prefix selection; at 100 TB
+    the window partitions by domain, so each sort is a per-domain
+    shuffle, not a global one.  All arithmetic is exact integers (the
+    ·num/4 scaling is a power-of-two double op, exact below 2^53)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias(
+            "n_tok"
+        ),
+        F.expr(
+            md5_mod_hash_sql("CONCAT('mix:', CAST(doc_id AS STRING))")
+        ).alias("h"),
+    )
+    budgets = d.groupBy("source").agg(
+        F.sum("n_tok").alias("tokens_total"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    num = F.when(
+        F.expr("CAST(SUBSTRING(source, 4) AS INT)") % 2 == 0,
+        F.lit(MIX_NUM_EVEN),
+    ).otherwise(F.lit(MIX_NUM_ODD))
+    budgets = (
+        budgets.withColumn("num", num)
+        .withColumn(
+            "tokens_target",
+            F.expr(
+                "CAST(FLOOR(CAST(tokens_total * num AS DOUBLE)"
+                f" / {MIX_DEN}.0) AS BIGINT)"
+            ),
+        )
+        .drop("num")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = (
+        d.withColumn("cum", F.sum("n_tok").over(w))
+        .join(F.broadcast(budgets.select("source", "tokens_target")), "source")
+        .withColumn("selected", (F.col("cum") <= F.col("tokens_target")))
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("selected").cast("long")).alias("n_selected"),
+            F.sum("n_tok").alias("tokens_total"),
+            F.max("tokens_target").alias("tokens_target"),
+            F.sum(
+                F.when(F.col("selected"), F.col("n_tok")).otherwise(0)
+            ).alias("tokens_selected"),
+            F.sum(
+                F.when(
+                    F.col("selected"), F.col("doc_id") % 1_000_000_007
+                ).otherwise(0)
+            ).alias("sel_binding"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "corpus_prep_funnel": corpus_prep_funnel,
     "train_test_split_stats": train_test_split_stats,
@@ -633,6 +716,7 @@ QUERIES = {
     "quality_repetition_stats": quality_repetition_stats,
     "pack_sequences_manifest": pack_sequences_manifest,
     "temperature_resample_stats": temperature_resample_stats,
+    "domain_mix_selection": domain_mix_selection,
 }
 
 _SPLIT_CASE = (
@@ -910,4 +994,33 @@ ORACLES["corpus_prep_funnel"] = ORACLES["corpus_prep_funnel"].format(
         " final AS (SELECT fl.*, (is_first AND doc_id NOT IN"
         " (SELECT node FROM losers)) AS is_near FROM fl)"
     )
+)
+
+# domain mixing restated: identical tokenize, per-source budget (the same
+# exact power-of-two scaling), identical salted-hash admission window
+ORACLES["domain_mix_selection"] = (
+    "WITH d AS (SELECT doc_id, source,"
+    " len(string_split(COALESCE(text, ''), ' ')) AS n_tok,"
+    f" {md5_mod_hash_duck(chr(39)+'mix:'+chr(39)+' || CAST(doc_id AS VARCHAR)')} AS h"
+    " FROM documents),"
+    " b AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tokens_total,"
+    " CAST(FLOOR(CAST(SUM(n_tok) * (CASE WHEN"
+    " CAST(substr(source, 4) AS INT) % 2 = 0 THEN"
+    f" {MIX_NUM_EVEN} ELSE {MIX_NUM_ODD} END) AS DOUBLE) / {MIX_DEN}.0)"
+    " AS BIGINT) AS tokens_target"
+    " FROM d GROUP BY source),"
+    " c AS (SELECT d.doc_id, d.source, d.n_tok, b.tokens_target,"
+    " SUM(d.n_tok) OVER (PARTITION BY d.source ORDER BY d.h, d.doc_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum"
+    " FROM d JOIN b ON b.source = d.source)"
+    " SELECT source, COUNT(*) AS n_docs,"
+    " CAST(SUM(CASE WHEN cum <= tokens_target THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS n_selected,"
+    " CAST(SUM(n_tok) AS BIGINT) AS tokens_total,"
+    " MAX(tokens_target) AS tokens_target,"
+    " CAST(SUM(CASE WHEN cum <= tokens_target THEN n_tok ELSE 0 END)"
+    " AS BIGINT) AS tokens_selected,"
+    " CAST(SUM(CASE WHEN cum <= tokens_target THEN doc_id % 1000000007"
+    " ELSE 0 END) AS BIGINT) AS sel_binding"
+    " FROM c GROUP BY source ORDER BY source"
 )

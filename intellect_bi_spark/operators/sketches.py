@@ -396,15 +396,92 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SLIDE_DAYS = 7  # trailing window width (ROWS 6 PRECEDING + current)
+
+
+def sketch_sliding_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users computed by RE-MERGING the stored
+    daily sketches with a WINDOWED ``hll_union_agg`` — the whole reason
+    sketch rollups exist: any ad-hoc window over the grain comes from
+    the tiny sketch table, never a fact rescan.  Self-checked per the
+    self-checking-sketch rule, but aggregated to ONE joint flag
+    (MIN over days) so the per-day tails never stack (ADVICE r7 on the
+    daily flags).
+
+    Scale: the fact is scanned once for the daily sketches (map-side
+    sketch partials) and once for the exact check (fixture-side audit
+    only — production trusts the bound); the window runs over |days|
+    rows of sketch bytes.  The exact sliding distinct is a day-spine
+    range join on (day-6..day) over the DISTINCT (day,user) relation —
+    a ≤7× expansion of an already-collapsed table, never of raw events.
+    """
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily_sk = ev.groupBy(F.expr("CAST(ts AS DATE)").alias("day")).agg(
+        F.expr(f"hll_sketch_agg(user_id, {_HLL_LGK})").alias("sk")
+    )
+    w = Window.orderBy("day").rowsBetween(-(SLIDE_DAYS - 1), 0)
+    est = daily_sk.select(
+        "day", F.expr("hll_union_agg(sk)").over(w).alias("msk")
+    ).select("day", F.expr("hll_sketch_estimate(msk)").alias("est"))
+    du = ev.select(
+        F.expr("CAST(ts AS DATE)").alias("day"), "user_id"
+    ).distinct()
+    spine = du.select("day").distinct().alias("d")
+    exact = (
+        spine.join(
+            du.alias("u"),
+            F.expr(
+                f"u.day BETWEEN date_sub(d.day, {SLIDE_DAYS - 1}) AND d.day"
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("exact_7d"))
+    )
+    joined = est.join(exact, "day")
+    in_bounds = F.abs(F.col("est") - F.col("exact_7d")) <= F.greatest(
+        F.col("exact_7d") * F.lit(_REL_BOUND), F.lit(_ABS_SLACK)
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min(F.when(in_bounds, 1).otherwise(0)).cast("int").alias(
+            "all_in_bounds"
+        ),
+        F.sum("exact_7d").alias("sum_exact_7d"),
+        F.max("exact_7d").alias("max_exact_7d"),
+        F.min("exact_7d").alias("min_exact_7d"),
+    )
+
+
 QUERIES = {
     "sketch_rollup_daily_users": sketch_rollup_daily_users,
     "sketch_rollup_store": sketch_rollup_store,
     "heavy_hitter_users": heavy_hitter_users,
     "sketch_rollup_value_median": sketch_rollup_value_median,
     "theta_audience_overlap": theta_audience_overlap,
+    "sketch_sliding_7d_users": sketch_sliding_7d_users,
 }
 
 ORACLES = {
+    # the exact sliding distinct restated with the same day-spine range
+    # join; the joint sketch flag's oracle is literal 1
+    "sketch_sliding_7d_users": (
+        "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id"
+        " FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),"
+        " spine AS (SELECT DISTINCT day FROM du),"
+        " sl AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS exact_7d"
+        " FROM spine d JOIN du u"
+        f" ON u.day BETWEEN d.day - {SLIDE_DAYS - 1} AND d.day"
+        " GROUP BY d.day)"
+        " SELECT COUNT(*) AS n_days, CAST(1 AS INT) AS all_in_bounds,"
+        " CAST(SUM(exact_7d) AS BIGINT) AS sum_exact_7d,"
+        " MAX(exact_7d) AS max_exact_7d,"
+        " MIN(exact_7d) AS min_exact_7d"
+        " FROM sl"
+    ),
     # exact columns stated exactly; the sketch flag's oracle is literal 1
     # (the self-checking-sketch rule — sketch bytes are engine-specific)
     "sketch_rollup_daily_users": (

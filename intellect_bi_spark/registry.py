@@ -12,16 +12,20 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
+    clustering,
     dedup,
     eventops,
     forecast,
+    graph,
     inventory,
     layout,
+    maintenance,
     multimodal,
     nl_queries,
     pipeline,
     quality,
     relational,
+    retrieval,
     roundtrip,
     sales_queries,
     scd,
@@ -47,7 +51,9 @@ _MODULES = (
     inventory,
     temporal,
     eventops,
+    graph,
     quality,
+    maintenance,
     scd,
     roundtrip,
     skewops,
@@ -57,6 +63,8 @@ _MODULES = (
     pipeline,
     streamops,
     similarity,
+    retrieval,
+    clustering,
     forecast,
     dedup,
     multimodal,
