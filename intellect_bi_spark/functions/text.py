@@ -83,7 +83,7 @@ def char_hash_duck_mult(expr: str, mult: int) -> str:
     )
 
 
-def md5_mod_hash_sql(expr: str) -> str:
+def md5_mod_hash_sql(expr: str, mod: int = P) -> str:
     """Spark SQL text: native-md5 64-bit hash of a string, reduced mod P.
 
     ``md5`` is a native JVM digest (and a native C++ one in DuckDB), ~10×
@@ -93,13 +93,14 @@ def md5_mod_hash_sql(expr: str) -> str:
     reduction keeps values in the universal-hash domain MinHash needs
     ((a·x + b) mod p stays < 1e18, overflow-free)."""
     return (
-        f"(CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT) % {P})"
+        f"(CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+        f" % {mod})"
     )
 
 
-def md5_mod_hash_duck(expr: str) -> str:
+def md5_mod_hash_duck(expr: str, mod: int = P) -> str:
     """DuckDB SQL: the same md5-based hash (hex-literal string cast)."""
-    return f"(CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT) % {P})"
+    return f"(CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT) % {mod})"
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:

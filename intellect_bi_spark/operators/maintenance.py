@@ -15,6 +15,9 @@
   facts to one row per day — is a plain partial-aggregable GROUP BY; the
   median/MAD pass then runs on the tiny day series (thousands of rows),
   so the exact ``percentile`` sort never sees raw data.
+- **CDC snapshot diff** (``snapshot_diff_orders``): the added/removed/
+  changed/unchanged ledger from one key-equi full-outer join of two
+  closed-form snapshots.
 
 No reference counterpart (the reference recomputes every dashboard
 aggregate from the base table per request, reference api/main.py:
@@ -35,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..functions.text import P
 
 MV_CUTOFF = "2000-01-01"  # batch boundary: ~5y history + ~1.6y "new" data
 EPOCH = "1995-01-01"
@@ -67,8 +71,12 @@ def mv_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("sum_cents"),
         )
 
-    base = partials(o.filter("is_base"))
-    delta = partials(o.filter("NOT is_base"))
+    # null-safe split: a NULL o_orderdate makes is_base NULL, and plain
+    # filter(is_base)/filter(NOT is_base) would BOTH drop the row while
+    # the oracle's direct recompute keeps its (NULL, status) cell
+    # (review r8 finding) — <=> TRUE keeps the partition total
+    base = partials(o.filter("is_base <=> TRUE"))
+    delta = partials(o.filter("NOT (is_base <=> TRUE)"))
     merged = (
         base.unionByName(delta)
         .groupBy("month", "status")
@@ -92,10 +100,17 @@ def mv_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust z-scores over the daily revenue series; one
     summary row (day count, anomalies, anomalous-day binding, extremes)."""
+    from pyspark import StorageLevel
+
+    # persist the tiny day series: the final plan references this
+    # subtree four times (d3, med, mad chains), and pinning it makes the
+    # fact scan count 1 by construction instead of relying on
+    # ReuseExchange to unify the subplans (review r8 finding)
     daily = (
         _orders(spark, sf_dir)
         .groupBy(F.col("o_orderdate").cast("date").alias("day"))
         .agg(F.sum(F.expr(_CENTS)).alias("x"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     med = daily.agg(F.expr("percentile(x, 0.5)").alias("med"))
     d2 = daily.crossJoin(F.broadcast(med)).withColumn(
@@ -178,7 +193,7 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("sa") == F.col("sb"))
         & (F.col("ca") == F.col("cb"))
     )
-    kp = F.col("k") % 1_000_000_007
+    kp = F.col("k") % P
     return d.agg(
         F.sum(added.cast("long")).alias("n_added"),
         F.sum(removed.cast("long")).alias("n_removed"),

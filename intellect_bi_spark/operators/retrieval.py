@@ -13,9 +13,15 @@ the vector path (similarity.py):
 - **Blocked fuzzy name matching** over ``part`` — entity resolution on
   the DISTINCT-name dictionary (the 100 TB move: dedupe to the
   dictionary first — frequencies travel as weights — then run edit
-  distance only inside candidate blocks, never all-pairs).  Blocking
-  here is the shared last token; production swaps in q-gram prefix
-  filtering, same join shape.
+  distance only inside candidate blocks + an exact-recall length band,
+  never all-pairs over rows).  Candidate volume is quadratic in the
+  PER-BLOCK dictionary, not the corpus: row counts only enter through
+  the ``freq`` weights, and the fixture dictionary is vocabulary-
+  bounded (64 names at every SF).  On an open-vocabulary dictionary the
+  block key must carry more selectivity (q-gram prefix filtering — the
+  same join shape, more keys); the ``pair_binding`` accumulator (< P
+  per matched pair) would overflow BIGINT only past ~9·10^9 matched
+  pairs, far beyond any dictionary this blocking admits.
 
 No reference counterpart (the reference's text path is Chroma vector
 retrieval only, reference api/main.py:1416-1417); charter extensions.
@@ -143,10 +149,17 @@ def fuzzy_name_match_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a, b = names.alias("a"), names.alias("b")
+    # the length band is a NECESSARY condition for lev ≤ LEV_MAX (each
+    # edit changes length by at most 1), so it prunes candidates with
+    # EXACT recall — the standard cheap pre-filter before edit distance
     cands = a.join(
         b,
         (F.col("a.block") == F.col("b.block"))
-        & (F.col("a.p_name") < F.col("b.p_name")),
+        & (F.col("a.p_name") < F.col("b.p_name"))
+        & (
+            F.abs(F.length("a.p_name") - F.length("b.p_name"))
+            <= F.lit(LEV_MAX)
+        ),
     ).select(
         F.col("a.p_name").alias("na"),
         F.col("b.p_name").alias("nb"),
@@ -208,7 +221,8 @@ ORACLES = {
         " cand AS (SELECT a.p_name AS na, b.p_name AS nb,"
         " a.freq AS fa, b.freq AS fb, levenshtein(a.p_name, b.p_name)"
         " AS lev FROM names a JOIN names b"
-        " ON a.block = b.block AND a.p_name < b.p_name)"
+        " ON a.block = b.block AND a.p_name < b.p_name"
+        f" AND abs(length(a.p_name) - length(b.p_name)) <= {LEV_MAX})"
         " SELECT COUNT(*) AS n_candidates,"
         f" CAST(SUM(CASE WHEN lev <= {LEV_MAX} THEN 1 ELSE 0 END)"
         " AS BIGINT) AS n_matches,"

@@ -396,7 +396,29 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SLIDE_DAYS = 7  # trailing window width (ROWS 6 PRECEDING + current)
+SLIDE_DAYS = 7  # trailing CALENDAR window width (day-6 .. day)
+
+
+def _sliding_union_est(daily_sk: DataFrame) -> DataFrame:
+    """(day, est): trailing-``SLIDE_DAYS`` calendar-window union of the
+    per-day sketches.  The frame is a RANGE over epoch-day numbers, NOT
+    a ROWS frame — on a gapped day spine a ROWS frame would silently
+    merge the 7 most recent PRESENT days (spanning > 7 calendar days)
+    and disagree with any calendar-defined exact check (review r8
+    finding; locked by test_sketch_sliding_gap)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("day_num")
+        .rangeBetween(-(SLIDE_DAYS - 1), 0)
+    )
+    return (
+        daily_sk.withColumn(
+            "day_num", F.datediff("day", F.lit("1970-01-01"))
+        )
+        .select("day", F.expr("hll_union_agg(sk)").over(w).alias("msk"))
+        .select("day", F.expr("hll_sketch_estimate(msk)").alias("est"))
+    )
 
 
 def sketch_sliding_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,19 +436,16 @@ def sketch_sliding_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows of sketch bytes.  The exact sliding distinct is a day-spine
     range join on (day-6..day) over the DISTINCT (day,user) relation —
     a ≤7× expansion of an already-collapsed table, never of raw events.
+    Both sides use the same CALENDAR window (RANGE frame vs BETWEEN),
+    so a gapped day spine cannot desynchronize them.
     """
-    from pyspark.sql import Window
-
     ev = load_tables(spark, sf_dir)["events"].filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
     daily_sk = ev.groupBy(F.expr("CAST(ts AS DATE)").alias("day")).agg(
         F.expr(f"hll_sketch_agg(user_id, {_HLL_LGK})").alias("sk")
     )
-    w = Window.orderBy("day").rowsBetween(-(SLIDE_DAYS - 1), 0)
-    est = daily_sk.select(
-        "day", F.expr("hll_union_agg(sk)").over(w).alias("msk")
-    ).select("day", F.expr("hll_sketch_estimate(msk)").alias("est"))
+    est = _sliding_union_est(daily_sk)
     du = ev.select(
         F.expr("CAST(ts AS DATE)").alias("day"), "user_id"
     ).distinct()

@@ -135,3 +135,38 @@ def test_snapshot_diff_partitions_key_space(spark, sf_dir):
     )
     assert classified <= n
     assert classified >= n - n // 19  # both-absent keys are < 1/19 of keys
+
+
+def test_sketch_sliding_gap_uses_calendar_window(spark):
+    """A gapped day spine must NOT widen the merge window: the day after
+    a 9-day gap may only see itself (review r8 finding — a ROWS frame
+    would merge the 7 most recent PRESENT days instead).  At these tiny
+    cardinalities the HLL estimate is exact, so equality is safe."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from intellect_bi_spark.operators.sketches import (
+        _HLL_LGK,
+        _sliding_union_est,
+    )
+
+    d0 = datetime.date(2024, 1, 1)
+    rows = (
+        [(d0, u) for u in range(5)]
+        + [(d0 + datetime.timedelta(days=1), u) for u in range(5, 8)]
+        + [(d0 + datetime.timedelta(days=10), u) for u in range(8, 10)]
+    )
+    daily_sk = (
+        spark.createDataFrame(rows, "day date, user_id long")
+        .groupBy("day")
+        .agg(F.expr(f"hll_sketch_agg(user_id, {_HLL_LGK})").alias("sk"))
+    )
+    est = {
+        r["day"]: int(r["est"])
+        for r in _sliding_union_est(daily_sk).collect()
+    }
+    assert est[d0] == 5
+    assert est[d0 + datetime.timedelta(days=1)] == 8  # day 0 ∪ day 1
+    # the post-gap day is alone in its calendar window
+    assert est[d0 + datetime.timedelta(days=10)] == 2
