@@ -102,6 +102,7 @@ HEADLINE = [
     "forecast_drift_by_region",
     "forecast_seasonal7_by_region",  # per-key seasonal7 (r5)
     "kmeans_embedding_clusters",  # broadcast-model Lloyd k-means (r8)
+    "ann_topk_pq",  # 16-bit product-quantization ADC search (r8)
     "bm25_topk_docs",  # lexical retrieval baseline (r8)
     "fuzzy_name_match_summary",  # blocked edit-distance matching (r8)
     "group_aware_split_stats",  # leakage-safe cluster-keyed split (r8)

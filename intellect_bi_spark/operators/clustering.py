@@ -161,8 +161,145 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+M_SUB = 8  # PQ subspaces
+SUBDIM = DIM // M_SUB
+KS = 4  # centroids per subspace (2-bit codes → 16-bit PQ code)
+PQ_TOP_K = 10
+PQ_QUERY_ID = 0
+
+_SUB_DIST = (
+    "aggregate(zip_with(sub, carr, (x, y) -> (x - y) * (x - y)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _subspace_rows(points: DataFrame) -> DataFrame:
+    """(vec_id, m, sub): the long-form subvector relation — 8× the rows
+    at 1/8 the width (same bytes), which lets ONE generic
+    assign/update pipeline serve every subspace instead of 8 unrolled
+    column pipelines.  m is BIGINT to match the oracle's range()."""
+    return points.select(
+        "vec_id",
+        F.explode(
+            F.expr(f"sequence(CAST(0 AS BIGINT), CAST({M_SUB - 1} AS BIGINT))")
+        ).alias("m"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "m",
+        F.expr(
+            f"transform(sequence(1, {SUBDIM}), i -> CAST(element_at("
+            f"embedding, CAST(m * {SUBDIM} + i AS INT)) AS DOUBLE))"
+        ).alias("sub"),
+    )
+
+
+def _pq_assign(subr: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Per (vector, subspace) argmin over the (tiny, broadcast) centroid
+    relation; ``sub`` rides through the aggregation for the update."""
+    return (
+        subr.join(F.broadcast(centroids), "m")
+        .withColumn("dist", F.expr(_SUB_DIST))
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(F.struct("dist", "cid")).alias("a"),
+            F.first("sub").alias("sub"),
+        )
+    )
+
+
+def _pq_codebook(subr: DataFrame) -> DataFrame:
+    """(m, cid, carr): one Lloyd update from the deterministic seed
+    (subvectors of vec_id 0..KS-1) — the exact quantized-sum centroid
+    refresh of :func:`kmeans_embedding_clusters`, per subspace."""
+    seed = subr.filter(F.col("vec_id") < KS).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sub").alias("carr")
+    )
+    a1 = _pq_assign(subr, seed)
+    aggs = [
+        F.sum(
+            F.expr(
+                f"CAST(FLOOR(element_at(sub, {i}) * {QUANT}.0 + 0.5)"
+                " AS BIGINT)"
+            )
+        ).alias(f"s{i}")
+        for i in range(1, SUBDIM + 1)
+    ]
+    g = a1.select("m", F.col("a.cid").alias("cid"), "sub").groupBy(
+        "m", "cid"
+    ).agg(F.count(F.lit(1)).alias("n"), *aggs)
+    carr = F.array(
+        *[
+            (F.col(f"s{i}").cast("double") / F.col("n").cast("double"))
+            / F.lit(float(QUANT))
+            for i in range(1, SUBDIM + 1)
+        ]
+    )
+    return g.select("m", "cid", carr.alias("carr"))
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    subr = _subspace_rows(_points(spark, sf_dir))
+    cb = _pq_codebook(subr)
+    codes = _pq_assign(subr, cb).select(
+        "vec_id", "m", F.col("a.cid").alias("cid")
+    )
+    return codes, cb
+
+
+def pq_codes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code relation (8 subspaces × 2-bit cells),
+    summarized per codebook cell: population and member-id binding.
+    With SQ8 (similarity.py) this completes the vector-compression
+    family: PQ stores 16 bits/vector (128:1 vs float32) and searches
+    via ADC — :func:`ann_topk_pq`."""
+    codes, _ = _pq_codes(spark, sf_dir)
+    return (
+        codes.groupBy("m", "cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.col("vec_id") % P).alias("id_checksum"),
+        )
+        .orderBy("m", "cid")
+    )
+
+
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k for the fixed query vector: the
+    query stays full-precision, candidates are reconstructed from their
+    16-bit PQ codes — distance is Σ_m ||q_m − c_{m,code}||², each
+    subspace term an exact fold, quantized to 2^-20 fixed point so the
+    cross-subspace sum is an order-independent integer.  The ranking is
+    oracle-stated bit-exactly (the same discipline as ann_topk_sq8)."""
+    codes, cb = _pq_codes(spark, sf_dir)
+    q_sub = _subspace_rows(
+        _points(spark, sf_dir).filter(F.col("vec_id") == PQ_QUERY_ID)
+    ).select("m", F.col("sub").alias("qsub"))
+    dm = (
+        codes.join(F.broadcast(cb), ["m", "cid"])
+        .join(F.broadcast(q_sub), "m")
+        .select(
+            "vec_id",
+            F.expr(
+                "CAST(FLOOR(aggregate(zip_with(qsub, carr,"
+                " (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE),"
+                f" (acc, v) -> acc + v) * {QUANT}.0 + 0.5) AS BIGINT)"
+            ).alias("dq"),
+        )
+    )
+    return (
+        dm.filter(F.col("vec_id") != PQ_QUERY_ID)
+        .groupBy("vec_id")
+        .agg(F.sum("dq").alias("dist_q"))
+        .orderBy("dist_q", "vec_id")
+        .limit(PQ_TOP_K)
+    )
+
+
 QUERIES = {
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
+    "pq_codes_stats": pq_codes_stats,
+    "ann_topk_pq": ann_topk_pq,
 }
 
 
@@ -231,3 +368,67 @@ ORACLES = {
         " GROUP BY cid ORDER BY cluster_id"
     ),
 }
+
+# shared PQ derivation: long-form subvectors → seed → assignment 1 →
+# exact quantized update → codebook → assignment 2 (the codes)
+_PQ_SUB_DIST_DUCK = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    f" list_transform(range(1, {SUBDIM} + 1),"
+    " i -> (s.sub[i] - c.carr[i]) * (s.sub[i] - c.carr[i]))),"
+    " (acc, v) -> acc + v)"
+)
+
+_PQ_CTES = (
+    "sub AS (SELECT vec_id, m,"
+    f" list_transform(range(1, {SUBDIM} + 1),"
+    f" i -> CAST(embedding[m * {SUBDIM} + i] AS DOUBLE)) AS sub"
+    f" FROM embeddings, unnest(range(0, {M_SUB})) AS u(m)),"
+    f" seed AS (SELECT m, vec_id AS cid, sub AS carr FROM sub"
+    f" WHERE vec_id < {KS}),"
+    " d1 AS (SELECT s.vec_id, s.m, c.cid,"
+    f" {_PQ_SUB_DIST_DUCK} AS dist"
+    " FROM sub s JOIN seed c ON c.m = s.m),"
+    " a1 AS (SELECT vec_id, m, cid FROM"
+    " (SELECT vec_id, m, cid, ROW_NUMBER() OVER"
+    " (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn FROM d1)"
+    " WHERE rn = 1),"
+    " ups AS (SELECT a.m, a.cid, i,"
+    f" SUM(CAST(FLOOR(s.sub[i] * {QUANT}.0 + 0.5) AS BIGINT)) AS sq,"
+    " COUNT(*) AS n"
+    " FROM a1 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,"
+    f" unnest(range(1, {SUBDIM} + 1)) AS ui(i)"
+    " GROUP BY a.m, a.cid, i),"
+    " cb AS (SELECT m, cid,"
+    " list((CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" / {QUANT}.0 ORDER BY i) AS carr"
+    " FROM ups GROUP BY m, cid),"
+    " d2 AS (SELECT s.vec_id, s.m, c.cid,"
+    f" {_PQ_SUB_DIST_DUCK} AS dist"
+    " FROM sub s JOIN cb c ON c.m = s.m),"
+    " codes AS (SELECT vec_id, m, cid FROM"
+    " (SELECT vec_id, m, cid, ROW_NUMBER() OVER"
+    " (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn FROM d2)"
+    " WHERE rn = 1)"
+)
+
+ORACLES["pq_codes_stats"] = (
+    f"WITH {_PQ_CTES}"
+    " SELECT m, cid, COUNT(*) AS n_vectors,"
+    f" CAST(SUM(vec_id % {P}) AS BIGINT) AS id_checksum"
+    " FROM codes GROUP BY m, cid ORDER BY m, cid"
+)
+
+ORACLES["ann_topk_pq"] = (
+    f"WITH {_PQ_CTES},"
+    f" q AS (SELECT m, sub AS qsub FROM sub WHERE vec_id = {PQ_QUERY_ID}),"
+    " dm AS (SELECT c.vec_id,"
+    " CAST(FLOOR(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    f" list_transform(range(1, {SUBDIM} + 1),"
+    " i -> (q.qsub[i] - cb.carr[i]) * (q.qsub[i] - cb.carr[i]))),"
+    f" (acc, v) -> acc + v) * {QUANT}.0 + 0.5) AS BIGINT) AS dq"
+    " FROM codes c JOIN cb ON cb.m = c.m AND cb.cid = c.cid"
+    " JOIN q ON q.m = c.m)"
+    f" SELECT vec_id, CAST(SUM(dq) AS BIGINT) AS dist_q FROM dm"
+    f" WHERE vec_id != {PQ_QUERY_ID} GROUP BY vec_id"
+    f" ORDER BY dist_q, vec_id LIMIT {PQ_TOP_K}"
+)
