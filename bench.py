@@ -96,6 +96,7 @@ HEADLINE = [
     "null_rate_profile",
     "decontam_ngram_overlap",
     "events_tumbling_daily",
+    "event_path_trigrams",  # per-user path windows + top-k (r8)
     "events_sessionize",
     "events_sliding_daily",
     "events_tier_daily",  # stream-static enrichment join twin (r8)

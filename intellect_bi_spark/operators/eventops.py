@@ -134,10 +134,47 @@ def events_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup.unionByName(tail).orderBy("day", "event_type")
 
 
+PATH_K = 10  # top-k 3-step paths
+
+
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k 3-step behavioral paths: per-user event streams ordered by
+    (ts, event_id), consecutive event-type trigrams counted corpus-wide
+    — the path-analysis primitive behind "what do users do before
+    purchasing".  The windows partition by user (never a global sort);
+    the trigram count is a map-side-combined hash aggregate +
+    TakeOrderedAndProject.  Ties rank deterministically by path text."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("t1"),
+            F.lead("event_type", 2).over(w).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+        )
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(PATH_K)
+    )
+
+
 QUERIES = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "cohort_retention_weekly": cohort_retention_weekly,
     "events_rollup_merge": events_rollup_merge,
+    "event_path_trigrams": event_path_trigrams,
 }
 
 ORACLES = {
@@ -182,3 +219,15 @@ ORACLES = {
         f" FROM events GROUP BY 1, 2 ORDER BY day, event_type"
     ),
 }
+
+# identical per-user window, identical trigram text, identical tie-break
+ORACLES["event_path_trigrams"] = (
+    "WITH s AS (SELECT user_id, event_type,"
+    " LEAD(event_type, 1) OVER w AS t1,"
+    " LEAD(event_type, 2) OVER w AS t2"
+    " FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+    " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))"
+    " SELECT event_type || '>' || t1 || '>' || t2 AS path,"
+    " COUNT(*) AS n FROM s WHERE t2 IS NOT NULL"
+    " GROUP BY path ORDER BY n DESC, path LIMIT 10"
+)
