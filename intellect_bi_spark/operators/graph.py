@@ -83,9 +83,15 @@ def trade_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two damped weighted-PageRank iterations over the trade graph,
     from a uniform fixed-point start; per-nation final rank plus the
     adjacency row the rank was computed from (out-weight, in-weight)."""
+    from pyspark import StorageLevel
+
     t = load_tables(spark, sf_dir)
     nodes = t["nation"].select(F.col("n_name").alias("node"))
-    edges = _edges(spark, sf_dir)
+    # persist the condensed adjacency (≤ |nations|² rows): the final plan
+    # references it for out-weights, both iterations' contributions, and
+    # in-weights — without the pin the lineitem⋈orders condensation
+    # subtree executes once per consumer instead of once total
+    edges = _edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
     ew = edges.join(outw, "src")
 
