@@ -22,6 +22,20 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Driver heap must be fixed BEFORE the py4j gateway launches the JVM —
+# a `spark.driver.memory` builder conf is silently ignored in pyspark
+# local mode (the launcher has already picked -Xmx by the time the conf
+# is read; measured Runtime.maxMemory() == 1g despite the conf).  The
+# 1g default GC-thrashed the sf1 pair-heavy Arrow reranks
+# (semantic_decontam 9 s → 17-27 s run-to-run, intermittent heap OOM).
+# 16g of the 128 GiB harness box is conservative; production sizes
+# executors separately.  No-op when a JVM already exists (e.g. the
+# driver's own session) or the caller exported PYSPARK_SUBMIT_ARGS.
+_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+os.environ.setdefault(
+    "PYSPARK_SUBMIT_ARGS", f"--driver-memory {_DRIVER_MEM} pyspark-shell"
+)
+
 
 def get_spark(app_name: str = "intellect_bi_spark") -> SparkSession:
     """Return the singleton SparkSession, creating it with engine defaults."""
@@ -39,7 +53,15 @@ def get_spark(app_name: str = "intellect_bi_spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", DEFAULT_CPUS)
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g of the 128 GiB harness box: at sf1 the pair-heavy Arrow
+        # reranks (semantic_decontam candidates grow quadratically in
+        # make_sf1's perturbed replicas — true near-dups) GC-thrash an
+        # 8g heap (measured 9 s → 17-27 s, intermittent heap OOM);
+        # production sizes executors separately anyway
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     )
     if not SparkSession.getActiveSession():
         builder = builder.master(f"local[{DEFAULT_CPUS}]")
