@@ -113,6 +113,10 @@ HEADLINE = [
     "domain_mix_selection",  # per-domain token-budget mixing (r8)
     "snapshot_diff_orders",  # CDC full-outer snapshot diff (r8)
     "sketch_sliding_7d_users",  # windowed re-merge of stored sketches (r8)
+    "user_click_streaks",  # order-dependent streak CEP batch twin (r8)
+    "token_drift_tvd",  # exact train/test distribution drift (r8)
+    "compaction_plan",  # small-file bin-packing planner (r8)
+    "multi_touch_attribution",  # exact largest-remainder credit split (r8)
 ]
 
 

@@ -239,8 +239,15 @@ def _pq_codebook(subr: DataFrame) -> DataFrame:
 
 
 def _pq_codes(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    from pyspark import StorageLevel
+
     subr = _subspace_rows(_points(spark, sf_dir))
-    cb = _pq_codebook(subr)
+    # pin the codebook (M_SUB×KS rows): ann_topk_pq references it twice
+    # (code assignment + reconstruction join) and its derivation scans
+    # the corpus — without the pin that training pass executes per
+    # consumer instead of once (review r8, same class as the pagerank
+    # adjacency pin)
+    cb = _pq_codebook(subr).persist(StorageLevel.MEMORY_AND_DISK)
     codes = _pq_assign(subr, cb).select(
         "vec_id", "m", F.col("a.cid").alias("cid")
     )

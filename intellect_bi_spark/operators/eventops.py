@@ -159,7 +159,13 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("t2").isNotNull())
         .select(
-            F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+            # concat, not concat_ws: NULL must propagate exactly like the
+            # oracle's `||` (concat_ws would silently SKIP a NULL type and
+            # produce a two-step path; no fixture has NULL event_type, but
+            # the operator shouldn't rely on that)
+            F.concat(
+                "event_type", F.lit(">"), "t1", F.lit(">"), "t2"
+            ).alias("path")
         )
     )
     return (
@@ -170,11 +176,88 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CENTS_EV = "CAST(ROUND(value * 100) AS BIGINT)"  # house cents discipline
+
+
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution with EXACT largest-remainder cent
+    apportionment: each purchase's value (in cents) is split across the
+    same user's clicks in the preceding attribution window — every click
+    gets ``cents DIV n``, and the ``cents % n`` remainder cents go one
+    each to the EARLIEST clicks, so the credits are integers, sum exactly
+    to the purchase value (conservation by construction), and carry no
+    engine-divergent float division. Output: per click-day credited
+    totals.
+
+    Scale: the pair build is the user-key equi-join with the interval as
+    residual predicate (the click_purchase_pairs shape, streaming/
+    events.py:301); the apportionment windows partition by purchase_id —
+    never more than one purchase's pairs in a partition, no global sort.
+    """
+    from pyspark.sql import Window
+
+    from ..streaming.events import ATTRIBUTION_WINDOW
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.expr(_CENTS_EV).alias("cents"),
+    )
+    pairs = purchases.join(
+        clicks,
+        F.expr(
+            "c_user_id = p_user_id"
+            f" AND click_ts >= purchase_ts - INTERVAL {ATTRIBUTION_WINDOW}"
+            " AND click_ts <= purchase_ts"
+        ),
+        "inner",
+    )
+    # one sort serves both frames: the ordered row_number and the
+    # whole-partition count share the (purchase_id, click_ts, click_id)
+    # window spec
+    w = Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
+    credited = (
+        pairs.withColumn(
+            "n",
+            F.count(F.lit(1)).over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn("k", F.row_number().over(w) - 1)
+        .withColumn(
+            "credit",
+            F.expr("cents DIV n + IF(k < cents % n, 1, 0)"),
+        )
+    )
+    return (
+        credited.groupBy(F.col("click_ts").cast("date").alias("click_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("credit").alias("credited_cents"),
+            F.sum(
+                F.expr("((credit % 1000000007) * (click_id % 1000000007))"
+                       " % 1000000007")
+            ).alias("credit_binding"),
+        )
+        .orderBy("click_day")
+    )
+
+
 QUERIES = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "cohort_retention_weekly": cohort_retention_weekly,
     "events_rollup_merge": events_rollup_merge,
     "event_path_trigrams": event_path_trigrams,
+    "multi_touch_attribution": multi_touch_attribution,
 }
 
 ORACLES = {
@@ -231,3 +314,37 @@ ORACLES["event_path_trigrams"] = (
     " COUNT(*) AS n FROM s WHERE t2 IS NOT NULL"
     " GROUP BY path ORDER BY n DESC, path LIMIT 10"
 )
+
+# the identical pair join + largest-remainder apportionment restated:
+# integer DIV/% throughout, remainder cents to the earliest clicks, the
+# window constant interpolated from streaming/events.py (single owner)
+def _attribution_oracle() -> str:
+    from ..streaming.events import ATTRIBUTION_WINDOW
+
+    return (
+        "WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id"
+        " FROM events WHERE event_type = 'click'),"
+        " p AS (SELECT user_id, ts AS purchase_ts,"
+        " event_id AS purchase_id,"
+        f" {_CENTS_EV} AS cents"
+        " FROM events WHERE event_type = 'purchase'),"
+        " pr AS (SELECT p.purchase_id, p.cents, c.click_id, c.click_ts"
+        " FROM p JOIN c ON c.user_id = p.user_id"
+        f" AND c.click_ts >= p.purchase_ts - INTERVAL '{ATTRIBUTION_WINDOW}'"
+        " AND c.click_ts <= p.purchase_ts),"
+        " w AS (SELECT *,"
+        " COUNT(*) OVER (PARTITION BY purchase_id) AS n,"
+        " ROW_NUMBER() OVER (PARTITION BY purchase_id"
+        " ORDER BY click_ts, click_id) - 1 AS k FROM pr),"
+        " cr AS (SELECT *, cents // n"
+        " + CASE WHEN k < cents % n THEN 1 ELSE 0 END AS credit FROM w)"
+        " SELECT CAST(click_ts AS DATE) AS click_day,"
+        " COUNT(*) AS n_credits,"
+        " CAST(SUM(credit) AS BIGINT) AS credited_cents,"
+        " CAST(SUM(((credit % 1000000007) * (click_id % 1000000007))"
+        " % 1000000007) AS BIGINT) AS credit_binding"
+        " FROM cr GROUP BY 1 ORDER BY 1"
+    )
+
+
+ORACLES["multi_touch_attribution"] = _attribution_oracle()

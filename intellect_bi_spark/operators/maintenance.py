@@ -137,6 +137,69 @@ def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- small-file compaction planner --------------------------------------------
+
+N_FILE_GROUPS = 32  # files per partition in the modeled inventory
+ROW_OVERHEAD = 100  # per-row byte estimate: fixed overhead + payload term
+TARGET_BYTES = 16_384  # compaction output target size
+
+# per-row byte model: overhead + a row-varying payload term (l_quantity is
+# integral-valued, so the BIGINT cast is exact in both engines)
+_ROW_BYTES = f"({ROW_OVERHEAD} + CAST(l_quantity AS BIGINT))"
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (the OPTIMIZE/bin-packing maintenance
+    job every parquet lakehouse runs): derive the file inventory — one
+    "file" per (ship-month, hash-slice) with its byte size — then pack
+    files into output bins of :data:`TARGET_BYTES` with the greedy
+    in-order rule ``bin = floor(bytes_before / target)`` per partition
+    (Delta/Iceberg OPTIMIZE's per-partition greedy pack in file order).
+    Output: one row per planned output bin.
+
+    Scale: the inventory fold (100 TB of rows → one row per file) is a
+    plain hash aggregate with map-side combine; the planning pass — the
+    running-sum window — runs on FILE METADATA (millions of rows at
+    100 TB, not data), partitioned by the table partition key, so the
+    plan itself is a metadata-scale job, which is the whole point of a
+    compaction planner."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    files = (
+        li.groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("part_month"),
+            (F.col("l_orderkey") % N_FILE_GROUPS).alias("file_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.expr(_ROW_BYTES)).alias("bytes"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("part_month")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # integer division (DIV / //) on both engines — `/` would be IEEE
+    # division with engine-divergent cast-back rounding
+    planned = files.withColumn(
+        "bytes_before", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    ).withColumn("bin_id", F.expr(f"bytes_before DIV {TARGET_BYTES}"))
+    return (
+        planned.groupBy("part_month", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("bytes").alias("bin_bytes"),
+            F.sum(
+                (F.col("file_id") + 1) * (F.col("bytes") % P)
+            ).alias("file_binding"),
+        )
+        .orderBy("part_month", "bin_id")
+    )
+
+
 INS_MOD, INS_REM = 19, 7  # keys absent from snapshot A ("inserted later")
 DEL_MOD, DEL_REM = 17, 3  # keys absent from snapshot B ("deleted")
 STA_MOD, STA_REM = 11, 5  # status mutation slice
@@ -212,9 +275,33 @@ QUERIES = {
     "mv_incremental_orders": mv_incremental_orders,
     "revenue_anomaly_days": revenue_anomaly_days,
     "snapshot_diff_orders": snapshot_diff_orders,
+    "compaction_plan": compaction_plan,
 }
 
 ORACLES = {
+    # inventory fold + greedy in-order pack restated: the running-sum
+    # window excludes the current row (bytes BEFORE this file), all
+    # arithmetic exact BIGINT
+    "compaction_plan": (
+        "WITH files AS (SELECT"
+        " CAST(date_trunc('month', l_shipdate) AS DATE) AS part_month,"
+        f" l_orderkey % {N_FILE_GROUPS} AS file_id,"
+        " COUNT(*) AS n_rows,"
+        f" CAST(SUM({_ROW_BYTES}) AS BIGINT) AS bytes"
+        " FROM lineitem GROUP BY 1, 2),"
+        " planned AS (SELECT *,"
+        " COALESCE(SUM(bytes) OVER (PARTITION BY part_month"
+        " ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        f" 1 PRECEDING), 0) // {TARGET_BYTES} AS bin_id"
+        " FROM files)"
+        " SELECT part_month, bin_id, COUNT(*) AS n_files,"
+        " CAST(SUM(n_rows) AS BIGINT) AS n_rows,"
+        " CAST(SUM(bytes) AS BIGINT) AS bin_bytes,"
+        f" CAST(SUM((file_id + 1) * (bytes % {P})) AS BIGINT)"
+        " AS file_binding"
+        " FROM planned GROUP BY part_month, bin_id"
+        " ORDER BY part_month, bin_id"
+    ),
     # deliberately NOT the merge: the direct one-pass recompute — the MV
     # refresh algebra (merge of partials) must land on the same cells
     "mv_incremental_orders": (

@@ -627,6 +627,80 @@ MIX_NUM_EVEN = 3  # tokens; odd-indexed sources are downsampled to 1/4
 MIX_NUM_ODD = 1
 
 
+def token_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the train and test splits: exact
+    total-variation distance over the unigram token distributions — the
+    audit a corpus build runs to prove its held-out split is not
+    distribution-shifted (and, run train-vs-incoming-batch, the drift
+    monitor for continuous ingestion).
+
+    TVD = ½ Σ_t |c_tr(t)/N_tr − c_te(t)/N_te| is computed EXACTLY by
+    clearing denominators: Σ_t |c_tr(t)·N_te − c_te(t)·N_tr| is pure
+    BIGINT arithmetic (token counts ~2 M × corpus totals ~2 M stay far
+    under 2^63 at the tested SFs; a trillion-token corpus would first
+    rescale counts to a fixed per-2^30 grid to keep the product exact),
+    and the single final division is one IEEE step — bit-identical in
+    both engines, the maintenance.py discipline.
+
+    Scale: one explode+hash-groupBy pass over the corpus folds 100 TB of
+    text to a vocab-sized count table (map-side combine does the heavy
+    fold); everything after — totals, max-drift scan, the one-row
+    summary — runs on O(vocab) rows. The count table is persisted
+    because three aggregates reference it (counts → totals → max →
+    summary), pinning the corpus scan count at 1.
+    """
+    from pyspark import StorageLevel
+
+    toks = (
+        _docs_spread(spark, sf_dir)
+        .withColumn("split", _split_col())
+        .filter(F.col("split").isin("train", "test"))
+        .select(
+            "split", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    counts = (
+        toks.groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+                "c_tr"
+            ),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias(
+                "c_te"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = counts.agg(
+        F.sum("c_tr").alias("n_tr"), F.sum("c_te").alias("n_te")
+    )
+    d = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "diff", F.abs(F.col("c_tr") * F.col("n_te") - F.col("c_te") * F.col("n_tr"))
+    )
+    m = d.agg(F.max("diff").alias("max_diff"))
+    binding = md5_mod_hash_sql("token")
+    return d.crossJoin(F.broadcast(m)).agg(
+        F.max("n_tr").alias("n_tokens_train"),
+        F.max("n_te").alias("n_tokens_test"),
+        F.sum((F.col("c_tr") > 0).cast("long")).alias("n_vocab_train"),
+        F.sum((F.col("c_te") > 0).cast("long")).alias("n_vocab_test"),
+        F.sum(((F.col("c_tr") > 0) & (F.col("c_te") > 0)).cast("long")).alias(
+            "n_vocab_shared"
+        ),
+        F.sum("diff").alias("tvd_numer"),
+        F.expr(
+            "CAST(SUM(diff) AS DOUBLE)"
+            " / CAST(2 * MAX(n_tr) * MAX(n_te) AS DOUBLE)"
+        ).alias("tvd"),
+        F.max("max_diff").alias("max_drift"),
+        F.sum(
+            F.when(F.col("diff") == F.col("max_diff"), F.expr(binding))
+            .otherwise(0)
+        ).alias("drift_token_binding"),
+    )
+
+
 def domain_mix_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixing to a per-source token budget — the recipe step that
     turns a raw crawl into a mixture (downweight over-represented
@@ -717,6 +791,7 @@ QUERIES = {
     "pack_sequences_manifest": pack_sequences_manifest,
     "temperature_resample_stats": temperature_resample_stats,
     "domain_mix_selection": domain_mix_selection,
+    "token_drift_tvd": token_drift_tvd,
 }
 
 _SPLIT_CASE = (
@@ -1023,4 +1098,40 @@ ORACLES["domain_mix_selection"] = (
     " CAST(SUM(CASE WHEN cum <= tokens_target THEN doc_id % 1000000007"
     " ELSE 0 END) AS BIGINT) AS sel_binding"
     " FROM c GROUP BY source ORDER BY source"
+)
+
+# drift: the identical denominator-cleared TVD restated independently —
+# counts and the |c_tr·N_te − c_te·N_tr| products are exact BIGINTs in
+# both engines; the lone double division is textually identical
+ORACLES["token_drift_tvd"] = (
+    "WITH t AS (SELECT"
+    f" {_SPLIT_CASE} AS split,"
+    " unnest(string_split(text, ' ')) AS token FROM documents),"
+    " c AS (SELECT token,"
+    " CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS c_tr,"
+    " CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS c_te"
+    " FROM t WHERE split IN ('train', 'test') AND token != ''"
+    " GROUP BY token),"
+    " tot AS (SELECT CAST(SUM(c_tr) AS BIGINT) AS n_tr,"
+    " CAST(SUM(c_te) AS BIGINT) AS n_te FROM c),"
+    " x AS (SELECT token, c_tr, c_te, n_tr, n_te,"
+    " abs(c_tr * n_te - c_te * n_tr) AS diff FROM c CROSS JOIN tot),"
+    " m AS (SELECT MAX(diff) AS max_diff FROM x)"
+    " SELECT MAX(n_tr) AS n_tokens_train, MAX(n_te) AS n_tokens_test,"
+    " CAST(SUM(CASE WHEN c_tr > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_vocab_train,"
+    " CAST(SUM(CASE WHEN c_te > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_vocab_test,"
+    " CAST(SUM(CASE WHEN c_tr > 0 AND c_te > 0 THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS n_vocab_shared,"
+    " CAST(SUM(diff) AS BIGINT) AS tvd_numer,"
+    " CAST(SUM(diff) AS DOUBLE)"
+    " / CAST(2 * MAX(n_tr) * MAX(n_te) AS DOUBLE) AS tvd,"
+    " MAX(max_diff) AS max_drift,"
+    " CAST(SUM(CASE WHEN diff = max_diff THEN"
+    f" {md5_mod_hash_duck('token')} ELSE 0 END) AS BIGINT)"
+    " AS drift_token_binding"
+    " FROM x CROSS JOIN m"
 )

@@ -21,6 +21,7 @@ from ..functions.text import P, md5_mod_hash_duck
 from ..streaming.events import (
     ATTRIBUTION_WINDOW,
     N_TIERS,
+    STREAK_TYPE,
     click_purchase_pairs,
     dedup_replayed_events,
     events_batch,
@@ -29,6 +30,7 @@ from ..streaming.events import (
     stream_daily_store,
     tier_daily_agg,
     tumbling_daily_agg,
+    user_click_streaks_batch,
     user_tier_dim,
 )
 
@@ -134,7 +136,19 @@ def events_stream_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store
 
 
+def user_click_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the ORDER-DEPENDENT custom stateful operator
+    (streaming/events.py:user_click_streaks_stream): per user, the
+    longest run of consecutive '{STREAK_TYPE}' events in (ts, event_id)
+    order, total clicks, and maximal-run count. The streaming
+    ``applyInPandasWithState`` run of the SAME semantics — including a
+    streak chained across a micro-batch boundary — is proven
+    row-identical in tests/test_streaming.py."""
+    return user_click_streaks_batch(events_batch(spark, sf_dir))
+
+
 QUERIES = {
+    "user_click_streaks": user_click_streaks,
     "events_tumbling_daily": events_tumbling_daily,
     "events_sessionize": events_sessionize,
     "events_sliding_daily": events_sliding_daily,
@@ -145,6 +159,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the gaps-and-islands restatement: lag marks streak starts, the
+    # running sum numbers the islands, one GROUP BY folds each island —
+    # the independent SQL form of the stateful streak tracker's fold
+    "user_click_streaks": (
+        "WITH e AS (SELECT user_id, ts, event_id,"
+        f" event_type = '{STREAK_TYPE}' AS is_click"
+        " FROM events WHERE user_id IS NOT NULL),"
+        " lagged AS (SELECT user_id, ts, event_id, is_click,"
+        " CASE WHEN is_click AND NOT COALESCE(lag(is_click) OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id), FALSE)"
+        " THEN 1 ELSE 0 END AS new_streak FROM e),"
+        " marked AS (SELECT user_id, is_click,"
+        " SUM(new_streak) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS UNBOUNDED PRECEDING) AS grp FROM lagged),"
+        " streaks AS (SELECT user_id, grp, COUNT(*) AS len"
+        " FROM marked WHERE is_click GROUP BY user_id, grp),"
+        " per_user AS (SELECT user_id, SUM(len) AS n_clicks,"
+        " MAX(len) AS longest_streak, COUNT(*) AS n_streaks"
+        " FROM streaks GROUP BY user_id)"
+        " SELECT e.user_id,"
+        " CAST(COALESCE(n_clicks, 0) AS BIGINT) AS n_clicks,"
+        " CAST(COALESCE(longest_streak, 0) AS BIGINT) AS longest_streak,"
+        " CAST(COALESCE(n_streaks, 0) AS BIGINT) AS n_streaks"
+        " FROM (SELECT DISTINCT user_id FROM e) e"
+        " LEFT JOIN per_user USING (user_id) ORDER BY user_id"
+    ),
     # the interval self-join stated directly; Spark's plan is the
     # user-key equi-join with the interval as residual predicate (and the
     # state-expiring stream-stream join when run as a stream)

@@ -119,8 +119,13 @@ for _mod in _MODULES:
 # snapshot_diff_orders + revenue_anomaly_days (family row:
 # mv_incremental_orders), domain_mix_selection, sketch_sliding_7d_users
 # (family row: sketch_rollup_store + the gap regression unit),
-# event_path_trigrams. Queue these oldest-first in r9 before any
-# re-cert of unchanged paths.
+# event_path_trigrams; plus the three late-r8 additions
+# user_click_streaks (the order-dependent applyInPandasWithState CEP
+# operator's batch twin — the streaming identity AND the cross-batch
+# chain are locked in tests/test_streaming.py), token_drift_tvd,
+# compaction_plan and multi_touch_attribution (all four parity-verified
+# at sf0.001 + sf0.01 + sf0.1 this round). Queue these oldest-first in
+# r9 before any re-cert of unchanged paths.
 _FRONT = (
     # -- (a) the complete r4 cohort, oldest rows first ----------------------
     "corr_sales_satisfaction",

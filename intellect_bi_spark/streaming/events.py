@@ -239,6 +239,160 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+# --- custom ORDER-DEPENDENT stateful operator: click-streak CEP ---------------
+#
+# running_user_totals above is a commutative fold (count/sum) — Spark's
+# built-in streaming aggregate could express it. The streak tracker is the
+# operator class that genuinely NEEDS applyInPandasWithState: "longest run
+# of consecutive 'click' events per user" is order-dependent and
+# non-commutative, the textbook complex-event-processing shape (built-in
+# streaming aggs only merge commutative partial states). State carries the
+# run length still OPEN at the end of the processed prefix ("trailing") so
+# a streak that spans a micro-batch boundary chains exactly; micro-batches
+# must arrive in event-time order per key (the file source's oldest-first
+# mod-time order — tests/test_streaming.py proves a boundary-spanning
+# streak chains across two time-split files).
+#
+# Scale: state is 4 BIGINTs per user in the state store (partitioned by
+# user_id across executors); each micro-batch moves one Arrow batch per
+# active user and the run-length scan is vectorized numpy — no per-row
+# Python in the hot path.
+
+STREAK_TYPE = "click"
+
+_STREAK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("best", T.LongType()),
+        T.StructField("n_streaks", T.LongType()),
+        T.StructField("n_clicks", T.LongType()),
+        T.StructField("trailing", T.LongType()),
+    ]
+)
+_STREAK_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_clicks", T.LongType()),
+        T.StructField("longest_streak", T.LongType()),
+        T.StructField("n_streaks", T.LongType()),
+    ]
+)
+
+
+def _streak_tracker(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    best, n_streaks, n_clicks, trailing = (
+        state.get if state.exists else (0, 0, 0, 0)
+    )
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    # event-time order within the batch (event_id tiebreak — matches the
+    # batch twin's window ORDER BY exactly)
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    a = (pdf["event_type"] == STREAK_TYPE).to_numpy().astype(np.int8)
+    if len(a):
+        n_clicks += int(a.sum())
+        # vectorized run-length encoding of the click runs
+        edges = np.flatnonzero(np.diff(np.concatenate(([0], a, [0]))))
+        runs = edges.reshape(-1, 2)
+        lengths = (runs[:, 1] - runs[:, 0]).astype(np.int64)
+        if len(lengths):
+            # a click run starting at row 0 continues the streak left open
+            # by the previous micro-batch: extend it, don't re-count it
+            chained = bool(a[0]) and trailing > 0
+            eff = lengths.copy()
+            if chained:
+                eff[0] += trailing
+            n_streaks += len(lengths) - (1 if chained else 0)
+            best = max(best, int(eff.max()))
+            trailing = int(eff[-1]) if a[-1] else 0
+        else:
+            trailing = 0
+    state.update((best, n_streaks, n_clicks, trailing))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_clicks": [n_clicks],
+            "longest_streak": [best],
+            "n_streaks": [n_streaks],
+        }
+    )
+
+
+def user_click_streaks_stream(events: DataFrame) -> DataFrame:
+    """Streaming longest-click-streak per user via
+    ``applyInPandasWithState`` (requires a streaming frame)."""
+    return (
+        events.filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _streak_tracker,
+            outputStructType=_STREAK_OUT_SCHEMA,
+            stateStructType=_STREAK_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def user_click_streaks_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: gaps-and-islands over ONE window spec (user_id,
+    ordered by ts/event_id) — the lag-mark and the running group counter
+    share the sort, so the plan is a single shuffle + sort + WindowExec,
+    then a hash aggregate. Users with events but zero clicks keep a row
+    (all-zero streak columns) so the output covers every active user."""
+    from pyspark.sql import Window
+
+    e = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.col("event_type") == STREAK_TYPE).alias("is_click"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "is_click",
+        F.sum(
+            F.when(
+                F.col("is_click")
+                & ~F.coalesce(F.lag("is_click").over(w), F.lit(False)),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("grp"),
+    )
+    streaks = (
+        marked.filter("is_click")
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    per_user = streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_clicks"),
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+    active = e.select("user_id").distinct()
+    return (
+        active.join(per_user, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("longest_streak", F.lit(0)).alias("longest_streak"),
+            F.coalesce("n_streaks", F.lit(0)).alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # --- transformWithState: the modern arbitrary-stateful-processing API --------
 
 

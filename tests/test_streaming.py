@@ -223,3 +223,101 @@ def test_stream_static_tier_join_equals_batch(spark, sf_dir):
     got = _drain(spark, se.tier_daily_agg(stream, tiers), "t_tierjoin")
     want = se.tier_daily_agg(se.events_batch(spark, sf_dir), tiers)
     _same_rows(got, want)
+
+
+def test_stateful_click_streaks_stream_equals_batch(spark, sf_dir):
+    """The order-dependent streak CEP operator: the streaming
+    applyInPandasWithState run must land on exactly the batch twin's
+    per-user (n_clicks, longest_streak, n_streaks). All three output
+    columns are per-user monotone nondecreasing across micro-batches, so
+    the final state per user is the per-column MAX of the update-mode
+    emissions."""
+    from pyspark.sql import functions as F
+
+    stream = se.read_events_stream(spark, sf_dir)
+    got = _drain(
+        spark, se.user_click_streaks_stream(stream), "t_streaks",
+        mode="update",
+    )
+    final = got.groupBy("user_id").agg(
+        F.max("n_clicks").alias("n_clicks"),
+        F.max("longest_streak").alias("longest_streak"),
+        F.max("n_streaks").alias("n_streaks"),
+    )
+    want = se.user_click_streaks_batch(se.events_batch(spark, sf_dir))
+    _same_rows(final, want)
+    assert want.filter("longest_streak >= 2").count() > 0
+
+
+def test_stateful_click_streaks_chain_across_batches(spark, tmp_path):
+    """A streak SPANNING the micro-batch boundary must chain through the
+    stored trailing-run state: user 1's four consecutive clicks are split
+    2+2 across two time-ordered files (maxFilesPerTrigger=1 makes each
+    its own micro-batch; distinct mod-times pin oldest-first order), and
+    the final longest_streak must be 4 counted as ONE streak — which no
+    commutative streaming aggregate could produce."""
+    import os
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "streak_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01 00:00:00", tz="UTC")
+
+    def _rows(spec, start_eid):
+        return pd.DataFrame(
+            {
+                "event_id": range(start_eid, start_eid + len(spec)),
+                "ts": [t0 + pd.Timedelta(minutes=m) for m, _ in spec],
+                "user_id": [1] * len(spec),
+                "event_type": [t for _, t in spec],
+                "value": [1.0] * len(spec),
+                "props": ["{}"] * len(spec),
+            }
+        )
+
+    # batch 1 ends mid-streak (two clicks open); batch 2 opens with two
+    # more clicks, then a view breaks the run, then an isolated click
+    # µs-coerced tz-aware timestamps → parquet TIMESTAMP(MICROS, UTC),
+    # which Spark's `ts timestamp` schema reads directly (pandas' default
+    # ns INT64 is rejected by the streaming scan)
+    _rows([(0, "view"), (1, "click"), (2, "click")], 10).to_parquet(
+        src / "events.parquet", coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    b2 = src / "later"
+    b2.mkdir()
+    _rows([(3, "click"), (4, "click"), (5, "view"), (6, "click")], 20
+          ).to_parquet(b2 / "events.parquet", coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+    now = time.time()
+    os.utime(src / "events.parquet", (now - 100, now - 100))
+    os.utime(b2 / "events.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    got = _drain(
+        spark, se.user_click_streaks_stream(stream), "t_streak_chain",
+        mode="update",
+    )
+    rows = {
+        (r["user_id"], r["n_clicks"]): r
+        for r in got.collect()
+    }
+    # after batch 1: 2 clicks, one open streak of 2
+    assert rows[(1, 2)]["longest_streak"] == 2
+    assert rows[(1, 2)]["n_streaks"] == 1
+    # after batch 2: the boundary-spanning streak is 2+2=4, ONE streak;
+    # the trailing isolated click is the second
+    assert rows[(1, 5)]["longest_streak"] == 4
+    assert rows[(1, 5)]["n_streaks"] == 2
