@@ -117,6 +117,10 @@ HEADLINE = [
     "token_drift_tvd",  # exact train/test distribution drift (r8)
     "compaction_plan",  # small-file bin-packing planner (r8)
     "multi_touch_attribution",  # exact largest-remainder credit split (r8)
+    "cohort_retention_matrix",  # full retention triangle (r8)
+    "cdc_state_asof",  # last-writer-wins log replay at a cutoff (r8)
+    "erasure_impact_plan",  # compliance-delete FK-chain dry run (r8)
+    "growth_accounting_daily",  # new/retained/resurrected/churned (r8)
 ]
 
 

@@ -252,12 +252,217 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user who purchased at or after
+    their first view, the first-view → first-purchase latency, folded
+    into hour-wide buckets. Latency is EXACT integer microseconds
+    (``unix_micros`` ↔ ``epoch_us``; the fixture timestamps carry µs
+    precision, so second-truncating datediffs would be lossy) and the
+    bucket is integer division — no float anywhere.
+
+    Scale: two min-aggregates on the same user_id key (co-partitioned,
+    reused exchange under AQE) + one equi-join; the histogram fold is
+    map-side combined into ≤ hours-of-span rows."""
+    ev = _events(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    lat = (
+        views.join(purchases, "user_id")
+        .filter(F.col("t_purchase") >= F.col("t_view"))
+        .select(
+            "user_id",
+            F.expr(
+                "unix_micros(CAST(t_purchase AS TIMESTAMP))"
+                " - unix_micros(CAST(t_view AS TIMESTAMP))"
+            ).alias("lat_us"),
+        )
+    )
+    return (
+        lat.withColumn("bucket_h", F.expr("lat_us DIV 3600000000"))
+        .groupBy("bucket_h")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.expr("lat_us DIV 1000000")).alias("sum_latency_s"),
+            F.min("lat_us").alias("min_lat_us"),
+            F.max("lat_us").alias("max_lat_us"),
+            F.sum(F.expr("user_id % 1000000007")).alias("user_binding"),
+        )
+        .orderBy("bucket_h")
+    )
+
+
+RETENTION_MAX_OFFSET = 4
+
+
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full retention triangle: (first-seen week × week offset
+    0..{RETENTION_MAX_OFFSET}) active-user counts — the generalization of
+    :func:`cohort_retention_weekly`'s single w1 column. The (user, week)
+    activity relation is distinct, so each user contributes at most one
+    row per (cohort, offset) cell and the cell fold is a plain COUNT.
+
+    Scale: one distinct + one min-aggregate on user_id (co-partitioned),
+    one self-equi-join on user_id; the matrix is weeks² rows."""
+    ev = _events(spark, sf_dir)
+    week = F.date_trunc("week", "ts").cast("date")
+    activity = ev.select("user_id", week.alias("week")).distinct()
+    cohorts = activity.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    m = (
+        cohorts.join(activity, "user_id")
+        .withColumn(
+            "week_offset",
+            F.expr("datediff(week, cohort_week) DIV 7"),
+        )
+        .filter(F.col("week_offset") <= RETENTION_MAX_OFFSET)
+    )
+    return (
+        m.groupBy("cohort_week", "week_offset")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.expr("user_id % 1000000007")).alias("user_binding"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+CDC_CUTOFF = "2024-01-20 00:00:00"
+
+
+def cdc_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of state reconstruction from an event log (the CDC replay /
+    time-travel primitive): treating ``events`` as a change log keyed by
+    user, the state at :data:`CDC_CUTOFF` is each user's LAST event at or
+    before the cutoff — last-writer-wins with the deterministic
+    (ts, event_id) order. Output: the reconstructed state folded per
+    last-event type.
+
+    Scale: the cutoff filter prunes the scan; one row_number window
+    partitioned by user (never global); the fold is a tiny hash
+    aggregate. This is exactly how a lakehouse CDF snapshot-at-T is
+    derived when only the log is stored."""
+    from pyspark.sql import Window
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(
+            F.col("user_id").isNotNull()
+            & (F.col("ts") <= F.lit(CDC_CUTOFF).cast("timestamp"))
+        )
+        .select(
+            "user_id", "ts", "event_id", "event_type",
+            F.expr(_CENTS_EV).alias("cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    last = ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return (
+        last.groupBy(F.col("event_type").alias("last_event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cents").alias("last_value_cents"),
+            F.max("ts").alias("latest_ts"),
+            F.sum(F.expr("user_id % 1000000007")).alias("user_binding"),
+        )
+        .orderBy("last_event_type")
+    )
+
+
+def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting — the new / retained / resurrected /
+    churned user ledger every product-analytics warehouse maintains:
+
+    - **new**: first-ever activity on this day,
+    - **retained**: active this day AND the previous day,
+    - **resurrected**: active this day, not the previous day, seen before,
+    - **churned** (reported on day d): active on d−1, not on d.
+
+    One FULL OUTER self-join of the distinct (user, day) activity
+    relation against itself shifted +1 day classifies every (user, day)
+    into exactly one bucket; first-seen days come from one min-aggregate.
+    All counts are exact; the identity ``active(d) = new + retained +
+    resurrected`` holds by construction.
+
+    Scale: distinct + min-agg + the self-join all hash on user-led keys;
+    no window, no global sort; output is one row per day."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    a = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    first = a.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    today = a.select("user_id", "day")
+    yesterday = a.select(
+        F.col("user_id").alias("y_user"),
+        F.date_add("day", 1).alias("y_next"),
+    )
+    j = (
+        today.join(
+            yesterday,
+            (F.col("user_id") == F.col("y_user"))
+            & (F.col("day") == F.col("y_next")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("user_id", "y_user").alias("u"),
+            F.coalesce("day", "y_next").alias("d"),
+            F.col("user_id").isNotNull().alias("active"),
+            F.col("y_user").isNotNull().alias("was_active"),
+        )
+        .join(
+            first.select(
+                F.col("user_id").alias("f_user"), "first_day"
+            ),
+            F.col("u") == F.col("f_user"),
+        )
+    )
+    is_new = F.col("active") & (F.col("d") == F.col("first_day"))
+    is_ret = F.col("active") & F.col("was_active") & (
+        F.col("d") != F.col("first_day")
+    )
+    is_res = (
+        F.col("active")
+        & ~F.col("was_active")
+        & (F.col("d") != F.col("first_day"))
+    )
+    is_churn = ~F.col("active") & F.col("was_active")
+    return (
+        j.groupBy(F.col("d").alias("day"))
+        .agg(
+            F.sum(is_new.cast("long")).alias("n_new"),
+            F.sum(is_ret.cast("long")).alias("n_retained"),
+            F.sum(is_res.cast("long")).alias("n_resurrected"),
+            F.sum(is_churn.cast("long")).alias("n_churned"),
+            F.sum(
+                F.when(F.col("active"), F.expr("u % 1000000007")).otherwise(
+                    0
+                )
+            ).alias("active_binding"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "cohort_retention_weekly": cohort_retention_weekly,
     "events_rollup_merge": events_rollup_merge,
     "event_path_trigrams": event_path_trigrams,
     "multi_touch_attribution": multi_touch_attribution,
+    "funnel_latency_histogram": funnel_latency_histogram,
+    "cohort_retention_matrix": cohort_retention_matrix,
+    "cdc_state_asof": cdc_state_asof,
+    "growth_accounting_daily": growth_accounting_daily,
 }
 
 ORACLES = {
@@ -348,3 +553,84 @@ def _attribution_oracle() -> str:
 
 
 ORACLES["multi_touch_attribution"] = _attribution_oracle()
+
+# exact-microsecond latency fold restated (epoch_us is DuckDB's
+# unix_micros); identical integer divisions
+ORACLES["funnel_latency_histogram"] = (
+    "WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events"
+    " WHERE event_type = 'view' GROUP BY user_id),"
+    " p AS (SELECT user_id, MIN(ts) AS t_purchase FROM events"
+    " WHERE event_type = 'purchase' GROUP BY user_id),"
+    " l AS (SELECT v.user_id,"
+    " epoch_us(t_purchase) - epoch_us(t_view) AS lat_us"
+    " FROM v JOIN p ON p.user_id = v.user_id"
+    " WHERE t_purchase >= t_view)"
+    " SELECT lat_us // 3600000000 AS bucket_h,"
+    " COUNT(*) AS n_users,"
+    " CAST(SUM(lat_us // 1000000) AS BIGINT) AS sum_latency_s,"
+    " MIN(lat_us) AS min_lat_us, MAX(lat_us) AS max_lat_us,"
+    " CAST(SUM(user_id % 1000000007) AS BIGINT) AS user_binding"
+    " FROM l GROUP BY bucket_h ORDER BY bucket_h"
+)
+
+# the triangle restated: distinct activity, min-week cohorts, day-diff
+# integer-divided into week offsets
+ORACLES["cohort_retention_matrix"] = (
+    "WITH a AS (SELECT DISTINCT user_id,"
+    " CAST(date_trunc('week', ts) AS DATE) AS week FROM events),"
+    " c AS (SELECT user_id, MIN(week) AS cohort_week FROM a"
+    " GROUP BY user_id),"
+    " m AS (SELECT c.user_id, c.cohort_week,"
+    " date_diff('day', c.cohort_week, a.week) // 7 AS week_offset"
+    " FROM c JOIN a ON a.user_id = c.user_id)"
+    " SELECT cohort_week, week_offset, COUNT(*) AS n_active,"
+    " CAST(SUM(user_id % 1000000007) AS BIGINT) AS user_binding"
+    f" FROM m WHERE week_offset <= {RETENTION_MAX_OFFSET}"
+    " GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset"
+)
+
+# last-writer-wins restated with the identical (ts, event_id) DESC
+# row_number; the cutoff literal is interpolated from the shared constant
+ORACLES["cdc_state_asof"] = (
+    "WITH e AS (SELECT user_id, ts, event_id, event_type,"
+    f" {_CENTS_EV} AS cents FROM events"
+    " WHERE user_id IS NOT NULL"
+    f" AND ts <= TIMESTAMP '{CDC_CUTOFF}'),"
+    " r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id"
+    " ORDER BY ts DESC, event_id DESC) AS rn FROM e)"
+    " SELECT event_type AS last_event_type, COUNT(*) AS n_users,"
+    " CAST(SUM(cents) AS BIGINT) AS last_value_cents,"
+    " MAX(ts) AS latest_ts,"
+    " CAST(SUM(user_id % 1000000007) AS BIGINT) AS user_binding"
+    " FROM r WHERE rn = 1"
+    " GROUP BY event_type ORDER BY last_event_type"
+)
+
+# the shifted full-outer self-join classification restated verbatim
+ORACLES["growth_accounting_daily"] = (
+    "WITH a AS (SELECT DISTINCT user_id,"
+    " CAST(date_trunc('day', ts) AS DATE) AS day FROM events"
+    " WHERE user_id IS NOT NULL),"
+    " f AS (SELECT user_id, MIN(day) AS first_day FROM a GROUP BY user_id),"
+    " t AS (SELECT user_id, day FROM a),"
+    " y AS (SELECT user_id AS y_user, day + 1 AS y_next FROM a),"
+    " j AS (SELECT COALESCE(t.user_id, y.y_user) AS u,"
+    " COALESCE(t.day, y.y_next) AS d,"
+    " t.user_id IS NOT NULL AS active,"
+    " y.y_user IS NOT NULL AS was_active"
+    " FROM t FULL OUTER JOIN y"
+    " ON t.user_id = y.y_user AND t.day = y.y_next),"
+    " c AS (SELECT j.*, f.first_day FROM j JOIN f ON f.user_id = j.u)"
+    " SELECT d AS day,"
+    " CAST(SUM(CASE WHEN active AND d = first_day THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS n_new,"
+    " CAST(SUM(CASE WHEN active AND was_active AND d != first_day"
+    " THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,"
+    " CAST(SUM(CASE WHEN active AND NOT was_active AND d != first_day"
+    " THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,"
+    " CAST(SUM(CASE WHEN NOT active AND was_active THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS n_churned,"
+    " CAST(SUM(CASE WHEN active THEN u % 1000000007 ELSE 0 END)"
+    " AS BIGINT) AS active_binding"
+    " FROM c GROUP BY d ORDER BY day"
+)

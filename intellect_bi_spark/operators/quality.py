@@ -112,9 +112,70 @@ def null_rate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("table_name", "column_name")
 
 
+ERASE_MOD, ERASE_REM = 97, 13  # the deterministic erasure-request batch
+
+
+def erasure_impact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact plan: given a batch of customer keys
+    to erase (the deterministic ``c_custkey % {ERASE_MOD} == {ERASE_REM}``
+    slice standing in for a request list), count the rows each table
+    would lose — customers directly, orders via the FK, lineitem via the
+    two-hop orders chain — with a key binding per table so the plan names
+    exactly the affected rows, not just their count. This is the
+    metadata-scale dry-run every compliance delete job emits before it
+    rewrites files.
+
+    Scale: the request list is tiny → broadcast semi-joins down the FK
+    chain; the affected-orders relation is reused (persisted) for the
+    lineitem hop so the chain costs one scan per table."""
+    from pyspark import StorageLevel
+
+    t = load_tables(spark, sf_dir)
+    keys = (
+        t["customer"]
+        .filter(F.col("c_custkey") % ERASE_MOD == ERASE_REM)
+        .select("c_custkey")
+    )
+    cust_row = keys.agg(
+        F.lit("customer").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("c_custkey % 1000000007")).alias("row_binding"),
+    )
+    orders_hit = (
+        t["orders"]
+        .join(F.broadcast(keys), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    orders_row = orders_hit.agg(
+        F.lit("orders").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("o_orderkey % 1000000007")).alias("row_binding"),
+    )
+    li_row = (
+        t["lineitem"]
+        .join(
+            F.broadcast(orders_hit),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .agg(
+            F.lit("lineitem").alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.expr("l_orderkey % 1000000007")).alias("row_binding"),
+        )
+    )
+    return (
+        cust_row.unionByName(orders_row)
+        .unionByName(li_row)
+        .orderBy("table_name")
+    )
+
+
 QUERIES = {
     "fk_integrity_check": fk_integrity_check,
     "null_rate_profile": null_rate_profile,
+    "erasure_impact_plan": erasure_impact_plan,
 }
 
 
@@ -170,5 +231,21 @@ ORACLES = {
             _profile_sql(tbl, cols) for tbl, cols in _PROFILE_COLS.items()
         )
         + " ORDER BY table_name, column_name"
+    ),
+    # the FK chain restated as plain semi-join counts per table
+    "erasure_impact_plan": (
+        f"WITH k AS (SELECT c_custkey FROM customer"
+        f" WHERE c_custkey % {ERASE_MOD} = {ERASE_REM}),"
+        " o AS (SELECT o_orderkey FROM orders"
+        " WHERE o_custkey IN (SELECT c_custkey FROM k))"
+        " SELECT 'customer' AS table_name, COUNT(*) AS n_rows,"
+        " CAST(SUM(c_custkey % 1000000007) AS BIGINT) AS row_binding"
+        " FROM k"
+        " UNION ALL SELECT 'orders', COUNT(*),"
+        " CAST(SUM(o_orderkey % 1000000007) AS BIGINT) FROM o"
+        " UNION ALL SELECT 'lineitem', COUNT(*),"
+        " CAST(SUM(l_orderkey % 1000000007) AS BIGINT) FROM lineitem"
+        " WHERE l_orderkey IN (SELECT o_orderkey FROM o)"
+        " ORDER BY table_name"
     ),
 }

@@ -123,9 +123,11 @@ for _mod in _MODULES:
 # user_click_streaks (the order-dependent applyInPandasWithState CEP
 # operator's batch twin — the streaming identity AND the cross-batch
 # chain are locked in tests/test_streaming.py), token_drift_tvd,
-# compaction_plan and multi_touch_attribution (all four parity-verified
-# at sf0.001 + sf0.01 + sf0.1 this round). Queue these oldest-first in
-# r9 before any re-cert of unchanged paths.
+# compaction_plan, multi_touch_attribution, funnel_latency_histogram,
+# cohort_retention_matrix, cdc_state_asof, erasure_impact_plan and
+# growth_accounting_daily (all nine parity-verified at sf0.001 +
+# sf0.01 + sf0.1 this round). Queue these oldest-first in r9 before
+# any re-cert of unchanged paths.
 _FRONT = (
     # -- (a) the complete r4 cohort, oldest rows first ----------------------
     "corr_sales_satisfaction",
