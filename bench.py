@@ -121,6 +121,20 @@ HEADLINE = [
     "cdc_state_asof",  # last-writer-wins log replay at a cutoff (r8)
     "erasure_impact_plan",  # compliance-delete FK-chain dry run (r8)
     "growth_accounting_daily",  # new/retained/resurrected/churned (r8)
+    "bigram_lm_perplexity",  # held-out n-gram LM scoring (r8)
+    "importance_weights_dsir",  # DSIR hashed-ngram selection (r8)
+    "bpe_merge_candidates",  # distributed BPE merge learning (r8)
+    "dup_span_pairs",  # positioned k-gram substring dedup (r8)
+    "semantic_dedup_stats",  # SemDeDup cluster-bounded cosine (r8)
+    "weighted_reservoir_sample",  # A-ES fixed-size weighted sample (r8)
+    "hybrid_search_rrf",  # reciprocal-rank BM25+vector fusion (r8)
+    "trade_triangle_count",  # oriented wedge-join triangles (r8)
+    "cms_user_event_counts",  # count-min frequency sketch (r8)
+    "event_markov_transitions",  # first-order path transition matrix (r8)
+    "k_anonymity_audit",  # k-anon / l-diversity release audit (r8)
+    "json_props_stats",  # native JSON path extraction (r8)
+    "purchase_attribution_outer",  # LEFT OUTER interval join twin (r8)
+    "bm25_ndcg_eval",  # NDCG@10 ranking evaluation (r8)
 ]
 
 

@@ -161,6 +161,96 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_CAP = 64  # per-cluster members entering the pairwise refinement
+SEM_TAU_Q = 367001  # floor(0.35·2^20): cosine ≥ 0.35 → semantic duplicate
+# (the fixture corpus' within-cluster cosine tail tops out near 0.47, so
+# this τ exercises the removal path at every SF; production SemDeDup runs
+# far tighter τ on real embeddings — the knob, not the shape)
+
+
+def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication" — public method):
+    cluster the embedding corpus with the k-means coarse quantizer, then
+    find semantic duplicates ONLY within each cluster — pairwise cosine
+    never crosses cluster boundaries, which is the method's entire
+    scaling argument.  Per cluster: member count, pairs checked,
+    duplicate pairs (cosine ≥ 0.35), documents the keep-lowest-id rule
+    would remove, and the removed-id binding.
+
+    Scale design: SemDeDup at production scale bounds the pairwise stage
+    by growing K with the corpus so clusters stay near-constant size;
+    this fixture pins K=4, so the same bound is enforced directly as a
+    per-cluster rank cap (lowest ``SEM_CAP`` vec_ids enter the pairwise
+    stage — deterministic, and n_members vs n_capped in the output
+    discloses exactly what the cap excluded).  The pairwise stage is
+    ≤ K·CAP²/2 cosine evaluations TOTAL regardless of corpus size, on
+    the Arrow-vectorized cosine (similarity.py:_cosine_udf, bit-exact
+    with the oracle's strict d-order fold)."""
+    from pyspark.sql import Window
+
+    from .similarity import _cosine_udf
+
+    points = _points(spark, sf_dir)
+    c0 = _init_centroids(points)
+    c1 = _update(_assign(points, c0))
+    assigned = _assign(points, c1).select(
+        "vec_id", F.col("a.cid").alias("cid"), "embedding"
+    )
+    w = Window.partitionBy("cid").orderBy("vec_id")
+    ranked = assigned.withColumn("rk", F.row_number().over(w))
+    member_stats = ranked.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum((F.col("rk") <= SEM_CAP).cast("long")).alias("n_capped"),
+    )
+    capped = ranked.filter(F.col("rk") <= SEM_CAP).select(
+        "cid", "vec_id", "embedding"
+    )
+    a = capped.select(
+        "cid", F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    b = capped.select(
+        "cid", F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    flagged = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn("cos", _cosine_udf()(F.col("ea"), F.col("eb")))
+        .select(
+            "cid",
+            "vb",
+            (
+                F.expr(f"CAST(FLOOR(cos * {QUANT}.0 + 0.5) AS BIGINT)")
+                >= SEM_TAU_Q
+            ).alias("is_dup"),
+        )
+    )
+    pair_stats = flagged.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_pairs"),
+    )
+    removed = flagged.filter(F.col("is_dup")).select("cid", "vb").distinct()
+    rem_stats = removed.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_removed"),
+        F.sum(F.col("vb") % P).alias("removed_binding"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        member_stats.join(pair_stats, "cid", "left")
+        .join(rem_stats, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            "n_capped",
+            F.coalesce("n_pairs", zero).alias("n_pairs"),
+            F.coalesce("n_dup_pairs", zero).alias("n_dup_pairs"),
+            F.coalesce("n_removed", zero).alias("n_removed"),
+            F.coalesce("removed_binding", zero).alias("removed_binding"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 M_SUB = 8  # PQ subspaces
 SUBDIM = DIM // M_SUB
 KS = 4  # centroids per subspace (2-bit codes → 16-bit PQ code)
@@ -305,6 +395,7 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
+    "semantic_dedup_stats": semantic_dedup_stats,
     "pq_codes_stats": pq_codes_stats,
     "ann_topk_pq": ann_topk_pq,
 }
@@ -328,39 +419,45 @@ _Q_DUCK = (
     " AS BIGINT)"
 )
 
+# the full two-iteration Lloyd run restated as shared CTEs: seed
+# (vec_id < K) → assignment 1 (row_number argmin, ties on cid) → exact
+# quantized update → assignment 2. Identical fold orders and the
+# identical (S/n)/2^20 division sequence make every double bit-exact.
+# Shared by the kmeans summary AND the SemDeDup oracle (byte-identical
+# text to the pre-refactor kmeans oracle — locked by
+# tests/test_clustering_oracle_text.py).
+_KM_CTES = (
+    "pts AS (SELECT vec_id, embedding FROM embeddings),"
+    f" seed AS (SELECT vec_id AS cid, embedding AS cemb"
+    f" FROM embeddings WHERE vec_id < {K}),"
+    " d1 AS (SELECT p.vec_id, s.cid,"
+    f" {_dist_duck('p.embedding', 's.cemb', True)} AS dist"
+    " FROM pts p CROSS JOIN seed s),"
+    " a1 AS (SELECT vec_id, cid FROM"
+    " (SELECT vec_id, cid, ROW_NUMBER() OVER"
+    " (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)"
+    " WHERE rn = 1),"
+    " s1 AS (SELECT cid, d,"
+    f" SUM({_Q_DUCK}) AS s, COUNT(*) AS n"
+    " FROM a1 JOIN embeddings e USING (vec_id),"
+    f" unnest(range(1, {DIM} + 1)) AS u(d)"
+    " GROUP BY cid, d),"
+    " c1 AS (SELECT cid,"
+    " list((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" / {QUANT}.0 ORDER BY d) AS cemb"
+    " FROM s1 GROUP BY cid),"
+    " d2 AS (SELECT p.vec_id, c.cid,"
+    f" {_dist_duck('p.embedding', 'c.cemb', False)} AS dist"
+    " FROM pts p CROSS JOIN c1 c),"
+    " a2 AS (SELECT vec_id, cid, dist FROM"
+    " (SELECT vec_id, cid, dist, ROW_NUMBER() OVER"
+    " (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)"
+    " WHERE rn = 1)"
+)
+
 ORACLES = {
-    # the full two-iteration Lloyd run restated: seed (vec_id < K) →
-    # assignment 1 (row_number argmin, ties on cid) → exact quantized
-    # update → assignment 2 → final summary. Identical fold orders and
-    # the identical (S/n)/2^20 division sequence make every double
-    # bit-exact.
     "kmeans_embedding_clusters": (
-        "WITH pts AS (SELECT vec_id, embedding FROM embeddings),"
-        f" seed AS (SELECT vec_id AS cid, embedding AS cemb"
-        f" FROM embeddings WHERE vec_id < {K}),"
-        " d1 AS (SELECT p.vec_id, s.cid,"
-        f" {_dist_duck('p.embedding', 's.cemb', True)} AS dist"
-        " FROM pts p CROSS JOIN seed s),"
-        " a1 AS (SELECT vec_id, cid FROM"
-        " (SELECT vec_id, cid, ROW_NUMBER() OVER"
-        " (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)"
-        " WHERE rn = 1),"
-        " s1 AS (SELECT cid, d,"
-        f" SUM({_Q_DUCK}) AS s, COUNT(*) AS n"
-        " FROM a1 JOIN embeddings e USING (vec_id),"
-        f" unnest(range(1, {DIM} + 1)) AS u(d)"
-        " GROUP BY cid, d),"
-        " c1 AS (SELECT cid,"
-        " list((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
-        f" / {QUANT}.0 ORDER BY d) AS cemb"
-        " FROM s1 GROUP BY cid),"
-        " d2 AS (SELECT p.vec_id, c.cid,"
-        f" {_dist_duck('p.embedding', 'c.cemb', False)} AS dist"
-        " FROM pts p CROSS JOIN c1 c),"
-        " a2 AS (SELECT vec_id, cid, dist FROM"
-        " (SELECT vec_id, cid, dist, ROW_NUMBER() OVER"
-        " (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)"
-        " WHERE rn = 1)"
+        f"WITH {_KM_CTES}"
         " SELECT cid AS cluster_id, COUNT(*) AS n_points,"
         f" CAST(SUM(vec_id % {P}) AS BIGINT) AS id_checksum,"
         f" CAST(SUM(CAST(FLOOR(dist * {QUANT}.0 + 0.5) AS BIGINT))"
@@ -438,4 +535,46 @@ ORACLES["ann_topk_pq"] = (
     f" SELECT vec_id, CAST(SUM(dq) AS BIGINT) AS dist_q FROM dm"
     f" WHERE vec_id != {PQ_QUERY_ID} GROUP BY vec_id"
     f" ORDER BY dist_q, vec_id LIMIT {PQ_TOP_K}"
+)
+
+
+def _sem_cos_duck(a: str, b: str) -> str:
+    """Strict d-order cosine (the similarity.py _dot_duck/_norm_duck
+    forms restated over pair-aliased embeddings)."""
+    from .similarity import _dot_duck, _norm_duck
+
+    return (
+        f"({_dot_duck(a, b)} / ({_norm_duck(a)} * {_norm_duck(b)}))"
+    )
+
+
+ORACLES["semantic_dedup_stats"] = (
+    f"WITH {_KM_CTES},"
+    " mem AS (SELECT a2.vec_id, a2.cid, e.embedding,"
+    " ROW_NUMBER() OVER (PARTITION BY a2.cid ORDER BY a2.vec_id) AS rk"
+    " FROM a2 JOIN embeddings e USING (vec_id)),"
+    " mstats AS (SELECT cid, COUNT(*) AS n_members,"
+    f" CAST(SUM(CASE WHEN rk <= {SEM_CAP} THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_capped FROM mem GROUP BY cid),"
+    f" capped AS (SELECT cid, vec_id, embedding FROM mem"
+    f" WHERE rk <= {SEM_CAP}),"
+    " flagged AS (SELECT a.cid, b.vec_id AS vb,"
+    f" (CAST(FLOOR({_sem_cos_duck('a.embedding', 'b.embedding')}"
+    f" * {QUANT}.0 + 0.5) AS BIGINT) >= {SEM_TAU_Q}) AS is_dup"
+    " FROM capped a JOIN capped b ON a.cid = b.cid"
+    " AND a.vec_id < b.vec_id),"
+    " pstats AS (SELECT cid, COUNT(*) AS n_pairs,"
+    " CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_dup_pairs FROM flagged GROUP BY cid),"
+    " rem AS (SELECT DISTINCT cid, vb FROM flagged WHERE is_dup),"
+    " rstats AS (SELECT cid, COUNT(*) AS n_removed,"
+    f" CAST(SUM(vb % {P}) AS BIGINT) AS removed_binding"
+    " FROM rem GROUP BY cid)"
+    " SELECT m.cid AS cluster_id, m.n_members, m.n_capped,"
+    " COALESCE(p.n_pairs, 0) AS n_pairs,"
+    " COALESCE(p.n_dup_pairs, 0) AS n_dup_pairs,"
+    " COALESCE(r.n_removed, 0) AS n_removed,"
+    " COALESCE(r.removed_binding, 0) AS removed_binding"
+    " FROM mstats m LEFT JOIN pstats p ON m.cid = p.cid"
+    " LEFT JOIN rstats r ON m.cid = r.cid ORDER BY cluster_id"
 )

@@ -453,6 +453,74 @@ def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MARKOV_QUANT = 1 << 10
+
+
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for each (from_type, to_type) pair of CONSECUTIVE events (ordered by
+    ts, event_id within a user), the transition count and the
+    2^-10-quantized conditional probability P(to | from).
+
+    The per-user lead window is bounded-state (same shape as
+    `event_path_trigrams`); the matrix itself is |types|² rows — driver-
+    size at any corpus scale — and the probability divide is one exact
+    IEEE division of two BIGINTs (identical in both engines), so parity
+    is strict.  No reference counterpart; charter extension in the
+    product-analytics family."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type", 1).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        counts.select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr(
+                "CAST(FLOOR(CAST(n AS DOUBLE)"
+                " / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)"
+                f" * {MARKOV_QUANT}.0 + 0.5) AS BIGINT)"
+            ).alias("p_q"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingest: parse the JSON ``props`` payload
+    (``{"k": int}``) with each engine's native JSON path extractor and
+    aggregate per event type — the schema-on-read pattern for raw event
+    feeds.  Extraction is a map-side scalar (Spark's codegen'd
+    ``get_json_object`` vs DuckDB's ``json_extract_string``); the
+    aggregate is one hash pass, so the whole query is a single scan at
+    any scale.  All outputs are exact integers."""
+    ev = _events(spark, sf_dir)
+    k = F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_parsed"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct(F.expr("k % 10")).alias("n_k_mod_buckets"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "cohort_retention_weekly": cohort_retention_weekly,
@@ -463,6 +531,8 @@ QUERIES = {
     "cohort_retention_matrix": cohort_retention_matrix,
     "cdc_state_asof": cdc_state_asof,
     "growth_accounting_daily": growth_accounting_daily,
+    "event_markov_transitions": event_markov_transitions,
+    "json_props_stats": json_props_stats,
 }
 
 ORACLES = {
@@ -633,4 +703,28 @@ ORACLES["growth_accounting_daily"] = (
     " CAST(SUM(CASE WHEN active THEN u % 1000000007 ELSE 0 END)"
     " AS BIGINT) AS active_binding"
     " FROM c GROUP BY d ORDER BY day"
+)
+
+ORACLES["event_markov_transitions"] = (
+    "WITH seq AS (SELECT user_id, event_type AS from_type,"
+    " LEAD(event_type, 1) OVER (PARTITION BY user_id"
+    " ORDER BY ts, event_id) AS to_type FROM events"
+    " WHERE user_id IS NOT NULL AND ts IS NOT NULL),"
+    " counts AS (SELECT from_type, to_type, COUNT(*) AS n FROM seq"
+    " WHERE to_type IS NOT NULL GROUP BY from_type, to_type)"
+    " SELECT from_type, to_type, n,"
+    " CAST(FLOOR(CAST(n AS DOUBLE)"
+    " / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)"
+    f" * {MARKOV_QUANT}.0 + 0.5) AS BIGINT) AS p_q"
+    " FROM counts ORDER BY from_type, to_type"
+)
+
+ORACLES["json_props_stats"] = (
+    "WITH k AS (SELECT event_type,"
+    " CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)"
+    " SELECT event_type, COUNT(*) AS n_events,"
+    " COUNT(k) AS n_parsed,"
+    " CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,"
+    " CAST(COUNT(DISTINCT k % 10) AS BIGINT) AS n_k_mod_buckets"
+    " FROM k GROUP BY event_type ORDER BY event_type"
 )

@@ -132,8 +132,82 @@ def trade_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trade_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the major-trade graph: collapse the
+    directed nation→nation edges to undirected pairs, keep pairs whose
+    combined trade is at or above the graph-wide average (the "major
+    trade route" filter that gives the graph non-trivial structure), and
+    count triangles via the oriented wedge join — e(a,b) ⋈ e(b,c) ⋈
+    e(a,c) with a < b < c, the standard distributed triangle algorithm
+    (each triangle counted exactly once, wedge volume bounded by the
+    node ordering).  Columns: nation, degree, n_triangles.
+
+    Scale: the fact scan condenses to ≤ |nations|² edges exactly as
+    `trade_pagerank_nations` does; every join after condensation is on
+    the tiny edge relation.  On a billion-node graph the SAME plan holds
+    with degree-based orientation; the node-id orientation here is the
+    fixture-scale instance of it.  All outputs are exact integers."""
+    edges = _edges(spark, sf_dir)
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("wsum"))
+    )
+    thresh = und.agg(
+        (
+            F.sum("wsum").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_w")
+    )
+    major = (
+        und.crossJoin(F.broadcast(thresh))
+        .filter(F.col("wsum").cast("double") >= F.col("avg_w"))
+        .select("a", "b")
+    )
+    e2 = major.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = major.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        major.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    per_nation = (
+        tri.select(F.col("a").alias("nation"))
+        .unionAll(tri.select(F.col("b").alias("nation")))
+        .unionAll(tri.select(F.col("c").alias("nation")))
+        .groupBy("nation")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        major.select(F.col("a").alias("nation"))
+        .unionAll(major.select(F.col("b").alias("nation")))
+        .groupBy("nation")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(per_nation, "nation", "left")
+        .select(
+            "nation",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0).cast("long")).alias(
+                "n_triangles"
+            ),
+        )
+        .orderBy(F.desc("n_triangles"), "nation")
+    )
+
+
 QUERIES = {
     "trade_pagerank_nations": trade_pagerank_nations,
+    "trade_triangle_count": trade_triangle_count,
 }
 
 _ITER_DUCK = (
@@ -177,3 +251,35 @@ ORACLES = {
         " ORDER BY rank_q DESC, nation"
     ),
 }
+
+ORACLES["trade_triangle_count"] = (
+    "WITH edges AS (SELECT cn.n_name AS src, sn.n_name AS dst,"
+    f" CAST(SUM({_CENTS}) AS BIGINT) AS w"
+    " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    " JOIN customer c ON o.o_custkey = c.c_custkey"
+    " JOIN nation cn ON c.c_nationkey = cn.n_nationkey"
+    " JOIN supplier su ON l.l_suppkey = su.s_suppkey"
+    " JOIN nation sn ON su.s_nationkey = sn.n_nationkey"
+    " GROUP BY src, dst),"
+    " und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,"
+    " CAST(SUM(w) AS BIGINT) AS wsum FROM edges WHERE src <> dst"
+    " GROUP BY a, b),"
+    " th AS (SELECT CAST(SUM(wsum) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+    " AS avg_w FROM und),"
+    " major AS (SELECT a, b FROM und CROSS JOIN th"
+    " WHERE CAST(wsum AS DOUBLE) >= avg_w),"
+    " tri AS (SELECT e1.a, e1.b, e2.b AS c"
+    " FROM major e1 JOIN major e2 ON e1.b = e2.a"
+    " WHERE EXISTS (SELECT 1 FROM major e3"
+    " WHERE e3.a = e1.a AND e3.b = e2.b)),"
+    " pern AS (SELECT nation, COUNT(*) AS n_triangles FROM"
+    " (SELECT a AS nation FROM tri UNION ALL SELECT b FROM tri"
+    " UNION ALL SELECT c FROM tri) GROUP BY nation),"
+    " deg AS (SELECT nation, COUNT(*) AS degree FROM"
+    " (SELECT a AS nation FROM major UNION ALL SELECT b FROM major)"
+    " GROUP BY nation)"
+    " SELECT d.nation, d.degree,"
+    " COALESCE(p.n_triangles, 0) AS n_triangles"
+    " FROM deg d LEFT JOIN pern p ON d.nation = p.nation"
+    " ORDER BY n_triangles DESC, d.nation"
+)

@@ -284,6 +284,49 @@ def weighted_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AES_K = 25  # fixed-size weighted sample
+AES_QUANT = 1 << 20
+_AES_FRAC_SQL = (
+    "((CAST(conv(substr(md5(CONCAT('aes:', CAST(doc_id AS STRING))),"
+    " 1, 13), 16, 10) AS BIGINT) + 1)"
+    f" / CAST({1 << 52} AS DOUBLE))"
+)
+_AES_FRAC_DUCK = (
+    "((CAST('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)),"
+    " 1, 13) AS BIGINT) + 1)"
+    f" / CAST({1 << 52} AS DOUBLE))"
+)
+
+
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis A-ES, 2006 — public): every document draws the key
+    ``ln(u) / w`` (u = deterministic salted md5 fraction in (0, 1],
+    w = n_chars) and the k largest keys are the sample.  The complement
+    of `weighted_quality_sample`'s Bernoulli design: that one fixes the
+    RATE, this one fixes the SIZE — the shape a curriculum batch builder
+    needs.
+
+    Distributed shape: the key is a map-side scalar, the top-k is
+    TakeOrderedAndProject (per-partition heads, never a global sort), so
+    the whole operator is one scan at any corpus size.  Parity: u's
+    numerator ≤ 2^52 converts to double exactly; the only engine-varying
+    op is ``ln`` (ulp-level), the key is quantized to 2^-20, and the
+    boundary-straddle risk is the accepted BM25/sketch class."""
+    docs = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
+    key_q = (
+        f"CAST(FLOOR(ln({_AES_FRAC_SQL}) / CAST(n_chars AS DOUBLE)"
+        f" * {AES_QUANT}.0 + 0.5) AS BIGINT)"
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", "n_chars", F.expr(key_q).alias("key_q")
+        )
+        .orderBy(F.desc("key_q"), "doc_id")
+        .limit(AES_K)
+    )
+
+
 def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k most frequent whitespace tokens over the normalized corpus.
 
@@ -792,6 +835,7 @@ QUERIES = {
     "temperature_resample_stats": temperature_resample_stats,
     "domain_mix_selection": domain_mix_selection,
     "token_drift_tvd": token_drift_tvd,
+    "weighted_reservoir_sample": weighted_reservoir_sample,
 }
 
 _SPLIT_CASE = (
@@ -1134,4 +1178,12 @@ ORACLES["token_drift_tvd"] = (
     f" {md5_mod_hash_duck('token')} ELSE 0 END) AS BIGINT)"
     " AS drift_token_binding"
     " FROM x CROSS JOIN m"
+)
+
+ORACLES["weighted_reservoir_sample"] = (
+    "SELECT doc_id, lang, n_chars,"
+    f" CAST(FLOOR(ln({_AES_FRAC_DUCK}) / CAST(n_chars AS DOUBLE)"
+    f" * {AES_QUANT}.0 + 0.5) AS BIGINT) AS key_q"
+    " FROM documents WHERE n_chars > 0"
+    f" ORDER BY key_q DESC, doc_id LIMIT {AES_K}"
 )

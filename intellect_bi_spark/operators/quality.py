@@ -172,10 +172,63 @@ def erasure_impact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_ANON = 5  # minimum safe equivalence-class size
+L_DIV = 2  # minimum sensitive-value diversity per class
+_BAND_SQL = "CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)"  # sensitive band
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before a dataset release: k-anonymity / l-diversity
+    over the quasi-identifier pair (nation, market segment) with the
+    account-balance band as the sensitive attribute.  One summary row:
+    how many equivalence classes exist, how many are smaller than k=5
+    (re-identifiable), how many rows they expose, and how many classes
+    fail l=2 diversity (attribute-disclosure risk).
+
+    The whole audit is ONE hash aggregate over the QI key followed by a
+    driver-size rollup — group count is bounded by the QI domain (not the
+    row count), so at 100 TB this is a single map-side-combined pass.
+    The band divide is exact IEEE on identical operands in both engines.
+    Complements `erasure_impact_plan` (quality.py) on the governance
+    side; no reference counterpart — charter extension."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(_BAND_SQL).alias("band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.countDistinct("band").alias("n_bands"),
+        )
+    )
+    return classes.agg(
+        F.sum("sz").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("sz") < K_ANON, 1).otherwise(0)).alias(
+            "n_small_classes"
+        ),
+        F.sum(F.when(F.col("sz") < K_ANON, F.col("sz")).otherwise(0)).alias(
+            "rows_at_risk"
+        ),
+        F.min("sz").alias("min_class_size"),
+        F.max("sz").alias("max_class_size"),
+        F.sum(F.when(F.col("n_bands") < L_DIV, 1).otherwise(0)).alias(
+            "n_low_diversity"
+        ),
+        F.sum(
+            F.when(F.col("n_bands") < L_DIV, F.col("sz")).otherwise(0)
+        ).alias("rows_low_diversity"),
+    )
+
+
 QUERIES = {
     "fk_integrity_check": fk_integrity_check,
     "null_rate_profile": null_rate_profile,
     "erasure_impact_plan": erasure_impact_plan,
+    "k_anonymity_audit": k_anonymity_audit,
 }
 
 
@@ -249,3 +302,22 @@ ORACLES = {
         " ORDER BY table_name"
     ),
 }
+
+ORACLES["k_anonymity_audit"] = (
+    "WITH classes AS (SELECT c_nationkey, c_mktsegment,"
+    " COUNT(*) AS sz,"
+    f" COUNT(DISTINCT {_BAND_SQL}) AS n_bands"
+    " FROM customer GROUP BY c_nationkey, c_mktsegment)"
+    " SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,"
+    " COUNT(*) AS n_classes,"
+    f" CAST(SUM(CASE WHEN sz < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_small_classes,"
+    f" CAST(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END) AS BIGINT)"
+    " AS rows_at_risk,"
+    " MIN(sz) AS min_class_size, MAX(sz) AS max_class_size,"
+    f" CAST(SUM(CASE WHEN n_bands < {L_DIV} THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_low_diversity,"
+    f" CAST(SUM(CASE WHEN n_bands < {L_DIV} THEN sz ELSE 0 END) AS BIGINT)"
+    " AS rows_low_diversity"
+    " FROM classes"
+)

@@ -78,9 +78,10 @@ def _bm25_term_score(tf: str, df: str, dl: str, n_docs: str) -> str:
     )
 
 
-def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-15 documents for the fixed query by BM25 (k1=1.2, b=0.75),
-    ranked on the 2^-10-quantized score with doc_id tie-break."""
+def _bm25_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_hit_terms, score_q): the full per-document BM25 scoring
+    relation (every doc hitting ≥1 query term) — shared by the top-k
+    query and the RRF fusion."""
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
     toks = docs.select(
         "doc_id",
@@ -119,16 +120,22 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hit_terms"),
         F.array_sort(F.collect_list(F.struct("term", "s"))).alias("ts"),
     )
+    return per_doc.select(
+        "doc_id",
+        "n_hit_terms",
+        F.expr(
+            "CAST(FLOOR(aggregate(ts, CAST(0.0 AS DOUBLE),"
+            f" (acc, x) -> acc + x.s) * {SCORE_QUANT}.0 + 0.5)"
+            " AS BIGINT)"
+        ).alias("score_q"),
+    )
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 documents for the fixed query by BM25 (k1=1.2, b=0.75),
+    ranked on the 2^-10-quantized score with doc_id tie-break."""
     return (
-        per_doc.select(
-            "doc_id",
-            "n_hit_terms",
-            F.expr(
-                "CAST(FLOOR(aggregate(ts, CAST(0.0 AS DOUBLE),"
-                f" (acc, x) -> acc + x.s) * {SCORE_QUANT}.0 + 0.5)"
-                " AS BIGINT)"
-            ).alias("score_q"),
-        )
+        _bm25_scored_docs(spark, sf_dir)
         .orderBy(F.desc("score_q"), "doc_id")
         .limit(TOP_K)
     )
@@ -178,8 +185,161 @@ def fuzzy_name_match_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = "60.0"  # the standard RRF constant, identical literal both engines
+RRF_DEPTH = 50  # per-ranker candidate depth entering the fusion
+RRF_TOP = 10
+RRF_QUANT = 1 << 20
+COS_QUANT = 1 << 20
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher 2009 — public method): fuse the BM25 lexical ranking with
+    the embedding-cosine ranking (query vector = vec_id 0, the
+    similarity.py query), score = Σ 1/(60 + rank) over the rankers that
+    returned the document in their top-``RRF_DEPTH``.  Columns: id,
+    r_bm25, r_cos, rrf_q (2^-20-quantized).  The fixture's embeddings
+    are row-aligned with documents (doc_id ≡ vec_id); at scale the
+    embedding table carries the document key explicitly.
+
+    Scale shape: each side is its own top-DEPTH TakeOrderedAndProject
+    (per-partition heads, no global sort); the rank row_number then runs
+    on DEPTH rows — driver-size — and the fusion is a DEPTH-row full
+    outer join.  Ranks are assigned on QUANTIZED scores with id
+    tie-breaks, so both engines rank identically; the RRF sum is two
+    exact IEEE divisions added in fixed textual order."""
+    from pyspark.sql import Window
+
+    from .similarity import QUERY_VEC_ID, _dot, _emb, _norm
+
+    bm_top = (
+        _bm25_scored_docs(spark, sf_dir)
+        .orderBy(F.desc("score_q"), "doc_id")
+        .limit(RRF_DEPTH)
+    )
+    w_bm = Window.orderBy(F.desc("score_q"), "doc_id")
+    bm_ranked = bm_top.select(
+        F.col("doc_id").alias("id"),
+        F.row_number().over(w_bm).alias("r_bm25"),
+    )
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cos_scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cosv",
+            _dot("embedding", "q_emb")
+            / (_norm("embedding") * _norm("q_emb")),
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                f"CAST(FLOOR(cosv * {COS_QUANT}.0 + 0.5) AS BIGINT)"
+            ).alias("cos_q"),
+        )
+    )
+    cos_top = cos_scored.orderBy(F.desc("cos_q"), "vec_id").limit(
+        RRF_DEPTH
+    )
+    w_cos = Window.orderBy(F.desc("cos_q"), "vec_id")
+    cos_ranked = cos_top.select(
+        F.col("vec_id").alias("id"),
+        F.row_number().over(w_cos).alias("r_cos"),
+    )
+    fused = bm_ranked.join(cos_ranked, "id", "full_outer").select(
+        "id",
+        "r_bm25",
+        "r_cos",
+        F.expr(
+            f"CAST(FLOOR((CASE WHEN r_bm25 IS NOT NULL THEN"
+            f" 1.0 / ({RRF_K} + CAST(r_bm25 AS DOUBLE)) ELSE 0.0 END"
+            f" + CASE WHEN r_cos IS NOT NULL THEN"
+            f" 1.0 / ({RRF_K} + CAST(r_cos AS DOUBLE)) ELSE 0.0 END)"
+            f" * {RRF_QUANT}.0 + 0.5) AS BIGINT)"
+        ).alias("rrf_q"),
+    )
+    return fused.orderBy(F.desc("rrf_q"), "id").limit(RRF_TOP)
+
+
+NDCG_K = 10
+
+
+def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation at corpus scale: NDCG@10 of the BM25
+    ranking against graded relevance labels derived independently of the
+    score (rel(doc) = how many DISTINCT query terms the document
+    contains, 0–3).  One row: n_judged (docs with rel > 0), dcg_q,
+    idcg_q, ndcg_q (all 2^-20-quantized).
+
+    DCG folds (2^rel − 1)/log2(rank + 1) in strict rank order over the
+    top-10 of the ranking; IDCG folds the same gains over the
+    ideal (relevance-sorted) top-10.  Rankings order on the QUANTIZED
+    BM25 score with doc_id tie-break and the ideal ranking on
+    (rel DESC, doc_id), so both engines rank identically; ``log2`` is
+    the only engine-varying op (ulp-class, quantized away — the module's
+    standard accepted-risk class).  The evaluation is top-k only: both
+    rank lists are TakeOrderedAndProject heads, never a global sort."""
+    from pyspark.sql import Window
+
+    scored = _bm25_scored_docs(spark, sf_dir).select(
+        "doc_id", "n_hit_terms", "score_q"
+    )
+    # rel = distinct query terms present = n_hit_terms (tf relation is
+    # per distinct term, so the count IS the distinct-term hit count)
+    top = scored.orderBy(F.desc("score_q"), "doc_id").limit(NDCG_K)
+    w_rank = Window.orderBy(F.desc("score_q"), "doc_id")
+    gains = top.select(
+        F.row_number().over(w_rank).alias("rk"),
+        F.col("n_hit_terms").alias("rel"),
+    )
+    dcg = gains.agg(
+        F.expr(
+            "CAST(FLOOR(aggregate(array_sort(collect_list(struct(rk,"
+            " CAST((POW(2.0, CAST(rel AS DOUBLE)) - 1.0)"
+            " / log2(CAST(rk AS DOUBLE) + 1.0) AS DOUBLE) AS g))),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.g)"
+            f" * {RRF_QUANT}.0 + 0.5) AS BIGINT)"
+        ).alias("dcg_q")
+    )
+    ideal = scored.orderBy(F.desc("n_hit_terms"), "doc_id").limit(NDCG_K)
+    w_ideal = Window.orderBy(F.desc("n_hit_terms"), "doc_id")
+    igains = ideal.select(
+        F.row_number().over(w_ideal).alias("rk"),
+        F.col("n_hit_terms").alias("rel"),
+    )
+    idcg = igains.agg(
+        F.expr(
+            "CAST(FLOOR(aggregate(array_sort(collect_list(struct(rk,"
+            " CAST((POW(2.0, CAST(rel AS DOUBLE)) - 1.0)"
+            " / log2(CAST(rk AS DOUBLE) + 1.0) AS DOUBLE) AS g))),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.g)"
+            f" * {RRF_QUANT}.0 + 0.5) AS BIGINT)"
+        ).alias("idcg_q")
+    )
+    judged = scored.agg(F.count(F.lit(1)).alias("n_judged"))
+    return (
+        judged.crossJoin(dcg)
+        .crossJoin(idcg)
+        .select(
+            "n_judged",
+            "dcg_q",
+            "idcg_q",
+            F.expr(
+                "CAST(FLOOR(CAST(dcg_q AS DOUBLE)"
+                " / CAST(idcg_q AS DOUBLE)"
+                f" * {RRF_QUANT}.0 + 0.5) AS BIGINT)"
+            ).alias("ndcg_q"),
+        )
+    )
+
+
 QUERIES = {
     "bm25_topk_docs": bm25_topk_docs,
+    "hybrid_search_rrf": hybrid_search_rrf,
+    "bm25_ndcg_eval": bm25_ndcg_eval,
     "fuzzy_name_match_summary": fuzzy_name_match_summary,
 }
 
@@ -236,3 +396,109 @@ ORACLES = {
         " FROM cand"
     ),
 }
+
+def _rrf_oracle() -> str:
+    from .similarity import QUERY_VEC_ID, _dot_duck, _norm_duck
+
+    cos = (
+        f"({_dot_duck('embedding', 'q_emb')}"
+        f" / ({_norm_duck('embedding')} * {_norm_duck('q_emb')}))"
+    )
+    return (
+        f"WITH tok AS ({_TOKS_DUCK}),"
+        " st AS (SELECT CAST(SUM(len(toks)) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE) AS avgdl,"
+        " COUNT(*) AS n_docs FROM tok),"
+        " base AS (SELECT doc_id, len(toks) AS dl,"
+        f" unnest(list_filter(toks, t -> t IN ({_terms_in()}))) AS term"
+        " FROM tok),"
+        " tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM base"
+        " GROUP BY doc_id, dl, term),"
+        " dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),"
+        " scored AS (SELECT doc_id, term,"
+        f" {_bm25_term_score('tf', 'df', 'dl', 'n_docs')} AS s"
+        " FROM tf JOIN dfs USING (term) CROSS JOIN st),"
+        " per AS (SELECT doc_id,"
+        " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list(s ORDER BY term)), (acc, v) -> acc + v) AS score"
+        " FROM scored GROUP BY doc_id),"
+        " bmq AS (SELECT doc_id,"
+        f" CAST(FLOOR(score * {SCORE_QUANT}.0 + 0.5) AS BIGINT)"
+        " AS score_q FROM per),"
+        " bmr AS (SELECT doc_id AS id, ROW_NUMBER() OVER"
+        " (ORDER BY score_q DESC, doc_id) AS r_bm25 FROM bmq"
+        f" ORDER BY score_q DESC, doc_id LIMIT {RRF_DEPTH}),"
+        " qv AS (SELECT embedding AS q_emb FROM embeddings"
+        f" WHERE vec_id = {QUERY_VEC_ID}),"
+        " cs AS (SELECT vec_id,"
+        f" CAST(FLOOR({cos} * {COS_QUANT}.0 + 0.5) AS BIGINT) AS cos_q"
+        " FROM embeddings CROSS JOIN qv"
+        f" WHERE vec_id <> {QUERY_VEC_ID}),"
+        " csr AS (SELECT vec_id AS id, ROW_NUMBER() OVER"
+        " (ORDER BY cos_q DESC, vec_id) AS r_cos FROM cs"
+        f" ORDER BY cos_q DESC, vec_id LIMIT {RRF_DEPTH}),"
+        " fused AS (SELECT COALESCE(b.id, c.id) AS id,"
+        " b.r_bm25 AS r_bm25, c.r_cos AS r_cos,"
+        " CAST(FLOOR((CASE WHEN b.r_bm25 IS NOT NULL THEN"
+        f" 1.0 / ({RRF_K} + CAST(b.r_bm25 AS DOUBLE)) ELSE 0.0 END"
+        " + CASE WHEN c.r_cos IS NOT NULL THEN"
+        f" 1.0 / ({RRF_K} + CAST(c.r_cos AS DOUBLE)) ELSE 0.0 END)"
+        f" * {RRF_QUANT}.0 + 0.5) AS BIGINT) AS rrf_q"
+        " FROM bmr b FULL OUTER JOIN csr c ON b.id = c.id)"
+        " SELECT id, r_bm25, r_cos, rrf_q FROM fused"
+        f" ORDER BY rrf_q DESC, id LIMIT {RRF_TOP}"
+    )
+
+
+ORACLES["hybrid_search_rrf"] = _rrf_oracle()
+
+def _ndcg_oracle() -> str:
+    gain = (
+        "CAST((POW(2.0, CAST(rel AS DOUBLE)) - 1.0)"
+        " / log2(CAST(rk AS DOUBLE) + 1.0) AS DOUBLE)"
+    )
+    fold = (
+        "CAST(FLOOR(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list(g ORDER BY rk)), (acc, v) -> acc + v)"
+        f" * {RRF_QUANT}.0 + 0.5) AS BIGINT)"
+    )
+    return (
+        f"WITH tok AS ({_TOKS_DUCK}),"
+        " st AS (SELECT CAST(SUM(len(toks)) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE) AS avgdl,"
+        " COUNT(*) AS n_docs FROM tok),"
+        " base AS (SELECT doc_id, len(toks) AS dl,"
+        f" unnest(list_filter(toks, t -> t IN ({_terms_in()}))) AS term"
+        " FROM tok),"
+        " tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM base"
+        " GROUP BY doc_id, dl, term),"
+        " dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),"
+        " scored AS (SELECT doc_id, term,"
+        f" {_bm25_term_score('tf', 'df', 'dl', 'n_docs')} AS s"
+        " FROM tf JOIN dfs USING (term) CROSS JOIN st),"
+        " per AS (SELECT doc_id, COUNT(*) AS n_hit_terms,"
+        " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list(s ORDER BY term)), (acc, v) -> acc + v) AS score"
+        " FROM scored GROUP BY doc_id),"
+        " bmq AS (SELECT doc_id, n_hit_terms AS rel,"
+        f" CAST(FLOOR(score * {SCORE_QUANT}.0 + 0.5) AS BIGINT)"
+        " AS score_q FROM per),"
+        " topr AS (SELECT rel, ROW_NUMBER() OVER"
+        " (ORDER BY score_q DESC, doc_id) AS rk FROM bmq"
+        f" ORDER BY score_q DESC, doc_id LIMIT {NDCG_K}),"
+        f" dcg AS (SELECT {fold} AS dcg_q FROM"
+        f" (SELECT rk, {gain} AS g FROM topr)),"
+        " topi AS (SELECT rel, ROW_NUMBER() OVER"
+        " (ORDER BY rel DESC, doc_id) AS rk FROM bmq"
+        f" ORDER BY rel DESC, doc_id LIMIT {NDCG_K}),"
+        f" idcg AS (SELECT {fold} AS idcg_q FROM"
+        f" (SELECT rk, {gain} AS g FROM topi)),"
+        " judged AS (SELECT COUNT(*) AS n_judged FROM bmq)"
+        " SELECT n_judged, dcg_q, idcg_q,"
+        " CAST(FLOOR(CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE)"
+        f" * {RRF_QUANT}.0 + 0.5) AS BIGINT) AS ndcg_q"
+        " FROM judged CROSS JOIN dcg CROSS JOIN idcg"
+    )
+
+
+ORACLES["bm25_ndcg_eval"] = _ndcg_oracle()

@@ -475,8 +475,94 @@ def sketch_sliding_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_D = 4  # count-min rows (independent hash functions)
+CMS_W = 256  # buckets per row
+CMS_PROBE_MOD, CMS_PROBE_REM = 97, 11  # deterministic probe-user slice
+
+
+def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005 — public
+    structure), built relationally: D×W counter cells over the event
+    stream's user ids, point-queried for a deterministic probe slice of
+    users and compared against exact counts.  Columns: user_id,
+    exact_n, cms_est, overcount (always ≥ 0 — CMS never undercounts,
+    which the oracle certifies row by row).
+
+    Scale design: the sketch IS a (row, bucket) → count aggregation —
+    one map-side-combined pass producing exactly D·W = 1024 cells
+    regardless of stream size, the textbook mergeable-summary shape
+    (cells from different shards/days merge by integer addition; the
+    native-sketch siblings above cover HLL/KLL/theta, this covers the
+    frequency-table family).  The probe is a broadcast join of the
+    probe users against the 1024-cell table, then a MIN over the D row
+    estimates.  Every value is an exact integer; the per-row hash is
+    the portable salted md5 (functions/text.py)."""
+    from ..functions.text import md5_mod_hash_sql
+
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("user_id").isNotNull()
+    )
+    # one pass: every event lands in D cells (explode the row index)
+    cells = (
+        ev.select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(0, {CMS_D - 1})")
+            ).alias("row_i"),
+        )
+        .select(
+            "row_i",
+            F.expr(
+                md5_mod_hash_sql(
+                    "concat('cms', CAST(row_i AS STRING), '|',"
+                    " CAST(user_id AS STRING))",
+                    CMS_W,
+                )
+            ).alias("bucket"),
+        )
+        .groupBy("row_i", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probes = (
+        ev.filter(
+            F.col("user_id") % CMS_PROBE_MOD == CMS_PROBE_REM
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    probe_cells = probes.select(
+        "user_id",
+        "exact_n",
+        F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("row_i"),
+    ).select(
+        "user_id",
+        "exact_n",
+        "row_i",
+        F.expr(
+            md5_mod_hash_sql(
+                "concat('cms', CAST(row_i AS STRING), '|',"
+                " CAST(user_id AS STRING))",
+                CMS_W,
+            )
+        ).alias("bucket"),
+    )
+    return (
+        probe_cells.join(F.broadcast(cells), ["row_i", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("n").alias("cms_est"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "sketch_rollup_daily_users": sketch_rollup_daily_users,
+    "cms_user_event_counts": cms_user_event_counts,
     "sketch_rollup_store": sketch_rollup_store,
     "heavy_hitter_users": heavy_hitter_users,
     "sketch_rollup_value_median": sketch_rollup_value_median,
@@ -550,3 +636,31 @@ ORACLES = {
         " GROUP BY event_type ORDER BY event_type"
     ),
 }
+
+from ..functions.text import md5_mod_hash_duck as _md5_duck  # noqa: E402
+
+_CMS_BUCKET_DUCK = _md5_duck(
+    "'cms' || CAST(u.row_i AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)",
+    CMS_W,
+)
+
+ORACLES["cms_user_event_counts"] = (
+    "WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),"
+    " cells AS (SELECT u.row_i,"
+    f" {_CMS_BUCKET_DUCK} AS bucket,"
+    " COUNT(*) AS n FROM ev,"
+    f" unnest(range(0, {CMS_D})) AS u(row_i)"
+    " GROUP BY u.row_i, bucket),"
+    " probes AS (SELECT user_id, COUNT(*) AS exact_n FROM ev"
+    f" WHERE user_id % {CMS_PROBE_MOD} = {CMS_PROBE_REM}"
+    " GROUP BY user_id),"
+    " pc AS (SELECT p.user_id, p.exact_n, u.row_i,"
+    f" {_CMS_BUCKET_DUCK} AS bucket"
+    f" FROM probes p, unnest(range(0, {CMS_D})) AS u(row_i))"
+    " SELECT pc.user_id, pc.exact_n,"
+    " MIN(c.n) AS cms_est,"
+    " MIN(c.n) - pc.exact_n AS overcount"
+    " FROM pc JOIN cells c ON pc.row_i = c.row_i"
+    " AND pc.bucket = c.bucket"
+    " GROUP BY pc.user_id, pc.exact_n ORDER BY pc.user_id"
+)

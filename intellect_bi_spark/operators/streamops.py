@@ -23,6 +23,7 @@ from ..streaming.events import (
     N_TIERS,
     STREAK_TYPE,
     click_purchase_pairs,
+    click_purchase_pairs_outer,
     dedup_replayed_events,
     events_batch,
     session_agg,
@@ -147,8 +148,39 @@ def user_click_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_click_streaks_batch(events_batch(spark, sf_dir))
 
 
+def purchase_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER stream-stream interval join
+    (streaming/events.py:click_purchase_pairs_outer): per purchase day —
+    total purchases, purchases with ≥1 attributed click, ORGANIC
+    purchases (no in-window click; exactly the rows the outer join emits
+    with NULL click columns), attributed pair count, and an organic-id
+    binding so a single mis-joined purchase flips the hash.  The
+    streaming run of the SAME operator is proven identical on the
+    watermark-closed region in tests/test_streaming.py."""
+    pairs = click_purchase_pairs_outer(events_batch(spark, sf_dir))
+    has_click = F.col("click_id").isNotNull()
+    return (
+        pairs.groupBy(
+            F.col("purchase_ts").cast("date").alias("purchase_day")
+        )
+        .agg(
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            F.countDistinct(
+                F.when(has_click, F.col("purchase_id"))
+            ).alias("n_attributed"),
+            F.sum((~has_click).cast("long")).alias("n_organic"),
+            F.sum(has_click.cast("long")).alias("n_pairs"),
+            F.sum(
+                F.when(~has_click, F.col("purchase_id") % P).otherwise(0)
+            ).alias("organic_binding"),
+        )
+        .orderBy("purchase_day")
+    )
+
+
 QUERIES = {
     "user_click_streaks": user_click_streaks,
+    "purchase_attribution_outer": purchase_attribution_outer,
     "events_tumbling_daily": events_tumbling_daily,
     "events_sessionize": events_sessionize,
     "events_sliding_daily": events_sliding_daily,
@@ -269,3 +301,25 @@ ORACLES = {
         f" FROM events GROUP BY event_type"
     ),
 }
+
+ORACLES["purchase_attribution_outer"] = (
+    "WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id"
+    " FROM events WHERE event_type = 'click'),"
+    " p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id"
+    " FROM events WHERE event_type = 'purchase'),"
+    " j AS (SELECT p.purchase_ts, p.purchase_id, c.click_id"
+    " FROM p LEFT JOIN c ON c.user_id = p.user_id"
+    f" AND c.click_ts >= p.purchase_ts - INTERVAL '{ATTRIBUTION_WINDOW}'"
+    " AND c.click_ts <= p.purchase_ts)"
+    " SELECT CAST(purchase_ts AS DATE) AS purchase_day,"
+    " COUNT(DISTINCT purchase_id) AS n_purchases,"
+    " COUNT(DISTINCT CASE WHEN click_id IS NOT NULL THEN purchase_id END)"
+    " AS n_attributed,"
+    " CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_organic,"
+    " CAST(SUM(CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS n_pairs,"
+    f" CAST(SUM(CASE WHEN click_id IS NULL THEN purchase_id % {P}"
+    " ELSE 0 END) AS BIGINT) AS organic_binding"
+    " FROM j GROUP BY 1 ORDER BY 1"
+)

@@ -18,6 +18,7 @@ from .operators import (
     forecast,
     graph,
     inventory,
+    langmodel,
     layout,
     maintenance,
     multimodal,
@@ -32,6 +33,7 @@ from .operators import (
     similarity,
     sketches,
     skewops,
+    spans,
     streamops,
     temporal,
     textops,
@@ -60,6 +62,7 @@ _MODULES = (
     layout,
     sketches,
     textops,
+    langmodel,
     pipeline,
     streamops,
     similarity,
@@ -67,6 +70,7 @@ _MODULES = (
     clustering,
     forecast,
     dedup,
+    spans,
     multimodal,
 )
 
@@ -128,6 +132,21 @@ for _mod in _MODULES:
 # growth_accounting_daily (all nine parity-verified at sf0.001 +
 # sf0.01 + sf0.1 this round). Queue these oldest-first in r9 before
 # any re-cert of unchanged paths.
+# Late-r8 continuation session added TWELVE more oracle-backed queries
+# (bigram_lm_perplexity, importance_weights_dsir, bpe_merge_candidates,
+# dup_span_pairs, semantic_dedup_stats, weighted_reservoir_sample,
+# hybrid_search_rrf, trade_triangle_count, cms_user_event_counts,
+# event_markov_transitions, k_anonymity_audit, json_props_stats,
+# bm25_ndcg_eval, and purchase_attribution_outer — the LEFT OUTER
+# stream-stream interval join's batch twin, with the streaming run
+# locked on the watermark-closed region by tests/test_streaming.py) — all
+# parity-verified at sf0.001 + sf0.01 + sf0.1 in that session's verify
+# logs; their first driver rows also queue for the r9 rotation.  The
+# bm25_topk_docs refactor (shared _bm25_scored_docs helper for the RRF
+# fusion) and the kmeans-oracle _KM_CTES extraction (shared with the
+# SemDeDup oracle) are both GENERATED-TEXT-IDENTICAL — the kmeans oracle
+# string is locked by tests/test_clustering_oracle_text.py — so neither
+# certified row is stale.
 _FRONT = (
     # -- (a) the complete r4 cohort, oldest rows first ----------------------
     "corr_sales_satisfaction",

@@ -452,6 +452,34 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
 ATTRIBUTION_WINDOW = "1 hour"
 
 
+def _click_purchase_sides(
+    events: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """The two watermarked sides of the attribution self-join (shared by
+    the inner and left-outer variants — byte-identical construction)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", WATERMARK)
+        purchases = purchases.withWatermark("purchase_ts", WATERMARK)
+    return clicks, purchases
+
+
+_ATTR_JOIN_COND = (
+    "c_user_id = p_user_id"
+    f" AND click_ts >= purchase_ts - INTERVAL {ATTRIBUTION_WINDOW}"
+    " AND click_ts <= purchase_ts"
+)
+
+
 def click_purchase_pairs(events: DataFrame) -> DataFrame:
     """Stream-stream INTERVAL JOIN (§2.13): attribute each purchase to the
     same user's clicks in the preceding :data:`ATTRIBUTION_WINDOW` — the
@@ -467,28 +495,28 @@ def click_purchase_pairs(events: DataFrame) -> DataFrame:
 
     Both sides derive from ONE events source by filtering event_type —
     a stream-stream self-join, which Structured Streaming supports."""
-    clicks = events.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user_id"),
-        F.col("ts").alias("click_ts"),
-        F.col("event_id").alias("click_id"),
-    )
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user_id"),
-        F.col("ts").alias("purchase_ts"),
-        F.col("event_id").alias("purchase_id"),
-    )
-    if events.isStreaming:
-        clicks = clicks.withWatermark("click_ts", WATERMARK)
-        purchases = purchases.withWatermark("purchase_ts", WATERMARK)
-    return purchases.join(
-        clicks,
-        F.expr(
-            "c_user_id = p_user_id"
-            f" AND click_ts >= purchase_ts - INTERVAL {ATTRIBUTION_WINDOW}"
-            " AND click_ts <= purchase_ts"
-        ),
-        "inner",
-    )
+    clicks, purchases = _click_purchase_sides(events)
+    return purchases.join(clicks, F.expr(_ATTR_JOIN_COND), "inner")
+
+
+def click_purchase_pairs_outer(events: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream interval join (§2.13 extension): every
+    purchase, paired with its in-window clicks where they exist and with
+    NULL click columns where none landed — organic-conversion detection,
+    the shape the inner join cannot express.
+
+    Streaming semantics: an unmatched purchase is emitted exactly once,
+    AFTER the watermark proves no future click can still fall inside its
+    interval — that's why outer stream-stream joins REQUIRE both the
+    watermarks and the time-bound condition (state for both sides stays
+    expirable exactly as in the inner form).  Consequence: with a finite
+    availableNow drain, unmatched purchases inside the final
+    watermark+window horizon are withheld (no watermark can retire
+    them); tests/test_streaming.py locks stream≡batch identity on the
+    closed region and the batch twin below reports full-corpus
+    semantics."""
+    clicks, purchases = _click_purchase_sides(events)
+    return purchases.join(clicks, F.expr(_ATTR_JOIN_COND), "left_outer")
 
 
 # --- stream-static enrichment join (r8) --------------------------------------

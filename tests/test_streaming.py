@@ -321,3 +321,65 @@ def test_stateful_click_streaks_chain_across_batches(spark, tmp_path):
     # the trailing isolated click is the second
     assert rows[(1, 5)]["longest_streak"] == 4
     assert rows[(1, 5)]["n_streaks"] == 2
+
+
+def test_stream_stream_outer_join_matches_batch_on_closed_region(
+    spark, sf_dir
+):
+    """The LEFT OUTER stream-stream interval join: matched pairs must be
+    EXACTLY the batch twin's (inner results don't wait on watermarks);
+    NULL-click (organic) purchases must (a) all be organic in the batch
+    twin — no false organics ever — and (b) be COMPLETE on the
+    watermark-closed region, i.e. every batch-organic purchase older
+    than max_ts − watermark − window is emitted.  Purchases inside the
+    final horizon are legitimately withheld (no watermark can prove
+    their window closed) — the documented outer-join semantics this
+    test pins down."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    stream = se.read_events_stream(spark, sf_dir)
+    got = _drain(
+        spark,
+        se.click_purchase_pairs_outer(stream).select(
+            "purchase_id", "click_id"
+        ),
+        "t_cpojoin",
+        mode="append",
+    )
+    batch = se.click_purchase_pairs_outer(se.events_batch(spark, sf_dir))
+    got_pairs = {
+        (r["purchase_id"], r["click_id"])
+        for r in got.collect()
+        if r["click_id"] is not None
+    }
+    want_pairs = {
+        (r["purchase_id"], r["click_id"])
+        for r in batch.collect()
+        if r["click_id"] is not None
+    }
+    assert got_pairs == want_pairs and len(want_pairs) > 0
+
+    got_organics = {
+        r["purchase_id"] for r in got.collect() if r["click_id"] is None
+    }
+    batch_rows = batch.select("purchase_id", "purchase_ts").collect()
+    batch_organics = {
+        r["purchase_id"]
+        for r in batch.collect()
+        if r["click_id"] is None
+    }
+    # (a) no false organics
+    assert got_organics <= batch_organics
+    # (b) complete on the closed region: watermark delay (1 day) +
+    # attribution window (1 hour) + 1 minute slack behind max event time
+    max_ts = se.events_batch(spark, sf_dir).agg(
+        F.max("ts").alias("m")
+    ).collect()[0]["m"]
+    horizon = max_ts - datetime.timedelta(days=1, hours=1, minutes=1)
+    ts_of = {r["purchase_id"]: r["purchase_ts"] for r in batch_rows}
+    closed_organics = {
+        pid for pid in batch_organics if ts_of[pid] <= horizon
+    }
+    assert closed_organics and closed_organics <= got_organics
