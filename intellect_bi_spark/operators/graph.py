@@ -147,7 +147,15 @@ def trade_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny edge relation.  On a billion-node graph the SAME plan holds
     with degree-based orientation; the node-id orientation here is the
     fixture-scale instance of it.  All outputs are exact integers."""
+    from pyspark import StorageLevel
+
     edges = _edges(spark, sf_dir)
+    # persist the condensed undirected relation (≤ |nations|²/2 rows):
+    # the final plan references it via thresh + major, and major itself
+    # is self-joined THREE times (e1/e2/e3 wedge roles) — without the
+    # pin the fact-scale star-join condensation re-executes per
+    # reference instead of once (r9 review; the same class as the
+    # pagerank adjacency pin at graph.py:94)
     und = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -157,6 +165,7 @@ def trade_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("a", "b")
         .agg(F.sum("w").alias("wsum"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     thresh = und.agg(
         (

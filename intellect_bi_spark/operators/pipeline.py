@@ -349,6 +349,24 @@ def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_BUDGET = 2048  # tokens per packed training sequence
 
 
+def _temp_frac_sql(id_expr: str) -> str:
+    """The 52-bit md5 acceptance fraction (salt 'temp:') — shared by the
+    standalone temperature stage and the funnel's composed run, so the
+    same document draws the same fate in both."""
+    return (
+        f"CAST(conv(substr(md5(CONCAT('temp:', CAST({id_expr} AS STRING))),"
+        " 1, 13), 16, 10) AS BIGINT)"
+        f" / CAST({1 << 52} AS DOUBLE)"
+    )
+
+
+def _temp_frac_duck(id_expr: str) -> str:
+    return (
+        f"(CAST('0x' || substr(md5('temp:' || CAST({id_expr} AS VARCHAR)),"
+        f" 1, 13) AS BIGINT) / CAST({1 << 52} AS DOUBLE))"
+    )
+
+
 def temperature_resample_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -366,11 +384,7 @@ def temperature_resample_stats(
     EXACTLY, so the comparison is deterministic across engines. Per-lang
     counts broadcast as a 1-row-per-lang frame; the acceptance itself is
     a map-side predicate — no shuffle beyond the summary aggregate."""
-    frac = (
-        "CAST(conv(substr(md5(CONCAT('temp:', CAST(doc_id AS STRING))),"
-        " 1, 13), 16, 10) AS BIGINT)"
-        f" / CAST({1 << 52} AS DOUBLE)"
-    )
+    frac = _temp_frac_sql("doc_id")
     counts = _docs(spark, sf_dir).groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
@@ -590,13 +604,17 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-branches-one-expensive-frame shape pack_sequences_manifest
     # caches. ~60 bytes/doc, spillable.
     base = register_cache(
-        en.select("doc_id", "text")
+        en.select("doc_id", "text", "source")
         .join(rep, "doc_id")
         .withColumn(
             "dg", F.md5(F.coalesce(F.col("text"), F.lit("")))
         )
         .withColumn("bkt", F.expr(_bucket_sql("split:", SPLIT_MOD)))
         .withColumn("n_chars", F.length(F.coalesce("text", F.lit(""))))
+        .withColumn(
+            "n_tok",
+            F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")),
+        )
         .drop("text")
     )
     firsts = (
@@ -636,6 +654,79 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = flagged.join(losers, "doc_id", "left").withColumn(
         "is_near_unique", F.col("is_first") & F.col("_loser").isNull()
     )
+    # post-dedup mix stages (r9, VERDICT r8 item 7): the two certified
+    # recipe steps a production mix runs AFTER dedup, composed over the
+    # train survivors — domain-TEMPERATURE resampling (the
+    # temperature_resample_stats p^1/2 rule keyed on source, since the
+    # funnel is English-only after stage 1) and the per-source
+    # token-budget hash-order admission (domain_mix_selection's greedy
+    # prefix).  Same salts as the standalone stages, so a document draws
+    # the same fate composed as certified individually.  tr is cached:
+    # three aggregates (counts, budgets, summary) read it, and its
+    # derivation hangs off the near-dup component join.
+    tr = register_cache(
+        final.filter(
+            F.col("is_near_unique") & (F.col("bkt") < TRAIN_END)
+        ).select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.expr(_temp_frac_sql("doc_id")).alias("_tf"),
+            F.expr(
+                md5_mod_hash_sql("CONCAT('mix:', CAST(doc_id AS STRING))")
+            ).alias("_h"),
+        )
+    )
+    src_counts = tr.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    n_min = src_counts.agg(F.min("n_src").alias("n_min"))
+    t_rates = src_counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_src")).alias(
+            "keep_rate"
+        ),
+    )
+    res = tr.join(F.broadcast(t_rates), "source").filter(
+        F.col("_tf") < F.col("keep_rate")
+    )
+    num = F.when(
+        F.expr("CAST(SUBSTRING(source, 4) AS INT)") % 2 == 0,
+        F.lit(MIX_NUM_EVEN),
+    ).otherwise(F.lit(MIX_NUM_ODD))
+    budgets = (
+        res.groupBy("source")
+        .agg(F.sum("n_tok").alias("tokens_total"))
+        .withColumn("num", num)
+        .withColumn(
+            "tokens_target",
+            F.expr(
+                "CAST(FLOOR(CAST(tokens_total * num AS DOUBLE)"
+                f" / {MIX_DEN}.0) AS BIGINT)"
+            ),
+        )
+    )
+    adm_w = (
+        Window.partitionBy("source")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    adm = (
+        res.withColumn("cum", F.sum("n_tok").over(adm_w))
+        .join(
+            F.broadcast(budgets.select("source", "tokens_target")),
+            "source",
+        )
+        .withColumn("sel", F.col("cum") <= F.col("tokens_target"))
+    )
+    mix = adm.agg(
+        F.count(F.lit(1)).alias("n_resampled"),
+        F.sum(F.col("sel").cast("long")).alias("n_mix_selected"),
+        F.sum(F.when(F.col("sel"), F.col("n_tok")).otherwise(0)).alias(
+            "tokens_mix_selected"
+        ),
+        F.sum(
+            F.when(F.col("sel"), F.col("doc_id") % P).otherwise(0)
+        ).alias("mix_binding"),
+    )
     funnel = final.agg(
         F.count(F.lit(1)).alias("n_lang_en"),
         F.sum("keep").alias("n_quality_kept"),
@@ -654,14 +745,22 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("train_binding"),
     )
     total = docs.agg(F.count(F.lit(1)).alias("n_total"))
-    return total.crossJoin(F.broadcast(funnel)).select(
-        "n_total",
-        "n_lang_en",
-        "n_quality_kept",
-        "n_unique",
-        "n_near_unique",
-        "n_train",
-        "train_binding",
+    return (
+        total.crossJoin(F.broadcast(funnel))
+        .crossJoin(F.broadcast(mix))
+        .select(
+            "n_total",
+            "n_lang_en",
+            "n_quality_kept",
+            "n_unique",
+            "n_near_unique",
+            "n_train",
+            "train_binding",
+            "n_resampled",
+            "n_mix_selected",
+            "tokens_mix_selected",
+            "mix_binding",
+        )
     )
 
 
@@ -902,8 +1001,12 @@ ORACLES = {
         " THEN 1 ELSE 0 END) AS BIGINT) AS n_train,"
         f" CAST(SUM(CASE WHEN is_near AND bkt < {TRAIN_END} THEN"
         f" ((doc_id % {_P}) * (n_chars % {_P})) % {_P} END) AS BIGINT)"
-        " AS train_binding"
-        " FROM final"
+        " AS train_binding,"
+        " MAX(n_resampled) AS n_resampled,"
+        " MAX(n_mix_selected) AS n_mix_selected,"
+        " MAX(tokens_mix_selected) AS tokens_mix_selected,"
+        " MAX(mix_binding) AS mix_binding"
+        " FROM final CROSS JOIN mix"
     ),
     "temperature_resample_stats": (
         "WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents"
@@ -1084,6 +1187,10 @@ from .dedup import (  # noqa: E402
     _minhash_duck as _MINHASH_DUCK,
 )
 
+_MIX_HASH_DUCK = md5_mod_hash_duck(
+    chr(39) + "mix:" + chr(39) + " || CAST(doc_id AS VARCHAR)"
+)
+
 ORACLES["corpus_prep_funnel"] = ORACLES["corpus_prep_funnel"].format(
     neardup_ctes=(
         f"{_MINHASH_DUCK()}, {_DEDUP_SIZES},"
@@ -1111,7 +1218,44 @@ ORACLES["corpus_prep_funnel"] = ORACLES["corpus_prep_funnel"].format(
         " GROUP BY node),"
         " losers AS (SELECT node FROM lbl WHERE node != cmin),"
         " final AS (SELECT fl.*, (is_first AND doc_id NOT IN"
-        " (SELECT node FROM losers)) AS is_near FROM fl)"
+        " (SELECT node FROM losers)) AS is_near FROM fl),"
+        # post-dedup mix stages (r9): domain-temperature resample over
+        # the train survivors, then the per-source token-budget greedy
+        # admission — the temperature_resample_stats and
+        # domain_mix_selection oracle forms restated over `final`
+        " tr0 AS (SELECT f.doc_id AS doc_id, d.source AS source,"
+        " len(string_split(COALESCE(d.text, ''), ' ')) AS n_tok"
+        " FROM final f JOIN documents d USING (doc_id)"
+        f" WHERE is_near AND bkt < {TRAIN_END}),"
+        " tr AS (SELECT doc_id, source, n_tok,"
+        f" {_temp_frac_duck('doc_id')} AS tf,"
+        f" {_MIX_HASH_DUCK} AS h FROM tr0),"
+        " tcnt AS (SELECT source, COUNT(*) AS n_src FROM tr"
+        " GROUP BY source),"
+        " tmin AS (SELECT MIN(n_src) AS n_min FROM tcnt),"
+        " trate AS (SELECT source,"
+        " sqrt(CAST(n_min AS DOUBLE) / n_src) AS keep_rate"
+        " FROM tcnt, tmin),"
+        " res AS (SELECT tr.* FROM tr JOIN trate USING (source)"
+        " WHERE tf < keep_rate),"
+        " bud AS (SELECT source,"
+        " CAST(FLOOR(CAST(SUM(n_tok) * (CASE WHEN"
+        " CAST(substr(source, 4) AS INT) % 2 = 0 THEN"
+        f" {MIX_NUM_EVEN} ELSE {MIX_NUM_ODD} END) AS DOUBLE)"
+        f" / {MIX_DEN}.0) AS BIGINT) AS tokens_target"
+        " FROM res GROUP BY source),"
+        " adm AS (SELECT res.doc_id, res.n_tok, bud.tokens_target,"
+        " SUM(res.n_tok) OVER (PARTITION BY res.source"
+        " ORDER BY res.h, res.doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum"
+        " FROM res JOIN bud USING (source)),"
+        " mix AS (SELECT COUNT(*) AS n_resampled,"
+        " CAST(SUM(CASE WHEN cum <= tokens_target THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_mix_selected,"
+        " CAST(SUM(CASE WHEN cum <= tokens_target THEN n_tok ELSE 0 END)"
+        " AS BIGINT) AS tokens_mix_selected,"
+        f" CAST(SUM(CASE WHEN cum <= tokens_target THEN doc_id % {_P}"
+        " ELSE 0 END) AS BIGINT) AS mix_binding FROM adm)"
     )
 )
 

@@ -284,8 +284,17 @@ def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank lists are TakeOrderedAndProject heads, never a global sort."""
     from pyspark.sql import Window
 
-    scored = _bm25_scored_docs(spark, sf_dir).select(
-        "doc_id", "n_hit_terms", "score_q"
+    from pyspark import StorageLevel
+
+    # persist the scoring relation (one narrow row per doc hitting ≥1
+    # query term): BOTH rank lists below (actual top-10, ideal top-10)
+    # read it, and without the pin the corpus-scale tokenize+score
+    # pipeline executes twice (r9 review; the pagerank-adjacency-pin
+    # class)
+    scored = (
+        _bm25_scored_docs(spark, sf_dir)
+        .select("doc_id", "n_hit_terms", "score_q")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # rel = distinct query terms present = n_hit_terms (tf relation is
     # per distinct term, so the count IS the distinct-term hit count)

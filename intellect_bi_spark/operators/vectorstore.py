@@ -1,0 +1,258 @@
+"""Persisted ANN index serving (IVF + PQ on parquet) — 100 TB extension.
+
+The production shape of the vector family (VERDICT r8 item 3): every
+prior ANN query (similarity.ann_topk_ivf, clustering.ann_topk_pq) builds
+its index structures in-query; a serving deployment builds them ONCE,
+writes them to storage, and answers every query from the STORED index.
+Reference analogue: the reference's retrieval path queries a persistent
+Chroma collection (reference api/main.py:1416-1417 top-k over an
+on-disk vector store) — persistence is exactly the part the in-query
+operators had not certified.  Mirrors the proven store discipline of
+sketches.sketch_rollup_store (write → read back → answer from stored
+bytes → temp-dir teardown after an eager localCheckpoint).
+
+What gets stored (the three tables a real IVF-PQ index serves from):
+
+- ``centroids``  (cell, c_emb)       — the coarse quantizer, N_CELLS rows
+- ``codebook``   (m, cid, carr)      — the PQ sub-codebooks, M_SUB·KS rows
+- ``codes``      (cell | vec_id, m, cid) — 16-bit PQ codes,
+  **directory-partitioned by the IVF cell**, so a probe reads only its
+  cells' files: partition pruning IS the IVF inverted list on parquet.
+
+Query path, all from the store: probe the N_PROBE cells nearest the
+query (tiny centroid table, broadcast) → scan ONLY those partitions of
+the code table → ADC distance from the stored codebook (fixed-point
+BIGINT, order-independent) → keep the CAND_K best candidates → exact
+full-precision cosine rerank against the base embeddings table → top-k.
+This is the textbook IVFADC serving pipeline (Jégou et al. 2011,
+"Product Quantization for Nearest Neighbor Search"), restated as three
+broadcast joins and one partition-pruned scan — no all-pairs product,
+no driver-side model beyond the broadcast codebook.
+
+Scale notes: at 100 TB the codes table is ~2 bytes/vector payload, the
+centroid/codebook tables are KBs (always broadcast), and the rerank
+touches only CAND_K full vectors fetched by an equi-join on vec_id.
+The expensive stage — one corpus scan to assign cells and codes — runs
+once at build time, not per query.
+
+Parity: the DuckDB oracle never sees the store (roundtrip-identity
+discipline, sketches.sketch_rollup_store / roundtrip.py); it restates
+build + probe + ADC + rerank from the base tables.  Every ranking
+stage is deterministic: ADC distances are exact BIGINTs with vec_id
+tie-breaks; the rerank cosine is the strict d-order fold both engines
+evaluate bit-identically (similarity._dot/_dot_duck).
+tests/test_vectorstore.py proves stored ≡ in-memory ranking and that
+the pruned-partition read returns exactly the probed cells' codes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .clustering import M_SUB, QUANT, SUBDIM, _pq_codes, _subspace_rows
+from .similarity import (
+    N_CELLS,
+    N_PROBE,
+    QUERY_VEC_ID,
+    TOP_K,
+    _dot,
+    _emb,
+    _norm,
+    ivf_assignments,
+)
+
+CAND_K = 40  # ADC candidates entering the exact rerank (4× the final k)
+
+
+def _centroids(emb: DataFrame) -> DataFrame:
+    """The IVF coarse quantizer (similarity.py:421 deterministic seed:
+    centroids are the embeddings of vec_id 1..N_CELLS)."""
+    return emb.filter(F.col("vec_id").between(1, N_CELLS)).select(
+        (F.col("vec_id") - 1).cast("int").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+    )
+
+
+def build_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """One corpus scan → the three stored index tables under ``path``.
+
+    The code table is written ``partitionBy("cell")`` — on parquet the
+    IVF inverted list IS the partition layout, so a probe's
+    ``cell IN (...)`` filter prunes to the probed directories before
+    any byte is read."""
+    emb = _emb(spark, sf_dir)
+    _centroids(emb).write.mode("overwrite").parquet(f"{path}/centroids")
+    codes, cb = _pq_codes(spark, sf_dir)
+    cb.write.mode("overwrite").parquet(f"{path}/codebook")
+    (
+        codes.join(ivf_assignments(spark, sf_dir), "vec_id")
+        # co-locate each cell's codes before the partitioned write: one
+        # output file per cell per job instead of cells × shuffle-
+        # partitions tiny files — the compaction-friendly layout a real
+        # index build writes (and measurably most of this query's cost
+        # at fixture scale was the many-small-files write)
+        .repartition(N_CELLS, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+
+
+def topk_from_index(
+    centroids: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    emb: DataFrame,
+    query_vec_id: int = QUERY_VEC_ID,
+) -> DataFrame:
+    """IVFADC serving over (possibly stored) index frames: probe →
+    pruned ADC scan → CAND_K candidates → exact-cosine rerank → top-k.
+
+    Takes the index as DataFrames so tests can prove stored ≡ in-memory
+    (pass the pre-write frames vs the read-back frames)."""
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "cell",
+            (_dot("c_emb", "q_emb") / (_norm("c_emb") * _norm("q_emb"))).alias(
+                "q_cos"
+            ),
+        )
+        .orderBy(F.desc("q_cos"), "cell")
+        .limit(N_PROBE)
+        .select("cell")
+    )
+    # the query's per-subspace subvectors (M_SUB tiny rows, broadcast)
+    q_sub = _subspace_rows(
+        emb.filter(F.col("vec_id") == query_vec_id)
+    ).select("m", F.col("sub").alias("qsub"))
+    # partition-pruned ADC scan: only probed cells' code files are read
+    adc = (
+        codes.join(F.broadcast(probe_cells), "cell", "left_semi")
+        .filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(codebook), ["m", "cid"])
+        .join(F.broadcast(q_sub), "m")
+        .select(
+            "vec_id",
+            F.expr(
+                "CAST(FLOOR(aggregate(zip_with(qsub, carr,"
+                " (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE),"
+                f" (acc, v) -> acc + v) * {QUANT}.0 + 0.5) AS BIGINT)"
+            ).alias("dq"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("dq").alias("dist_q"))
+    )
+    cand = adc.orderBy("dist_q", "vec_id").limit(CAND_K)
+    # exact full-precision rerank: only CAND_K base vectors are fetched
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            (
+                _dot("embedding", "q_emb")
+                / (_norm("embedding") * _norm("q_emb"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+def read_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/codebook"),
+        spark.read.parquet(f"{path}/codes"),
+    )
+
+
+def ann_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the IVF-PQ index, persist it to parquet, and answer the
+    fixed top-k query FROM THE STORED index (exact-cosine reranked) —
+    certifying that the index tables survive the write/read cycle and
+    that the cell-partitioned layout serves a pruned probe.  The final
+    frame is eagerly localCheckpointed (TOP_K rows) so the temp store
+    can be deleted before returning (sketches.sketch_rollup_store
+    lifecycle)."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_ann_index_")
+    try:
+        build_index(spark, sf_dir, tmp)
+        centroids, codebook, codes = read_index(spark, tmp)
+        out = topk_from_index(
+            centroids, codebook, codes, _emb(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+QUERIES = {"ann_index_store": ann_index_store}
+
+
+def _oracle() -> str:
+    """Build + probe + ADC + rerank restated from the base tables (the
+    oracle never sees the store).  Reuses the locked clustering PQ CTEs
+    and the similarity IVF forms verbatim."""
+    from .clustering import _PQ_CTES
+    from .similarity import _dot_duck, _norm_duck
+
+    return (
+        f"WITH {_PQ_CTES},"
+        # IVF: assignment + probe (similarity.py ann_topk_ivf oracle form)
+        f" cents AS (SELECT CAST(vec_id - 1 AS INT) AS cell,"
+        f" embedding AS c_emb FROM embeddings"
+        f" WHERE vec_id BETWEEN 1 AND {N_CELLS}),"
+        f" iscored AS (SELECT e.vec_id, c.cell,"
+        f" {_dot_duck('e.embedding', 'c.c_emb')} /"
+        f" ({_norm_duck('e.embedding')} * {_norm_duck('c.c_emb')}) AS c_cos"
+        f" FROM embeddings e CROSS JOIN cents c),"
+        f" assign AS (SELECT vec_id, cell FROM"
+        f" (SELECT vec_id, cell, ROW_NUMBER() OVER"
+        f" (PARTITION BY vec_id ORDER BY c_cos DESC, cell) AS rn"
+        f" FROM iscored) WHERE rn = 1),"
+        f" qv AS (SELECT embedding AS q_emb FROM embeddings"
+        f" WHERE vec_id = {QUERY_VEC_ID}),"
+        f" probe AS (SELECT cell FROM cents, qv"
+        f" ORDER BY {_dot_duck('c_emb', 'q_emb')} /"
+        f" ({_norm_duck('c_emb')} * {_norm_duck('q_emb')}) DESC, cell"
+        f" LIMIT {N_PROBE}),"
+        # ADC over probed cells (clustering.py ann_topk_pq oracle form)
+        f" qs AS (SELECT m, sub AS qsub FROM sub"
+        f" WHERE vec_id = {QUERY_VEC_ID}),"
+        " adc AS (SELECT c.vec_id,"
+        " CAST(SUM(CAST(FLOOR(list_reduce(list_prepend("
+        " CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, {SUBDIM} + 1),"
+        " i -> (qs.qsub[i] - cb.carr[i]) * (qs.qsub[i] - cb.carr[i]))),"
+        f" (acc, v) -> acc + v) * {QUANT}.0 + 0.5) AS BIGINT))"
+        " AS BIGINT) AS dist_q"
+        " FROM codes c JOIN cb ON cb.m = c.m AND cb.cid = c.cid"
+        " JOIN qs ON qs.m = c.m"
+        " JOIN assign a ON a.vec_id = c.vec_id"
+        " WHERE a.cell IN (SELECT cell FROM probe)"
+        f" AND c.vec_id != {QUERY_VEC_ID}"
+        " GROUP BY c.vec_id),"
+        f" cand AS (SELECT vec_id FROM adc"
+        f" ORDER BY dist_q, vec_id LIMIT {CAND_K})"
+        # exact rerank (similarity.py ann_topk_ivf oracle form)
+        f" SELECT e.vec_id, e.label,"
+        f" {_dot_duck('e.embedding', 'q_emb')} /"
+        f" ({_norm_duck('e.embedding')} * {_norm_duck('q_emb')}) AS cosine"
+        f" FROM embeddings e JOIN cand USING (vec_id), qv"
+        f" ORDER BY cosine DESC, e.vec_id LIMIT {TOP_K}"
+    )
+
+
+ORACLES = {"ann_index_store": _oracle()}

@@ -341,3 +341,93 @@ def test_png_unfilter_vector_path_byte_exact():
         multimodal._png_unfilter_vec(stream, h, w * 3, 3),
         multimodal._png_unfilter_bytes(stream, h, w * 3, 3),
     )
+
+
+# --- G.711 μ-law (round 9) ----------------------------------------------------
+
+
+def _mulaw_expand_scalar_ref(code: int) -> int:
+    """Independent scalar reference, written in the CLASSIC segment form
+    (Sun g711.c shape): magnitude = ((2·mantissa + 33) << exponent) − 33,
+    scaled ×4 — algebraically (2m+33)·4 = 8m+132, so it must agree with
+    the vectorized (t − 132) form in multimodal.mulaw_expand for every
+    code, INCLUDING the sign fold the parity checksum can't see."""
+    u = ~code & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    magnitude = (((2 * mantissa + 33) << exponent) - 33) * 4
+    return -magnitude if sign else magnitude
+
+
+def test_mulaw_expand_all_codes_match_reference_table():
+    codes = np.arange(256, dtype=np.uint8)
+    got = multimodal.mulaw_expand(codes)
+    want = np.array(
+        [_mulaw_expand_scalar_ref(c) for c in range(256)], dtype=np.int64
+    )
+    assert np.array_equal(got, want)
+    # published G.711 endpoints (signed — binds the sign fold)
+    spot = {0x00: -32124, 0x01: -31100, 0x7F: 0, 0x80: 32124,
+            0x81: 31100, 0xFF: 0}
+    for code, sample in spot.items():
+        assert got[code] == sample, (code, got[code], sample)
+
+
+def test_mulaw_roundtrip_both_chunk_layouts():
+    """decode(encode(id)) must reproduce the closed-form expansion for
+    an even id (fmt→data) AND an odd id (fmt→odd-length unknown
+    chunk→data) — the odd layout fails unless the chunk walk honors the
+    RIFF even-padding rule."""
+    for doc_id in (2, 7):
+        payload = multimodal._encode_wav_mulaw_bytes(doc_id)
+        rate, samples = multimodal.decode_wav_mulaw(payload)
+        assert rate == multimodal._mulaw_rate(doc_id)
+        want = multimodal.mulaw_expand(multimodal._mulaw_codes(doc_id))
+        assert np.array_equal(samples, want)
+        assert samples.size == multimodal._mulaw_n_samples(doc_id)
+
+
+def test_mulaw_decode_rejects_bad_payloads():
+    import struct
+
+    import pytest
+
+    with pytest.raises(ValueError, match="RIFF"):
+        multimodal.decode_wav_mulaw(b"OggS" + b"\x00" * 40)
+    # a PCM (tag 1) file must be refused by the format gate
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    pcm = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="format tag 7"):
+        multimodal.decode_wav_mulaw(pcm)
+    # missing data chunk
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 7, 1, 8000, 8000, 1, 8
+    )
+    nodata = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="missing"):
+        multimodal.decode_wav_mulaw(nodata)
+
+
+def test_mulaw_seam_injects_decoder(spark, sf_dir):
+    """The μ-law RMS path shares decode_wav's seam: an injected decoder
+    returning a fixed 64-sample ramp must flow through the identical
+    extractor body — one window per doc, with THAT ramp's square sum."""
+    ramp = np.arange(64, dtype=np.int64) - 32
+
+    def fake_decode(payload: bytes):
+        return 8000, ramp
+
+    rows = (
+        multimodal._mulaw_feature_rows(spark, sf_dir, decode=fake_decode)
+        .limit(10)
+        .collect()
+    )
+    assert len(rows) == 10
+    want_sq = int((ramp**2).sum())
+    for r in rows:
+        assert r["window_idx"] == 0
+        assert r["sq_sum"] == want_sq
+        assert r["rate_hz"] == 8000

@@ -349,25 +349,28 @@ def test_stream_stream_outer_join_matches_batch_on_closed_region(
         mode="append",
     )
     batch = se.click_purchase_pairs_outer(se.events_batch(spark, sf_dir))
+    # Collect each side ONCE (ADVICE r8): a second .collect() re-executes
+    # the streaming drain readback / the full batch outer join.
+    got_rows = got.collect()
+    batch_all = batch.collect()
     got_pairs = {
         (r["purchase_id"], r["click_id"])
-        for r in got.collect()
+        for r in got_rows
         if r["click_id"] is not None
     }
     want_pairs = {
         (r["purchase_id"], r["click_id"])
-        for r in batch.collect()
+        for r in batch_all
         if r["click_id"] is not None
     }
     assert got_pairs == want_pairs and len(want_pairs) > 0
 
     got_organics = {
-        r["purchase_id"] for r in got.collect() if r["click_id"] is None
+        r["purchase_id"] for r in got_rows if r["click_id"] is None
     }
-    batch_rows = batch.select("purchase_id", "purchase_ts").collect()
     batch_organics = {
         r["purchase_id"]
-        for r in batch.collect()
+        for r in batch_all
         if r["click_id"] is None
     }
     # (a) no false organics
@@ -378,7 +381,7 @@ def test_stream_stream_outer_join_matches_batch_on_closed_region(
         F.max("ts").alias("m")
     ).collect()[0]["m"]
     horizon = max_ts - datetime.timedelta(days=1, hours=1, minutes=1)
-    ts_of = {r["purchase_id"]: r["purchase_ts"] for r in batch_rows}
+    ts_of = {r["purchase_id"]: r["purchase_ts"] for r in batch_all}
     closed_organics = {
         pid for pid in batch_organics if ts_of[pid] <= horizon
     }

