@@ -76,7 +76,9 @@ HEADLINE = [
     "ann_topk_batch_lsh",  # banded batch candidate generation (r5)
     "ann_topk_sq8",  # SQ8-quantized ADC search (r8)
     "ann_index_store",  # parquet-persisted IVF-PQ index serving (r9)
+    "ann_index_store_batch",  # build-once/serve-many batch from the store (r9)
     "text_quality_scores",
+    "html_text_extract_stats",  # web-ingest markup strip/decode (r9)
     "chunk_documents",
     "image_features_stub",
     "audio_window_rms",  # real WAV binary decode (r6)

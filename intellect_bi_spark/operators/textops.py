@@ -302,6 +302,97 @@ def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- HTML → text extraction (web-ingest stage 0, round 9) --------------------
+#
+# Every web-crawl corpus pipeline starts by stripping markup; the
+# reference's text-ingest analogue is its PDF/docx/txt extraction (R1,
+# reference etl/ingest.py — format-specific text extraction before
+# chunking).  The construction is the multimodal-codec pattern applied
+# to markup: each document is WRAPPED in a deterministic HTML page
+# (head/title, a style block, a script block whose string literal
+# contains fake tags, an HTML comment with a ghost tag, a nav with a
+# doc-varying number of anchors, an entity-bearing paragraph, and the
+# ESCAPED document text), and the extractor strips it back down —
+# comments, then script/style blocks with their contents, then all
+# remaining tags, then entity decoding (strip-then-decode, the order
+# that keeps decoded '<' from being eaten as markup), then whitespace
+# collapse.  Both directions are pure codegen'd JVM ``regexp_replace``
+# chains — no Python anywhere.  The DuckDB oracle NEVER sees the HTML:
+# extraction must reproduce the closed-form visible text (title + nav
+# anchors + entity span + original text), so a wrong strip order, a
+# greedy-match bug, or a missed entity breaks the exact binding.
+
+_HTML_ENTITY_P = "&lt;tag&gt; &amp; entities"  # decodes to '<tag> & entities'
+
+
+def _escape_html(col):
+    """Standard HTML escaping (amp FIRST so later entities aren't
+    double-escaped) — the inverse of the extractor's decode step."""
+    e = F.regexp_replace(col, F.lit("&"), F.lit("&amp;"))
+    e = F.regexp_replace(e, F.lit("<"), F.lit("&lt;"))
+    return F.regexp_replace(e, F.lit(">"), F.lit("&gt;"))
+
+
+def _wrap_html(docs: DataFrame) -> DataFrame:
+    """(doc_id, html): the synthesized page around each document."""
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>doc "), sid, F.lit("</title>"),
+        F.lit('<style type="text/css">p { color: #aabbcc; }</style>'),
+        F.lit('<script>var s = "<p>never text</p>";'
+              " if (1 < 2 && 2 > 1) { f(); }</script>"),
+        F.lit("</head><body><!-- build "), sid,
+        F.lit(" <p>ghost</p> -->"),
+        F.lit("<nav>"),
+        F.expr("repeat('<a href=\"/l\">go</a> ', CAST(doc_id % 3 AS INT))"),
+        F.lit("</nav>"),
+        F.lit(f'<p id="main">{_HTML_ENTITY_P}</p>'),
+        F.lit("<p>"),
+        _escape_html(F.coalesce(F.col("text"), F.lit(""))),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def extract_html_text(col):
+    """The extraction chain: comments → script blocks → style blocks →
+    remaining tags → entity decode → whitespace collapse.  ``(?s)``
+    makes block strips newline-safe; non-greedy bodies stop at the
+    first closer, so a '</p>' INSIDE a script string never terminates
+    the script strip early."""
+    t = F.regexp_replace(col, F.lit("(?s)<!--.*?-->"), F.lit(" "))
+    t = F.regexp_replace(
+        t, F.lit("(?s)<script[^>]*>.*?</script>"), F.lit(" ")
+    )
+    t = F.regexp_replace(
+        t, F.lit("(?s)<style[^>]*>.*?</style>"), F.lit(" ")
+    )
+    t = F.regexp_replace(t, F.lit("<[^>]*>"), F.lit(" "))
+    t = F.regexp_replace(t, F.lit("&lt;"), F.lit("<"))
+    t = F.regexp_replace(t, F.lit("&gt;"), F.lit(">"))
+    t = F.regexp_replace(t, F.lit("&amp;"), F.lit("&"))
+    return F.trim(F.regexp_replace(t, F.lit("\\s+"), F.lit(" ")))
+
+
+def html_text_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact checksum over the extracted text of every wrapped
+    document: doc count, total extracted chars, and the id-weighted
+    md5 binding of each document's full extracted string — one missed
+    tag, surviving script fragment, or undecoded entity anywhere flips
+    the row."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    ext = _wrap_html(docs).select(
+        "doc_id", extract_html_text(F.col("html")).alias("x")
+    )
+    return ext.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("x")).alias("total_chars"),
+        F.sum(
+            F.expr(f"((doc_id % {P}) * {md5_mod_hash_sql('x')}) % {P}")
+        ).alias("text_binding"),
+    )
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: polynomial rolling hash of the normalized
     text (engine-portable; see functions/text.py)."""
@@ -383,6 +474,7 @@ QUERIES = {
     "text_langid": langid_heuristic,
     "doc_fingerprints": doc_fingerprints,
     "redact_pii": redact_pii,
+    "html_text_extract_stats": html_text_extract_stats,
 }
 
 _NORM = (
@@ -538,5 +630,21 @@ ORACLES = {
     "doc_fingerprints": (
         f"WITH {_NORM}"
         f" SELECT doc_id, {char_hash_duck('text')} AS fingerprint FROM norm"
+    ),
+    # the closed-form VISIBLE text of the wrapped page (title + nav
+    # anchor texts + decoded entity span + the original document text),
+    # whitespace-collapsed — the oracle never sees the HTML or any
+    # extraction regex, so it certifies the Spark-side strip/decode
+    # chain end to end
+    "html_text_extract_stats": (
+        "WITH e AS (SELECT doc_id,"
+        " trim(regexp_replace('doc ' || CAST(doc_id AS VARCHAR) || ' ' ||"
+        " repeat('go ', CAST(doc_id % 3 AS INT)) ||"
+        " ' <tag> & entities ' || COALESCE(text, ''),"
+        " '\\s+', ' ', 'g')) AS x FROM documents)"
+        " SELECT COUNT(*) AS n_docs,"
+        " CAST(SUM(length(x)) AS BIGINT) AS total_chars,"
+        f" CAST(SUM(((doc_id % {P}) * {md5_mod_hash_duck('x')}) % {P})"
+        " AS BIGINT) AS text_binding FROM e"
     ),
 }

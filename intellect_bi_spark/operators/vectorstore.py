@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 from .clustering import M_SUB, QUANT, SUBDIM, _pq_codes, _subspace_rows
 from .similarity import (
+    N_BATCH_QUERIES,
     N_CELLS,
     N_PROBE,
     QUERY_VEC_ID,
@@ -165,6 +166,91 @@ def topk_from_index(
     )
 
 
+def topk_batch_from_index(
+    centroids: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    emb: DataFrame,
+) -> DataFrame:
+    """The amortization shape the store exists for: ONE stored index
+    answers a BATCH of queries (vec_id < N_BATCH_QUERIES, the
+    similarity.ann_topk_batch convention; candidates are the rest of
+    the corpus).  Per query: probe its N_PROBE nearest cells, ADC-scan
+    only those cells' stored codes, keep CAND_K, exact-cosine rerank to
+    TOP_K.  All per-query stages are windows partitioned by q_id —
+    per-key state, no global sort; the query-side frames (batch
+    subvectors, probe pairs) stay broadcast-size by construction."""
+    from pyspark.sql import Window
+
+    from .clustering import _subspace_rows
+
+    qs = emb.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(F.desc("q_cos"), "cell")
+    probe = (
+        centroids.crossJoin(F.broadcast(qs))
+        .select(
+            "q_id",
+            "cell",
+            (
+                _dot("c_emb", "q_emb") / (_norm("c_emb") * _norm("q_emb"))
+            ).alias("q_cos"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("q_id", "cell")
+    )
+    q_sub = _subspace_rows(
+        emb.filter(F.col("vec_id") < N_BATCH_QUERIES)
+    ).select(
+        F.col("vec_id").alias("q_id"), "m", F.col("sub").alias("qsub")
+    )
+    adc = (
+        codes.join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") >= N_BATCH_QUERIES)
+        .join(F.broadcast(codebook), ["m", "cid"])
+        .join(F.broadcast(q_sub), ["q_id", "m"])
+        .select(
+            "q_id",
+            "vec_id",
+            F.expr(
+                "CAST(FLOOR(aggregate(zip_with(qsub, carr,"
+                " (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE),"
+                f" (acc, v) -> acc + v) * {QUANT}.0 + 0.5) AS BIGINT)"
+            ).alias("dq"),
+        )
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("dq").alias("dist_q"))
+    )
+    cand_w = Window.partitionBy("q_id").orderBy("dist_q", "vec_id")
+    cand = (
+        adc.withColumn("rn", F.row_number().over(cand_w))
+        .filter(F.col("rn") <= CAND_K)
+        .select("q_id", "vec_id")
+    )
+    rerank_w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), "vec_id"
+    )
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qs), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            (
+                _dot("embedding", "q_emb")
+                / (_norm("embedding") * _norm("q_emb"))
+            ).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(rerank_w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id", "label", "cosine")
+        .orderBy("q_id", F.desc("cosine"), "vec_id")
+    )
+
+
 def read_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -198,7 +284,30 @@ def ann_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-QUERIES = {"ann_index_store": ann_index_store}
+def ann_index_store_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build + persist ONCE, then answer the 10-query batch from the
+    stored tables — the serve-many amortization the persisted index
+    exists for (the store cost in :func:`ann_index_store` amortizes
+    over every query in this batch)."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_ann_index_")
+    try:
+        build_index(spark, sf_dir, tmp)
+        centroids, codebook, codes = read_index(spark, tmp)
+        out = topk_batch_from_index(
+            centroids, codebook, codes, _emb(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+QUERIES = {
+    "ann_index_store": ann_index_store,
+    "ann_index_store_batch": ann_index_store_batch,
+}
 
 
 def _oracle() -> str:
@@ -255,4 +364,67 @@ def _oracle() -> str:
     )
 
 
-ORACLES = {"ann_index_store": _oracle()}
+def _batch_oracle() -> str:
+    """The batch run restated from the base tables: per-query probe →
+    probed-cell ADC → CAND_K → exact rerank, every per-query stage a
+    ROW_NUMBER window (the same tie-breaks as the Spark windows)."""
+    from .clustering import _PQ_CTES
+    from .similarity import _dot_duck, _norm_duck
+
+    return (
+        f"WITH {_PQ_CTES},"
+        f" cents AS (SELECT CAST(vec_id - 1 AS INT) AS cell,"
+        f" embedding AS c_emb FROM embeddings"
+        f" WHERE vec_id BETWEEN 1 AND {N_CELLS}),"
+        f" iscored AS (SELECT e.vec_id, c.cell,"
+        f" {_dot_duck('e.embedding', 'c.c_emb')} /"
+        f" ({_norm_duck('e.embedding')} * {_norm_duck('c.c_emb')}) AS c_cos"
+        f" FROM embeddings e CROSS JOIN cents c),"
+        f" assign AS (SELECT vec_id, cell FROM"
+        f" (SELECT vec_id, cell, ROW_NUMBER() OVER"
+        f" (PARTITION BY vec_id ORDER BY c_cos DESC, cell) AS rn"
+        f" FROM iscored) WHERE rn = 1),"
+        f" qb AS (SELECT vec_id AS q_id, embedding AS q_emb"
+        f" FROM embeddings WHERE vec_id < {N_BATCH_QUERIES}),"
+        f" probe AS (SELECT q_id, cell FROM"
+        f" (SELECT q.q_id, c.cell, ROW_NUMBER() OVER"
+        f" (PARTITION BY q.q_id ORDER BY"
+        f" {_dot_duck('c.c_emb', 'q.q_emb')} /"
+        f" ({_norm_duck('c.c_emb')} * {_norm_duck('q.q_emb')}) DESC,"
+        f" c.cell) AS rn FROM cents c CROSS JOIN qb q)"
+        f" WHERE rn <= {N_PROBE}),"
+        f" qs AS (SELECT vec_id AS q_id, m, sub AS qsub FROM sub"
+        f" WHERE vec_id < {N_BATCH_QUERIES}),"
+        " adc AS (SELECT p.q_id, c.vec_id,"
+        " CAST(SUM(CAST(FLOOR(list_reduce(list_prepend("
+        " CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, {SUBDIM} + 1),"
+        " i -> (qs.qsub[i] - cb.carr[i]) * (qs.qsub[i] - cb.carr[i]))),"
+        f" (acc, v) -> acc + v) * {QUANT}.0 + 0.5) AS BIGINT))"
+        " AS BIGINT) AS dist_q"
+        " FROM codes c JOIN assign a ON a.vec_id = c.vec_id"
+        " JOIN probe p ON p.cell = a.cell"
+        " JOIN cb ON cb.m = c.m AND cb.cid = c.cid"
+        " JOIN qs ON qs.q_id = p.q_id AND qs.m = c.m"
+        f" WHERE c.vec_id >= {N_BATCH_QUERIES}"
+        " GROUP BY p.q_id, c.vec_id),"
+        f" cand AS (SELECT q_id, vec_id FROM"
+        f" (SELECT q_id, vec_id, ROW_NUMBER() OVER"
+        f" (PARTITION BY q_id ORDER BY dist_q, vec_id) AS rn FROM adc)"
+        f" WHERE rn <= {CAND_K}),"
+        " rr AS (SELECT cand.q_id, e.vec_id, e.label,"
+        f" {_dot_duck('e.embedding', 'q.q_emb')} /"
+        f" ({_norm_duck('e.embedding')} * {_norm_duck('q.q_emb')})"
+        " AS cosine FROM cand JOIN embeddings e USING (vec_id)"
+        " JOIN qb q ON q.q_id = cand.q_id)"
+        " SELECT q_id, vec_id, label, cosine FROM"
+        " (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id"
+        " ORDER BY cosine DESC, vec_id) AS rk FROM rr)"
+        f" WHERE rk <= {TOP_K} ORDER BY q_id, cosine DESC, vec_id"
+    )
+
+
+ORACLES = {
+    "ann_index_store": _oracle(),
+    "ann_index_store_batch": _batch_oracle(),
+}

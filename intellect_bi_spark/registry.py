@@ -153,18 +153,23 @@ for _mod in _MODULES:
 # CERTIFICATION DEBT.  (a) is the complete never-driver-checked set — all
 # 37 queries enumerated in the r8 deferral notes above, in registry
 # order; after this round never-checked = 0.  (b) is the round's entire
-# net-new surface (growth frozen per VERDICT item 2): the persisted
-# IVF-PQ index store (item 3), the G.711 μ-law compressed-audio decode
-# (item 5), plus the funnel re-cert — its plan/oracle gained the
+# net-new surface (growth frozen per VERDICT item 2 — FOUR new queries
+# all round): the persisted IVF-PQ index store and its build-once/
+# serve-many batch twin (item 3), the G.711
+# μ-law compressed-audio decode (item 5), the HTML→text web-ingest
+# extraction, plus the funnel re-cert — its plan/oracle gained the
 # post-dedup mix stages (item 7), so its r8 row is stale.  (c) spends
-# the remaining 10 slots on the oldest (r5) rows, in registry order.
-# Disclosed deferrals: the remaining 27 r5-cohort rows (all strictly
-# parity-verified locally at sf0.001/sf0.01 this round — the r9 session
-# logs) rotate in r10; no other query's generated plan or oracle text
-# changed this round (the _temp_frac_sql extraction in
-# temperature_resample_stats is GENERATED-TEXT-IDENTICAL, and the
-# json_props_stats corrupt-row hardening (ADVICE r8) changed its plan
-# AND oracle — but it is in front section (a) anyway).
+# the remaining 8 slots on the oldest (r5) rows, in registry order.
+# Disclosed deferrals: the remaining 29 r5-cohort rows,
+# percentiles_by_status and o3_top1_subquery first (all strictly
+# parity-verified locally at sf0.001/sf0.01/sf0.1
+# this round — the r9 session logs) rotate in r10; no other query's
+# generated plan or oracle text changed this round (the _temp_frac_sql
+# extraction in temperature_resample_stats is GENERATED-TEXT-IDENTICAL,
+# and the json_props_stats corrupt-row hardening (ADVICE r8) changed
+# its plan AND oracle — but it is in front section (a) anyway; the
+# trade_triangle_count / bm25_ndcg_eval / PQ-subspace persist() pins
+# are physical-plan-only and those queries sit in the front too).
 _FRONT = (
     # -- (a) every never-driver-checked query, registry order ---------------
     "pivot_region_quarter",
@@ -206,7 +211,9 @@ _FRONT = (
     "dup_span_pairs",
     # -- (b) the r9 net-new surface + the one stale re-cert ------------------
     "ann_index_store",
+    "ann_index_store_batch",
     "audio_features_mulaw",
+    "html_text_extract_stats",
     "corpus_prep_funnel",
     # -- (c) oldest r5 rows, registry order ----------------------------------
     "nl_qoq_delta",
@@ -217,8 +224,6 @@ _FRONT = (
     "q17_small_quantity_revenue",
     "q19_bracketed_revenue",
     "q8_market_share",
-    "percentiles_by_status",
-    "o3_top1_subquery",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive

@@ -95,3 +95,34 @@ def test_probe_scan_is_cell_pruned(spark, sf_dir):
         assert part_lines and any("cell" in ln for ln in part_lines)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_batch_stored_equals_in_memory_ranking(spark, sf_dir):
+    """The batch serve (one store, N queries) must also be a pure
+    roundtrip of the in-memory index frames."""
+    centroids, codebook, codes = _in_memory_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    want = [
+        (r["q_id"], r["vec_id"], r["cosine"])
+        for r in vs.topk_batch_from_index(
+            centroids, codebook, codes, emb
+        ).collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="sgraft_vstest_")
+    try:
+        vs.build_index(spark, sf_dir, tmp)
+        got = [
+            (r["q_id"], r["vec_id"], r["cosine"])
+            for r in vs.topk_batch_from_index(
+                *vs.read_index(spark, tmp), emb
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got == want
+    # every query in the batch answered with a full top-k
+    from collections import Counter
+
+    per_q = Counter(q for q, _, _ in got)
+    assert len(per_q) == vs.N_BATCH_QUERIES
+    assert all(n == vs.TOP_K for n in per_q.values())
