@@ -60,8 +60,14 @@ DSIR_TOP_K = 25
 
 
 def _toks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir)["documents"].select(
-        "doc_id", "lang", "text"
+    # repartition to full parallelism before the tokenize/hash stages:
+    # the fixture documents table is one parquet file → 1-2 scan
+    # partitions, leaving the per-token md5 work near-serial otherwise
+    # (pipeline._docs_spread rationale; measured 2-task stages at sf1)
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", "lang", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     return docs.select(
         "doc_id",
@@ -128,6 +134,12 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("element_at(toks, pos)").alias("w1"),
         F.expr("element_at(toks, pos + 1)").alias("w2"),
     )
+    # pin the bigram relation: the train-side counts and the held-out
+    # scoring join both read it — one tokenize+explode pass instead of
+    # two (r9 review, same class as the DSIR tok_rows pin below)
+    from pyspark import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     train = pairs.filter(F.col("is_train"))
     c12 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     # context counts derive from the bigram relation (c1 = Σ_w2 c12), so
@@ -208,7 +220,14 @@ def importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR selection: hashed-unigram importance weights against the
     ``lang = 'en'`` target distribution; top-25 documents by quantized
     weight.  Columns: doc_id, lang, n_toks, weight_q."""
+    from pyspark import StorageLevel
+
     toks = _toks_df(spark, sf_dir)
+    # pin the hashed token relation: the bucket-stats aggregate AND the
+    # per-document weight join both read it, and without the pin the
+    # tokenize + per-token md5 pipeline (the operator's dominant cost —
+    # measured ~2× at sf1) executes once per consumer (r9 review; the
+    # pagerank-adjacency-pin class)
     tok_rows = toks.select(
         "doc_id",
         "lang",
@@ -218,7 +237,7 @@ def importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "pos",
         F.expr(_bucket_sql("tok")).alias("bucket"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # one aggregation yields BOTH distributions' bucket counts; the
     # result is ≤ B rows — broadcast material by construction.
     buckets = tok_rows.groupBy("bucket").agg(
@@ -347,7 +366,12 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary); ties break lexicographically in both engines.  All
     counts are exact BIGINTs — parity is strict with no float
     discipline."""
-    docs = load_tables(spark, sf_dir)["documents"].select("text")
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("text")
+    )
     dict_df = (
         docs.select(
             F.explode(

@@ -82,7 +82,13 @@ def _bm25_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_hit_terms, score_q): the full per-document BM25 scoring
     relation (every doc hitting ≥1 query term) — shared by the top-k
     query and the RRF fusion."""
-    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    # spread the single-file scan before tokenizing (pipeline._docs_spread
+    # rationale; the per-token work otherwise runs on 1-2 tasks)
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     toks = docs.select(
         "doc_id",
         F.expr(

@@ -45,8 +45,17 @@ SPAN_TOP = 15  # top pairs reported
 
 
 def _window_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, pos, wh): every positioned token K-gram window, hashed."""
-    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    """(doc_id, pos, wh): every positioned token K-gram window, hashed.
+
+    The scan is repartitioned to full parallelism first: the fixture
+    table is one parquet file (1-2 scan partitions), and the per-window
+    md5 is this operator's dominant map cost (pipeline._docs_spread
+    rationale; r9 review)."""
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     toks = docs.select(
         "doc_id",
         F.expr(
