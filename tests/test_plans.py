@@ -577,3 +577,47 @@ def test_codec_stages_run_at_full_parallelism(spark, sf_dir):
     # stub path: scan partitioning preserved (no exchange)
     stub = m._media(spark, sf_dir).select("doc_id", "payload")
     assert stub.rdd.getNumPartitions() < want
+
+
+def test_ann_index_serving_is_broadcast_only(spark, sf_dir, tmp_path):
+    """IVF-PQ serving FROM THE STORE (the production shape): every join
+    is a broadcast (probe semi-join, codebook, query subvectors, rerank
+    candidates) — no sort-merge join, no non-broadcast cartesian. The
+    build-time codes⋈assignments join is allowed to shuffle (it runs
+    once at index-build); the serve path must not. A refactor that
+    shuffles the code relation for the codebook join fails here, not at
+    100 TB."""
+    from intellect_bi_spark.operators import vectorstore as vs
+    from intellect_bi_spark.operators.similarity import _emb
+
+    path = str(tmp_path / "annidx")
+    vs.build_index(spark, sf_dir, path)
+    plan = plan_of(
+        vs.topk_from_index(*vs.read_index(spark, path), _emb(spark, sf_dir))
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_scoring_relation_reused_not_recomputed(spark, sf_dir):
+    """bm25_ndcg_eval reads the corpus-scale scoring relation twice
+    (actual + ideal rankings); the persist must make the second read an
+    InMemoryTableScan instead of a second tokenize pipeline (r9 review
+    fix — this is the regression lock)."""
+    from intellect_bi_spark.operators.retrieval import bm25_ndcg_eval
+
+    plan = plan_of(bm25_ndcg_eval(spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_dsir_token_relation_reused_not_recomputed(spark, sf_dir):
+    """importance_weights_dsir reads the hashed-token relation twice
+    (bucket stats + per-doc weights); the persist pin is the r9 fix that
+    took the sf1 run from 24.8 s to 1.7 s — lock it."""
+    from intellect_bi_spark.operators.langmodel import (
+        importance_weights_dsir,
+    )
+
+    plan = plan_of(importance_weights_dsir(spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 2
