@@ -83,6 +83,7 @@ HEADLINE = [
     "image_features_stub",
     "audio_window_rms",  # real WAV binary decode (r6)
     "audio_features_mulaw",  # G.711 μ-law companded decode (r9)
+    "audio_features_adpcm",  # IMA ADPCM stateful decode (r9)
     "image_features_ppm",  # real PPM binary decode (r6)
     "image_thumbnails_ppm",  # nearest-neighbor pixel resize (r8)
     "image_features_png",  # DEFLATE-compressed PNG decode (r7)

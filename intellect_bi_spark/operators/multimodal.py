@@ -616,6 +616,212 @@ def audio_features_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- REAL compressed audio #2: IMA ADPCM (WAVE format 0x11) — round 9 -------
+#
+# The ORDER-DEPENDENT codec class: μ-law above is memoryless (each byte
+# expands independently), but IMA/DVI ADPCM (public IMA spec; WAVE
+# format tag 0x11) is a per-sample STATE MACHINE — each 4-bit nibble
+# updates a running predictor and an adaptive step index, so sample i
+# is wrong unless every one of the i−1 preceding decodes was right.
+# Both sides are hand-rolled (nothing in the stdlib decodes ADPCM):
+# the encoder builds the RIFF container with the extended fmt chunk
+# (cbSize=2, wSamplesPerBlock) and a one-block data chunk whose header
+# carries the initial (predictor, step-index) state; the decoder walks
+# the chunks, validates tag 0x11 / 4-bit mono / the samples-per-block
+# extension, splits bytes into low-first nibbles, and replays the IMA
+# expansion (diff accumulation from the step table, ±32768/32767
+# clamps, index clamp to [0, 88]).  The nibble sequence and the initial
+# state are closed-form in doc_id, so the DuckDB oracle replays the
+# SAME state machine with a RECURSIVE CTE — one recursion level per
+# sample, the relational restatement of sequential decode — and any
+# wrong table entry, clamp, or nibble order diverges the chain
+# immediately.  Fixture-independent behavior is locked by unit tests
+# against a scalar reference decoder (tests/test_multimodal_seam.py).
+
+_ADPCM_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_ADPCM_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)  # applied to nib & 7
+_ADPCM_NIB_A = 6151
+_ADPCM_NIB_B = 912871
+_ADPCM_NIB_C = 5
+_ADPCM_PRED_MULT = 40503  # initial-state spreaders (closed form)
+
+
+def _adpcm_n_samples(doc_id: int) -> int:
+    """256 + (doc_id % 3)·64 — whole RMS windows, even (2 samples/byte),
+    and ≤ 384 so the oracle's recursion depth stays fixture-bounded."""
+    return 256 + (doc_id % 3) * 64
+
+
+def _adpcm_rate(doc_id: int) -> int:
+    return 8000 + (doc_id % 2) * 3025  # 8000 / 11025
+
+
+def _adpcm_init_state(doc_id: int) -> tuple[int, int]:
+    """(predictor0, index0): closed-form initial codec state carried in
+    the block header — sweeps predictor sign/magnitude and all step
+    segments across doc ids."""
+    pred0 = (doc_id * _ADPCM_PRED_MULT) % 65536 - 32768
+    idx0 = doc_id % 89
+    return pred0, idx0
+
+
+def _adpcm_nibbles(doc_id: int) -> "np.ndarray":
+    i = np.arange(_adpcm_n_samples(doc_id), dtype=np.int64)
+    return (
+        (doc_id * _ADPCM_NIB_A + i * _ADPCM_NIB_B + _ADPCM_NIB_C) % 16
+    ).astype(np.uint8)
+
+
+def adpcm_expand(
+    nibbles: "np.ndarray", pred0: int, idx0: int
+) -> "np.ndarray":
+    """IMA ADPCM expansion — inherently sequential (each step's output
+    and table position feed the next), so a tight scalar loop, not a
+    vectorized map; the mapInPandas stage parallelizes across documents
+    instead (one chain per doc is the codec's own data dependency)."""
+    step_t = _ADPCM_STEP_TABLE
+    index_t = _ADPCM_INDEX_TABLE
+    pred, idx = int(pred0), int(idx0)
+    out = np.empty(len(nibbles), dtype=np.int64)
+    for k, nib in enumerate(nibbles):
+        nib = int(nib)
+        step = step_t[idx]
+        diff = step >> 3
+        if nib & 4:
+            diff += step
+        if nib & 2:
+            diff += step >> 1
+        if nib & 1:
+            diff += step >> 2
+        if nib & 8:
+            pred = max(pred - diff, -32768)
+        else:
+            pred = min(pred + diff, 32767)
+        idx = min(max(idx + index_t[nib & 7], 0), 88)
+        out[k] = pred
+    return out
+
+
+def _encode_wav_adpcm_bytes(doc_id: int) -> bytes:
+    """RIFF/WAVE, format tag 0x11: extended fmt chunk (cbSize=2 with
+    wSamplesPerBlock), one data block = 4-byte state header (predictor
+    int16 LE, index uint8, reserved) + low-nibble-first packed codes."""
+    import struct
+
+    n = _adpcm_n_samples(doc_id)
+    rate = _adpcm_rate(doc_id)
+    pred0, idx0 = _adpcm_init_state(doc_id)
+    nibs = _adpcm_nibbles(doc_id)
+    packed = (nibs[0::2] | (nibs[1::2] << 4)).astype(np.uint8).tobytes()
+    block_align = 4 + n // 2
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, rate, rate * block_align // max(n, 1), block_align, 4,
+        2, n,  # cbSize=2, wSamplesPerBlock=n
+    )
+    data = struct.pack("<hBB", pred0, idx0, 0) + packed
+    body = b"WAVE"
+    for cid, cdata in ((b"fmt ", fmt), (b"data", data)):
+        body += cid + struct.pack("<I", len(cdata)) + cdata
+        if len(cdata) % 2:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _encode_wav_adpcm(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        ids = [int(d) for d in batch["doc_id"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "payload": [_encode_wav_adpcm_bytes(d) for d in ids],
+            }
+        )
+
+
+def _adpcm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _codec_ids(spark, sf_dir).mapInPandas(
+        _encode_wav_adpcm, schema="doc_id long, payload binary"
+    )
+
+
+def decode_wav_adpcm(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Hand-rolled chunk walk + IMA state-machine expansion: validate
+    RIFF/WAVE, require fmt tag 0x11 mono 4-bit with the
+    wSamplesPerBlock extension, read the block state header, unpack
+    low-first nibbles, replay the adaptive chain.  Same seam signature
+    as :func:`decode_wav` / :func:`decode_wav_mulaw`."""
+    import struct
+
+    b = bytes(payload)
+    if b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    end = min(len(b), 8 + struct.unpack("<I", b[4:8])[0])
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= end:
+        cid = b[pos : pos + 4]
+        size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        chunk_body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = chunk_body
+        elif cid == b"data":
+            data = chunk_body
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    tag, nch, rate, _br, _ba, bits, cb, spb = struct.unpack(
+        "<HHIIHHHH", fmt[:20]
+    )
+    if tag != 0x11 or nch != 1 or bits != 4 or cb < 2:
+        raise ValueError("expected mono 4-bit IMA ADPCM (format tag 17)")
+    pred0, idx0, _ = struct.unpack("<hBB", data[:4])
+    packed = np.frombuffer(data[4:], dtype=np.uint8)
+    nibs = np.empty(packed.size * 2, dtype=np.uint8)
+    nibs[0::2] = packed & 0x0F  # low nibble first (IMA packing order)
+    nibs[1::2] = packed >> 4
+    return rate, adpcm_expand(nibs[:spb], pred0, idx0)
+
+
+def _adpcm_feature_rows(
+    spark: SparkSession, sf_dir: str, decode=decode_wav_adpcm
+) -> DataFrame:
+    m = _adpcm_media(spark, sf_dir)
+    return m.mapInPandas(_wav_features_with(decode), schema=_WAV_FEAT_SCHEMA)
+
+
+def audio_features_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact checksum over every ADPCM-decoded RMS window (the
+    audio_window_rms face on the stateful codec): because the expansion
+    is a chain, total_sq_sum is wrong unless EVERY step of every
+    document's state machine matched the oracle's recursive replay."""
+    wins = _adpcm_feature_rows(spark, sf_dir)
+    return wins.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("window_idx").alias("sum_window_idx"),
+        F.sum("sq_sum").alias("total_sq_sum"),
+        F.sum("rate_hz").alias("sum_rate_hz"),
+        F.sum("n_samples").alias("sum_n_samples"),
+        F.sum(
+            F.expr(f"((doc_id % {P}) * (sq_sum % {P})) % {P}")
+        ).alias("id_weighted_sq_sum"),
+        F.sqrt(
+            F.sum("sq_sum").cast("double")
+            / (F.count(F.lit(1)) * _WAV_RMS_WINDOW).cast("double")
+        ).alias("rms_overall"),
+    )
+
+
 # --- REAL image modality: binary PPM (P6) encode + hand-parsed decode --------
 #
 # Same construction as the WAV path: each doc carries a genuine binary
@@ -1915,7 +2121,64 @@ QUERIES = {
     "video_frame_sample_y4m": video_frame_sample_y4m,
     "audio_window_rms": audio_window_rms,
     "audio_features_mulaw": audio_features_mulaw,
+    "audio_features_adpcm": audio_features_adpcm,
 }
+
+
+def _adpcm_oracle() -> str:
+    """The IMA state machine replayed relationally: a RECURSIVE CTE
+    advances every document's (predictor, index) chain one sample per
+    level — the exact integer arithmetic of :func:`adpcm_expand`
+    (step-table lookup, nibble-gated diff accumulation, both clamps) on
+    the closed-form nibble sequence, so one wrong step anywhere
+    diverges every subsequent sample of that document."""
+    step_lit = "[" + ", ".join(str(v) for v in _ADPCM_STEP_TABLE) + "]"
+    idx_lit = "[" + ", ".join(str(v) for v in _ADPCM_INDEX_TABLE) + "]"
+    nib = (
+        f"((doc_id * {_ADPCM_NIB_A} + i * {_ADPCM_NIB_B}"
+        f" + {_ADPCM_NIB_C}) % 16)"
+    )
+    step = f"({step_lit})[idx + 1]"
+    diff = (
+        f"(({step} >> 3)"
+        f" + CASE WHEN ({nib} & 4) != 0 THEN {step} ELSE 0 END"
+        f" + CASE WHEN ({nib} & 2) != 0 THEN ({step} >> 1) ELSE 0 END"
+        f" + CASE WHEN ({nib} & 1) != 0 THEN ({step} >> 2) ELSE 0 END)"
+    )
+    new_pred = (
+        f"CASE WHEN ({nib} & 8) != 0"
+        f" THEN GREATEST(pred - {diff}, -32768)"
+        f" ELSE LEAST(pred + {diff}, 32767) END"
+    )
+    new_idx = (
+        f"LEAST(GREATEST(idx + ({idx_lit})[({nib} & 7) + 1], 0), 88)"
+    )
+    return (
+        "WITH RECURSIVE docs0 AS (SELECT doc_id,"
+        " CAST(256 + (doc_id % 3) * 64 AS BIGINT) AS n,"
+        f" CAST((doc_id * {_ADPCM_PRED_MULT}) % 65536 - 32768 AS BIGINT)"
+        " AS pred0,"
+        " CAST(doc_id % 89 AS BIGINT) AS idx0 FROM documents),"
+        " chain(doc_id, n, i, pred, idx) AS ("
+        " SELECT doc_id, n, CAST(0 AS BIGINT), pred0, idx0 FROM docs0"
+        " UNION ALL"
+        f" SELECT doc_id, n, i + 1, {new_pred}, {new_idx}"
+        " FROM chain WHERE i < n),"
+        " w AS (SELECT doc_id, (i - 1) // 64 AS window_idx,"
+        " SUM(pred * pred) AS sq_sum"
+        " FROM chain WHERE i >= 1 GROUP BY doc_id, window_idx)"
+        " SELECT COUNT(*) AS n_windows,"
+        " COUNT(DISTINCT doc_id) AS n_docs,"
+        " CAST(SUM(window_idx) AS BIGINT) AS sum_window_idx,"
+        " CAST(SUM(sq_sum) AS BIGINT) AS total_sq_sum,"
+        " CAST(SUM(8000 + (doc_id % 2) * 3025) AS BIGINT) AS sum_rate_hz,"
+        " CAST(SUM(256 + (doc_id % 3) * 64) AS BIGINT) AS sum_n_samples,"
+        f" CAST(SUM(((doc_id % {P}) * (sq_sum % {P})) % {P}) AS BIGINT)"
+        " AS id_weighted_sq_sum,"
+        " sqrt(CAST(SUM(sq_sum) AS DOUBLE) /"
+        f" CAST(COUNT(*) * {_WAV_RMS_WINDOW} AS DOUBLE)) AS rms_overall"
+        " FROM w"
+    )
 
 # ASCII corpus ⇒ octet/byte ops == length/ascii char ops in the oracles.
 _MIME_CASE = (
@@ -2279,4 +2542,5 @@ ORACLES = {
         f" CAST(COUNT(*) * {_WAV_RMS_WINDOW} AS DOUBLE)) AS rms_overall"
         " FROM f"
     ),
+    "audio_features_adpcm": _adpcm_oracle(),
 }

@@ -153,16 +153,18 @@ for _mod in _MODULES:
 # CERTIFICATION DEBT.  (a) is the complete never-driver-checked set — all
 # 37 queries enumerated in the r8 deferral notes above, in registry
 # order; after this round never-checked = 0.  (b) is the round's entire
-# net-new surface (growth frozen per VERDICT item 2 — FOUR new queries
+# net-new surface (growth frozen per VERDICT item 2 — FIVE new queries
 # all round): the persisted IVF-PQ index store and its build-once/
 # serve-many batch twin (item 3), the G.711
-# μ-law compressed-audio decode (item 5), the HTML→text web-ingest
-# extraction, plus the funnel re-cert — its plan/oracle gained the
-# post-dedup mix stages (item 7), so its r8 row is stale.  (c) spends
-# the remaining 8 slots on the oldest (r5) rows, in registry order.
-# Disclosed deferrals: the remaining 29 r5-cohort rows,
-# percentiles_by_status and o3_top1_subquery first (all strictly
-# parity-verified locally at sf0.001/sf0.01/sf0.1
+# μ-law (memoryless companding) AND IMA-ADPCM (order-dependent state
+# machine, recursive-CTE oracle) compressed-audio decodes (item 5), the
+# HTML→text web-ingest extraction, plus the funnel re-cert — its
+# plan/oracle gained the post-dedup mix stages (item 7), so its r8 row
+# is stale.  (c) spends the remaining 7 slots on the oldest (r5) rows,
+# in registry order.
+# Disclosed deferrals: the remaining 30 r5-cohort rows —
+# q8_market_share, percentiles_by_status, o3_top1_subquery first (all
+# strictly parity-verified locally at sf0.001/sf0.01/sf0.1
 # this round — the r9 session logs) rotate in r10; no other query's
 # generated plan or oracle text changed this round (the _temp_frac_sql
 # extraction in temperature_resample_stats is GENERATED-TEXT-IDENTICAL,
@@ -213,6 +215,7 @@ _FRONT = (
     "ann_index_store",
     "ann_index_store_batch",
     "audio_features_mulaw",
+    "audio_features_adpcm",
     "html_text_extract_stats",
     "corpus_prep_funnel",
     # -- (c) oldest r5 rows, registry order ----------------------------------
@@ -223,7 +226,6 @@ _FRONT = (
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q19_bracketed_revenue",
-    "q8_market_share",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive

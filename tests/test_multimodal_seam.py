@@ -431,3 +431,83 @@ def test_mulaw_seam_injects_decoder(spark, sf_dir):
         assert r["window_idx"] == 0
         assert r["sq_sum"] == want_sq
         assert r["rate_hz"] == 8000
+
+
+# --- IMA ADPCM (round 9) ------------------------------------------------------
+
+
+def test_adpcm_expand_hand_computed_chain():
+    """A 4-nibble chain worked out by hand from the IMA spec tables:
+    pred0=0, idx0=0, nibbles [0, 7, 8, 15] →
+      nib 0: step=7,  diff=0            → pred 0,   idx 0 (clamped)
+      nib 7: step=7,  diff=7+3+1=11     → pred 11,  idx 8
+      nib 8: step=16, diff=2 (sign bit) → pred 9,   idx 7
+      nib 15: step=14, diff=1+14+7+3=25 → pred −16, idx 15"""
+    got = multimodal.adpcm_expand(
+        np.array([0, 7, 8, 15], dtype=np.uint8), 0, 0
+    )
+    assert got.tolist() == [0, 11, 9, -16]
+
+
+def test_adpcm_expand_clamps_both_rails_and_index():
+    # positive rail: max predictor + max positive nibble stays clamped
+    got = multimodal.adpcm_expand(
+        np.array([7, 7], dtype=np.uint8), 32767, 88
+    )
+    assert got.tolist() == [32767, 32767]
+    # negative rail
+    got = multimodal.adpcm_expand(
+        np.array([15, 15], dtype=np.uint8), -32768, 88
+    )
+    assert got.tolist() == [-32768, -32768]
+    # index clamp at 0: repeated small nibbles can't underflow the table
+    got = multimodal.adpcm_expand(
+        np.array([0, 0, 0], dtype=np.uint8), 100, 0
+    )
+    assert got.tolist() == [100, 100, 100]
+
+
+def test_adpcm_roundtrip_and_header_state():
+    for doc_id in (3, 8):
+        payload = multimodal._encode_wav_adpcm_bytes(doc_id)
+        rate, samples = multimodal.decode_wav_adpcm(payload)
+        assert rate == multimodal._adpcm_rate(doc_id)
+        pred0, idx0 = multimodal._adpcm_init_state(doc_id)
+        want = multimodal.adpcm_expand(
+            multimodal._adpcm_nibbles(doc_id), pred0, idx0
+        )
+        assert np.array_equal(samples, want)
+        assert samples.size == multimodal._adpcm_n_samples(doc_id)
+
+
+def test_adpcm_decode_rejects_bad_payloads():
+    import struct
+
+    import pytest
+
+    with pytest.raises(ValueError, match="RIFF"):
+        multimodal.decode_wav_adpcm(b"fLaC" + b"\x00" * 40)
+    # a mu-law (tag 7) file must be refused by the format gate
+    fmt = struct.pack("<HHIIHHHH", 7, 1, 8000, 8000, 1, 8, 2, 64)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 20) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    bad = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="format tag 17"):
+        multimodal.decode_wav_adpcm(bad)
+
+
+def test_adpcm_seam_injects_decoder(spark, sf_dir):
+    ramp = np.arange(64, dtype=np.int64) * 3 - 96
+
+    def fake_decode(payload: bytes):
+        return 11025, ramp
+
+    rows = (
+        multimodal._adpcm_feature_rows(spark, sf_dir, decode=fake_decode)
+        .limit(8)
+        .collect()
+    )
+    assert len(rows) == 8
+    want_sq = int((ramp**2).sum())
+    for r in rows:
+        assert r["sq_sum"] == want_sq and r["rate_hz"] == 11025
