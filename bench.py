@@ -89,6 +89,7 @@ HEADLINE = [
     "image_features_png",  # DEFLATE-compressed PNG decode (r7)
     "image_features_jpeg",  # baseline-JPEG entropy-coded decode (r8)
     "video_frame_sample_y4m",  # real Y4M container decode (r6)
+    "video_features_mjpeg",  # MJPEG/AVI entropy-coded video decode (r10)
     "xml_roundtrip_checksum",  # interchange sink+scan certification (r7)
     "jsonl_roundtrip_checksum",
     "schema_evolution_checksum",  # mergeSchema evolved-feed scan (r8)

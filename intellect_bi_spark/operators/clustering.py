@@ -329,21 +329,19 @@ def _pq_codebook(subr: DataFrame) -> DataFrame:
 
 
 def _pq_codes(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    from pyspark import StorageLevel
+    from ..functions.windows import register_cache
 
     # pin the long-form subvector relation: the codebook derivation reads
     # it twice (seed + assignment-1) and the final code assignment a
     # third time — without the pin the corpus explode+transform pipeline
     # executes per reference (r9 review; sibling of the cb pin below)
-    subr = _subspace_rows(_points(spark, sf_dir)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    subr = register_cache(_subspace_rows(_points(spark, sf_dir)))
     # pin the codebook (M_SUB×KS rows): ann_topk_pq references it twice
     # (code assignment + reconstruction join) and its derivation scans
     # the corpus — without the pin that training pass executes per
     # consumer instead of once (review r8, same class as the pagerank
     # adjacency pin)
-    cb = _pq_codebook(subr).persist(StorageLevel.MEMORY_AND_DISK)
+    cb = register_cache(_pq_codebook(subr))
     codes = _pq_assign(subr, cb).select(
         "vec_id", "m", F.col("a.cid").alias("cid")
     )

@@ -496,6 +496,13 @@ def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# canonical-integer gate shared by the Spark plan and the DuckDB oracle:
+# both engines' bare string→BIGINT coercions disagree on non-canonical
+# numerics (see json_props_stats docstring), so both sides parse ONLY
+# strings matching this and NULL the rest
+_INT_RE = "^-?[0-9]+$"
+
+
 def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured ingest: parse the JSON ``props`` payload
     (``{"k": int}``) with each engine's native JSON path extractor and
@@ -504,16 +511,24 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``get_json_object`` vs DuckDB's ``json_extract_string``); the
     aggregate is one hash pass, so the whole query is a single scan at
     any scale.  All outputs are exact integers.  Extraction is
-    corrupt-row tolerant on BOTH engines (ADVICE r8): Spark's
-    ``get_json_object`` already NULLs malformed JSON and ``try_cast``
-    NULLs a non-integral payload even under ``spark.sql.ansi.enabled``;
-    the DuckDB oracle gates on ``json_valid`` (its
-    ``json_extract_string`` RAISES on malformed input) and uses
-    ``TRY_CAST`` — so a future dirty fixture degrades identically to
-    NULL on both sides instead of breaking the parity gate
-    asymmetrically."""
+    corrupt-row tolerant on BOTH engines and SYMMETRICALLY so (ADVICE
+    r8 + r9): Spark's ``get_json_object`` already NULLs malformed JSON
+    and the DuckDB oracle gates on ``json_valid`` (its
+    ``json_extract_string`` RAISES on malformed input).  The numeric
+    cast is gated on a strict integral regex on BOTH engines before
+    casting, because the engines' bare string→BIGINT coercions genuinely
+    diverge on fractional payloads — ``try_cast('12.5')`` truncates to
+    12 in non-ANSI Spark while DuckDB's ``TRY_CAST`` ROUNDS to 13 (and
+    DuckDB also accepts padded/'+5' forms Spark-divergently) — so only
+    canonical integer strings parse and everything else (fractional,
+    padded, signed-plus, garbage, overflow via the residual try_cast)
+    degrades to NULL identically."""
     ev = _events(spark, sf_dir)
-    k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+    k = F.expr(
+        f"try_cast(CASE WHEN get_json_object(props, '$.k')"
+        f" RLIKE '{_INT_RE}'"
+        " THEN get_json_object(props, '$.k') END AS BIGINT)"
+    )
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -728,10 +743,12 @@ ORACLES["event_markov_transitions"] = (
 )
 
 ORACLES["json_props_stats"] = (
-    "WITH k AS (SELECT event_type,"
-    " CASE WHEN json_valid(props) THEN"
-    " TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)"
-    " END AS k FROM events)"
+    "WITH raw AS (SELECT event_type,"
+    " CASE WHEN json_valid(props)"
+    " THEN json_extract_string(props, '$.k') END AS s FROM events),"
+    " k AS (SELECT event_type,"
+    f" TRY_CAST(CASE WHEN regexp_matches(s, '{_INT_RE}')"
+    " THEN s END AS BIGINT) AS k FROM raw)"
     " SELECT event_type, COUNT(*) AS n_events,"
     " COUNT(k) AS n_parsed,"
     " CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,"

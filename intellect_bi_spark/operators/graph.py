@@ -83,7 +83,7 @@ def trade_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two damped weighted-PageRank iterations over the trade graph,
     from a uniform fixed-point start; per-nation final rank plus the
     adjacency row the rank was computed from (out-weight, in-weight)."""
-    from pyspark import StorageLevel
+    from ..functions.windows import register_cache
 
     t = load_tables(spark, sf_dir)
     nodes = t["nation"].select(F.col("n_name").alias("node"))
@@ -91,7 +91,7 @@ def trade_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # references it for out-weights, both iterations' contributions, and
     # in-weights — without the pin the lineitem⋈orders condensation
     # subtree executes once per consumer instead of once total
-    edges = _edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    edges = register_cache(_edges(spark, sf_dir))
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
     ew = edges.join(outw, "src")
 
@@ -147,7 +147,7 @@ def trade_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny edge relation.  On a billion-node graph the SAME plan holds
     with degree-based orientation; the node-id orientation here is the
     fixture-scale instance of it.  All outputs are exact integers."""
-    from pyspark import StorageLevel
+    from ..functions.windows import register_cache
 
     edges = _edges(spark, sf_dir)
     # persist the condensed undirected relation (≤ |nations|²/2 rows):
@@ -165,8 +165,8 @@ def trade_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("a", "b")
         .agg(F.sum("w").alias("wsum"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    und = register_cache(und)
     thresh = und.agg(
         (
             F.sum("wsum").cast("double") / F.count(F.lit(1)).cast("double")

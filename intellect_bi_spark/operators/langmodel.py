@@ -136,10 +136,11 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pin the bigram relation: the train-side counts and the held-out
     # scoring join both read it — one tokenize+explode pass instead of
-    # two (r9 review, same class as the DSIR tok_rows pin below)
-    from pyspark import StorageLevel
+    # two (r9 review, same class as the DSIR tok_rows pin below).
+    # Registered (ADVICE r9): repeated calls must not leak cache entries.
+    from ..functions.windows import register_cache
 
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = register_cache(pairs)
     train = pairs.filter(F.col("is_train"))
     c12 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     # context counts derive from the bigram relation (c1 = Σ_w2 c12), so
@@ -220,7 +221,7 @@ def importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR selection: hashed-unigram importance weights against the
     ``lang = 'en'`` target distribution; top-25 documents by quantized
     weight.  Columns: doc_id, lang, n_toks, weight_q."""
-    from pyspark import StorageLevel
+    from ..functions.windows import register_cache
 
     toks = _toks_df(spark, sf_dir)
     # pin the hashed token relation: the bucket-stats aggregate AND the
@@ -237,7 +238,9 @@ def importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "pos",
         F.expr(_bucket_sql("tok")).alias("bucket"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # registered (ADVICE r9): repeated calls must not leak cache entries
+    tok_rows = register_cache(tok_rows)
     # one aggregation yields BOTH distributions' bucket counts; the
     # result is ≤ B rows — broadcast material by construction.
     buckets = tok_rows.groupBy("bucket").agg(

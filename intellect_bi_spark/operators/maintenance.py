@@ -100,7 +100,7 @@ def mv_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust z-scores over the daily revenue series; one
     summary row (day count, anomalies, anomalous-day binding, extremes)."""
-    from pyspark import StorageLevel
+    from ..functions.windows import register_cache
 
     # persist the tiny day series: the final plan references this
     # subtree four times (d3, med, mad chains), and pinning it makes the
@@ -110,8 +110,8 @@ def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         _orders(spark, sf_dir)
         .groupBy(F.col("o_orderdate").cast("date").alias("day"))
         .agg(F.sum(F.expr(_CENTS)).alias("x"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    daily = register_cache(daily)
     med = daily.agg(F.expr("percentile(x, 0.5)").alias("med"))
     d2 = daily.crossJoin(F.broadcast(med)).withColumn(
         "dev", F.abs(F.col("x") - F.col("med"))
@@ -289,10 +289,14 @@ ORACLES = {
         " COUNT(*) AS n_rows,"
         f" CAST(SUM({_ROW_BYTES}) AS BIGINT) AS bytes"
         " FROM lineitem GROUP BY 1, 2),"
+        # CAST is load-bearing: DuckDB widens the window SUM over BIGINT
+        # to HUGEINT and `//` keeps it, so without the cast bin_id reaches
+        # the driver's hasher as int128 and hash-mismatches Spark's BIGINT
+        # even though the VALUES are equal (CORRECTNESS_r09's one red row)
         " planned AS (SELECT *,"
-        " COALESCE(SUM(bytes) OVER (PARTITION BY part_month"
+        " CAST(COALESCE(SUM(bytes) OVER (PARTITION BY part_month"
         " ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
-        f" 1 PRECEDING), 0) // {TARGET_BYTES} AS bin_id"
+        f" 1 PRECEDING), 0) // {TARGET_BYTES} AS BIGINT) AS bin_id"
         " FROM files)"
         " SELECT part_month, bin_id, COUNT(*) AS n_files,"
         " CAST(SUM(n_rows) AS BIGINT) AS n_rows,"

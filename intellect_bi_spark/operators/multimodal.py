@@ -2110,6 +2110,315 @@ def image_thumbnails_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- REAL compressed-video modality: MJPEG inside an AVI/RIFF container -----
+#
+# The entropy-coded VIDEO codec class (the one modality class still
+# missing after r9: image has JPEG/PNG, audio has μ-law/ADPCM, video had
+# only raw Y4M).  Payloads are genuine AVI files: RIFF/'AVI ' with a
+# spec-shaped hdrl (56-byte avih main header + one 'vids'/'MJPG' stream
+# carrying AVISTREAMHEADER and BITMAPINFOHEADER), a 'movi' LIST whose
+# '00dc' chunks each hold a COMPLETE baseline JFIF/JPEG (the Motion-JPEG
+# convention — every frame independently entropy-coded, no inter-frame
+# prediction), a keyframe 'idx1' index, and RIFF word alignment (odd
+# chunks padded).  The decoder walks the container — validates the RIFF
+# envelope and declared size, parses avih for dims/frame count, iterates
+# the movi chunks honoring pad bytes, cross-checks the idx1 entries —
+# and hands each frame's bytes to the SAME baseline-JPEG decoder the
+# still-image path certified (decode_jpeg), through the same injection
+# seam, so the full entropy stack (marker walk, canonical Huffman
+# rebuild, 0xFF00 unstuffing, diff-DC/RLE-AC, dequant, dezigzag, IDCT,
+# YCbCr→RGB) runs per frame.  The oracle restates every SAMPLED decoded
+# pixel closed-form from the frequency-domain construction (the
+# jpeg_feature_rows oracle extended with the frame term) — it never sees
+# the container bytes, so parity proves container walk AND per-frame
+# entropy decode byte-exactly.
+#
+# Scale: one video never spans executors; decode is map-only over the
+# repartitioned id spine (_codec_ids), no shuffle until the final
+# one-row aggregate.  A production deployment swaps a libavcodec/PIL
+# frame decoder in behind the identical bytes→(w,h,frames) seam.
+# Reference analogue: none (the reference has no video path at all);
+# charter extension in the multimodal-pipeline family beside
+# video_frame_sample_y4m.
+
+_MJPEG_FPS = 25
+_MJPEG_F_Y0 = 4871  # frame-term spreaders in the quantized-coefficient
+_MJPEG_F_Y1 = 59  # closed forms — primes, so frames decorrelate from
+_MJPEG_F_CB = 43  # the doc/block terms of the still-JPEG generator
+_MJPEG_F_CR = 37
+
+
+def _mjpeg_geom(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames): dims are the still-JPEG formulas
+    (multiples of 8); 4..7 frames, so every doc samples frame 0 and docs
+    with doc_id % 4 ≥ 1 also sample frame 4 — both SAMPLE_EVERY branches
+    exercised."""
+    w, h = _jpeg_dims(doc_id)
+    return w, h, 4 + doc_id % 4
+
+
+def _mjpeg_coeffs(doc_id: int, f: int, b: int) -> tuple[int, int, int, int]:
+    """Frame-varying quantized coefficients for MCU ``b`` of frame ``f``
+    — same ranges as :func:`_jpeg_coeffs` (luma DC ∈ [−80, 80], ACs/
+    chroma DCs ∈ [−12, 12]), keeping every decoded channel inside
+    [0, 255] with no clamping, so the closed-form spatial restatement is
+    exact."""
+    yq0 = (doc_id * 7919 + f * _MJPEG_F_Y0 + b * 97) % 161 - 80
+    yq1 = (doc_id * 131 + f * _MJPEG_F_Y1 + b * 61) % 25 - 12
+    cbq = (doc_id * 53 + f * _MJPEG_F_CB + b * 29) % 25 - 12
+    crq = (doc_id * 89 + f * _MJPEG_F_CR + b * 41) % 25 - 12
+    return yq0, yq1, cbq, crq
+
+
+def _mjpeg_frame_bytes(doc_id: int, f: int) -> bytes:
+    """One complete baseline JFIF frame — identical segment layout to
+    :func:`_encode_jpeg_bytes` (shared static DQT/DHT/SOS segments and
+    entropy encoder), with the frame-varying coefficient generator."""
+    import struct
+
+    w, h, _ = _mjpeg_geom(doc_id)
+    n_mcu = (w // 8) * (h // 8)
+    sof = (
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1])
+    )
+    head = (
+        _JPEG_PRE_SOF
+        + b"\xff\xc0"
+        + struct.pack(">H", 2 + len(sof))
+        + sof
+        + _JPEG_POST_SOF
+    )
+    bw = _JpegBitWriter()
+    preds = [0, 0, 0]
+    zz44 = _ZZ_POS[(4, 4)]
+    zeros = [0] * 64
+    for b in range(n_mcu):
+        yq0, yq1, cbq, crq = _mjpeg_coeffs(doc_id, f, b)
+        yblk = zeros.copy()
+        yblk[0] = yq0
+        yblk[zz44] = yq1
+        cbblk = zeros.copy()
+        cbblk[0] = cbq
+        crblk = zeros.copy()
+        crblk[0] = crq
+        for ci, blk in enumerate((yblk, cbblk, crblk)):
+            preds[ci] = _jpeg_encode_block(
+                bw, blk, preds[ci], _JPEG_DC_CODES, _JPEG_AC_CODES
+            )
+    bw.flush()
+    return head + bytes(bw.buf) + b"\xff\xd9"
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    """One RIFF chunk: fourcc + LE size + data, padded to word length
+    (the pad byte is NOT counted in the size — RIFF spec)."""
+    import struct
+
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(list_type: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + payload)
+
+
+def _encode_avi_mjpeg_bytes(doc_id: int) -> bytes:
+    """A genuine minimal AVI: hdrl (avih + vids/MJPG strl), movi with one
+    word-aligned '00dc' JPEG chunk per frame, and a keyframe idx1 whose
+    offsets follow the standard convention (relative to the 'movi'
+    fourcc)."""
+    import struct
+
+    w, h, nf = _mjpeg_geom(doc_id)
+    frames = [_mjpeg_frame_bytes(doc_id, f) for f in range(nf)]
+    bufsz = max(len(fr) for fr in frames)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // _MJPEG_FPS,  # dwMicroSecPerFrame
+        0,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        nf,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        bufsz,  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,  # dwReserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids",
+        b"MJPG",
+        0,  # dwFlags
+        0, 0,  # wPriority, wLanguage
+        0,  # dwInitialFrames
+        1,  # dwScale
+        _MJPEG_FPS,  # dwRate
+        0,  # dwStart
+        nf,  # dwLength
+        bufsz,  # dwSuggestedBufferSize
+        0xFFFFFFFF,  # dwQuality (-1: default)
+        0,  # dwSampleSize (0: varying per chunk)
+        0, 0, w, h,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(
+            b"strl",
+            _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf),
+        ),
+    )
+    movi_payload = bytearray()
+    idx = bytearray()
+    for fr in frames:
+        # offset of this chunk's fourcc relative to the 'movi' fourcc:
+        # the list-type tag is 4 bytes, chunks follow it
+        off = 4 + len(movi_payload)
+        movi_payload += _riff_chunk(b"00dc", fr)
+        idx += struct.pack("<4sIII", b"00dc", 0x10, off, len(fr))
+    movi = _riff_list(b"movi", bytes(movi_payload))
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _encode_avi_mjpeg(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        ids = [int(d) for d in batch["doc_id"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "payload": [_encode_avi_mjpeg_bytes(d) for d in ids],
+            }
+        )
+
+
+def _mjpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _codec_ids(spark, sf_dir).mapInPandas(
+        _encode_avi_mjpeg, schema="doc_id long, payload binary"
+    )
+
+
+def decode_avi_mjpeg(payload: bytes, decode_frame=decode_jpeg):
+    """Hand-parsed AVI/MJPEG decode, stdlib only for the container walk:
+    validates the RIFF envelope and its declared size, iterates the
+    word-aligned chunk stream, parses avih (dims, frame count), decodes
+    every '00dc' chunk with ``decode_frame`` (default: the certified
+    baseline-JPEG decoder; the injection point for a libavcodec
+    binding), cross-checks each decoded frame's dims against the header
+    and the idx1 entry count/ckids against the frame list.  Returns
+    (width, height, [(frame_idx, flat uint8 RGB)]) — decode_y4m's exact
+    seam contract, so the Y4M feature generator runs unchanged."""
+    import struct
+
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF":
+        raise ValueError("not a RIFF file")
+    (riff_size,) = struct.unpack("<I", b[4:8])
+    if 8 + riff_size != len(b):
+        raise ValueError("RIFF size mismatch")
+    if b[8:12] != b"AVI ":
+        raise ValueError("not an AVI stream")
+
+    def chunks(pos: int, end: int):
+        while pos < end:
+            if pos + 8 > end:
+                raise ValueError("truncated chunk header")
+            cc = b[pos : pos + 4]
+            (sz,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            body = pos + 8
+            if body + sz > end:
+                raise ValueError("truncated chunk")
+            yield cc, body, sz
+            pos = body + sz + (sz & 1)
+
+    w = h = nf_declared = None
+    frames: list[tuple[int, "np.ndarray"]] = []
+    n_idx = None
+    for cc, off, sz in chunks(12, len(b)):
+        if cc == b"LIST":
+            if sz < 4:
+                raise ValueError("truncated LIST chunk")
+            ltype = b[off : off + 4]
+            if ltype == b"hdrl":
+                for scc, soff, ssz in chunks(off + 4, off + sz):
+                    if scc == b"avih":
+                        if ssz < 56:
+                            raise ValueError("truncated avih header")
+                        fields = struct.unpack(
+                            "<14I", b[soff : soff + 56]
+                        )
+                        nf_declared = fields[4]
+                        w, h = fields[8], fields[9]
+            elif ltype == b"movi":
+                for scc, soff, ssz in chunks(off + 4, off + sz):
+                    if scc == b"00dc":
+                        fw, fh, px = decode_frame(b[soff : soff + ssz])
+                        if w is not None and (fw, fh) != (w, h):
+                            raise ValueError(
+                                "frame dims disagree with avih"
+                            )
+                        frames.append((len(frames), px))
+        elif cc == b"idx1":
+            if sz % 16:
+                raise ValueError("idx1 size not a multiple of 16")
+            n_idx = sz // 16
+            for k in range(n_idx):
+                e = off + 16 * k
+                if b[e : e + 4] != b"00dc":
+                    raise ValueError("unexpected ckid in idx1")
+    if w is None:
+        raise ValueError("missing avih main header")
+    if nf_declared != len(frames):
+        raise ValueError("avih frame count disagrees with movi")
+    if n_idx is not None and n_idx != len(frames):
+        raise ValueError("idx1 entry count disagrees with movi")
+    return w, h, frames
+
+
+def _mjpeg_feature_rows(
+    spark: SparkSession, sf_dir: str, decode=decode_avi_mjpeg
+) -> DataFrame:
+    # same (w, h, frames) seam contract as Y4M — the feature generator,
+    # sampling rule, and schema are shared verbatim
+    return _mjpeg_media(spark, sf_dir).mapInPandas(
+        _y4m_features_with(decode), schema=_Y4M_FEAT_SCHEMA
+    )
+
+
+def video_features_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact checksum over every SAMPLED Huffman-decoded MJPEG
+    frame: header dims, exact frame sums, and an id+frame+position-
+    weighted modular binding over every sampled byte.  Matching the
+    closed-form oracle proves the RIFF walk (sizes, alignment, avih,
+    idx1) and the per-frame baseline-JPEG entropy decode byte-exactly."""
+    f = _mjpeg_feature_rows(spark, sf_dir)
+    return f.agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("width").alias("sum_width"),
+        F.sum("height").alias("sum_height"),
+        F.sum("frame_idx").alias("sum_frame_idx"),
+        F.sum("frame_sum").alias("total_frame_sum"),
+        F.sum(
+            F.expr(
+                f"(((doc_id * 131 + frame_idx) % {P})"
+                f" * (idx_weighted % {P})) % {P}"
+            )
+        ).alias("id_weighted_binding"),
+    )
+
+
 QUERIES = {
     "multimodal_catalog": multimodal_catalog,
     "image_thumbnails_ppm": image_thumbnails_ppm,
@@ -2119,6 +2428,7 @@ QUERIES = {
     "image_features_jpeg": image_features_jpeg,
     "video_frame_sample_stub": video_frame_sample_stub,
     "video_frame_sample_y4m": video_frame_sample_y4m,
+    "video_features_mjpeg": video_features_mjpeg,
     "audio_window_rms": audio_window_rms,
     "audio_features_mulaw": audio_features_mulaw,
     "audio_features_adpcm": audio_features_adpcm,
@@ -2355,6 +2665,51 @@ FULLROW_ORACLES = {
         f" CAST(SUM(((idx % {P}) * val) % {P}) AS BIGINT) AS idx_weighted"
         " FROM v GROUP BY doc_id, w, h, f"
     ),
+    # MJPEG oracle: the jpeg_feature_rows lossy pipeline restated per
+    # SAMPLED frame — frame-varying quantized coefficients → exact
+    # Y/Cb/Cr planes → JFIF conversion with floor(x+0.5).  The RIFF/
+    # avih/idx1 container machinery and the per-frame Huffman stack
+    # never leak into the oracle; matching it proves both were inverted.
+    "mjpeg_feature_rows": (
+        "WITH geom AS (SELECT doc_id,"
+        " 16 + CAST(doc_id % 3 AS INT) * 8 AS w,"
+        " 8 + CAST(doc_id % 2 AS INT) * 8 AS h,"
+        " 4 + CAST(doc_id % 4 AS INT) AS nf FROM documents),"
+        " fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f"
+        " FROM geom),"
+        f" sampled AS (SELECT * FROM fr WHERE f % {SAMPLE_EVERY} = 0),"
+        " blk AS (SELECT doc_id, w, h, f, w // 8 AS bw,"
+        " unnest(range(0, (w // 8) * (h // 8))) AS b FROM sampled),"
+        " co AS (SELECT doc_id, w, h, f, bw, b,"
+        f" (doc_id * 7919 + f * {_MJPEG_F_Y0} + b * 97) % 161 - 80"
+        " AS yq0,"
+        f" (doc_id * 131 + f * {_MJPEG_F_Y1} + b * 61) % 25 - 12 AS yq1,"
+        f" (doc_id * 53 + f * {_MJPEG_F_CB} + b * 29) % 25 - 12 AS cbq,"
+        f" (doc_id * 89 + f * {_MJPEG_F_CR} + b * 41) % 25 - 12 AS crq"
+        " FROM blk),"
+        " pix AS (SELECT *, unnest(range(0, 64)) AS i FROM co),"
+        " lum AS (SELECT doc_id, w, h, f,"
+        " ((b // bw) * 8 + (i // 8)) AS gy,"
+        " ((b % bw) * 8 + (i % 8)) AS gx,"
+        " 128 + yq0"
+        " + (CASE WHEN (i // 8) % 4 IN (0, 3) THEN 1 ELSE -1 END)"
+        " * (CASE WHEN (i % 8) % 4 IN (0, 3) THEN 1 ELSE -1 END) * yq1"
+        " AS yv, cbq, crq FROM pix),"
+        " rgb AS (SELECT doc_id, w, h, f, gy, gx,"
+        " CAST(floor(yv + 1.402 * crq + 0.5) AS BIGINT) AS r,"
+        " CAST(floor(yv - 0.344136 * cbq - 0.714136 * crq + 0.5)"
+        " AS BIGINT) AS g,"
+        " CAST(floor(yv + 1.772 * cbq + 0.5) AS BIGINT) AS bb FROM lum),"
+        " chan AS (SELECT doc_id, w, h, f,"
+        " (gy * w + gx) * 3 + c AS idx,"
+        " CASE c WHEN 0 THEN r WHEN 1 THEN g ELSE bb END AS val"
+        " FROM rgb CROSS JOIN (SELECT unnest(range(0, 3)) AS c) cs)"
+        " SELECT doc_id, CAST(w AS INT) AS width,"
+        " CAST(h AS INT) AS height, CAST(f AS INT) AS frame_idx,"
+        " CAST(SUM(val) AS BIGINT) AS frame_sum,"
+        f" CAST(SUM(((idx % {P}) * val) % {P}) AS BIGINT) AS idx_weighted"
+        " FROM chan GROUP BY doc_id, w, h, f"
+    ),
     # The WAV oracle never sees the binary: it recomputes every decoded
     # sample from the closed-form generator s[i] = ((doc_id·7919 +
     # i·104729) mod 65536) − 32768 that the encoder wrote into the PCM
@@ -2481,6 +2836,19 @@ ORACLES = {
     ),
     "video_frame_sample_y4m": (
         f"WITH f AS ({FULLROW_ORACLES['y4m_feature_rows']})"
+        " SELECT COUNT(*) AS n_frames,"
+        " COUNT(DISTINCT doc_id) AS n_docs,"
+        " CAST(SUM(width) AS BIGINT) AS sum_width,"
+        " CAST(SUM(height) AS BIGINT) AS sum_height,"
+        " CAST(SUM(frame_idx) AS BIGINT) AS sum_frame_idx,"
+        " CAST(SUM(frame_sum) AS BIGINT) AS total_frame_sum,"
+        f" CAST(SUM((((doc_id * 131 + frame_idx) % {P})"
+        f" * (idx_weighted % {P})) % {P}) AS BIGINT)"
+        " AS id_weighted_binding"
+        " FROM f"
+    ),
+    "video_features_mjpeg": (
+        f"WITH f AS ({FULLROW_ORACLES['mjpeg_feature_rows']})"
         " SELECT COUNT(*) AS n_frames,"
         " COUNT(DISTINCT doc_id) AS n_docs,"
         " CAST(SUM(width) AS BIGINT) AS sum_width,"

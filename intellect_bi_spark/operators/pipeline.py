@@ -791,7 +791,7 @@ def token_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     because three aggregates reference it (counts → totals → max →
     summary), pinning the corpus scan count at 1.
     """
-    from pyspark import StorageLevel
+    from ..functions.windows import register_cache
 
     toks = (
         _docs_spread(spark, sf_dir)
@@ -812,8 +812,8 @@ def token_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "c_te"
             ),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    counts = register_cache(counts)
     tot = counts.agg(
         F.sum("c_tr").alias("n_tr"), F.sum("c_te").alias("n_te")
     )

@@ -128,7 +128,7 @@ def erasure_impact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the request list is tiny → broadcast semi-joins down the FK
     chain; the affected-orders relation is reused (persisted) for the
     lineitem hop so the chain costs one scan per table."""
-    from pyspark import StorageLevel
+    from ..functions.windows import register_cache
 
     t = load_tables(spark, sf_dir)
     keys = (
@@ -145,8 +145,8 @@ def erasure_impact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .join(F.broadcast(keys), F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    orders_hit = register_cache(orders_hit)
     orders_row = orders_hit.agg(
         F.lit("orders").alias("table_name"),
         F.count(F.lit(1)).alias("n_rows"),

@@ -290,17 +290,18 @@ def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank lists are TakeOrderedAndProject heads, never a global sort."""
     from pyspark.sql import Window
 
-    from pyspark import StorageLevel
+    from ..functions.windows import register_cache
 
     # persist the scoring relation (one narrow row per doc hitting ≥1
     # query term): BOTH rank lists below (actual top-10, ideal top-10)
     # read it, and without the pin the corpus-scale tokenize+score
     # pipeline executes twice (r9 review; the pagerank-adjacency-pin
-    # class)
-    scored = (
+    # class). Registered so repeated invocations in a long-lived session
+    # don't accumulate unreleasable cache entries (ADVICE r9) —
+    # reset_caches()/the cap evict old pins.
+    scored = register_cache(
         _bm25_scored_docs(spark, sf_dir)
         .select("doc_id", "n_hit_terms", "score_q")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # rel = distinct query terms present = n_hit_terms (tf relation is
     # per distinct term, so the count IS the distinct-term hit count)

@@ -149,83 +149,94 @@ for _mod in _MODULES:
 # SemDeDup oracle) are both GENERATED-TEXT-IDENTICAL — the kmeans oracle
 # string is locked by tests/test_clustering_oracle_text.py — so neither
 # certified row is stale.
-# The round-9 front executes VERDICT r8 items 1-2 verbatim: DRAIN THE
-# CERTIFICATION DEBT.  (a) is the complete never-driver-checked set — all
-# 37 queries enumerated in the r8 deferral notes above, in registry
-# order; after this round never-checked = 0.  (b) is the round's entire
-# net-new surface (growth frozen per VERDICT item 2 — FIVE new queries
-# all round): the persisted IVF-PQ index store and its build-once/
-# serve-many batch twin (item 3), the G.711
-# μ-law (memoryless companding) AND IMA-ADPCM (order-dependent state
-# machine, recursive-CTE oracle) compressed-audio decodes (item 5), the
-# HTML→text web-ingest extraction, plus the funnel re-cert — its
-# plan/oracle gained the post-dedup mix stages (item 7), so its r8 row
-# is stale.  (c) spends the remaining 7 slots on the oldest (r5) rows,
-# in registry order.
-# Disclosed deferrals: the remaining 30 r5-cohort rows —
-# q8_market_share, percentiles_by_status, o3_top1_subquery first (all
-# strictly parity-verified locally at sf0.001/sf0.01/sf0.1
-# this round — the r9 session logs) rotate in r10; no other query's
-# generated plan or oracle text changed this round (the _temp_frac_sql
-# extraction in temperature_resample_stats is GENERATED-TEXT-IDENTICAL,
-# and the json_props_stats corrupt-row hardening (ADVICE r8) changed
-# its plan AND oracle — but it is in front section (a) anyway; the
-# trade_triangle_count / bm25_ndcg_eval / PQ-subspace persist() pins
-# are physical-plan-only and those queries sit in the front too).
+# The round-10 front (CORRECTNESS_r09: 49/50 green; never-checked = 0):
+# (a) the ONE red row — compaction_plan, whose r9 hash mismatch was a
+#     pure oracle-typing bug (DuckDB widens the window SUM to HUGEINT
+#     and `//` keeps it, so bin_id reached the driver's hasher as int128
+#     while the VALUES matched; the oracle now CASTs it, and the new
+#     type-strict local gate in tests/parity.py::assert_oracle_types —
+#     which sweeps all registry oracles — proves this was the only
+#     instance of the class);
+# (b) the only query whose generated plan/oracle text changed before
+#     this front was finalized: json_props_stats (ADVICE r9 — the
+#     integral-regex cast gate on BOTH engines), making its r9 row
+#     stale;
+# (c) the complete 30-query r5 cohort (oldest rows anywhere), registry
+#     order — the rotation VERDICT r8/r9 asked for; after this round
+#     the oldest row anywhere is r6;
+# (d) the oldest r6 rows, registry order, filling the remaining slots.
+# The register_cache conversions this round (ADVICE r9 — retrieval
+# scored, langmodel pairs/tok_rows, graph edges/und, clustering subr/cb,
+# maintenance daily, quality orders_hit, pipeline counts) are
+# physical-only (identical persist semantics, now tracked + evictable),
+# so no other row went stale.  Net-new r10 queries are appended in
+# section (e), displacing the tail of (d), so every new operator still
+# earns a first-round row.  Disclosed deferrals: the remaining r6-cohort
+# rows (doc_fingerprints — displaced by the r10 video class — then
+# decontam_ngram_overlap, quality_repetition_stats,
+# pack_sequences_manifest, temperature_resample_stats,
+# stream_daily_store, label_centroid_similarity,
+# semantic_decontam_summary, the five r6 forecast queries,
+# jaccard_pairs, simhash_signatures, simhash_near_pairs,
+# simhash_pair_sample, dedup_incremental_summary) rotate in r11;
+# all are strict-parity green locally this round at sf0.01 (the full
+# tests/test_parity.py run in the r10 session logs).
 _FRONT = (
-    # -- (a) every never-driver-checked query, registry order ---------------
-    "pivot_region_quarter",
-    "gap_fill_daily_revenue",
-    "event_path_trigrams",
-    "multi_touch_attribution",
-    "funnel_latency_histogram",
-    "cohort_retention_matrix",
-    "cdc_state_asof",
-    "growth_accounting_daily",
-    "event_markov_transitions",
-    "json_props_stats",
-    "trade_triangle_count",
-    "erasure_impact_plan",
-    "k_anonymity_audit",
-    "revenue_anomaly_days",
-    "snapshot_diff_orders",
+    # -- (a) the red row, oracle fixed ---------------------------------------
     "compaction_plan",
-    "scd2_customer_versions",
-    "cms_user_event_counts",
-    "heavy_hitter_users",
-    "sketch_sliding_7d_users",
-    "bigram_lm_perplexity",
-    "importance_weights_dsir",
-    "bpe_merge_candidates",
-    "domain_mix_selection",
-    "token_drift_tvd",
-    "weighted_reservoir_sample",
-    "user_click_streaks",
-    "purchase_attribution_outer",
-    "events_tier_daily",
-    "embedding_sq8_codes",
-    "ann_topk_sq8",
-    "hybrid_search_rrf",
-    "bm25_ndcg_eval",
-    "fuzzy_name_match_summary",
-    "semantic_dedup_stats",
-    "pq_codes_stats",
-    "dup_span_pairs",
-    # -- (b) the r9 net-new surface + the one stale re-cert ------------------
-    "ann_index_store",
-    "ann_index_store_batch",
-    "audio_features_mulaw",
-    "audio_features_adpcm",
-    "html_text_extract_stats",
-    "corpus_prep_funnel",
-    # -- (c) oldest r5 rows, registry order ----------------------------------
-    "nl_qoq_delta",
-    "q10_returned_revenue",
-    "q12_shipmode_priority",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_bracketed_revenue",
+    # -- (b) stale re-cert (plan+oracle changed: ADVICE r9 hardening) --------
+    "json_props_stats",
+    # -- (c) complete r5 cohort, registry order ------------------------------
+    "q8_market_share",
+    "percentiles_by_status",
+    "o3_top1_subquery",
+    "a12_kpi_scalars",
+    "w3_rolling_ma7",
+    "j2_bounds_broadcast",
+    "salted_distinct_customers",
+    "p7_null_counts",
+    "p8_semi_join",
+    "p8_anti_join",
+    "a4_minmax_dates",
+    "a9_distinct_regions",
+    "a10_having",
+    "w1_topk_per_group",
+    "w_rank_dense_ntile",
+    "redact_pii",
+    "weighted_quality_sample",
+    "cosine_topk",
+    "lsh_buckets",
+    "embedding_near_dup_pairs",
+    "ann_topk_lsh",
+    "ivf_assignments",
+    "ann_topk_ivf",
+    "ann_topk_batch",
+    "ann_topk_batch_lsh",
+    "exact_dedup_stats",
+    "near_dup_summary",
+    "exact_dedup_keep_first",
+    "minhash_signatures",
+    "near_dup_clusters",
+    # -- (d) oldest r6 rows, registry order; tail yields to r10 net-new ------
+    "qoq_delta",
+    "events_rolling_7d",
+    "p6_inlist_filter",
+    "o2_nulls_last",
+    "p1_project_cast",
+    "p4_age_range",
+    "p5_date_range",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_delta",
+    "fk_integrity_check",
+    "null_rate_profile",
+    "chunk_documents",
+    "chunk_docs_ingest_800_120",
+    "rag_search_chunks",
+    "text_quality_scores",
+    "text_langid",
+    # -- (e) r10 net-new: first driver row for the MJPEG/AVI video class -----
+    "video_features_mjpeg",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive

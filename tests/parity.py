@@ -44,7 +44,60 @@ def duck_result(con, sql: str) -> tuple[list[str], list[tuple]]:
     return cols, [tuple(r) for r in cur.fetchall()]
 
 
+# Spark simple-type → DuckDB types whose Python/pandas rendering is
+# value-identical. Anything outside the set (HUGEINT from a window SUM,
+# DECIMAL from literal arithmetic, TIMESTAMP WITH TIME ZONE, ...) can
+# hold the same VALUES yet render differently in the driver's hasher —
+# CORRECTNESS_r09's compaction_plan red row was exactly this: local
+# parity compared Python ints (equal) while the driver hashed DuckDB's
+# HUGEINT rendering. This gate makes local green predict driver green.
+_DUCK_OK = {
+    "bigint": {"BIGINT", "INTEGER", "SMALLINT", "TINYINT"},
+    "int": {"BIGINT", "INTEGER", "SMALLINT", "TINYINT"},
+    "smallint": {"BIGINT", "INTEGER", "SMALLINT", "TINYINT"},
+    "tinyint": {"BIGINT", "INTEGER", "SMALLINT", "TINYINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP"},
+    "timestamp_ntz": {"TIMESTAMP"},
+    "boolean": {"BOOLEAN"},
+    "binary": {"BLOB"},
+}
+
+
+def _type_ok(spark_t: str, duck_t: str) -> bool:
+    if spark_t.startswith("array<") and spark_t.endswith(">"):
+        return duck_t.endswith("[]") and _type_ok(
+            spark_t[6:-1], duck_t[:-2]
+        )
+    if spark_t.startswith("decimal"):
+        return duck_t.replace(" ", "") == spark_t.upper().replace(" ", "")
+    return duck_t in _DUCK_OK.get(spark_t, set())
+
+
+def assert_oracle_types(df, con, sql: str, name: str = ""):
+    """Fail when a DuckDB oracle column's type would render differently
+    from the Spark column's — the class of driver-hash mismatch that a
+    value-level Python compare cannot see."""
+    spark_types = dict(df.dtypes)
+    rel = con.sql(sql)
+    bad = []
+    for col, dt in zip(rel.columns, rel.types):
+        st = spark_types.get(col)
+        if st is None:
+            continue  # column-set mismatch is assert_parity's job
+        if not _type_ok(st, str(dt)):
+            bad.append((col, st, str(dt)))
+    assert not bad, (
+        f"{name}: oracle type drift (col, spark, duck): {bad} — add an "
+        "explicit CAST in the oracle (or align the Spark side)"
+    )
+
+
 def assert_parity(df, con, sql: str, name: str = "", float_tol: float = 0.0):
+    assert_oracle_types(df, con, sql, name=name)
     s_cols, s_rows = spark_result(df)
     d_cols, d_rows = duck_result(con, sql)
     assert sorted(s_cols) == sorted(d_cols), (
