@@ -171,22 +171,49 @@ def main() -> None:
     sales(spark, sf_dir).count()
 
     from intellect_bi_spark.functions import windows  # noqa: E402
-    from intellect_bi_spark.operators import dedup  # noqa: E402
+    from intellect_bi_spark.operators import dedup, vectorstore  # noqa: E402
+
+    # Serve-only ANN latency (VERDICT r9 ask): the registry's
+    # ann_index_store times build+write+read+serve as one number, which
+    # obscures the metric a serving deployment cares about.  Build the
+    # IVF-PQ store ONCE here (untimed, like the view warm-up), then each
+    # rep times ONLY read-from-store -> probe -> ADC -> exact rerank.
+    import shutil
+    import tempfile
+
+    ann_store = tempfile.mkdtemp(prefix="sgraft_bench_annstore_")
+    vectorstore.build_index(spark, sf_dir, ann_store)
+
+    def _ann_serve_only() -> None:
+        centroids, codebook, codes = vectorstore.read_index(
+            spark, ann_store
+        )
+        vectorstore.topk_from_index(
+            centroids, codebook, codes, vectorstore._emb(spark, sf_dir)
+        ).collect()
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     per_rep: list[dict[str, float]] = []
-    for _ in range(reps):
-        dedup.reset_caches()
-        windows.reset_caches()
-        timings: dict[str, float] = {}
-        for name in HEADLINE:
-            fn = QUERIES.get(name)
-            if fn is None:
-                continue
+    try:
+        for _ in range(reps):
+            dedup.reset_caches()
+            windows.reset_caches()
+            timings: dict[str, float] = {}
+            for name in HEADLINE:
+                fn = QUERIES.get(name)
+                if fn is None:
+                    continue
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                timings[name] = round(time.perf_counter() - t0, 4)
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        per_rep.append(timings)
+            _ann_serve_only()
+            timings["ann_index_serve_only"] = round(
+                time.perf_counter() - t0, 4
+            )
+            per_rep.append(timings)
+    finally:
+        shutil.rmtree(ann_store, ignore_errors=True)
 
     medians = {
         name: round(statistics.median(r[name] for r in per_rep), 4)
