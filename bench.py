@@ -77,6 +77,7 @@ HEADLINE = [
     "ann_topk_sq8",  # SQ8-quantized ADC search (r8)
     "ann_index_store",  # parquet-persisted IVF-PQ index serving (r9)
     "ann_index_store_batch",  # build-once/serve-many batch from the store (r9)
+    "bm25_index_store",  # parquet-persisted inverted-index serving (r10)
     "text_quality_scores",
     "html_text_extract_stats",  # web-ingest markup strip/decode (r9)
     "chunk_documents",

@@ -172,7 +172,8 @@ for _mod in _MODULES:
 # so no other row went stale.  Net-new r10 queries are appended in
 # section (e), displacing the tail of (d), so every new operator still
 # earns a first-round row.  Disclosed deferrals: the remaining r6-cohort
-# rows (doc_fingerprints — displaced by the r10 video class — then
+# rows (text_langid and doc_fingerprints — displaced by the two r10
+# additions — then
 # decontam_ngram_overlap, quality_repetition_stats,
 # pack_sequences_manifest, temperature_resample_stats,
 # stream_daily_store, label_centroid_similarity,
@@ -234,9 +235,10 @@ _FRONT = (
     "chunk_docs_ingest_800_120",
     "rag_search_chunks",
     "text_quality_scores",
-    "text_langid",
-    # -- (e) r10 net-new: first driver row for the MJPEG/AVI video class -----
+    # -- (e) r10 net-new: the MJPEG/AVI video class and the persisted
+    #    BM25 inverted-index store (each earns its first driver row) ---------
     "video_features_mjpeg",
+    "bm25_index_store",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive

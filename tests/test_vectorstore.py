@@ -126,3 +126,51 @@ def test_batch_stored_equals_in_memory_ranking(spark, sf_dir):
     per_q = Counter(q for q, _, _ in got)
     assert len(per_q) == vs.N_BATCH_QUERIES
     assert all(n == vs.TOP_K for n in per_q.values())
+
+
+def test_bm25_stored_equals_direct_ranking(spark, sf_dir):
+    """The lexical twin of the IVF-PQ store contract: serving from the
+    persisted postings/lexicon/stats must reproduce the direct BM25
+    ranking bit for bit (same quantized scores, same order)."""
+    from intellect_bi_spark.operators import retrieval as rt
+
+    want = [
+        (r["doc_id"], r["n_hit_terms"], r["score_q"])
+        for r in rt.bm25_topk_docs(spark, sf_dir).collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25test_")
+    try:
+        rt.build_bm25_index(spark, sf_dir, tmp)
+        got = [
+            (r["doc_id"], r["n_hit_terms"], r["score_q"])
+            for r in rt.topk_from_bm25_index(
+                *rt.read_bm25_index(spark, tmp)
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got == want and len(got) == rt.TOP_K
+
+
+def test_bm25_serve_scan_pushes_term_filter(spark, sf_dir):
+    """The serving read must push the query-term IN filter into the
+    postings parquet scan — at 100 TB that pushdown (plus term-hash
+    bucketing) is what keeps a query from reading the whole index."""
+    from intellect_bi_spark.operators import retrieval as rt
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25test_")
+    try:
+        rt.build_bm25_index(spark, sf_dir, tmp)
+        postings, lex, stats = rt.read_bm25_index(spark, tmp)
+        plan = (
+            rt.topk_from_bm25_index(postings, lex, stats)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        pushed = [
+            ln for ln in plan.splitlines() if "PushedFilters" in ln
+        ]
+        assert any("In(term" in ln for ln in pushed), plan[:2000]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
