@@ -522,8 +522,17 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB also accepts padded/'+5' forms Spark-divergently) — so only
     canonical integer strings parse and everything else (fractional,
     padded, signed-plus, garbage, overflow via the residual try_cast)
-    degrades to NULL identically."""
-    ev = _events(spark, sf_dir)
+    degrades to NULL identically.  The dirty-payload symmetry is locked
+    by tests/test_json_props_symmetry.py, which runs the SAME extraction
+    (:func:`_json_props_agg`) and the SAME oracle SQL over a literal
+    table of every divergence class."""
+    return _json_props_agg(_events(spark, sf_dir))
+
+
+def _json_props_agg(ev: DataFrame) -> DataFrame:
+    """The production extraction + aggregate over any (event_type,
+    props) relation — separated so the symmetry test exercises the exact
+    expression text the operator runs."""
     k = F.expr(
         f"try_cast(CASE WHEN get_json_object(props, '$.k')"
         f" RLIKE '{_INT_RE}'"

@@ -2386,8 +2386,115 @@ def decode_avi_mjpeg(payload: bytes, decode_frame=decode_jpeg):
     return w, h, frames
 
 
+def decode_avi_mjpeg_sampled(
+    payload: bytes, sample_every: int, decode_frame=decode_jpeg
+):
+    """Keyframe-index-driven SPARSE decode: MJPEG frames are independent
+    (every frame is a keyframe), so the idx1 index supports decoding
+    ONLY the sampled ordinals — entropy-decode cost scales with sampled
+    frames, not stream length, which is the whole reason the container
+    carries an index.  Each idx1 offset is cross-checked against the
+    fourcc it points at (a stale/corrupt index must fail loudly, not
+    decode garbage).  Falls back to the sequential walk (skipping
+    non-sampled chunks WITHOUT decoding them) when idx1 is absent.
+    Returns the decode_avi_mjpeg contract with only sampled ordinals
+    present; frame_idx remains the stream ordinal."""
+    import struct
+
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF":
+        raise ValueError("not a RIFF file")
+    (riff_size,) = struct.unpack("<I", b[4:8])
+    if 8 + riff_size != len(b):
+        raise ValueError("RIFF size mismatch")
+    if b[8:12] != b"AVI ":
+        raise ValueError("not an AVI stream")
+
+    def chunks(pos: int, end: int):
+        while pos < end:
+            if pos + 8 > end:
+                raise ValueError("truncated chunk header")
+            cc = b[pos : pos + 4]
+            (sz,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            body = pos + 8
+            if body + sz > end:
+                raise ValueError("truncated chunk")
+            yield cc, body, sz
+            pos = body + sz + (sz & 1)
+
+    w = h = nf_declared = None
+    movi = None  # (data_off, data_end); data_off points AT 'movi'
+    idx_entries = None
+    for cc, off, sz in chunks(12, len(b)):
+        if cc == b"LIST":
+            if sz < 4:
+                raise ValueError("truncated LIST chunk")
+            ltype = b[off : off + 4]
+            if ltype == b"hdrl":
+                for scc, soff, ssz in chunks(off + 4, off + sz):
+                    if scc == b"avih":
+                        if ssz < 56:
+                            raise ValueError("truncated avih header")
+                        fields = struct.unpack(
+                            "<14I", b[soff : soff + 56]
+                        )
+                        nf_declared = fields[4]
+                        w, h = fields[8], fields[9]
+            elif ltype == b"movi":
+                movi = (off, off + sz)
+        elif cc == b"idx1":
+            if sz % 16:
+                raise ValueError("idx1 size not a multiple of 16")
+            idx_entries = [
+                struct.unpack("<4sIII", b[off + 16 * k : off + 16 * k + 16])
+                for k in range(sz // 16)
+            ]
+    if w is None:
+        raise ValueError("missing avih main header")
+    if movi is None:
+        raise ValueError("missing movi LIST")
+    frames: list[tuple[int, "np.ndarray"]] = []
+    if idx_entries is not None:
+        if nf_declared != len(idx_entries):
+            raise ValueError("avih frame count disagrees with idx1")
+        for f in range(0, len(idx_entries), sample_every):
+            ckid, _flags, coff, csz = idx_entries[f]
+            at = movi[0] + coff  # offset is relative to the movi fourcc
+            if b[at : at + 4] != ckid:
+                raise ValueError("idx1 offset does not land on its ckid")
+            (sz_here,) = struct.unpack("<I", b[at + 4 : at + 8])
+            if sz_here != csz or at + 8 + csz > movi[1]:
+                raise ValueError("idx1 length disagrees with chunk")
+            if ckid == b"00dc":
+                fw, fh, px = decode_frame(b[at + 8 : at + 8 + csz])
+                if (fw, fh) != (w, h):
+                    raise ValueError("frame dims disagree with avih")
+                frames.append((f, px))
+    else:
+        ordinal = 0
+        for scc, soff, ssz in chunks(movi[0] + 4, movi[1]):
+            if scc != b"00dc":
+                continue
+            if ordinal % sample_every == 0:
+                fw, fh, px = decode_frame(b[soff : soff + ssz])
+                if (fw, fh) != (w, h):
+                    raise ValueError("frame dims disagree with avih")
+                frames.append((ordinal, px))
+            ordinal += 1
+        if nf_declared != ordinal:
+            raise ValueError("avih frame count disagrees with movi")
+    return w, h, frames
+
+
+def _decode_mjpeg_for_features(payload: bytes):
+    # the serving-path decode: index-driven, only the sampled ordinals
+    # ever reach the entropy decoder (the downstream f % SAMPLE_EVERY
+    # filter in the shared feature generator then keeps all of them)
+    return decode_avi_mjpeg_sampled(payload, SAMPLE_EVERY)
+
+
 def _mjpeg_feature_rows(
-    spark: SparkSession, sf_dir: str, decode=decode_avi_mjpeg
+    spark: SparkSession, sf_dir: str, decode=_decode_mjpeg_for_features
 ) -> DataFrame:
     # same (w, h, frames) seam contract as Y4M — the feature generator,
     # sampling rule, and schema are shared verbatim
@@ -2399,9 +2506,13 @@ def _mjpeg_feature_rows(
 def video_features_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row exact checksum over every SAMPLED Huffman-decoded MJPEG
     frame: header dims, exact frame sums, and an id+frame+position-
-    weighted modular binding over every sampled byte.  Matching the
-    closed-form oracle proves the RIFF walk (sizes, alignment, avih,
-    idx1) and the per-frame baseline-JPEG entropy decode byte-exactly."""
+    weighted modular binding over every sampled byte.  The serving path
+    is the idx1-driven sparse decode (only sampled ordinals are ever
+    entropy-decoded — tests/test_mjpeg.py proves the call count), so
+    per-video cost scales with the sampling rate, not stream length.
+    Matching the closed-form oracle proves the RIFF walk (sizes,
+    alignment, avih, idx1) and the per-frame baseline-JPEG entropy
+    decode byte-exactly."""
     f = _mjpeg_feature_rows(spark, sf_dir)
     return f.agg(
         F.count(F.lit(1)).alias("n_frames"),

@@ -185,3 +185,78 @@ def test_mjpeg_frame_dims_cross_checked():
         m.decode_avi_mjpeg(
             m._encode_avi_mjpeg_bytes(4), decode_frame=wrong_dims
         )
+
+
+def test_sampled_decode_equals_filtered_full_decode():
+    """The idx1-driven sparse decode (the serving path) must produce
+    exactly the sampled subset of the full decode, bit for bit."""
+    for doc_id in range(12):
+        payload = m._encode_avi_mjpeg_bytes(doc_id)
+        w, h, full = m.decode_avi_mjpeg(payload)
+        sw, sh, sampled = m.decode_avi_mjpeg_sampled(
+            payload, m.SAMPLE_EVERY
+        )
+        assert (sw, sh) == (w, h)
+        want = [(f, px) for f, px in full if f % m.SAMPLE_EVERY == 0]
+        assert [f for f, _ in sampled] == [f for f, _ in want]
+        for (_, a), (_, b) in zip(sampled, want):
+            assert np.array_equal(a, b)
+
+
+def test_sampled_decode_only_decodes_sampled_frames():
+    """The sparse path's entire point: the entropy decoder runs ONCE
+    per SAMPLED ordinal, never on skipped frames."""
+    calls: list[bytes] = []
+
+    def counting(frame_bytes):
+        calls.append(bytes(frame_bytes))
+        return m.decode_jpeg(frame_bytes)
+
+    doc_id = 6  # nf = 4 + 6 % 4 = 6 -> sampled ordinals {0, 4}
+    payload = m._encode_avi_mjpeg_bytes(doc_id)
+    _, _, frames = m.decode_avi_mjpeg_sampled(
+        payload, m.SAMPLE_EVERY, decode_frame=counting
+    )
+    assert [f for f, _ in frames] == [0, 4]
+    assert calls == [
+        m._mjpeg_frame_bytes(doc_id, 0),
+        m._mjpeg_frame_bytes(doc_id, 4),
+    ]
+
+
+def test_sampled_decode_without_idx1_falls_back():
+    """Strip idx1: the sequential fallback must still return the same
+    sampled frames (skipping non-sampled chunks without decoding)."""
+    payload = m._encode_avi_mjpeg_bytes(9)
+    at = payload.rindex(b"idx1")
+    stripped = payload[:at]
+    # fix the RIFF size for the shorter body
+    stripped = (
+        stripped[:4]
+        + struct.pack("<I", len(stripped) - 8)
+        + stripped[8:]
+    )
+    calls = []
+
+    def counting(fb):
+        calls.append(1)
+        return m.decode_jpeg(fb)
+
+    w, h, frames = m.decode_avi_mjpeg_sampled(
+        stripped, m.SAMPLE_EVERY, decode_frame=counting
+    )
+    _, _, want = m.decode_avi_mjpeg_sampled(payload, m.SAMPLE_EVERY)
+    assert [f for f, _ in frames] == [f for f, _ in want]
+    assert len(calls) == len(want)
+    for (_, a), (_, b) in zip(frames, want):
+        assert np.array_equal(a, b)
+
+
+def test_sampled_decode_rejects_corrupt_idx1_offset():
+    """A stale index must fail loudly, not decode from a wrong offset."""
+    payload = bytearray(m._encode_avi_mjpeg_bytes(2))
+    at = payload.index(b"idx1")
+    # first entry's dwChunkOffset sits 8 bytes into the entry
+    struct.pack_into("<I", payload, at + 8 + 8, 2)
+    with pytest.raises(ValueError, match="idx1 offset"):
+        m.decode_avi_mjpeg_sampled(bytes(payload), m.SAMPLE_EVERY)
