@@ -41,6 +41,8 @@ def test_dedup_fullrow(spark, duck, sf_dir, producer, oracle_key):
         (multimodal._wav_feature_rows, "wav_feature_rows"),
         (multimodal._ppm_feature_rows, "ppm_feature_rows"),
         (multimodal._y4m_feature_rows, "y4m_feature_rows"),
+        (multimodal._gif_feature_rows, "gif_feature_rows"),
+        (multimodal._frame_fp_rows, "frame_fp_rows"),
     ],
 )
 def test_multimodal_fullrow(spark, duck, sf_dir, producer, oracle_key):
