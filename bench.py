@@ -88,9 +88,11 @@ HEADLINE = [
     "image_features_ppm",  # real PPM binary decode (r6)
     "image_thumbnails_ppm",  # nearest-neighbor pixel resize (r8)
     "image_features_png",  # DEFLATE-compressed PNG decode (r7)
+    "image_features_gif",  # LZW dictionary-coded GIF decode (r10)
     "image_features_jpeg",  # baseline-JPEG entropy-coded decode (r8)
     "video_frame_sample_y4m",  # real Y4M container decode (r6)
     "video_features_mjpeg",  # MJPEG/AVI entropy-coded video decode (r10)
+    "video_frame_dedup_y4m",  # cross-video frame-fingerprint dedup (r10)
     "xml_roundtrip_checksum",  # interchange sink+scan certification (r7)
     "jsonl_roundtrip_checksum",
     "schema_evolution_checksum",  # mergeSchema evolved-feed scan (r8)

@@ -172,8 +172,8 @@ for _mod in _MODULES:
 # so no other row went stale.  Net-new r10 queries are appended in
 # section (e), displacing the tail of (d), so every new operator still
 # earns a first-round row.  Disclosed deferrals: the remaining r6-cohort
-# rows (text_langid and doc_fingerprints — displaced by the two r10
-# additions — then
+# rows (text_langid, doc_fingerprints, text_quality_scores and
+# rag_search_chunks — displaced by the four r10 additions — then
 # decontam_ngram_overlap, quality_repetition_stats,
 # pack_sequences_manifest, temperature_resample_stats,
 # stream_daily_store, label_centroid_similarity,
@@ -233,12 +233,15 @@ _FRONT = (
     "null_rate_profile",
     "chunk_documents",
     "chunk_docs_ingest_800_120",
-    "rag_search_chunks",
-    "text_quality_scores",
-    # -- (e) r10 net-new: the MJPEG/AVI video class and the persisted
-    #    BM25 inverted-index store (each earns its first driver row) ---------
+    # -- (e) r10 net-new: the MJPEG/AVI video class, the persisted BM25
+    #    inverted-index store, the GIF/LZW dictionary-coding image class,
+    #    and cross-video frame-fingerprint dedup (each earns its first
+    #    driver row; text_quality_scores and rag_search_chunks displaced
+    #    from (d) into the r11 rotation) -------------------------------------
     "video_features_mjpeg",
     "bm25_index_store",
+    "image_features_gif",
+    "video_frame_dedup_y4m",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive
