@@ -499,8 +499,13 @@ def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # canonical-integer gate shared by the Spark plan and the DuckDB oracle:
 # both engines' bare string→BIGINT coercions disagree on non-canonical
 # numerics (see json_props_stats docstring), so both sides parse ONLY
-# strings matching this and NULL the rest
-_INT_RE = "^-?[0-9]+$"
+# strings matching this and NULL the rest.  ONE definition, interpolated
+# into BOTH the Spark expression and the DuckDB oracle (ADVICE r10), and
+# anchored with \A/\z rather than ^/$ because Java's '$' also matches
+# before a trailing newline while RE2's does not — '7\n' would parse on
+# Spark but NULL in DuckDB under ^...$ (ADVICE r10).  Both Java regex
+# and RE2 support \A (start of input) and \z (absolute end of input).
+_INT_RE = r"\A-?[0-9]+\z"
 
 
 def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,11 +540,14 @@ def _json_props_agg(ev: DataFrame) -> DataFrame:
     expression text the operator runs."""
     # single JSON parse per row: regexp_extract applies the integral
     # gate and yields '' on a non-match, which try_cast NULLs — same
-    # semantics as the two-call CASE gate at half the parse cost
-    k = F.expr(
-        "try_cast(regexp_extract(get_json_object(props, '$.k'),"
-        f" '^(-?[0-9]+)$', 1) AS BIGINT)"
-    )
+    # semantics as the two-call CASE gate at half the parse cost.  The
+    # pattern is built from _INT_RE through the Python function API (not
+    # an f-string SQL literal) so the Spark gate and the DuckDB oracle
+    # provably share one regex definition and SQL-parser backslash
+    # escaping can't diverge them (ADVICE r10).
+    k = F.regexp_extract(
+        F.get_json_object("props", "$.k"), f"({_INT_RE})", 1
+    ).try_cast("bigint")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

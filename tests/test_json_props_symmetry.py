@@ -25,6 +25,11 @@ _DIRTY = [
     ("nulls", '{"k": " 7 "}'),  # padded (Duck bare-casts this, Spark too)
     ("nulls", '{"k": "+5"}'),  # signed-plus (Duck bare-casts this)
     ("nulls", '{"k": 99999999999999999999}'),  # BIGINT overflow
+    # trailing newline (ADVICE r10): Java's '$' matches before a final
+    # '\n' while RE2's does not, so under ^...$ this row parsed on Spark
+    # but NULLed in DuckDB; the \A...\z anchors reject it on BOTH
+    ("nulls", '{"k": "7\\n"}'),
+    ("nulls", '{"k": "\\n7"}'),  # leading newline (rejected either way)
     ("nulls", "not json at all"),  # malformed document
     ("nulls", '{"other": 1}'),  # key absent
     ("nulls", None),  # NULL document

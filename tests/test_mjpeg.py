@@ -260,3 +260,55 @@ def test_sampled_decode_rejects_corrupt_idx1_offset():
     struct.pack_into("<I", payload, at + 8 + 8, 2)
     with pytest.raises(ValueError, match="idx1 offset"):
         m.decode_avi_mjpeg_sampled(bytes(payload), m.SAMPLE_EVERY)
+
+
+def _to_absolute_idx1(payload: bytes) -> bytes:
+    """Rewrite every idx1 dwChunkOffset from the spec convention
+    (relative to the 'movi' fourcc) to the equally-legal absolute-file-
+    offset convention many real-world AVI writers emit (ADVICE r10)."""
+    buf = bytearray(payload)
+    movi_at = buf.index(b"movi")
+    at = buf.rindex(b"idx1")
+    (sz,) = struct.unpack_from("<I", buf, at + 4)
+    for k in range(sz // 16):
+        entry = at + 8 + 16 * k
+        (rel,) = struct.unpack_from("<I", buf, entry + 8)
+        struct.pack_into("<I", buf, entry + 8, movi_at + rel)
+    return bytes(buf)
+
+
+def test_sampled_decode_accepts_absolute_idx1_offsets():
+    """Absolute-offset idx1 (a legal, common variant) must decode
+    identically to the movi-relative form — and still through the
+    index (no sequential fallback), so decode-call count stays sparse."""
+    for doc_id in (2, 6, 11):
+        rel_payload = m._encode_avi_mjpeg_bytes(doc_id)
+        abs_payload = _to_absolute_idx1(rel_payload)
+        assert abs_payload != rel_payload
+        calls = []
+
+        def counting(fb):
+            calls.append(1)
+            return m.decode_jpeg(fb)
+
+        w, h, frames = m.decode_avi_mjpeg_sampled(
+            abs_payload, m.SAMPLE_EVERY, decode_frame=counting
+        )
+        ww, wh, want = m.decode_avi_mjpeg_sampled(
+            rel_payload, m.SAMPLE_EVERY
+        )
+        assert (w, h) == (ww, wh)
+        assert [f for f, _ in frames] == [f for f, _ in want]
+        assert len(calls) == len(want)  # still index-driven sparse
+        for (_, a), (_, b) in zip(frames, want):
+            assert np.array_equal(a, b)
+
+
+def test_sampled_decode_rejects_idx1_wrong_under_both_conventions():
+    """An offset that lands on its ckid under NEITHER convention is a
+    corrupt index and must still raise, not silently fall back."""
+    payload = bytearray(_to_absolute_idx1(m._encode_avi_mjpeg_bytes(3)))
+    at = payload.rindex(b"idx1")
+    struct.pack_into("<I", payload, at + 8 + 8, 2)
+    with pytest.raises(ValueError, match="idx1 offset"):
+        m.decode_avi_mjpeg_sampled(bytes(payload), m.SAMPLE_EVERY)
