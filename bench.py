@@ -12,6 +12,18 @@ so a one-off move on untouched code is attributable to noise vs regression.
 The session-lifetime dedup relations are reset between reps so each rep
 times the full build path (the reuse path is what `minhash_lsh_pairs`
 times, deliberately, within each rep).
+
+Warmup robustness (VERDICT r10 #1): r10's rep_totals were still
+descending at rep 5, so its medians carried warmup drift.  Reps now
+default to 7 and the first 2 reps are DISCARDED from the per-query
+medians/spread (they still appear in `rep_totals`, so flatness is
+auditable); `steady_state_total` reports the final rep's total as the
+warmup-free number.
+
+Cross-round attribution (ADVICE r10): the headline set grows each round,
+so `value` (sum of all medians) is not comparable across rounds.
+`fixed_set_total` sums the SAME 106-query set benched since r9 — compare
+THAT across rounds; additions are tracked in _ADDED_AFTER_R9.
 """
 
 from __future__ import annotations
@@ -146,6 +158,20 @@ HEADLINE = [
     "bm25_ndcg_eval",  # NDCG@10 ranking evaluation (r8)
 ]
 
+# Queries benched for the first time AFTER the r9 record (plus the
+# bench-only serve metrics): excluded from `fixed_set_total` so that
+# number stays a same-denominator series from r9 onward (ADVICE r10).
+_ADDED_AFTER_R9 = {
+    "bm25_index_store",
+    "image_features_gif",
+    "video_features_mjpeg",
+    "video_frame_dedup_y4m",
+    "purchase_attribution_outer",
+    "bm25_ndcg_eval",
+    "ann_index_serve_only",
+    "bm25_index_serve_only",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -174,18 +200,24 @@ def main() -> None:
     sales(spark, sf_dir).count()
 
     from intellect_bi_spark.functions import windows  # noqa: E402
-    from intellect_bi_spark.operators import dedup, vectorstore  # noqa: E402
+    from intellect_bi_spark.operators import (  # noqa: E402
+        dedup,
+        retrieval,
+        vectorstore,
+    )
 
-    # Serve-only ANN latency (VERDICT r9 ask): the registry's
-    # ann_index_store times build+write+read+serve as one number, which
-    # obscures the metric a serving deployment cares about.  Build the
-    # IVF-PQ store ONCE here (untimed, like the view warm-up), then each
-    # rep times ONLY read-from-store -> probe -> ADC -> exact rerank.
+    # Serve-only index latency (VERDICT r9/r10 asks): the registry's
+    # ann_index_store / bm25_index_store time build+write+read+serve as
+    # one number, which obscures the metric a serving deployment cares
+    # about.  Build each store ONCE here (untimed, like the view
+    # warm-up), then each rep times ONLY the serving path.
     import shutil
     import tempfile
 
     ann_store = tempfile.mkdtemp(prefix="sgraft_bench_annstore_")
     vectorstore.build_index(spark, sf_dir, ann_store)
+    bm25_store = tempfile.mkdtemp(prefix="sgraft_bench_bm25store_")
+    retrieval.build_bm25_index(spark, sf_dir, bm25_store)
 
     def _ann_serve_only() -> None:
         centroids, codebook, codes = vectorstore.read_index(
@@ -195,7 +227,12 @@ def main() -> None:
             centroids, codebook, codes, vectorstore._emb(spark, sf_dir)
         ).collect()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    def _bm25_serve_only() -> None:
+        # the EXACT composition the bit-exact parity unit verifies
+        # (tests/test_vectorstore.py::test_bm25_stored_equals_direct_ranking)
+        retrieval.serve_bm25_from_store(spark, bm25_store).collect()
+
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "7"))
     per_rep: list[dict[str, float]] = []
     try:
         for _ in range(reps):
@@ -214,20 +251,31 @@ def main() -> None:
             timings["ann_index_serve_only"] = round(
                 time.perf_counter() - t0, 4
             )
+            t0 = time.perf_counter()
+            _bm25_serve_only()
+            timings["bm25_index_serve_only"] = round(
+                time.perf_counter() - t0, 4
+            )
             per_rep.append(timings)
     finally:
         shutil.rmtree(ann_store, ignore_errors=True)
+        shutil.rmtree(bm25_store, ignore_errors=True)
 
+    # first reps carry JIT/codegen/cache warmup (r10's rep_totals were
+    # still descending at rep 5) — medians/spread use steady reps only
+    warm_discard = min(2, len(per_rep) - 1)
+    steady = per_rep[warm_discard:]
     medians = {
-        name: round(statistics.median(r[name] for r in per_rep), 4)
-        for name in per_rep[0]
+        name: round(statistics.median(r[name] for r in steady), 4)
+        for name in steady[0]
     }
     spread = {
         name: round(
-            max(r[name] for r in per_rep) - min(r[name] for r in per_rep), 4
+            max(r[name] for r in steady) - min(r[name] for r in steady), 4
         )
-        for name in per_rep[0]
+        for name in steady[0]
     }
+    fixed_set = [n for n in medians if n not in _ADDED_AFTER_R9]
     payload = json.dumps(
         {
             "metric": "headline_queries_total_wall",
@@ -236,8 +284,14 @@ def main() -> None:
             "queries": medians,
             "sf": sf,
             "reps": reps,
+            "warmup_reps_discarded": warm_discard,
             "spread": spread,
             "rep_totals": [round(sum(r.values()), 4) for r in per_rep],
+            "steady_state_total": round(sum(per_rep[-1].values()), 4),
+            "fixed_set_total": round(
+                sum(medians[n] for n in fixed_set), 4
+            ),
+            "fixed_set_n": len(fixed_set),
         }
     )
     print(payload)
@@ -268,6 +322,9 @@ def main() -> None:
         "sf": sf,
         "reps": reps,
         "n_queries": len(medians),
+        "fixed_set_total": round(sum(medians[n] for n in fixed_set), 4),
+        "fixed_set_n": len(fixed_set),
+        "steady_state_total": round(sum(per_rep[-1].values()), 4),
         "queries_truncated": False,
         "full_in": "BENCH_LOCAL.json",
     }

@@ -123,6 +123,39 @@ def register_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+def release_after_action(out: DataFrame, *pins: DataFrame) -> DataFrame:
+    """One-shot pin lifecycle (VERDICT r10 #5): a query whose pinned
+    relation is consumed exactly once per invocation should not leave
+    the pin resident until cap eviction — across a 210-query driver
+    sweep those one-shots otherwise accumulate up to the cap in live
+    MEMORY_AND_DISK entries.  Run the query's final action NOW
+    (``localCheckpoint(eager=True)`` — the output frames here are
+    summary-sized, the same lifecycle bm25_index_store/ann_index_store
+    already use), then unpersist the pins immediately and drop them
+    from the registry.  The returned frame no longer references the
+    pinned subtrees, so a later ``collect()`` reads the checkpointed
+    rows.  Identity-based removal: ``DataFrame.__eq__`` builds a Column,
+    so ``list.remove`` would misbehave."""
+    out = out.localCheckpoint(eager=True)
+    release_pins(*pins)
+    return out
+
+
+def release_pins(*pins: DataFrame) -> None:
+    """Unpersist ``pins`` and drop them from the registry — for callers
+    whose final action already ran (e.g. a builder's parquet writes).
+    Identity-based removal: ``DataFrame.__eq__`` builds a Column, so
+    ``list.remove`` would misbehave."""
+    for df in pins:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _PERSISTED[:] = [
+        d for d in _PERSISTED if all(d is not p for p in pins)
+    ]
+
+
 def _keyed_input(df: DataFrame, b: Column, name: str, materialize: bool) -> DataFrame:
     keyed = df.withColumn(name, b)
     if materialize:

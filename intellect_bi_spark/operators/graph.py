@@ -82,7 +82,20 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def trade_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two damped weighted-PageRank iterations over the trade graph,
     from a uniform fixed-point start; per-nation final rank plus the
-    adjacency row the rank was computed from (out-weight, in-weight)."""
+    adjacency row the rank was computed from (out-weight, in-weight).
+    One-shot pin lifecycle (VERDICT r10 #5): the adjacency pin is
+    consumed exactly once per invocation (its many references all live
+    inside this one plan), so the final action runs here and the pin is
+    released immediately."""
+    from ..functions.windows import release_after_action
+
+    out, pins = _pagerank_composed(spark, sf_dir)
+    return release_after_action(out, *pins)
+
+
+def _pagerank_composed(spark, sf_dir):
+    """The lazy composed plan + its one-shot pin (plan tests target
+    this seam)."""
     from ..functions.windows import register_cache
 
     t = load_tables(spark, sf_dir)
@@ -129,7 +142,7 @@ def trade_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("win", F.lit(0)).alias("in_cents"),
         )
         .orderBy(F.desc("rank_q"), "nation")
-    )
+    ), (edges,)
 
 
 def trade_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,7 +159,18 @@ def trade_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     `trade_pagerank_nations` does; every join after condensation is on
     the tiny edge relation.  On a billion-node graph the SAME plan holds
     with degree-based orientation; the node-id orientation here is the
-    fixture-scale instance of it.  All outputs are exact integers."""
+    fixture-scale instance of it.  All outputs are exact integers.
+    One-shot pin lifecycle (VERDICT r10 #5): the final action runs here
+    and the pin is released immediately."""
+    from ..functions.windows import release_after_action
+
+    out, pins = _triangles_composed(spark, sf_dir)
+    return release_after_action(out, *pins)
+
+
+def _triangles_composed(spark, sf_dir):
+    """The lazy composed plan + its one-shot pin (plan tests target
+    this seam)."""
     from ..functions.windows import register_cache
 
     edges = _edges(spark, sf_dir)
@@ -211,7 +235,7 @@ def trade_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy(F.desc("n_triangles"), "nation")
-    )
+    ), (und,)
 
 
 QUERIES = {

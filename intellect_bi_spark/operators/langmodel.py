@@ -107,7 +107,19 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language held-out bigram-LM fit: train add-0.5-smoothed bigram
     counts on the 8/10 hash-split train fold, score each held-out
     document's average NLL per bigram (2^-10-quantized), aggregate per
-    language.  Columns: lang, n_docs, sum_nll_q, min_nll_q, max_nll_q."""
+    language.  Columns: lang, n_docs, sum_nll_q, min_nll_q, max_nll_q.
+    One-shot pin lifecycle (VERDICT r10 #5): the bigram-relation pin is
+    consumed exactly once per invocation, so the final action runs here
+    and the pin is released immediately."""
+    from ..functions.windows import release_after_action
+
+    out, pins = _bigram_lm_composed(spark, sf_dir)
+    return release_after_action(out, *pins)
+
+
+def _bigram_lm_composed(spark, sf_dir):
+    """The lazy composed plan + its one-shot pin (plan tests target
+    this seam)."""
     toks = _toks_df(spark, sf_dir).withColumn(
         "is_train", F.expr(_SPLIT_SQL)
     )
@@ -181,7 +193,7 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * {NLL_QUANT}.0 + 0.5) AS BIGINT)"
         ).alias("nll_q"),
     )
-    return (
+    out = (
         doc_nll.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -191,6 +203,7 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+    return out, (pairs,)
 
 
 def _bucket_sql(tok_expr: str) -> str:
@@ -220,7 +233,19 @@ def _lr_sql(ct: str, tt: str, cr: str, tr: str) -> str:
 def importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR selection: hashed-unigram importance weights against the
     ``lang = 'en'`` target distribution; top-25 documents by quantized
-    weight.  Columns: doc_id, lang, n_toks, weight_q."""
+    weight.  Columns: doc_id, lang, n_toks, weight_q.  One-shot pin
+    lifecycle (VERDICT r10 #5): the hashed-token pin is consumed exactly
+    once per invocation, so the final action runs here and the pin is
+    released immediately."""
+    from ..functions.windows import release_after_action
+
+    out, pins = _dsir_composed(spark, sf_dir)
+    return release_after_action(out, *pins)
+
+
+def _dsir_composed(spark, sf_dir):
+    """The lazy composed plan + its one-shot pin (plan tests target
+    this seam)."""
     from ..functions.windows import register_cache
 
     toks = _toks_df(spark, sf_dir)
@@ -277,7 +302,7 @@ def importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("weight_q"), "doc_id")
         .limit(DSIR_TOP_K)
-    )
+    ), (tok_rows,)
 
 
 BPE_ROUNDS = 2  # learned merges before the candidate report

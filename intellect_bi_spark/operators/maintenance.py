@@ -97,9 +97,9 @@ def mv_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("month", "status")
 
 
-def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Median/MAD robust z-scores over the daily revenue series; one
-    summary row (day count, anomalies, anomalous-day binding, extremes)."""
+def _revenue_anomaly_composed(spark, sf_dir):
+    """The lazy composed plan + its one-shot pin (plan tests target
+    this seam; the public query wraps it in release_after_action)."""
     from ..functions.windows import register_cache
 
     # persist the tiny day series: the final plan references this
@@ -125,7 +125,7 @@ def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     flag = F.expr(f"CASE WHEN score > {Z_MAX} THEN 1 ELSE 0 END")
-    return d3.agg(
+    out = d3.agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum(flag).cast("long").alias("n_anomalies"),
         F.sum(
@@ -135,6 +135,20 @@ def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("med").alias("median_cents"),
         F.max("mad").alias("mad_cents"),
     )
+    return out, (daily,)
+
+
+def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-scores over the daily revenue series; one
+    summary row (day count, anomalies, anomalous-day binding, extremes).
+    One-shot pin lifecycle (VERDICT r10 #5): the day-series pin is
+    consumed exactly once per invocation, so the final action runs here
+    and the pin is released immediately instead of waiting for cap
+    eviction."""
+    from ..functions.windows import release_after_action
+
+    out, pins = _revenue_anomaly_composed(spark, sf_dir)
+    return release_after_action(out, *pins)
 
 
 # --- small-file compaction planner --------------------------------------------

@@ -505,7 +505,19 @@ def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums within 256 hash-prefix buckets (the 2-hex-char prefix is monotone
     in the md5 sort key), plus per-bucket offsets from a triangular
     broadcast join on the 256-row bucket-total relation. No unpartitioned
-    window, no driver loop — the same plan packs 100 TB."""
+    window, no driver loop — the same plan packs 100 TB.  One-shot pin
+    lifecycle (VERDICT r10 #5): the narrow token-count pin is consumed
+    exactly once per invocation, so the final action runs here and the
+    pin is released immediately."""
+    from ..functions.windows import release_after_action
+
+    out, pins = _pack_sequences_composed(spark, sf_dir)
+    return release_after_action(out, *pins)
+
+
+def _pack_sequences_composed(spark, sf_dir):
+    """The lazy composed plan + its one-shot pin (plan tests target
+    this seam)."""
     from ..functions.text import P
 
     from ..functions.windows import register_cache
@@ -553,7 +565,7 @@ def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.expr(f"((seq_id % {P}) * (seq_tokens % {P})) % {P}")
         ).alias("id_weighted_tokens"),
-    )
+    ), (t,)
 
 
 def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -584,7 +596,22 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     thing — MinHash bands, candidate join, exact-Jaccard verify, WITH
     RECURSIVE transitive closure — in one SQL chain. At 100 TB every
     added piece is the already-audited candidate-generation shape:
-    equi-joins on band hashes, never all-pairs."""
+    equi-joins on band hashes, never all-pairs.
+
+    One-shot pin lifecycle (VERDICT r10 #5): the funnel's OWN pins
+    (base, flagged, tr) are consumed exactly once per invocation and
+    released after the final action runs here; the memoized
+    _lsh_scored_pairs relation is deliberately NOT released — it is the
+    cross-query shared relation dedup's queries reuse."""
+    from ..functions.windows import release_after_action
+
+    out, pins = _funnel_composed(spark, sf_dir)
+    return release_after_action(out, *pins)
+
+
+def _funnel_composed(spark, sf_dir):
+    """The lazy composed plan + its one-shot pins (plan tests target
+    this seam)."""
     from ..functions.text import P
 
     from ..functions.windows import register_cache
@@ -761,7 +788,7 @@ def corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_mix_selected",
             "mix_binding",
         )
-    )
+    ), (base, flagged, tr)
 
 
 MIX_DEN = 4  # over-represented (even-indexed) sources keep 3/4 of their
@@ -789,9 +816,21 @@ def token_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold); everything after — totals, max-drift scan, the one-row
     summary — runs on O(vocab) rows. The count table is persisted
     because three aggregates reference it (counts → totals → max →
-    summary), pinning the corpus scan count at 1.
+    summary), pinning the corpus scan count at 1.  One-shot pin
+    lifecycle (VERDICT r10 #5): the final action runs here and the pin
+    is released immediately instead of waiting for cap eviction.
     """
+    from ..functions.windows import release_after_action
+
+    out, pins = _token_drift_composed(spark, sf_dir)
+    return release_after_action(out, *pins)
+
+
+def _token_drift_composed(spark, sf_dir):
+    """The lazy composed plan + its one-shot pin (the public query
+    wraps it in release_after_action)."""
     from ..functions.windows import register_cache
+
 
     toks = (
         _docs_spread(spark, sf_dir)
@@ -840,7 +879,7 @@ def token_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("diff") == F.col("max_diff"), F.expr(binding))
             .otherwise(0)
         ).alias("drift_token_binding"),
-    )
+    ), (counts,)
 
 
 def domain_mix_selection(spark: SparkSession, sf_dir: str) -> DataFrame:

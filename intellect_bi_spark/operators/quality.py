@@ -115,19 +115,9 @@ def null_rate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 ERASE_MOD, ERASE_REM = 97, 13  # the deterministic erasure-request batch
 
 
-def erasure_impact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Right-to-be-forgotten impact plan: given a batch of customer keys
-    to erase (the deterministic ``c_custkey % {ERASE_MOD} == {ERASE_REM}``
-    slice standing in for a request list), count the rows each table
-    would lose — customers directly, orders via the FK, lineitem via the
-    two-hop orders chain — with a key binding per table so the plan names
-    exactly the affected rows, not just their count. This is the
-    metadata-scale dry-run every compliance delete job emits before it
-    rewrites files.
-
-    Scale: the request list is tiny → broadcast semi-joins down the FK
-    chain; the affected-orders relation is reused (persisted) for the
-    lineitem hop so the chain costs one scan per table."""
+def _erasure_impact_composed(spark, sf_dir):
+    """The lazy composed plan + its one-shot pin (plan tests target
+    this seam; the public query wraps it in release_after_action)."""
     from ..functions.windows import register_cache
 
     t = load_tables(spark, sf_dir)
@@ -165,11 +155,33 @@ def erasure_impact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("l_orderkey % 1000000007")).alias("row_binding"),
         )
     )
-    return (
+    out = (
         cust_row.unionByName(orders_row)
         .unionByName(li_row)
         .orderBy("table_name")
     )
+    return out, (orders_hit,)
+
+
+def erasure_impact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact plan: given a batch of customer keys
+    to erase (the deterministic ``c_custkey % {ERASE_MOD} == {ERASE_REM}``
+    slice standing in for a request list), count the rows each table
+    would lose — customers directly, orders via the FK, lineitem via the
+    two-hop orders chain — with a key binding per table so the plan names
+    exactly the affected rows, not just their count. This is the
+    metadata-scale dry-run every compliance delete job emits before it
+    rewrites files.
+
+    Scale: the request list is tiny → broadcast semi-joins down the FK
+    chain; the affected-orders relation is reused (persisted) for the
+    lineitem hop so the chain costs one scan per table.  One-shot pin
+    lifecycle (VERDICT r10 #5): the final action runs here and the pin
+    is released immediately instead of waiting for cap eviction."""
+    from ..functions.windows import release_after_action
+
+    out, pins = _erasure_impact_composed(spark, sf_dir)
+    return release_after_action(out, *pins)
 
 
 K_ANON = 5  # minimum safe equivalence-class size

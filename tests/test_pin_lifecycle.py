@@ -1,0 +1,51 @@
+"""One-shot pin lifecycle (VERDICT r10 #5): queries whose pinned
+relation is consumed exactly once per invocation must release the pin
+after running their final action (release_after_action) instead of
+leaving it resident until the 128-entry cap evicts it.  Pre-fix, a
+single pass over the registry accumulated every one-shot pin as live
+MEMORY_AND_DISK entries; the sweep-level bound lives at the tail of
+tests/test_parity.py (which IS a full 210-query sweep)."""
+
+from __future__ import annotations
+
+import pytest
+
+from intellect_bi_spark.functions import windows
+from intellect_bi_spark.registry import QUERIES
+
+ONE_SHOT_CONVERTED = (
+    "revenue_anomaly_days",
+    "erasure_impact_plan",
+    "token_drift_tvd",
+    "bigram_lm_perplexity",
+    "importance_weights_dsir",
+    "trade_pagerank_nations",
+    "trade_triangle_count",
+    "bm25_ndcg_eval",
+    "pack_sequences_manifest",
+    "pq_codes_stats",
+    "ann_topk_pq",
+    "ann_index_store",  # build_index releases its PQ pins after writes
+    "corpus_prep_funnel",  # releases its OWN pins (base/flagged/tr);
+    # the cross-query memoized LSH pair relation lives in dedup's
+    # _SCORED_CACHE, not windows._PERSISTED, so no-growth still holds
+)
+
+
+@pytest.mark.parametrize("name", ONE_SHOT_CONVERTED)
+def test_one_shot_pin_released_after_action(name, spark, sf_dir):
+    before = len(windows._PERSISTED)
+    rows = QUERIES[name](spark, sf_dir).collect()
+    assert rows  # the eager action really ran and produced output
+    assert len(windows._PERSISTED) == before, (
+        f"{name} leaked a pin: {before} -> {len(windows._PERSISTED)}"
+    )
+
+
+def test_release_after_action_result_still_collectable(spark, sf_dir):
+    """The checkpointed result must survive its pins' release: collect
+    twice (the second read comes from checkpointed partitions)."""
+    df = QUERIES["revenue_anomaly_days"](spark, sf_dir)
+    first = df.collect()
+    second = df.collect()
+    assert first == second and len(first) == 1

@@ -260,13 +260,20 @@ def test_gini_has_no_unpartitioned_window_or_row_rank(spark, sf_dir):
 def test_pack_sequences_prefix_sum_is_bucket_partitioned(spark, sf_dir):
     """Sequence packing's running offset must never use a global window —
     every windowspec is partitioned by the hash-prefix bucket."""
-    from intellect_bi_spark.operators.pipeline import pack_sequences_manifest
+    from intellect_bi_spark.operators.pipeline import (
+        _pack_sequences_composed,
+    )
 
-    plan = plan_of(pack_sequences_manifest(spark, sf_dir))
+    # the composed seam: the public query eagerly checkpoints and
+    # releases its pin (VERDICT r10 #5), so the lazy plan lives here
+    out, pins = _pack_sequences_composed(spark, sf_dir)
+    plan = plan_of(out)
     import re
 
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("bkt" in s for s in specs), specs
+    for p in pins:
+        p.unpersist()
 
 
 def test_salted_join_plan_and_salt_spread(spark, sf_dir):
@@ -605,19 +612,25 @@ def test_bm25_scoring_relation_reused_not_recomputed(spark, sf_dir):
     (actual + ideal rankings); the persist must make the second read an
     InMemoryTableScan instead of a second tokenize pipeline (r9 review
     fix — this is the regression lock)."""
-    from intellect_bi_spark.operators.retrieval import bm25_ndcg_eval
+    from intellect_bi_spark.operators.retrieval import _ndcg_composed
 
-    plan = plan_of(bm25_ndcg_eval(spark, sf_dir))
+    # the composed seam: the public query eagerly checkpoints and
+    # releases the pin (VERDICT r10 #5), so the lazy plan lives here
+    out, pins = _ndcg_composed(spark, sf_dir)
+    plan = plan_of(out)
     assert plan.count("InMemoryTableScan") >= 2
+    for p in pins:
+        p.unpersist()
 
 
 def test_dsir_token_relation_reused_not_recomputed(spark, sf_dir):
     """importance_weights_dsir reads the hashed-token relation twice
     (bucket stats + per-doc weights); the persist pin is the r9 fix that
     took the sf1 run from 24.8 s to 1.7 s — lock it."""
-    from intellect_bi_spark.operators.langmodel import (
-        importance_weights_dsir,
-    )
+    from intellect_bi_spark.operators.langmodel import _dsir_composed
 
-    plan = plan_of(importance_weights_dsir(spark, sf_dir))
+    out, pins = _dsir_composed(spark, sf_dir)
+    plan = plan_of(out)
     assert plan.count("InMemoryTableScan") >= 2
+    for p in pins:
+        p.unpersist()

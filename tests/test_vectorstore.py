@@ -21,7 +21,7 @@ from intellect_bi_spark.operators.similarity import _emb, ivf_assignments
 
 def _in_memory_index(spark, sf_dir):
     emb = _emb(spark, sf_dir)
-    codes, cb = _pq_codes(spark, sf_dir)
+    codes, cb, _pins = _pq_codes(spark, sf_dir)
     codes_cells = codes.join(ivf_assignments(spark, sf_dir), "vec_id")
     return vs._centroids(emb), cb, codes_cells
 
@@ -131,7 +131,10 @@ def test_batch_stored_equals_in_memory_ranking(spark, sf_dir):
 def test_bm25_stored_equals_direct_ranking(spark, sf_dir):
     """The lexical twin of the IVF-PQ store contract: serving from the
     persisted postings/lexicon/stats must reproduce the direct BM25
-    ranking bit for bit (same quantized scores, same order)."""
+    ranking bit for bit (same quantized scores, same order).  Runs
+    through serve_bm25_from_store — the SAME composition bench.py's
+    bm25_index_serve_only metric times — so the verified path IS the
+    timed path (VERDICT r10 #4)."""
     from intellect_bi_spark.operators import retrieval as rt
 
     want = [
@@ -143,9 +146,7 @@ def test_bm25_stored_equals_direct_ranking(spark, sf_dir):
         rt.build_bm25_index(spark, sf_dir, tmp)
         got = [
             (r["doc_id"], r["n_hit_terms"], r["score_q"])
-            for r in rt.topk_from_bm25_index(
-                *rt.read_bm25_index(spark, tmp)
-            ).collect()
+            for r in rt.serve_bm25_from_store(spark, tmp).collect()
         ]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
