@@ -104,6 +104,7 @@ HEADLINE = [
     "image_features_jpeg",  # baseline-JPEG entropy-coded decode (r8)
     "video_frame_sample_y4m",  # real Y4M container decode (r6)
     "video_features_mjpeg",  # MJPEG/AVI entropy-coded video decode (r10)
+    "video_features_bdv",  # inter-frame P-frame codec, keyframe seek (r11)
     "video_frame_dedup_y4m",  # cross-video frame-fingerprint dedup (r10)
     "xml_roundtrip_checksum",  # interchange sink+scan certification (r7)
     "jsonl_roundtrip_checksum",
@@ -170,6 +171,7 @@ _ADDED_AFTER_R9 = {
     "bm25_ndcg_eval",
     "ann_index_serve_only",
     "bm25_index_serve_only",
+    "video_features_bdv",
 }
 
 

@@ -2389,24 +2389,33 @@ def decode_avi_mjpeg(payload: bytes, decode_frame=decode_jpeg):
     return w, h, frames
 
 
-def decode_avi_mjpeg_sampled(
-    payload: bytes, sample_every: int, decode_frame=decode_jpeg
-):
-    """Keyframe-index-driven SPARSE decode: MJPEG frames are independent
-    (every frame is a keyframe), so the idx1 index supports decoding
-    ONLY the sampled ordinals — entropy-decode cost scales with sampled
-    frames, not stream length, which is the whole reason the container
-    carries an index.  Both legal idx1 offset conventions are accepted
-    (movi-relative per the spec, absolute file offsets as many real
-    writers emit; the first entry is probed to pick one — ADVICE r10).
-    Each idx1 offset is cross-checked against the fourcc it points at
-    (a stale/corrupt index must fail loudly, not decode garbage).  Falls back to the sequential walk (skipping
-    non-sampled chunks WITHOUT decoding them) when idx1 is absent.
-    Returns the decode_avi_mjpeg contract with only sampled ordinals
-    present; frame_idx remains the stream ordinal."""
+def _avi_chunks(b: bytes, pos: int, end: int):
+    """Word-aligned RIFF chunk iterator (the MJPEG container walk,
+    shared by every AVI-carried codec tier — MJPEG and BDV)."""
     import struct
 
-    b = bytes(payload)
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated chunk header")
+        cc = b[pos : pos + 4]
+        (sz,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = pos + 8
+        if body + sz > end:
+            raise ValueError("truncated chunk")
+        yield cc, body, sz
+        pos = body + sz + (sz & 1)
+
+
+def _avi_scan(b: bytes):
+    """Shared AVI container scan: validate the RIFF envelope, locate
+    avih (dims + declared frame count), the movi LIST, and the idx1
+    entries.  Returns (w, h, nf_declared, movi, idx_entries) where
+    ``movi = (data_off, data_end)`` with data_off pointing AT the
+    'movi' fourcc, and idx_entries is None when the file carries no
+    index.  Extracted from the MJPEG walk so the inter-frame BDV tier
+    reuses it verbatim."""
+    import struct
+
     if len(b) < 12 or b[:4] != b"RIFF":
         raise ValueError("not a RIFF file")
     (riff_size,) = struct.unpack("<I", b[4:8])
@@ -2414,29 +2423,16 @@ def decode_avi_mjpeg_sampled(
         raise ValueError("RIFF size mismatch")
     if b[8:12] != b"AVI ":
         raise ValueError("not an AVI stream")
-
-    def chunks(pos: int, end: int):
-        while pos < end:
-            if pos + 8 > end:
-                raise ValueError("truncated chunk header")
-            cc = b[pos : pos + 4]
-            (sz,) = struct.unpack("<I", b[pos + 4 : pos + 8])
-            body = pos + 8
-            if body + sz > end:
-                raise ValueError("truncated chunk")
-            yield cc, body, sz
-            pos = body + sz + (sz & 1)
-
     w = h = nf_declared = None
     movi = None  # (data_off, data_end); data_off points AT 'movi'
     idx_entries = None
-    for cc, off, sz in chunks(12, len(b)):
+    for cc, off, sz in _avi_chunks(b, 12, len(b)):
         if cc == b"LIST":
             if sz < 4:
                 raise ValueError("truncated LIST chunk")
             ltype = b[off : off + 4]
             if ltype == b"hdrl":
-                for scc, soff, ssz in chunks(off + 4, off + sz):
+                for scc, soff, ssz in _avi_chunks(b, off + 4, off + sz):
                     if scc == b"avih":
                         if ssz < 56:
                             raise ValueError("truncated avih header")
@@ -2458,27 +2454,55 @@ def decode_avi_mjpeg_sampled(
         raise ValueError("missing avih main header")
     if movi is None:
         raise ValueError("missing movi LIST")
+    return w, h, nf_declared, movi, idx_entries
+
+
+def _idx1_base(b: bytes, movi, idx_entries) -> int:
+    """idx1 dwChunkOffset convention varies in the wild and BOTH are
+    legal AVI (ADVICE r10): the spec reading is relative to the 'movi'
+    list fourcc, but many real writers emit absolute file offsets.
+    Probe the first entry under the movi-relative reading; if it
+    doesn't land on its ckid but the absolute reading does, use
+    absolute for the whole index.  A first entry landing under neither
+    keeps the movi-relative base and fails the caller's per-entry ckid
+    check — a genuinely corrupt index must still fail loudly, not
+    decode garbage."""
+    base = movi[0]
+    if idx_entries:
+        ckid0, _fl0, coff0, _sz0 = idx_entries[0]
+        if (
+            b[movi[0] + coff0 : movi[0] + coff0 + 4] != ckid0
+            and b[coff0 : coff0 + 4] == ckid0
+        ):
+            base = 0
+    return base
+
+
+def decode_avi_mjpeg_sampled(
+    payload: bytes, sample_every: int, decode_frame=decode_jpeg
+):
+    """Keyframe-index-driven SPARSE decode: MJPEG frames are independent
+    (every frame is a keyframe), so the idx1 index supports decoding
+    ONLY the sampled ordinals — entropy-decode cost scales with sampled
+    frames, not stream length, which is the whole reason the container
+    carries an index.  Both legal idx1 offset conventions are accepted
+    (movi-relative per the spec, absolute file offsets as many real
+    writers emit; the first entry is probed to pick one — ADVICE r10).
+    Each idx1 offset is cross-checked against the fourcc it points at
+    (a stale/corrupt index must fail loudly, not decode garbage).
+    Falls back to the sequential walk (skipping non-sampled chunks
+    WITHOUT decoding them) when idx1 is absent.  Returns the
+    decode_avi_mjpeg contract with only sampled ordinals present;
+    frame_idx remains the stream ordinal."""
+    import struct
+
+    b = bytes(payload)
+    w, h, nf_declared, movi, idx_entries = _avi_scan(b)
     frames: list[tuple[int, "np.ndarray"]] = []
     if idx_entries is not None:
         if nf_declared != len(idx_entries):
             raise ValueError("avih frame count disagrees with idx1")
-        # idx1 dwChunkOffset convention varies in the wild and BOTH are
-        # legal AVI (ADVICE r10): the spec reading is relative to the
-        # 'movi' list fourcc, but many real writers emit absolute file
-        # offsets.  Probe the first entry under the movi-relative
-        # reading; if it doesn't land on its ckid but the absolute
-        # reading does, use absolute for the whole index.  A first
-        # entry landing under neither keeps the movi-relative base and
-        # fails the per-entry ckid check below — a genuinely corrupt
-        # index must still fail loudly, not decode garbage.
-        base = movi[0]
-        if idx_entries:
-            ckid0, _fl0, coff0, _sz0 = idx_entries[0]
-            if (
-                b[movi[0] + coff0 : movi[0] + coff0 + 4] != ckid0
-                and b[coff0 : coff0 + 4] == ckid0
-            ):
-                base = 0
+        base = _idx1_base(b, movi, idx_entries)
         for f in range(0, len(idx_entries), sample_every):
             ckid, _flags, coff, csz = idx_entries[f]
             at = base + coff
@@ -2494,7 +2518,7 @@ def decode_avi_mjpeg_sampled(
                 frames.append((f, px))
     else:
         ordinal = 0
-        for scc, soff, ssz in chunks(movi[0] + 4, movi[1]):
+        for scc, soff, ssz in _avi_chunks(b, movi[0] + 4, movi[1]):
             if scc != b"00dc":
                 continue
             if ordinal % sample_every == 0:
@@ -2536,6 +2560,389 @@ def video_features_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     alignment, avih, idx1) and the per-frame baseline-JPEG entropy
     decode byte-exactly."""
     f = _mjpeg_feature_rows(spark, sf_dir)
+    return f.agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("width").alias("sum_width"),
+        F.sum("height").alias("sum_height"),
+        F.sum("frame_idx").alias("sum_frame_idx"),
+        F.sum("frame_sum").alias("total_frame_sum"),
+        F.sum(
+            F.expr(
+                f"(((doc_id * 131 + frame_idx) % {P})"
+                f" * (idx_weighted % {P})) % {P}"
+            )
+        ).alias("id_weighted_binding"),
+    )
+
+
+# --- REAL video modality #3: BDV inter-frame (P-frame) codec ----------------
+#
+# The one codec class MJPEG/Y4M do not exercise: INTER-frame prediction,
+# where a frame is NOT independently decodable — the real-world video
+# case (MPEG/H.26x GOP structure).  BDV ("block-delta video") is a
+# minimal but genuine motion-compensated codec: an I-frame every
+# BDV_GOP frames carries raw pixels; each P-frame carries a global
+# motion vector plus per-4×4-block COPY/DELTA records — COPY blocks
+# reproduce the motion-shifted previous RECONSTRUCTED frame, DELTA
+# blocks add a mod-256 residual to it.  Decoding frame f therefore
+# requires the reconstruction chain back to its GOP's I-frame, which is
+# exactly what the idx1 AVIIF_KEYFRAME flags exist for: the sampled
+# decode seeks to the nearest preceding keyframe and rolls forward, so
+# per-sampled-frame cost is bounded by the GOP length, not the stream
+# length (tests/test_bdv.py proves the call count).  Without an index
+# the sequential fallback must decode EVERY frame up to the last
+# sampled ordinal — the honest contrast with MJPEG, where skipping is
+# free; that asymmetry is the whole reason real containers carry
+# keyframe maps.  Container: the SAME AVI walk as MJPEG (_avi_scan /
+# _avi_chunks / _idx1_base — shared verbatim), fccHandler 'BDLT'.
+#
+# Closed-form fixtures: GOP g of video d opens with I-frame pixels
+# val(i) = (d·17 + g·71 + i·13) mod 256 over the flattened RGB index;
+# phase-1 P-frames are a pure pan of the previous frame by the motion
+# vector (all blocks COPY — motion compensation alone reconstructs),
+# phase-2 P-frames add a constant residual r(d,g) to every byte with
+# zero motion (all blocks DELTA).  Mod-256 arithmetic is exact, so the
+# decoder reproduces the generator bit for bit and the DuckDB oracle
+# restates every decoded byte in closed form.  Reference analogue: S8
+# binary-media ingest generalized per charter (etl/index_docs.py:15-32).
+
+BDV_GOP = 3  # I-frame every 3 frames
+_BDV_BLK = 4  # COPY/DELTA block edge (pixels)
+_BDV_FPS = 25
+
+
+def _bdv_geom(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames): dims are multiples of the block edge;
+    5..9 frames, so sampling (every 4th) hits I-frames (f=0), phase-1
+    pan P-frames (f=4) and phase-2 delta P-frames (f=8)."""
+    return 8 + (doc_id % 3) * 4, 4 + (doc_id % 2) * 4, 5 + doc_id % 5
+
+
+def _bdv_motion(doc_id: int, g: int) -> tuple[int, int]:
+    """Phase-1 global motion vector, ∈ {−1, 0, 1}²."""
+    return (doc_id + g) % 3 - 1, (doc_id * 2 + g) % 3 - 1
+
+
+def _bdv_residual(doc_id: int, g: int) -> int:
+    """Phase-2 constant residual byte."""
+    return (doc_id * 5 + g * 9 + 7) % 256
+
+
+def _bdv_frame(doc_id: int, f: int, w: int, h: int) -> "np.ndarray":
+    """The closed-form decoded frame (flattened uint8 RGB): phase 0 is
+    the GOP base pattern, phase 1 the pan of it, phase 2 pan + residual."""
+    g, ph = divmod(f, BDV_GOP)
+    y, x, c = np.meshgrid(
+        np.arange(h, dtype=np.int64),
+        np.arange(w, dtype=np.int64),
+        np.arange(3, dtype=np.int64),
+        indexing="ij",
+    )
+    if ph == 0:
+        j = (y * w + x) * 3 + c
+    else:
+        dx, dy = _bdv_motion(doc_id, g)
+        j = (((y - dy) % h) * w + ((x - dx) % w)) * 3 + c
+    r = _bdv_residual(doc_id, g) if ph == 2 else 0
+    return (
+        (doc_id * 17 + g * 71 + j * 13 + r) % 256
+    ).astype(np.uint8).ravel()
+
+
+def _encode_bdv_frame_bytes(
+    cur: "np.ndarray", prev, w: int, h: int, dx: int, dy: int
+) -> bytes:
+    """One frame's bitstream: I (raw) when prev is None, else P with the
+    global motion vector and per-block COPY/DELTA records derived by
+    comparing against the motion-shifted previous reconstruction."""
+    import struct
+
+    if prev is None:
+        return b"I" + cur.tobytes()
+    cur3 = cur.reshape(h, w, 3)
+    shifted = np.roll(prev.reshape(h, w, 3), (dy, dx), axis=(0, 1))
+    out = [b"P", struct.pack("<bb", dx, dy)]
+    for by in range(0, h, _BDV_BLK):
+        for bx in range(0, w, _BDV_BLK):
+            c_blk = cur3[by : by + _BDV_BLK, bx : bx + _BDV_BLK]
+            s_blk = shifted[by : by + _BDV_BLK, bx : bx + _BDV_BLK]
+            if np.array_equal(c_blk, s_blk):
+                out.append(b"\x00")
+            else:
+                out.append(b"\x01")
+                out.append(
+                    (
+                        (c_blk.astype(np.int64) - s_blk.astype(np.int64))
+                        % 256
+                    ).astype(np.uint8).tobytes()
+                )
+    return b"".join(out)
+
+
+def _encode_avi_bdv_bytes(doc_id: int) -> bytes:
+    """A genuine minimal AVI carrying the BDV stream: hdrl (avih +
+    vids/BDLT strl), movi with one '00dc' chunk per frame, and an idx1
+    whose AVIIF_KEYFRAME (0x10) flag is set ONLY on I-frames — the
+    keyframe map the sampled decode seeks with."""
+    import struct
+
+    w, h, nf = _bdv_geom(doc_id)
+    frames = [_bdv_frame(doc_id, f, w, h) for f in range(nf)]
+    enc = []
+    for f in range(nf):
+        g, ph = divmod(f, BDV_GOP)
+        if ph == 0:
+            enc.append(_encode_bdv_frame_bytes(frames[f], None, w, h, 0, 0))
+        else:
+            dx, dy = _bdv_motion(doc_id, g) if ph == 1 else (0, 0)
+            enc.append(
+                _encode_bdv_frame_bytes(
+                    frames[f], frames[f - 1], w, h, dx, dy
+                )
+            )
+    bufsz = max(len(e) for e in enc)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // _BDV_FPS,
+        0,
+        0,
+        0x10,  # dwFlags: AVIF_HASINDEX
+        nf,
+        0,
+        1,
+        bufsz,
+        w,
+        h,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids",
+        b"BDLT",
+        0,
+        0, 0,
+        0,
+        1,
+        _BDV_FPS,
+        0,
+        nf,
+        bufsz,
+        0xFFFFFFFF,
+        0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, w, h, 1, 24, b"BDLT", w * h * 3, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(
+            b"strl",
+            _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf),
+        ),
+    )
+    movi_payload = bytearray()
+    idx = bytearray()
+    for f, e in enumerate(enc):
+        off = 4 + len(movi_payload)
+        movi_payload += _riff_chunk(b"00dc", e)
+        flags = 0x10 if f % BDV_GOP == 0 else 0x00
+        idx += struct.pack("<4sIII", b"00dc", flags, off, len(e))
+    movi = _riff_list(b"movi", bytes(movi_payload))
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _encode_bdv(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        ids = [int(d) for d in batch["doc_id"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "payload": [_encode_avi_bdv_bytes(d) for d in ids],
+            }
+        )
+
+
+def _bdv_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _codec_ids(spark, sf_dir).mapInPandas(
+        _encode_bdv, schema="doc_id long, payload binary"
+    )
+
+
+def decode_bdv_frame(fb: bytes, w: int, h: int, prev) -> "np.ndarray":
+    """Decode one BDV frame bitstream against the previous RECONSTRUCTED
+    frame (flattened uint8 RGB, or None).  I-frames ignore prev;
+    P-frames require it — a P-frame with no reference fails loudly."""
+    import struct
+
+    if not fb:
+        raise ValueError("empty BDV frame")
+    tag = fb[0:1]
+    if tag == b"I":
+        px = np.frombuffer(fb, dtype=np.uint8, offset=1)
+        if px.size != w * h * 3:
+            raise ValueError("I-frame size disagrees with header dims")
+        return px.copy()
+    if tag != b"P":
+        raise ValueError("unknown BDV frame tag")
+    if prev is None:
+        raise ValueError("P-frame without a reference frame")
+    if len(fb) < 3:
+        raise ValueError("truncated P-frame header")
+    dx, dy = struct.unpack("<bb", fb[1:3])
+    rec = np.roll(prev.reshape(h, w, 3), (dy, dx), axis=(0, 1)).copy()
+    pos = 3
+    blk_bytes = _BDV_BLK * _BDV_BLK * 3
+    for by in range(0, h, _BDV_BLK):
+        for bx in range(0, w, _BDV_BLK):
+            if pos >= len(fb):
+                raise ValueError("truncated P-frame block list")
+            flag = fb[pos]
+            pos += 1
+            if flag == 1:
+                res = np.frombuffer(
+                    fb, dtype=np.uint8, count=blk_bytes, offset=pos
+                ).reshape(_BDV_BLK, _BDV_BLK, 3)
+                pos += blk_bytes
+                blk = rec[by : by + _BDV_BLK, bx : bx + _BDV_BLK]
+                rec[by : by + _BDV_BLK, bx : bx + _BDV_BLK] = (
+                    blk.astype(np.int64) + res
+                ) % 256
+            elif flag != 0:
+                raise ValueError("unknown BDV block flag")
+    if pos != len(fb):
+        raise ValueError("P-frame size disagrees with block list")
+    return rec.astype(np.uint8).ravel()
+
+
+def decode_avi_bdv(payload: bytes, frame_decode=decode_bdv_frame):
+    """Full sequential decode: the container walk is _avi_scan/_avi_chunks
+    (shared with MJPEG); every '00dc' chunk decodes against the running
+    reconstruction.  Returns (w, h, [(frame_idx, flat uint8 RGB)]) —
+    the decode_y4m seam contract."""
+    b = bytes(payload)
+    w, h, nf_declared, movi, idx_entries = _avi_scan(b)
+    frames: list[tuple[int, "np.ndarray"]] = []
+    state = None
+    for scc, soff, ssz in _avi_chunks(b, movi[0] + 4, movi[1]):
+        if scc != b"00dc":
+            continue
+        state = frame_decode(b[soff : soff + ssz], w, h, state)
+        frames.append((len(frames), state))
+    if nf_declared != len(frames):
+        raise ValueError("avih frame count disagrees with movi")
+    if idx_entries is not None and len(idx_entries) != len(frames):
+        raise ValueError("idx1 entry count disagrees with movi")
+    return w, h, frames
+
+
+def decode_avi_bdv_sampled(
+    payload: bytes, sample_every: int, frame_decode=decode_bdv_frame
+):
+    """Keyframe-ANCHORED sparse decode — the inter-frame case the
+    MJPEG sparse path cannot represent: a sampled P-frame is not
+    independently decodable, so the decoder seeks to the nearest
+    preceding AVIIF_KEYFRAME idx1 entry and rolls the reconstruction
+    forward.  Per-sampled-frame decode cost is therefore bounded by the
+    GOP length (frames between keyframes), independent of stream
+    length; when the running reconstruction is already closer than the
+    anchor, it continues from there instead (never decodes a frame
+    twice).  Both idx1 offset conventions accepted via _idx1_base.
+    Without idx1 there is NO cheap seek for inter-coded video: the
+    fallback decodes every frame up to the last sampled ordinal."""
+    import struct
+
+    b = bytes(payload)
+    w, h, nf_declared, movi, idx_entries = _avi_scan(b)
+    frames: list[tuple[int, "np.ndarray"]] = []
+    if idx_entries is not None:
+        if nf_declared != len(idx_entries):
+            raise ValueError("avih frame count disagrees with idx1")
+        base = _idx1_base(b, movi, idx_entries)
+        keyframes = [
+            k
+            for k, (_ck, flags, _off, _sz) in enumerate(idx_entries)
+            if flags & 0x10
+        ]
+        if not keyframes or keyframes[0] != 0:
+            raise ValueError("stream does not open with a keyframe")
+
+        def chunk_at(k: int) -> bytes:
+            ckid, _flags, coff, csz = idx_entries[k]
+            at = base + coff
+            if b[at : at + 4] != ckid:
+                raise ValueError("idx1 offset does not land on its ckid")
+            (sz_here,) = struct.unpack("<I", b[at + 4 : at + 8])
+            if sz_here != csz or at + 8 + csz > movi[1]:
+                raise ValueError("idx1 length disagrees with chunk")
+            return b[at + 8 : at + 8 + csz]
+
+        state = None
+        pos = -1
+        import bisect
+
+        for f in range(0, len(idx_entries), sample_every):
+            anchor = keyframes[bisect.bisect_right(keyframes, f) - 1]
+            if state is None or anchor > pos or f < pos:
+                start = anchor
+                state = None
+            else:
+                start = pos + 1
+            for k in range(start, f + 1):
+                state = frame_decode(chunk_at(k), w, h, state)
+                pos = k
+            frames.append((f, state))
+    else:
+        # inter coding without an index: every frame up to the last
+        # sampled ordinal must decode (contrast: MJPEG skips for free)
+        state = None
+        ordinal = 0
+        last_sampled = ((nf_declared - 1) // sample_every) * sample_every
+        for scc, soff, ssz in _avi_chunks(b, movi[0] + 4, movi[1]):
+            if scc != b"00dc":
+                continue
+            if ordinal <= last_sampled:
+                state = frame_decode(b[soff : soff + ssz], w, h, state)
+                if ordinal % sample_every == 0:
+                    frames.append((ordinal, state))
+            ordinal += 1
+        if nf_declared != ordinal:
+            raise ValueError("avih frame count disagrees with movi")
+    return w, h, frames
+
+
+def _decode_bdv_for_features(payload: bytes):
+    # serving path: keyframe-anchored sparse decode at the shared rate
+    return decode_avi_bdv_sampled(payload, SAMPLE_EVERY)
+
+
+def _bdv_feature_rows(
+    spark: SparkSession, sf_dir: str, decode=_decode_bdv_for_features
+) -> DataFrame:
+    # same (w, h, frames) seam contract as Y4M/MJPEG — the feature
+    # generator, sampling rule, and schema are shared verbatim
+    return _bdv_media(spark, sf_dir).mapInPandas(
+        _y4m_features_with(decode), schema=_Y4M_FEAT_SCHEMA
+    )
+
+
+def video_features_bdv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact checksum over every SAMPLED motion-compensated BDV
+    frame: header dims, exact frame sums, and an id+frame+position-
+    weighted modular binding over every sampled byte.  The serving path
+    is the keyframe-anchored sparse decode (seek to the GOP's I-frame,
+    roll forward — tests/test_bdv.py proves the decode-call bound), so
+    per-video cost scales with sampling rate × GOP length, not stream
+    length.  Matching the closed-form oracle proves the shared AVI walk,
+    the keyframe seek, and the I/P reconstruction chain byte-exactly —
+    the inter-frame codec class MJPEG (all-intra) cannot exercise."""
+    f = _bdv_feature_rows(spark, sf_dir)
     return f.agg(
         F.count(F.lit(1)).alias("n_frames"),
         F.countDistinct("doc_id").alias("n_docs"),
@@ -3046,6 +3453,7 @@ QUERIES = {
     "video_frame_sample_stub": video_frame_sample_stub,
     "video_frame_sample_y4m": video_frame_sample_y4m,
     "video_features_mjpeg": video_features_mjpeg,
+    "video_features_bdv": video_features_bdv,
     "video_frame_dedup_y4m": video_frame_dedup_y4m,
     "audio_window_rms": audio_window_rms,
     "audio_features_mulaw": audio_features_mulaw,
@@ -3338,6 +3746,35 @@ FULLROW_ORACLES = {
     # Y/Cb/Cr planes → JFIF conversion with floor(x+0.5).  The RIFF/
     # avih/idx1 container machinery and the per-frame Huffman stack
     # never leak into the oracle; matching it proves both were inverted.
+    "bdv_feature_rows": (
+        "WITH geom AS (SELECT doc_id,"
+        " 8 + CAST(doc_id % 3 AS INT) * 4 AS w,"
+        " 4 + CAST(doc_id % 2 AS INT) * 4 AS h,"
+        " 5 + CAST(doc_id % 5 AS INT) AS nf FROM documents),"
+        " fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f"
+        " FROM geom),"
+        f" sampled AS (SELECT * FROM fr WHERE f % {SAMPLE_EVERY} = 0),"
+        f" gp AS (SELECT doc_id, w, h, f, f // {BDV_GOP} AS g,"
+        f" f % {BDV_GOP} AS ph FROM sampled),"
+        " mv AS (SELECT *,"
+        " CASE WHEN ph >= 1 THEN (doc_id + g) % 3 - 1 ELSE 0 END AS dx,"
+        " CASE WHEN ph >= 1 THEN (doc_id * 2 + g) % 3 - 1 ELSE 0 END"
+        " AS dy,"
+        " CASE WHEN ph = 2 THEN (doc_id * 5 + g * 9 + 7) % 256"
+        " ELSE 0 END AS r FROM gp),"
+        " pix AS (SELECT doc_id, w, h, f, g, dx, dy, r,"
+        " unnest(range(0, w * h * 3)) AS i FROM mv),"
+        " dec AS (SELECT doc_id, w, h, f, i,"
+        " (doc_id * 17 + g * 71"
+        " + (((((i // (3 * w)) - dy) % h + h) % h) * w"
+        " + ((((i // 3) % w - dx) % w + w) % w)) * 3 * 13"
+        " + (i % 3) * 13 + r) % 256 AS val FROM pix)"
+        " SELECT doc_id, CAST(w AS INT) AS width,"
+        " CAST(h AS INT) AS height, CAST(f AS INT) AS frame_idx,"
+        " CAST(SUM(val) AS BIGINT) AS frame_sum,"
+        f" CAST(SUM(((i % {P}) * val) % {P}) AS BIGINT) AS idx_weighted"
+        " FROM dec GROUP BY doc_id, w, h, f"
+    ),
     "mjpeg_feature_rows": (
         "WITH geom AS (SELECT doc_id,"
         " 16 + CAST(doc_id % 3 AS INT) * 8 AS w,"
@@ -3533,6 +3970,19 @@ ORACLES = {
     ),
     "video_frame_sample_y4m": (
         f"WITH f AS ({FULLROW_ORACLES['y4m_feature_rows']})"
+        " SELECT COUNT(*) AS n_frames,"
+        " COUNT(DISTINCT doc_id) AS n_docs,"
+        " CAST(SUM(width) AS BIGINT) AS sum_width,"
+        " CAST(SUM(height) AS BIGINT) AS sum_height,"
+        " CAST(SUM(frame_idx) AS BIGINT) AS sum_frame_idx,"
+        " CAST(SUM(frame_sum) AS BIGINT) AS total_frame_sum,"
+        f" CAST(SUM((((doc_id * 131 + frame_idx) % {P})"
+        f" * (idx_weighted % {P})) % {P}) AS BIGINT)"
+        " AS id_weighted_binding"
+        " FROM f"
+    ),
+    "video_features_bdv": (
+        f"WITH f AS ({FULLROW_ORACLES['bdv_feature_rows']})"
         " SELECT COUNT(*) AS n_frames,"
         " COUNT(DISTINCT doc_id) AS n_docs,"
         " CAST(SUM(width) AS BIGINT) AS sum_width,"

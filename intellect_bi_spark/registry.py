@@ -195,8 +195,9 @@ _FRONT = (
     "simhash_near_pairs",
     "simhash_pair_sample",
     "dedup_incremental_summary",
-    # -- (c) r11 net-new ------------------------------------------------------
-    # (appended as they land this round)
+    # -- (c) r11 net-new: the BDV inter-frame (P-frame motion-compensated)
+    #    video codec — each net-new displaces one (d) tail row -----------------
+    "video_features_bdv",
     # -- (d) oldest r7 rows, registry order ----------------------------------
     "region_sales_gini",
     "kpi_overview",
@@ -224,7 +225,6 @@ _FRONT = (
     "f_scalar_suite",
     "json_extract_events",
     "drilldown_cube",
-    "drilldown_rollup",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive
