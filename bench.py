@@ -203,6 +203,7 @@ def main() -> None:
 
     from intellect_bi_spark.functions import windows  # noqa: E402
     from intellect_bi_spark.operators import (  # noqa: E402
+        clustering,
         dedup,
         retrieval,
         vectorstore,
@@ -240,6 +241,7 @@ def main() -> None:
         for _ in range(reps):
             dedup.reset_caches()
             windows.reset_caches()
+            clustering.reset_caches()
             timings: dict[str, float] = {}
             for name in HEADLINE:
                 fn = QUERIES.get(name)

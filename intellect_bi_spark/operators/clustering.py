@@ -328,31 +328,69 @@ def _pq_codebook(subr: DataFrame) -> DataFrame:
     return g.select("m", "cid", carr.alias("carr"))
 
 
+_PQ_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _pq_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Memoized + persisted per (session, corpus): the PQ training
+    artifacts — the long-form subvector relation and the codebook —
+    exactly the dedup._shingle_rows policy.  PQ training is a
+    build-once artifact every consumer shares (pq_codes_stats,
+    ann_topk_pq, vectorstore.build_index, and — via Spark's
+    CacheManager subplan substitution — the serving path's
+    query-subvector derivation), so a per-invocation pin would retrain
+    per query (r11: measured +0.76 s on ann_topk_pq and +0.55 s on the
+    serve-only metric when these were converted to one-shot pins).
+    ``reset_caches()`` releases both; bench reps call it so each rep
+    times one honest training plus the shared-consumer reuse, the same
+    policy as the dedup relations."""
+    key = (id(spark), sf_dir)
+    cached = _PQ_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from pyspark import StorageLevel
+
+    # the codebook derivation reads the subvector relation twice
+    # (seed + assignment-1) and the final code assignment a third
+    # time — without materialization the corpus explode+transform
+    # pipeline executes per reference (r9 review)
+    subr = _subspace_rows(_points(spark, sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # the codebook (M_SUB×KS rows) is referenced twice by ann_topk_pq
+    # (code assignment + reconstruction join) and its derivation scans
+    # the corpus (review r8)
+    cb = _pq_codebook(subr).persist(StorageLevel.MEMORY_AND_DISK)
+    _PQ_CACHE[key] = (subr, cb)
+    return subr, cb
+
+
+def reset_caches() -> None:
+    """Unpersist and forget the session-lifetime PQ training artifacts
+    (the dedup.reset_caches policy; bench reps call this so rep 2+
+    times the full training path)."""
+    for subr, cb in _PQ_CACHE.values():
+        for df in (subr, cb):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    _PQ_CACHE.clear()
+
+
 def _pq_codes(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, tuple[DataFrame, ...]]:
-    """Returns (codes, codebook, pins): each invocation registers its
-    own one-shot pins, and the CALLER owns their release — queries wrap
-    their final composition in release_after_action; builders
-    (vectorstore.build_index) unpersist after their writes complete
-    (VERDICT r10 #5)."""
-    from ..functions.windows import register_cache
-
-    # pin the long-form subvector relation: the codebook derivation reads
-    # it twice (seed + assignment-1) and the final code assignment a
-    # third time — without the pin the corpus explode+transform pipeline
-    # executes per reference (r9 review; sibling of the cb pin below)
-    subr = register_cache(_subspace_rows(_points(spark, sf_dir)))
-    # pin the codebook (M_SUB×KS rows): ann_topk_pq references it twice
-    # (code assignment + reconstruction join) and its derivation scans
-    # the corpus — without the pin that training pass executes per
-    # consumer instead of once (review r8, same class as the pagerank
-    # adjacency pin)
-    cb = register_cache(_pq_codebook(subr))
+) -> tuple[DataFrame, DataFrame]:
+    """(codes, codebook) derived from the memoized PQ model — both
+    reference the session-lifetime cached relations, so consumers must
+    NOT unpersist them (reset_caches owns the release)."""
+    subr, cb = _pq_model(spark, sf_dir)
     codes = _pq_assign(subr, cb).select(
         "vec_id", "m", F.col("a.cid").alias("cid")
     )
-    return codes, cb, (subr, cb)
+    return codes, cb
 
 
 def pq_codes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,12 +398,11 @@ def pq_codes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     summarized per codebook cell: population and member-id binding.
     With SQ8 (similarity.py) this completes the vector-compression
     family: PQ stores 16 bits/vector (128:1 vs float32) and searches
-    via ADC — :func:`ann_topk_pq`.  One-shot pin lifecycle (VERDICT
-    r10 #5): the final action runs here and the pins are released."""
-    from ..functions.windows import release_after_action
-
-    codes, _, pins = _pq_codes(spark, sf_dir)
-    out = (
+    via ADC — :func:`ann_topk_pq`.  Reads the memoized PQ model
+    (_pq_model) — a session-lifetime shared relation, not a one-shot
+    pin."""
+    codes, _ = _pq_codes(spark, sf_dir)
+    return (
         codes.groupBy("m", "cid")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -373,7 +410,6 @@ def pq_codes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m", "cid")
     )
-    return release_after_action(out, *pins)
 
 
 def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,17 +419,9 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace term an exact fold, quantized to 2^-20 fixed point so the
     cross-subspace sum is an order-independent integer.  The ranking is
     oracle-stated bit-exactly (the same discipline as ann_topk_sq8).
-    One-shot pin lifecycle (VERDICT r10 #5): the final action runs here
-    and the pins are released."""
-    from ..functions.windows import release_after_action
-
-    out, pins = _ann_topk_pq_composed(spark, sf_dir)
-    return release_after_action(out, *pins)
-
-
-def _ann_topk_pq_composed(spark, sf_dir):
-    """The lazy composed plan + its one-shot pins."""
-    codes, cb, pins = _pq_codes(spark, sf_dir)
+    Reads the memoized PQ model (_pq_model) — a session-lifetime shared
+    relation every PQ consumer reuses, not a one-shot pin."""
+    codes, cb = _pq_codes(spark, sf_dir)
     q_sub = _subspace_rows(
         _points(spark, sf_dir).filter(F.col("vec_id") == PQ_QUERY_ID)
     ).select("m", F.col("sub").alias("qsub"))
@@ -415,7 +443,7 @@ def _ann_topk_pq_composed(spark, sf_dir):
         .agg(F.sum("dq").alias("dist_q"))
         .orderBy("dist_q", "vec_id")
         .limit(PQ_TOP_K)
-    ), pins
+    )
 
 
 QUERIES = {

@@ -23,13 +23,16 @@ ONE_SHOT_CONVERTED = (
     "trade_triangle_count",
     "bm25_ndcg_eval",
     "pack_sequences_manifest",
-    "pq_codes_stats",
-    "ann_topk_pq",
-    "ann_index_store",  # build_index releases its PQ pins after writes
     "corpus_prep_funnel",  # releases its OWN pins (base/flagged/tr);
     # the cross-query memoized LSH pair relation lives in dedup's
     # _SCORED_CACHE, not windows._PERSISTED, so no-growth still holds
 )
+# NOT converted: the PQ consumers (pq_codes_stats, ann_topk_pq,
+# ann_index_store) — their training artifacts are a session-lifetime
+# memoized model (clustering._pq_model, the dedup._shingle_rows
+# policy), deliberately shared across queries; clustering.reset_caches
+# owns the release.  They live in clustering._PQ_CACHE, not
+# windows._PERSISTED, so the no-growth sweep bound still holds.
 
 
 @pytest.mark.parametrize("name", ONE_SHOT_CONVERTED)
@@ -49,3 +52,19 @@ def test_release_after_action_result_still_collectable(spark, sf_dir):
     first = df.collect()
     second = df.collect()
     assert first == second and len(first) == 1
+
+
+def test_pq_model_memoized_and_resettable(spark, sf_dir):
+    """The PQ training artifacts are ONE session-lifetime relation per
+    corpus: repeated consumers reuse it (no per-invocation growth), and
+    reset_caches releases it (the bench-rep honesty hook)."""
+    from intellect_bi_spark.operators import clustering
+
+    clustering.reset_caches()
+    QUERIES["ann_topk_pq"](spark, sf_dir).collect()
+    assert len(clustering._PQ_CACHE) == 1
+    QUERIES["pq_codes_stats"](spark, sf_dir).collect()
+    QUERIES["ann_topk_pq"](spark, sf_dir).collect()
+    assert len(clustering._PQ_CACHE) == 1  # reused, not retrained
+    clustering.reset_caches()
+    assert not clustering._PQ_CACHE

@@ -21,7 +21,7 @@ from intellect_bi_spark.operators.similarity import _emb, ivf_assignments
 
 def _in_memory_index(spark, sf_dir):
     emb = _emb(spark, sf_dir)
-    codes, cb, _pins = _pq_codes(spark, sf_dir)
+    codes, cb = _pq_codes(spark, sf_dir)
     codes_cells = codes.join(ivf_assignments(spark, sf_dir), "vec_id")
     return vs._centroids(emb), cb, codes_cells
 
