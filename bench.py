@@ -97,6 +97,7 @@ HEADLINE = [
     "audio_window_rms",  # real WAV binary decode (r6)
     "audio_features_mulaw",  # G.711 μ-law companded decode (r9)
     "audio_features_adpcm",  # IMA ADPCM stateful decode (r9)
+    "audio_features_ilt",  # integer lapped transform, IntMDCT class (r11)
     "image_features_ppm",  # real PPM binary decode (r6)
     "image_thumbnails_ppm",  # nearest-neighbor pixel resize (r8)
     "image_features_png",  # DEFLATE-compressed PNG decode (r7)
@@ -172,6 +173,7 @@ _ADDED_AFTER_R9 = {
     "ann_index_serve_only",
     "bm25_index_serve_only",
     "video_features_bdv",
+    "audio_features_ilt",
 }
 
 

@@ -825,6 +825,235 @@ def audio_features_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- REAL audio modality #4: ILT lapped-transform coding (IntMDCT class) ----
+#
+# The transform-domain audio class the sample-domain tiers (PCM WAV,
+# mu-law companding, ADPCM prediction) do not exercise: MDCT-family
+# LAPPED transforms, where coefficients mix samples ACROSS block
+# boundaries (the TDAC / overlap property that defines AAC/Vorbis-class
+# coding) and decode is a transform inversion, not a per-sample map.
+# ILT ("integer lapped transform") is the IntMDCT construction (Geiger
+# et al., MPEG-4 ALS): every rotation of the lapped transform runs as
+# three integer LIFTING shears — x += floor(c*y + 1/2) — which are
+# exactly invertible whatever the (irrational) rotation constants, so
+# decode(encode(s)) == s bit for bit and the DuckDB oracle restates the
+# ORIGINAL closed-form samples (the lossless-codec oracle shape: if one
+# lifting step of one rotation failed to invert, every downstream RMS
+# window moves).  Structure per 8-sample block: a TDAC stage of 4
+# cross-BOUNDARY pair rotations (each block's first/last samples mix
+# with its neighbors' — the 50% lap), then a 3-stage in-block butterfly
+# network of pair rotations (the DCT-IV role).  Container: RIFF/WAVE
+# with a custom format tag carrying int32 coefficients (the way
+# lossless codecs ride WAVE), hand-parsed like the mu-law/ADPCM walks.
+# Production swap: a libavcodec IntMDCT/AAC binding through the same
+# decode seam.  Reference analogue: S8 binary-media ingest generalized
+# per charter (etl/index_docs.py:15-32).
+
+import math as _math
+
+_ILT_M = 8  # block length (samples); lap = M/2 pairs per boundary
+_ILT_TAG = 0x1971  # custom WAVE format tag (unassigned range)
+_ILT_SAMPLE_A = 9973  # closed-form sample generator (primes)
+_ILT_SAMPLE_B = 75011
+_ILT_SAMPLE_C = 3
+# rotation angles: TDAC boundary pairs (sine-window angles) + the three
+# in-block butterfly stages; all have sin != 0 (lifting requires it)
+_ILT_TDAC = tuple(_math.pi * (i + 0.5) / 16.0 for i in range(_ILT_M // 2))
+_ILT_STAGES = (
+    (1, ((0, 1), (2, 3), (4, 5), (6, 7)), _math.pi / 4.0),
+    (2, ((0, 2), (1, 3), (4, 6), (5, 7)), _math.pi / 8.0),
+    (4, ((0, 4), (1, 5), (2, 6), (3, 7)), 3.0 * _math.pi / 16.0),
+)
+
+
+def _ilt_consts(theta: float) -> tuple[float, float]:
+    return (_math.cos(theta) - 1.0) / _math.sin(theta), _math.sin(theta)
+
+
+def _lift_fwd(a: "np.ndarray", b: "np.ndarray", theta: float):
+    """Vectorized 3-shear rotation: int64 in, int64 out.  floor(c*x+1/2)
+    on int64-exact float64 operands is IEEE-deterministic, and the
+    inverse applies the IDENTICAL shears in reverse with subtraction —
+    exact invertibility needs no rational constants."""
+    pc, uc = _ilt_consts(theta)
+    a = a + np.floor(pc * b + 0.5).astype(np.int64)
+    b = b + np.floor(uc * a + 0.5).astype(np.int64)
+    a = a + np.floor(pc * b + 0.5).astype(np.int64)
+    return a, b
+
+
+def _lift_inv(a: "np.ndarray", b: "np.ndarray", theta: float):
+    pc, uc = _ilt_consts(theta)
+    a = a - np.floor(pc * b + 0.5).astype(np.int64)
+    b = b - np.floor(uc * a + 0.5).astype(np.int64)
+    a = a - np.floor(pc * b + 0.5).astype(np.int64)
+    return a, b
+
+
+def ilt_forward(s: "np.ndarray") -> "np.ndarray":
+    """Samples -> coefficients.  len(s) must be a multiple of _ILT_M."""
+    x = s.astype(np.int64).copy()
+    L = x.size
+    if L % _ILT_M:
+        raise ValueError("ILT input not a whole number of blocks")
+    # TDAC stage: pair rotations ACROSS every internal block boundary,
+    # vectorized over boundaries (pairs are independent across and
+    # within a boundary; lifting steps are sequential within a pair)
+    bounds = np.arange(_ILT_M, L, _ILT_M)
+    for i, th in enumerate(_ILT_TDAC):
+        ia, ib = bounds - 1 - i, bounds + i
+        x[ia], x[ib] = _lift_fwd(x[ia], x[ib], th)
+    # in-block butterfly network, vectorized over blocks
+    blk = x.reshape(-1, _ILT_M)
+    for _off, pairs, th in _ILT_STAGES:
+        for j, k in pairs:
+            blk[:, j], blk[:, k] = _lift_fwd(blk[:, j], blk[:, k], th)
+    return blk.reshape(-1)
+
+
+def ilt_inverse(c: "np.ndarray") -> "np.ndarray":
+    """Coefficients -> samples: the identical shears, reversed."""
+    x = c.astype(np.int64).copy()
+    L = x.size
+    if L % _ILT_M:
+        raise ValueError("ILT input not a whole number of blocks")
+    blk = x.reshape(-1, _ILT_M)
+    for _off, pairs, th in reversed(_ILT_STAGES):
+        for j, k in reversed(pairs):
+            blk[:, j], blk[:, k] = _lift_inv(blk[:, j], blk[:, k], th)
+    x = blk.reshape(-1)
+    bounds = np.arange(_ILT_M, L, _ILT_M)
+    for i, th in reversed(list(enumerate(_ILT_TDAC))):
+        ia, ib = bounds - 1 - i, bounds + i
+        x[ia], x[ib] = _lift_inv(x[ia], x[ib], th)
+    return x
+
+
+def _ilt_n_samples(doc_id: int) -> int:
+    return 256 + (doc_id % 3) * 64  # whole RMS windows AND whole blocks
+
+
+def _ilt_rate(doc_id: int) -> int:
+    return 16000 + (doc_id % 2) * 6050  # 16000 / 22050
+
+
+def _ilt_samples(doc_id: int) -> "np.ndarray":
+    i = np.arange(_ilt_n_samples(doc_id), dtype=np.int64)
+    return (
+        doc_id * _ILT_SAMPLE_A + i * _ILT_SAMPLE_B + _ILT_SAMPLE_C
+    ) % 65536 - 32768
+
+
+def _encode_wav_ilt_bytes(doc_id: int) -> bytes:
+    """RIFF/WAVE with the custom ILT format tag: extended fmt chunk
+    (cbSize=2, wSamplesPerBlock=n — the ADPCM header convention) and a
+    data chunk of int32 LE transform coefficients."""
+    import struct
+
+    n = _ilt_n_samples(doc_id)
+    rate = _ilt_rate(doc_id)
+    coeffs = ilt_forward(_ilt_samples(doc_id))
+    block_align = 4
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        _ILT_TAG, 1, rate, rate * block_align, block_align, 32,
+        2, n,
+    )
+    data = coeffs.astype("<i4").tobytes()
+    body = b"WAVE"
+    for cid, cdata in ((b"fmt ", fmt), (b"data", data)):
+        body += cid + struct.pack("<I", len(cdata)) + cdata
+        if len(cdata) % 2:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _encode_wav_ilt(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        ids = [int(d) for d in batch["doc_id"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "payload": [_encode_wav_ilt_bytes(d) for d in ids],
+            }
+        )
+
+
+def _ilt_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _codec_ids(spark, sf_dir).mapInPandas(
+        _encode_wav_ilt, schema="doc_id long, payload binary"
+    )
+
+
+def decode_wav_ilt(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Hand-rolled chunk walk + exact inverse lapped transform: validate
+    RIFF/WAVE, require the ILT format tag (mono, 32-bit coefficients,
+    wSamplesPerBlock extension), then invert the lifting network.  Same
+    seam signature as decode_wav / decode_wav_mulaw / decode_wav_adpcm."""
+    import struct
+
+    b = bytes(payload)
+    if b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    end = min(len(b), 8 + struct.unpack("<I", b[4:8])[0])
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= end:
+        cid = b[pos : pos + 4]
+        size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        chunk_body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = chunk_body
+        elif cid == b"data":
+            data = chunk_body
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    tag, nch, rate, _br, _ba, bits, cb, spb = struct.unpack(
+        "<HHIIHHHH", fmt[:20]
+    )
+    if tag != _ILT_TAG or nch != 1 or bits != 32 or cb < 2:
+        raise ValueError("expected mono 32-bit ILT coefficients")
+    coeffs = np.frombuffer(data, dtype="<i4").astype(np.int64)
+    if coeffs.size != spb:
+        raise ValueError("coefficient count disagrees with header")
+    return rate, ilt_inverse(coeffs)
+
+
+def _ilt_feature_rows(
+    spark: SparkSession, sf_dir: str, decode=decode_wav_ilt
+) -> DataFrame:
+    m = _ilt_media(spark, sf_dir)
+    return m.mapInPandas(_wav_features_with(decode), schema=_WAV_FEAT_SCHEMA)
+
+
+def audio_features_ilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact checksum over every RMS window of the ILT-decoded
+    samples (the audio_window_rms face on the lapped-transform codec).
+    The oracle restates the ORIGINAL closed-form samples: because the
+    lifting network is exactly invertible, the decode must reproduce
+    them bit for bit — a single mis-inverted shear anywhere in any
+    rotation (TDAC or butterfly) moves sq_sum in every affected
+    window."""
+    wins = _ilt_feature_rows(spark, sf_dir)
+    return wins.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("window_idx").alias("sum_window_idx"),
+        F.sum("sq_sum").alias("total_sq_sum"),
+        F.sum("rate_hz").alias("sum_rate_hz"),
+        F.sum("n_samples").alias("sum_n_samples"),
+        F.sum(
+            F.expr(f"((doc_id % {P}) * (sq_sum % {P})) % {P}")
+        ).alias("id_weighted_sq_sum"),
+        F.sqrt(
+            F.sum("sq_sum").cast("double")
+            / (F.count(F.lit(1)) * _WAV_RMS_WINDOW).cast("double")
+        ).alias("rms_overall"),
+    )
+
+
 # --- REAL image modality: binary PPM (P6) encode + hand-parsed decode --------
 #
 # Same construction as the WAV path: each doc carries a genuine binary
@@ -3458,6 +3687,7 @@ QUERIES = {
     "audio_window_rms": audio_window_rms,
     "audio_features_mulaw": audio_features_mulaw,
     "audio_features_adpcm": audio_features_adpcm,
+    "audio_features_ilt": audio_features_ilt,
 }
 
 
@@ -4058,4 +4288,29 @@ ORACLES = {
         " FROM f"
     ),
     "audio_features_adpcm": _adpcm_oracle(),
+    "audio_features_ilt": (
+        "WITH wins AS (SELECT doc_id,"
+        " unnest(range(0, 4 + CAST(doc_id % 3 AS INT))) AS window_idx"
+        " FROM documents),"
+        " f AS (SELECT doc_id, window_idx,"
+        " list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform("
+        f" list_transform(range(0, {_WAV_RMS_WINDOW}),"
+        f" i -> (doc_id * {_ILT_SAMPLE_A} + (window_idx *"
+        f" {_WAV_RMS_WINDOW} + i) * {_ILT_SAMPLE_B} + {_ILT_SAMPLE_C})"
+        " % 65536 - 32768),"
+        " v -> v * v)),"
+        " (a, c) -> a + c) AS sq_sum FROM wins)"
+        " SELECT COUNT(*) AS n_windows,"
+        " COUNT(DISTINCT doc_id) AS n_docs,"
+        " CAST(SUM(window_idx) AS BIGINT) AS sum_window_idx,"
+        " CAST(SUM(sq_sum) AS BIGINT) AS total_sq_sum,"
+        " CAST(SUM(16000 + (doc_id % 2) * 6050) AS BIGINT) AS sum_rate_hz,"
+        " CAST(SUM(256 + (doc_id % 3) * 64) AS BIGINT) AS sum_n_samples,"
+        f" CAST(SUM(((doc_id % {P}) * (sq_sum % {P})) % {P}) AS BIGINT)"
+        " AS id_weighted_sq_sum,"
+        " sqrt(CAST(SUM(sq_sum) AS DOUBLE) /"
+        f" CAST(COUNT(*) * {_WAV_RMS_WINDOW} AS DOUBLE)) AS rms_overall"
+        " FROM f"
+    ),
 }

@@ -196,8 +196,10 @@ _FRONT = (
     "simhash_pair_sample",
     "dedup_incremental_summary",
     # -- (c) r11 net-new: the BDV inter-frame (P-frame motion-compensated)
-    #    video codec — each net-new displaces one (d) tail row -----------------
+    #    video codec and the ILT lapped-transform (IntMDCT-class) audio
+    #    codec — each net-new displaces one (d) tail row ----------------------
     "video_features_bdv",
+    "audio_features_ilt",
     # -- (d) oldest r7 rows, registry order ----------------------------------
     "region_sales_gini",
     "kpi_overview",
@@ -224,7 +226,6 @@ _FRONT = (
     "o1_topk_multisort",
     "f_scalar_suite",
     "json_extract_events",
-    "drilldown_cube",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive
