@@ -207,6 +207,7 @@ def main() -> None:
     from intellect_bi_spark.operators import (  # noqa: E402
         clustering,
         dedup,
+        graph,
         retrieval,
         vectorstore,
     )
@@ -244,6 +245,7 @@ def main() -> None:
             dedup.reset_caches()
             windows.reset_caches()
             clustering.reset_caches()
+            graph.reset_caches()
             timings: dict[str, float] = {}
             for name in HEADLINE:
                 fn = QUERIES.get(name)

@@ -38,6 +38,40 @@ N_ITERS = 2
 _CENTS = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
 
 
+_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized + persisted per (session, corpus): the condensed
+    adjacency (≤ |nations|² rows) is the shared artifact BOTH graph
+    queries derive from — a graph engine materializes adjacency once
+    and runs every algorithm against it, the dedup._shingle_rows /
+    clustering._PQ_CACHE policy.  Without the memo each query pays the
+    fact-scale lineitem⋈orders condensation (r11: ~1.3 s per query at
+    sf0.1).  reset_caches() releases it; bench reps call it so each rep
+    times one honest condensation plus the shared reuse."""
+    key = (id(spark), sf_dir)
+    cached = _EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from pyspark import StorageLevel
+
+    e = _edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    _EDGE_CACHE[key] = e
+    return e
+
+
+def reset_caches() -> None:
+    """Unpersist and forget the session-lifetime adjacency (the
+    dedup.reset_caches policy)."""
+    for df in _EDGE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _EDGE_CACHE.clear()
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src nation, dst nation, w cents): the fact-scale condensation.
     Dimensions broadcast; the only big shuffle is lineitem⋈orders on
@@ -83,28 +117,23 @@ def trade_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two damped weighted-PageRank iterations over the trade graph,
     from a uniform fixed-point start; per-nation final rank plus the
     adjacency row the rank was computed from (out-weight, in-weight).
-    One-shot pin lifecycle (VERDICT r10 #5): the adjacency pin is
-    consumed exactly once per invocation (its many references all live
-    inside this one plan), so the final action runs here and the pin is
-    released immediately."""
-    from ..functions.windows import release_after_action
-
-    out, pins = _pagerank_composed(spark, sf_dir)
-    return release_after_action(out, *pins)
+    Reads the memoized adjacency (_edges_cached) — the session-lifetime
+    shared relation both graph queries derive from; its 4 in-plan
+    references all hit the persisted rows."""
+    out, _pins = _pagerank_composed(spark, sf_dir)
+    return out
 
 
 def _pagerank_composed(spark, sf_dir):
-    """The lazy composed plan + its one-shot pin (plan tests target
-    this seam)."""
-    from ..functions.windows import register_cache
-
+    """The lazy composed plan (plan tests target this seam); the
+    adjacency is the memoized shared relation, not a one-shot pin."""
     t = load_tables(spark, sf_dir)
     nodes = t["nation"].select(F.col("n_name").alias("node"))
     # persist the condensed adjacency (≤ |nations|² rows): the final plan
     # references it for out-weights, both iterations' contributions, and
     # in-weights — without the pin the lineitem⋈orders condensation
     # subtree executes once per consumer instead of once total
-    edges = register_cache(_edges(spark, sf_dir))
+    edges = _edges_cached(spark, sf_dir)
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
     ew = edges.join(outw, "src")
 
@@ -142,7 +171,7 @@ def _pagerank_composed(spark, sf_dir):
             F.coalesce("win", F.lit(0)).alias("in_cents"),
         )
         .orderBy(F.desc("rank_q"), "nation")
-    ), (edges,)
+    ), ()
 
 
 def trade_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,10 +199,12 @@ def trade_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _triangles_composed(spark, sf_dir):
     """The lazy composed plan + its one-shot pin (plan tests target
-    this seam)."""
+    this seam); the DIRECTED adjacency comes from the memoized shared
+    relation, and only the derived undirected/thresholded relation is a
+    per-invocation pin."""
     from ..functions.windows import register_cache
 
-    edges = _edges(spark, sf_dir)
+    edges = _edges_cached(spark, sf_dir)
     # persist the condensed undirected relation (≤ |nations|²/2 rows):
     # the final plan references it via thresh + major, and major itself
     # is self-joined THREE times (e1/e2/e3 wedge roles) — without the

@@ -151,28 +151,51 @@ for _mod in _MODULES:
 # certified row is stale.
 # The round-11 front (CORRECTNESS_r10: 50/50 green; never-checked = 0;
 # oldest driver rows anywhere are the 21-query r6 cohort):
-# (a) the two queries whose generated plan changed this round, making
-#     their r10 rows stale: json_props_stats (ADVICE r10 — the integral
-#     gate re-anchored \A..\z and built from the shared _INT_RE on both
-#     engines) and video_features_mjpeg (ADVICE r10 — the sampled decode
-#     now accepts the absolute idx1 offset convention; fixture output is
-#     unchanged but the decode path is not);
-# (b) the COMPLETE 21-query r6 cohort, registry order — exactly the
-#     rotation disclosed in the r10 front comment and demanded by
-#     VERDICT r10 "Next round" #2; after this round the oldest driver
-#     row anywhere is r7;
-# (c) r11 net-new queries (appended as they land, displacing the (d)
-#     tail so every new operator earns a first-round row);
+# (a) queries whose generated plan changed this round, making their
+#     prior rows stale: json_props_stats (ADVICE r10 — integral gate
+#     re-anchored \A..\z, built from the shared _INT_RE on both
+#     engines), video_features_mjpeg (ADVICE r10 — sampled decode now
+#     accepts the absolute idx1 offset convention), and the pin-
+#     lifecycle conversions (VERDICT r10 #5 — one-shot pins now eagerly
+#     checkpoint + release; PQ training and the graph adjacency became
+#     session-lifetime memoized relations): revenue_anomaly_days,
+#     erasure_impact_plan, token_drift_tvd, bigram_lm_perplexity,
+#     importance_weights_dsir, trade_pagerank_nations,
+#     trade_triangle_count, bm25_ndcg_eval, corpus_prep_funnel,
+#     pq_codes_stats, ann_topk_pq, ann_index_store,
+#     ann_index_store_batch (pack_sequences_manifest also converted —
+#     already in (b)).  Values are provably unchanged (this session's
+#     strict parity runs at sf0.001 AND sf0.01 AND sf0.1 are green),
+#     but the ledger re-certifies plan-changed queries by policy.
+# (b) the COMPLETE 21-query r6 cohort, registry order — the rotation
+#     disclosed in the r10 front comment and demanded by VERDICT r10
+#     "Next round" #2; after this round the oldest driver row anywhere
+#     is r7;
+# (c) r11 net-new: the BDV inter-frame (P-frame motion-compensated)
+#     video codec and the ILT lapped-transform (IntMDCT-class) audio
+#     codec;
 # (d) the oldest r7 rows, registry order, filling the remaining slots.
 # Disclosed deferrals: the remaining r7-cohort rows (the 42-query r7
-# tier minus the 27 taken in (d), plus any (d) rows displaced by (c)
-# net-new) rotate in r12; all are strict-parity
-# green locally this session at sf0.01 AND sf0.1 (tests/test_parity.py,
-# 211 passed at each scale).
+# tier minus the 12 taken in (d)) rotate in r12; all are strict-parity
+# green locally this session at sf0.001, sf0.01 AND sf0.1
+# (tests/test_parity.py, 214 passed at each scale).
 _FRONT = (
-    # -- (a) stale re-certs (plan changed: ADVICE r10 hardening) -------------
+    # -- (a) stale re-certs (plan changed this round) -------------------------
     "json_props_stats",
     "video_features_mjpeg",
+    "revenue_anomaly_days",
+    "erasure_impact_plan",
+    "token_drift_tvd",
+    "bigram_lm_perplexity",
+    "importance_weights_dsir",
+    "trade_pagerank_nations",
+    "trade_triangle_count",
+    "bm25_ndcg_eval",
+    "corpus_prep_funnel",
+    "pq_codes_stats",
+    "ann_topk_pq",
+    "ann_index_store",
+    "ann_index_store_batch",
     # -- (b) complete r6 cohort, registry order ------------------------------
     "rag_search_chunks",
     "text_quality_scores",
@@ -195,9 +218,7 @@ _FRONT = (
     "simhash_near_pairs",
     "simhash_pair_sample",
     "dedup_incremental_summary",
-    # -- (c) r11 net-new: the BDV inter-frame (P-frame motion-compensated)
-    #    video codec and the ILT lapped-transform (IntMDCT-class) audio
-    #    codec — each net-new displaces one (d) tail row ----------------------
+    # -- (c) r11 net-new ------------------------------------------------------
     "video_features_bdv",
     "audio_features_ilt",
     # -- (d) oldest r7 rows, registry order ----------------------------------
@@ -213,19 +234,6 @@ _FRONT = (
     "nl_transaction_value",
     "q1_pricing_summary",
     "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q20_excess_stock_suppliers",
-    "revenue_by_region",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q16_part_supplier_counts",
-    "q21_late_suppliers",
-    "q11_part_value_concentration",
-    "p2_eq_filter",
-    "p3_ci_eq_filter",
-    "o1_topk_multisort",
-    "f_scalar_suite",
-    "json_extract_events",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive

@@ -32,7 +32,10 @@ ONE_SHOT_CONVERTED = (
 # memoized model (clustering._pq_model, the dedup._shingle_rows
 # policy), deliberately shared across queries; clustering.reset_caches
 # owns the release.  They live in clustering._PQ_CACHE, not
-# windows._PERSISTED, so the no-growth sweep bound still holds.
+# windows._PERSISTED, so the no-growth sweep bound still holds.  Same
+# for the graph adjacency (graph._EDGE_CACHE): both graph queries
+# derive from ONE memoized condensation; trade_triangle_count's derived
+# undirected relation remains a one-shot released pin.
 
 
 @pytest.mark.parametrize("name", ONE_SHOT_CONVERTED)
@@ -68,3 +71,17 @@ def test_pq_model_memoized_and_resettable(spark, sf_dir):
     assert len(clustering._PQ_CACHE) == 1  # reused, not retrained
     clustering.reset_caches()
     assert not clustering._PQ_CACHE
+
+
+def test_graph_adjacency_memoized_and_resettable(spark, sf_dir):
+    """Both graph queries derive from ONE memoized condensation of the
+    fact-scale edge relation; reset_caches releases it."""
+    from intellect_bi_spark.operators import graph
+
+    graph.reset_caches()
+    QUERIES["trade_pagerank_nations"](spark, sf_dir).collect()
+    assert len(graph._EDGE_CACHE) == 1
+    QUERIES["trade_triangle_count"](spark, sf_dir).collect()
+    assert len(graph._EDGE_CACHE) == 1  # reused, not re-condensed
+    graph.reset_caches()
+    assert not graph._EDGE_CACHE
