@@ -147,6 +147,7 @@ HEADLINE = [
     "bigram_lm_perplexity",  # held-out n-gram LM scoring (r8)
     "importance_weights_dsir",  # DSIR hashed-ngram selection (r8)
     "bpe_merge_candidates",  # distributed BPE merge learning (r8)
+    "bpe_encode_stats",  # BPE APPLY: learned-tokenizer serving path (r11)
     "dup_span_pairs",  # positioned k-gram substring dedup (r8)
     "semantic_dedup_stats",  # SemDeDup cluster-bounded cosine (r8)
     "weighted_reservoir_sample",  # A-ES fixed-size weighted sample (r8)
@@ -174,6 +175,7 @@ _ADDED_AFTER_R9 = {
     "bm25_index_serve_only",
     "video_features_bdv",
     "audio_features_ilt",
+    "bpe_encode_stats",
 }
 
 

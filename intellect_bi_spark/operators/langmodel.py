@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from ..functions.text import md5_mod_hash_duck, md5_mod_hash_sql
+from ..functions.text import P, md5_mod_hash_duck, md5_mod_hash_sql
 
 TOKEN_SPLIT = "[^a-z0-9]+"  # retrieval.py's tokenizer, restated
 K_LIT = "0.5"  # add-k smoothing constant — identical literal both engines
@@ -426,10 +426,89 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY — the serving path of the learned tokenizer
+    (bpe_merge_candidates certifies the LEARN path; a corpus build then
+    ENCODES every document with the learned merges, and this certifies
+    that half): learn the same two merges, apply them to the token
+    dictionary, and report per-language encoding statistics — token /
+    char / subword counts (the compression the merges bought) plus a
+    segmentation binding (count-weighted md5 of each token's subword
+    sequence), so ONE token segmented wrongly anywhere flips the row.
+    Columns: lang, n_tokens, n_chars, n_subwords, seg_binding.
+
+    The 100 TB shape is the same dictionary condensation as LEARN: the
+    merges fold over the DISTINCT-token dictionary, segmentation cost
+    is vocabulary-bounded, and the corpus enters only through the
+    (lang, tok) count integers that weight the final aggregate — no
+    per-occurrence re-segmentation ever happens.  The two argmax
+    collects are the model boundary (kmeans-seed class).  One-shot pin
+    lifecycle (VERDICT r10 #5): the (lang, tok) count relation feeds
+    the dictionary build, both learn argmaxes, and the final join, so
+    it is pinned for the invocation and released after the final
+    action runs here."""
+    from ..functions.windows import register_cache, release_after_action
+
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .select("lang", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "text")
+    )
+    per = register_cache(
+        docs.select(
+            "lang",
+            F.explode(
+                F.expr(
+                    f"filter(split(lower(text), '{TOKEN_SPLIT}'),"
+                    " t -> t <> '')"
+                )
+            ).alias("tok"),
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dict_df = (
+        per.groupBy("tok")
+        .agg(F.sum("cnt").alias("freq"))
+        .withColumn("syms", F.expr(_char_lists_sql()))
+    )
+    for _ in range(BPE_ROUNDS):
+        l, r = _top_pair(_pair_counts(dict_df))
+        la, ra = f"'{l}'", f"'{r}'"
+        dict_df = dict_df.withColumn(
+            "syms", F.expr(_merge_fold_sql("syms", la, ra))
+        )
+    seg = dict_df.select(
+        "tok",
+        F.size("syms").alias("n_sub"),
+        F.length("tok").alias("tok_chars"),
+        F.expr(
+            md5_mod_hash_sql("concat_ws(' ', syms)")
+        ).alias("seg_h"),
+    )
+    out = (
+        per.join(seg, "tok")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("tok_chars")).alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_sub")).alias("n_subwords"),
+            F.sum(
+                F.expr(f"((cnt % {P}) * (seg_h % {P})) % {P}")
+            ).alias("seg_binding"),
+        )
+        .orderBy("lang")
+    )
+    return release_after_action(out, per)
+
+
 QUERIES = {
     "bigram_lm_perplexity": bigram_lm_perplexity,
     "importance_weights_dsir": importance_weights_dsir,
     "bpe_merge_candidates": bpe_merge_candidates,
+    "bpe_encode_stats": bpe_encode_stats,
 }
 
 _PAIRS_DUCK = (
@@ -526,3 +605,45 @@ ORACLES = {
 }
 
 ORACLES["bpe_merge_candidates"] = _bpe_oracle()
+
+def _bpe_encode_oracle() -> str:
+    """APPLY restated end to end: the same dictionary + the same two
+    argmax merges as the learn oracle (shared CTE builders), with tok
+    retained through the folds so segmentations join back to the
+    per-(lang, token) corpus counts."""
+    m1_fold = _merge_fold_duck("syms", "m1.l1", "m1.r1")
+    m2_fold = _merge_fold_duck("syms", "m2.l2", "m2.r2")
+    seg_h = md5_mod_hash_duck("array_to_string(syms, ' ')")
+    return (
+        "WITH tl AS (SELECT lang,"
+        " unnest(list_filter(string_split_regex(lower(text),"
+        f" '{TOKEN_SPLIT}'), t -> t <> '')) AS tok FROM documents),"
+        " per AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt"
+        " FROM tl GROUP BY lang, tok),"
+        " dict AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS freq,"
+        " list_transform(range(1, length(tok) + 1), i -> (tok)[i])"
+        " AS syms FROM per GROUP BY tok),"
+        f" {_pairs_duck('dict', 'p1')},"
+        " m1 AS (SELECT l AS l1, r AS r1 FROM p1"
+        " ORDER BY w_count DESC, l, r LIMIT 1),"
+        f" d2 AS (SELECT tok, freq, {m1_fold} AS syms"
+        " FROM dict CROSS JOIN m1),"
+        f" {_pairs_duck('d2', 'p2')},"
+        " m2 AS (SELECT l AS l2, r AS r2 FROM p2"
+        " ORDER BY w_count DESC, l, r LIMIT 1),"
+        f" d3 AS (SELECT tok, freq, {m2_fold} AS syms"
+        " FROM d2 CROSS JOIN m2),"
+        " seg AS (SELECT tok, len(syms) AS n_sub,"
+        f" length(tok) AS tok_chars, {seg_h} AS seg_h FROM d3)"
+        " SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_tokens,"
+        " CAST(SUM(cnt * tok_chars) AS BIGINT) AS n_chars,"
+        " CAST(SUM(cnt * n_sub) AS BIGINT) AS n_subwords,"
+        f" CAST(SUM(((cnt % {P}) * (seg_h % {P})) % {P}) AS BIGINT)"
+        " AS seg_binding"
+        " FROM per JOIN seg USING (tok)"
+        " GROUP BY lang ORDER BY lang"
+    )
+
+
+ORACLES["bpe_encode_stats"] = _bpe_encode_oracle()
+

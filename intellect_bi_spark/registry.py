@@ -172,8 +172,8 @@ for _mod in _MODULES:
 #     "Next round" #2; after this round the oldest driver row anywhere
 #     is r7;
 # (c) r11 net-new: the BDV inter-frame (P-frame motion-compensated)
-#     video codec and the ILT lapped-transform (IntMDCT-class) audio
-#     codec;
+#     video codec, the ILT lapped-transform (IntMDCT-class) audio
+#     codec, and BPE APPLY (the learned-tokenizer serving path);
 # (d) the oldest r7 rows, registry order, filling the remaining slots.
 # Disclosed deferrals: the remaining r7-cohort rows (the 42-query r7
 # tier minus the 12 taken in (d)) rotate in r12; all are strict-parity
@@ -221,6 +221,7 @@ _FRONT = (
     # -- (c) r11 net-new ------------------------------------------------------
     "video_features_bdv",
     "audio_features_ilt",
+    "bpe_encode_stats",
     # -- (d) oldest r7 rows, registry order ----------------------------------
     "region_sales_gini",
     "kpi_overview",
@@ -233,7 +234,6 @@ _FRONT = (
     "sales_daily",
     "nl_transaction_value",
     "q1_pricing_summary",
-    "q2_min_cost_supplier",
 )
 
 # Integrity checks raise explicitly (not ``assert``) so they survive

@@ -23,6 +23,7 @@ ONE_SHOT_CONVERTED = (
     "trade_triangle_count",
     "bm25_ndcg_eval",
     "pack_sequences_manifest",
+    "bpe_encode_stats",  # r11: the (lang, tok) count pin
     "corpus_prep_funnel",  # releases its OWN pins (base/flagged/tr);
     # the cross-query memoized LSH pair relation lives in dedup's
     # _SCORED_CACHE, not windows._PERSISTED, so no-growth still holds
