@@ -176,7 +176,7 @@ for _mod in _MODULES:
 #     codec, and BPE APPLY (the learned-tokenizer serving path);
 # (d) the oldest r7 rows, registry order, filling the remaining slots.
 # Disclosed deferrals: the remaining r7-cohort rows (the 42-query r7
-# tier minus the 12 taken in (d)) rotate in r12; all are strict-parity
+# tier minus the 11 taken in (d)) rotate in r12; all are strict-parity
 # green locally this session at sf0.001, sf0.01 AND sf0.1
 # (tests/test_parity.py, 214 passed at each scale).
 _FRONT = (
