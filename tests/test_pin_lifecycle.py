@@ -86,3 +86,28 @@ def test_graph_adjacency_memoized_and_resettable(spark, sf_dir):
     assert len(graph._EDGE_CACHE) == 1  # reused, not re-condensed
     graph.reset_caches()
     assert not graph._EDGE_CACHE
+
+
+def test_graph_queries_read_cached_adjacency_in_plan(spark, sf_dir):
+    """Perf lock for the shared-adjacency design: once the memoized
+    condensation is materialized, BOTH graph queries' plans read it as
+    InMemoryTableScan (pagerank references it 4x: out-weights, two
+    iterations, in-weights) instead of re-running the fact-scale
+    lineitem join per reference."""
+    from intellect_bi_spark.operators import graph
+
+    graph.reset_caches()
+    graph._edges_cached(spark, sf_dir).count()  # materialize the memo
+    plan = (
+        graph._pagerank_composed(spark, sf_dir)[0]
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("InMemoryTableScan") >= 4, plan[:1500]
+    out, pins = graph._triangles_composed(spark, sf_dir)
+    tplan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in tplan
+    for p in pins:
+        p.unpersist()
+    graph.reset_caches()
