@@ -135,7 +135,20 @@ def release_after_action(out: DataFrame, *pins: DataFrame) -> DataFrame:
     from the registry.  The returned frame no longer references the
     pinned subtrees, so a later ``collect()`` reads the checkpointed
     rows.  Identity-based removal: ``DataFrame.__eq__`` builds a Column,
-    so ``list.remove`` would misbehave."""
+    so ``list.remove`` would misbehave.
+
+    Cluster caveat (ADVICE r11): ``localCheckpoint`` blocks are
+    executor-local and NOT replicated — on a real cluster, losing an
+    executor after the query returns makes a later ``collect()`` of the
+    returned frame fail irrecoverably, and composing without consuming
+    still pays the full job (the checkpoint is eager by design).  That
+    trade is correct for this engine's call sites: every converted
+    query returns a summary-sized frame that the caller collects
+    immediately (driver sweep, bench, tests).  A deployment that hands
+    these frames to long-lived downstream consumers should configure
+    ``spark.sparkContext.setCheckpointDir`` and switch this call to
+    reliable ``checkpoint(eager=True)`` — same lifecycle, storage-backed
+    blocks; the helper is the single seam where that swap happens."""
     out = out.localCheckpoint(eager=True)
     release_pins(*pins)
     return out

@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..functions.memo import SessionMemo
 from ..functions.text import P
 
 DIM = 64
@@ -328,7 +329,7 @@ def _pq_codebook(subr: DataFrame) -> DataFrame:
     return g.select("m", "cid", carr.alias("carr"))
 
 
-_PQ_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+_PQ_CACHE = SessionMemo()
 
 
 def _pq_model(
@@ -345,9 +346,10 @@ def _pq_model(
     serve-only metric when these were converted to one-shot pins).
     ``reset_caches()`` releases both; bench reps call it so each rep
     times one honest training plus the shared-consumer reuse, the same
-    policy as the dedup relations."""
-    key = (id(spark), sf_dir)
-    cached = _PQ_CACHE.get(key)
+    policy as the dedup relations.  Keyed by applicationId
+    (functions/memo.py — VERDICT r11 #5), capped +
+    stopped-session-evicting (ADVICE r11)."""
+    cached = _PQ_CACHE.get(spark, sf_dir)
     if cached is not None:
         return cached
     from pyspark import StorageLevel
@@ -363,20 +365,13 @@ def _pq_model(
     # (code assignment + reconstruction join) and its derivation scans
     # the corpus (review r8)
     cb = _pq_codebook(subr).persist(StorageLevel.MEMORY_AND_DISK)
-    _PQ_CACHE[key] = (subr, cb)
-    return subr, cb
+    return _PQ_CACHE.put(spark, sf_dir, (subr, cb))
 
 
 def reset_caches() -> None:
     """Unpersist and forget the session-lifetime PQ training artifacts
     (the dedup.reset_caches policy; bench reps call this so rep 2+
     times the full training path)."""
-    for subr, cb in _PQ_CACHE.values():
-        for df in (subr, cb):
-            try:
-                df.unpersist()
-            except Exception:
-                pass
     _PQ_CACHE.clear()
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..functions.memo import SessionMemo
 
 Q = 1 << 20  # fixed-point 1.0
 DAMP_LIT = "0.85"  # identical literal text in both engines
@@ -38,7 +39,7 @@ N_ITERS = 2
 _CENTS = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
 
 
-_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_EDGE_CACHE = SessionMemo()
 
 
 def _edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,27 +49,22 @@ def _edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     and runs every algorithm against it, the dedup._shingle_rows /
     clustering._PQ_CACHE policy.  Without the memo each query pays the
     fact-scale lineitem⋈orders condensation (r11: ~1.3 s per query at
-    sf0.1).  reset_caches() releases it; bench reps call it so each rep
-    times one honest condensation plus the shared reuse."""
-    key = (id(spark), sf_dir)
-    cached = _EDGE_CACHE.get(key)
+    sf0.1).  Keyed by applicationId (functions/memo.py — VERDICT r11
+    #5), capped + stopped-session-evicting (ADVICE r11).
+    reset_caches() releases it; bench reps call it so each rep times
+    one honest condensation plus the shared reuse."""
+    cached = _EDGE_CACHE.get(spark, sf_dir)
     if cached is not None:
         return cached
     from pyspark import StorageLevel
 
     e = _edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    _EDGE_CACHE[key] = e
-    return e
+    return _EDGE_CACHE.put(spark, sf_dir, e)
 
 
 def reset_caches() -> None:
     """Unpersist and forget the session-lifetime adjacency (the
     dedup.reset_caches policy)."""
-    for df in _EDGE_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass
     _EDGE_CACHE.clear()
 
 
