@@ -176,6 +176,20 @@ _ADDED_AFTER_R9 = {
     "video_features_bdv",
     "audio_features_ilt",
     "bpe_encode_stats",
+    "sketch_rollup_serve_only",
+}
+
+# Queries whose individual bench rows depend on within-rep ordering
+# (VERDICT r11 #4): each group shares a session-lifetime memoized
+# artifact (reset between reps), so whichever group member runs later
+# in a rep inherits the artifact's build for free.  Rep TOTALS are
+# honest (one build per artifact per rep); per-query cross-round deltas
+# on these rows should not be over-read.  (near_dup_summary /
+# minhash_lsh_pairs share the verified-pair relation too, but that
+# reuse is deliberate and documented at the HEADLINE entry above.)
+SHARED_ARTIFACTS = {
+    "graph-adjacency": ["trade_pagerank_nations", "trade_triangle_count"],
+    "pq-model": ["ann_topk_pq", "ann_index_store", "ann_index_store_batch"],
 }
 
 
@@ -211,6 +225,7 @@ def main() -> None:
         dedup,
         graph,
         retrieval,
+        sketches,
         vectorstore,
     )
 
@@ -226,6 +241,8 @@ def main() -> None:
     vectorstore.build_index(spark, sf_dir, ann_store)
     bm25_store = tempfile.mkdtemp(prefix="sgraft_bench_bm25store_")
     retrieval.build_bm25_index(spark, sf_dir, bm25_store)
+    sketch_store = tempfile.mkdtemp(prefix="sgraft_bench_sketchstore_")
+    sketches.build_sketch_rollup_store(spark, sf_dir, sketch_store)
 
     def _ann_serve_only() -> None:
         centroids, codebook, codes = vectorstore.read_index(
@@ -239,6 +256,12 @@ def main() -> None:
         # the EXACT composition the bit-exact parity unit verifies
         # (tests/test_vectorstore.py::test_bm25_stored_equals_direct_ranking)
         retrieval.serve_bm25_from_store(spark, bm25_store).collect()
+
+    def _sketch_serve_only() -> None:
+        # the production rollup query: merge stored day-partitioned HLL
+        # blobs — no fact scan (VERDICT r11 #6; sketch_rollup_store
+        # self-checks this exact composition against the exact recompute)
+        sketches.serve_sketch_rollup_from_store(spark, sketch_store).collect()
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "7"))
     per_rep: list[dict[str, float]] = []
@@ -266,10 +289,16 @@ def main() -> None:
             timings["bm25_index_serve_only"] = round(
                 time.perf_counter() - t0, 4
             )
+            t0 = time.perf_counter()
+            _sketch_serve_only()
+            timings["sketch_rollup_serve_only"] = round(
+                time.perf_counter() - t0, 4
+            )
             per_rep.append(timings)
     finally:
         shutil.rmtree(ann_store, ignore_errors=True)
         shutil.rmtree(bm25_store, ignore_errors=True)
+        shutil.rmtree(sketch_store, ignore_errors=True)
 
     # first reps carry JIT/codegen/cache warmup (r10's rep_totals were
     # still descending at rep 5) — medians/spread use steady reps only
@@ -302,6 +331,7 @@ def main() -> None:
                 sum(medians[n] for n in fixed_set), 4
             ),
             "fixed_set_n": len(fixed_set),
+            "shared_artifacts": SHARED_ARTIFACTS,
         }
     )
     print(payload)
