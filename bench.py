@@ -89,7 +89,9 @@ HEADLINE = [
     "ann_topk_sq8",  # SQ8-quantized ADC search (r8)
     "ann_index_store",  # parquet-persisted IVF-PQ index serving (r9)
     "ann_index_store_batch",  # build-once/serve-many batch from the store (r9)
+    "ann_index_upsert",  # incremental cell-partition merge, frozen model (r12)
     "bm25_index_store",  # parquet-persisted inverted-index serving (r10)
+    "bm25_index_upsert",  # posting append + versioned lexicon merge (r12)
     "text_quality_scores",
     "html_text_extract_stats",  # web-ingest markup strip/decode (r9)
     "chunk_documents",
@@ -177,6 +179,8 @@ _ADDED_AFTER_R9 = {
     "audio_features_ilt",
     "bpe_encode_stats",
     "sketch_rollup_serve_only",
+    "ann_index_upsert",
+    "bm25_index_upsert",
 }
 
 # Queries whose individual bench rows depend on within-rep ordering

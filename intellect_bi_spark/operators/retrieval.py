@@ -497,9 +497,216 @@ def bm25_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- incremental index maintenance (r12, VERDICT r11 #2) --------------------
+#
+# The lexical twin of vectorstore.upsert_index: at 100 TB the inverted
+# index never full-rebuilds for an ingest batch — new docs' postings
+# APPEND into their term-hash bucket partitions (corpus-scale, batch-
+# proportional cost), while the vocabulary-bounded lexicon (term → df)
+# and the 1-row corpus stats merge copy-on-write into a new VERSION
+# directory (snapshot isolation: readers of v=N are never disturbed;
+# at production scale per-bucket posting compaction would run beside
+# this — the compaction_plan operator's job).  Reference analogue: the
+# reference ingests incrementally (Chroma upsert, api/ingest_docs.py:
+# 97-102) but its retrieval index had no incremental path here either.
+#
+# upsert ≡ rebuild holds EXACTLY because every merged quantity is an
+# integer: postings are per (term, doc) — a doc lives entirely in one
+# side of the split, so union IS the full posting set; df merges by
+# addition; stats store (n_docs, sum_len) as BIGINTs so the serve-time
+# avgdl = sum_len/n_docs is the IDENTICAL division the direct scoring
+# pass performs.  (The v1 store kept avgdl itself, which cannot be
+# merged exactly — the v2 layout stores the numerator/denominator.)
+
+N_TB = 16  # term-hash buckets: crc32(term) % 16 partitions the postings
+DOC_UPSERT_MOD = 10
+DOC_UPSERT_RES = 7  # batch = doc_id % 10 == 7 (~10% of the corpus)
+
+
+def _doc_batch_pred():
+    return F.col("doc_id") % DOC_UPSERT_MOD == DOC_UPSERT_RES
+
+
+def _term_bucket(col):
+    return (F.crc32(F.encode(col, "UTF-8")) % N_TB).cast("int")
+
+
+def _toks_of(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"filter(split(lower(text), '{TOKEN_SPLIT}'), t -> t <> '')"
+        ).alias("toks"),
+    )
+
+
+def _postings_of(toks: DataFrame) -> DataFrame:
+    return (
+        toks.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("tb", _term_bucket(F.col("term")))
+    )
+
+
+def _stats2_of(toks: DataFrame) -> DataFrame:
+    """(n_docs, sum_len) — exact BIGINTs, mergeable by addition (unlike
+    the derived avgdl double)."""
+    return toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("sum_len"),
+    )
+
+
+def _latest_version(path: str) -> int:
+    import os
+
+    vs = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("v=")
+    ]
+    return max(vs)
+
+
+def _base_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+
+
+def build_bm25_index_v2(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Initial build of the UPSERTABLE store on the base corpus (the
+    upsert batch held out): bucket-partitioned postings, versioned
+    lexicon (derived from the stored postings, the v1 drift-proofing
+    discipline) and versioned (n_docs, sum_len) stats."""
+    toks = _toks_of(_base_docs(spark, sf_dir).filter(~_doc_batch_pred()))
+    (
+        _postings_of(toks)
+        .repartition(N_TB, "tb")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(f"{path}/postings")
+    )
+    spark.read.parquet(f"{path}/postings").groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    ).write.parquet(f"{path}/lexicon/v=1")
+    _stats2_of(toks).write.parquet(f"{path}/stats/v=1")
+
+
+def upsert_bm25_index(
+    spark: SparkSession, sf_dir: str, path: str, batch_docs: DataFrame
+) -> None:
+    """Merge a new document batch into the stored index: append the
+    batch's postings into their term buckets (pre-existing posting
+    files are never rewritten — tests prove the file-level claim),
+    then write the NEXT VERSION of the lexicon (old df + batch df,
+    full-outer integer merge) and stats (component-wise BIGINT add)."""
+    toks = _toks_of(batch_docs)
+    bp = _postings_of(toks)
+    (
+        bp.repartition(N_TB, "tb")
+        .write.mode("append")
+        .partitionBy("tb")
+        .parquet(f"{path}/postings")
+    )
+    v = _latest_version(f"{path}/lexicon")
+    old_lex = spark.read.parquet(f"{path}/lexicon/v={v}")
+    batch_df = bp.groupBy("term").agg(F.count(F.lit(1)).alias("bdf"))
+    (
+        old_lex.join(batch_df, "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce("df", F.lit(0)) + F.coalesce("bdf", F.lit(0))
+            ).alias("df"),
+        )
+        .write.parquet(f"{path}/lexicon/v={v + 1}")
+    )
+    old_stats = spark.read.parquet(f"{path}/stats/v={v}")
+    bs = _stats2_of(toks)
+    (
+        old_stats.select(
+            F.col("n_docs").alias("n0"), F.col("sum_len").alias("s0")
+        )
+        .crossJoin(
+            F.broadcast(
+                bs.select(
+                    F.col("n_docs").alias("n1"),
+                    F.col("sum_len").alias("s1"),
+                )
+            )
+        )
+        .select(
+            (F.col("n0") + F.col("n1")).alias("n_docs"),
+            (F.col("s0") + F.col("s1")).alias("sum_len"),
+        )
+        .write.parquet(f"{path}/stats/v={v + 1}")
+    )
+
+
+def serve_bm25_v2(spark: SparkSession, path: str) -> DataFrame:
+    """Answer the fixed query from the upsertable store's LATEST
+    version: the postings scan carries BOTH the term-bucket partition
+    filter (directory pruning — the lexical analogue of the IVF cell
+    filter) and the pushed term IN-filter; avgdl derives from the
+    stored exact (n_docs, sum_len)."""
+    import zlib
+
+    buckets = sorted(
+        {zlib.crc32(t.encode("utf-8")) % N_TB for t in QUERY_TERMS}
+    )
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("tb").isin(buckets)
+    )
+    v = _latest_version(f"{path}/lexicon")
+    lexicon = spark.read.parquet(f"{path}/lexicon/v={v}")
+    stats = spark.read.parquet(f"{path}/stats/v={v}").select(
+        (
+            F.col("sum_len").cast("double") / F.col("n_docs").cast("double")
+        ).alias("avgdl"),
+        "n_docs",
+    )
+    return topk_from_bm25_index(postings, lexicon, stats)
+
+
+def bm25_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental lexical index maintenance, end to end: build the
+    versioned store on the base corpus (batch held out), upsert the
+    batch (posting append + lexicon/stats version merge), and answer
+    the fixed query from the upserted store.  The oracle is the DIRECT
+    full-corpus scoring plus the batch count — a green row proves
+    upsert-then-serve ≡ full-rebuild-then-serve (every merged quantity
+    is an exact integer, so the equivalence is bit-exact)."""
+    import shutil
+    import tempfile
+
+    batch = _base_docs(spark, sf_dir).filter(_doc_batch_pred())
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25_upsert_")
+    try:
+        build_bm25_index_v2(spark, sf_dir, tmp)
+        upsert_bm25_index(spark, sf_dir, tmp, batch)
+        n_up = batch.agg(F.count(F.lit(1)).alias("n_upserted"))
+        out = (
+            serve_bm25_v2(spark, tmp)
+            .crossJoin(F.broadcast(n_up))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "bm25_topk_docs": bm25_topk_docs,
     "bm25_index_store": bm25_index_store,
+    "bm25_index_upsert": bm25_index_upsert,
     "hybrid_search_rrf": hybrid_search_rrf,
     "bm25_ndcg_eval": bm25_ndcg_eval,
     "fuzzy_name_match_summary": fuzzy_name_match_summary,
@@ -563,6 +770,37 @@ ORACLES = {
 # stats must equal the direct one-pass recompute — the oracle IS the
 # direct scoring SQL (the ann_index_store discipline)
 ORACLES["bm25_index_store"] = ORACLES["bm25_topk_docs"]
+
+# upsert semantics: base-build + batch-merge + serve must equal the
+# direct full-corpus scoring (the rebuild) — every merged quantity is
+# an exact integer, so this is the upsert ≡ rebuild proof; n_upserted
+# binds the batch into the checked result
+ORACLES["bm25_index_upsert"] = (
+    f"WITH tok AS ({_TOKS_DUCK}),"
+    " st AS (SELECT CAST(SUM(len(toks)) AS DOUBLE)"
+    " / CAST(COUNT(*) AS DOUBLE) AS avgdl,"
+    " COUNT(*) AS n_docs FROM tok),"
+    " base AS (SELECT doc_id, len(toks) AS dl,"
+    f" unnest(list_filter(toks, t -> t IN ({_terms_in()}))) AS term"
+    " FROM tok),"
+    " tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM base"
+    " GROUP BY doc_id, dl, term),"
+    " dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),"
+    " scored AS (SELECT doc_id, term,"
+    f" {_bm25_term_score('tf', 'df', 'dl', 'n_docs')} AS s"
+    " FROM tf JOIN dfs USING (term) CROSS JOIN st),"
+    " per AS (SELECT doc_id, COUNT(*) AS n_hit_terms,"
+    " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list(s ORDER BY term)), (acc, v) -> acc + v) AS score"
+    " FROM scored GROUP BY doc_id),"
+    " up AS (SELECT COUNT(*) AS n_upserted FROM documents"
+    f" WHERE doc_id % {DOC_UPSERT_MOD} = {DOC_UPSERT_RES})"
+    " SELECT doc_id, n_hit_terms,"
+    f" CAST(FLOOR(score * {SCORE_QUANT}.0 + 0.5) AS BIGINT) AS score_q,"
+    " up.n_upserted"
+    " FROM per CROSS JOIN up"
+    f" ORDER BY score_q DESC, doc_id LIMIT {TOP_K}"
+)
 
 
 def _rrf_oracle() -> str:

@@ -289,3 +289,133 @@ def test_upsert_rewrites_only_affected_cells(spark, sf_dir):
                 assert after[d] == fs, f"{d}: untouched cell changed"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bm25_upsert_equals_rebuild_and_direct(spark, sf_dir):
+    """The lexical upsert ≡ rebuild proof at the table level: after the
+    base-build + batch-merge, the versioned lexicon and stats equal a
+    full-corpus rebuild's exactly, and the served ranking equals the
+    DIRECT full-corpus scoring bit for bit."""
+    from intellect_bi_spark.operators import retrieval as rt
+
+    want = [
+        (r["doc_id"], r["n_hit_terms"], r["score_q"])
+        for r in rt.bm25_topk_docs(spark, sf_dir).collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25up_")
+    try:
+        rt.build_bm25_index_v2(spark, sf_dir, tmp)
+        batch = rt._base_docs(spark, sf_dir).filter(rt._doc_batch_pred())
+        rt.upsert_bm25_index(spark, sf_dir, tmp, batch)
+        got = [
+            (r["doc_id"], r["n_hit_terms"], r["score_q"])
+            for r in rt.serve_bm25_v2(spark, tmp).collect()
+        ]
+        assert got == want and len(got) == rt.TOP_K
+        # merged lexicon == full-corpus df relation, exactly
+        v = rt._latest_version(f"{tmp}/lexicon")
+        assert v == 2  # build wrote v=1, the upsert wrote v=2
+        merged_lex = sorted(
+            (r["term"], r["df"])
+            for r in spark.read.parquet(f"{tmp}/lexicon/v={v}").collect()
+        )
+        toks = rt._toks_of(rt._base_docs(spark, sf_dir))
+        full_lex = sorted(
+            (r["term"], r["df"])
+            for r in rt._postings_of(toks)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .collect()
+        )
+        assert merged_lex == full_lex
+        stats = spark.read.parquet(f"{tmp}/stats/v={v}").collect()[0]
+        full = rt._stats2_of(toks).collect()[0]
+        assert (stats["n_docs"], stats["sum_len"]) == (
+            full["n_docs"],
+            full["sum_len"],
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bm25_upsert_appends_only_batch_term_buckets(spark, sf_dir):
+    """File-level copy-on-write: pre-existing posting files are
+    byte-identical after the upsert; new files land only in the
+    batch's term buckets; the superseded lexicon/stats versions stay
+    untouched (snapshot isolation)."""
+    import os
+
+    from intellect_bi_spark.operators import retrieval as rt
+
+    def posting_files(root):
+        out = {}
+        pdir = os.path.join(root, "postings")
+        for entry in sorted(os.listdir(pdir)):
+            if entry.startswith("tb="):
+                out[entry] = sorted(
+                    f
+                    for f in os.listdir(os.path.join(pdir, entry))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25upfiles_")
+    try:
+        rt.build_bm25_index_v2(spark, sf_dir, tmp)
+        before = posting_files(tmp)
+        sizes = {
+            (d, f): os.path.getsize(os.path.join(tmp, "postings", d, f))
+            for d, fs in before.items()
+            for f in fs
+        }
+        batch = rt._base_docs(spark, sf_dir).filter(rt._doc_batch_pred())
+        batch_buckets = {
+            f"tb={r['tb']}"
+            for r in rt._postings_of(rt._toks_of(batch))
+            .select("tb")
+            .distinct()
+            .collect()
+        }
+        assert batch_buckets
+        rt.upsert_bm25_index(spark, sf_dir, tmp, batch)
+        after = posting_files(tmp)
+        for d in set(before) | set(after):
+            old = set(before.get(d, []))
+            new = set(after.get(d, []))
+            assert old <= new, f"{d}: pre-existing file removed"
+            for f in old:
+                assert (
+                    os.path.getsize(os.path.join(tmp, "postings", d, f))
+                    == sizes[(d, f)]
+                ), f"{d}/{f}: pre-existing file rewritten"
+            if d not in batch_buckets:
+                assert old == new, f"{d}: untouched bucket changed"
+        touched = [d for d in batch_buckets if set(after[d]) - set(before.get(d, []))]
+        assert touched, "no batch bucket received a new file"
+        # v=1 lexicon/stats remain readable (snapshot isolation)
+        assert spark.read.parquet(f"{tmp}/lexicon/v=1").count() > 0
+        assert spark.read.parquet(f"{tmp}/stats/v=1").count() == 1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bm25_v2_serve_prunes_term_buckets(spark, sf_dir):
+    """The v2 serving scan must carry BOTH the tb partition filter
+    (directory pruning) and the pushed term IN-filter."""
+    from intellect_bi_spark.operators import retrieval as rt
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25upplan_")
+    try:
+        rt.build_bm25_index_v2(spark, sf_dir, tmp)
+        plan = (
+            rt.serve_bm25_v2(spark, tmp)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+        assert any("In(term" in ln for ln in pushed), plan[:2000]
+        part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert any("tb" in ln for ln in part), plan[:2000]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
