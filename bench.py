@@ -108,6 +108,7 @@ HEADLINE = [
     "video_frame_sample_y4m",  # real Y4M container decode (r6)
     "video_features_mjpeg",  # MJPEG/AVI entropy-coded video decode (r10)
     "video_features_bdv",  # inter-frame P-frame codec, keyframe seek (r11)
+    "video_features_mb4",  # ISO-BMFF box tree, sample-table sparse access (r12)
     "video_frame_dedup_y4m",  # cross-video frame-fingerprint dedup (r10)
     "xml_roundtrip_checksum",  # interchange sink+scan certification (r7)
     "jsonl_roundtrip_checksum",
@@ -181,6 +182,7 @@ _ADDED_AFTER_R9 = {
     "sketch_rollup_serve_only",
     "ann_index_upsert",
     "bm25_index_upsert",
+    "video_features_mb4",
 }
 
 # Queries whose individual bench rows depend on within-rep ordering

@@ -3188,6 +3188,457 @@ def video_features_bdv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- MP4-style box-tree container: BDV inside an ISO-BMFF subset (r12) ------
+#
+# The remaining multimodal gap named by VERDICT r11 #8 was a CONTAINER
+# class, not a codec class: every prior video fixture is RIFF/AVI
+# (flat chunk list + optional idx1).  MB4 carries the SAME BDV
+# inter-frame bitstream inside a minimal ISO-BMFF (MP4-family) box
+# tree — length-prefixed nested boxes, ISO/IEC 14496-12 layout:
+#
+#   ftyp | moov ( mvhd, trak ( tkhd, mdia ( mdhd, hdlr,
+#          minf ( vmhd, dinf(dref), stbl ( stsd stts stsc stsz
+#          stco stss ) ) ) ) ) | mdat
+#
+# What this class exercises that AVI cannot: sample ACCESS is entirely
+# table-driven — a sample's bytes are found by composing FOUR stbl
+# tables (stsc chunk mapping → stco chunk offset → stsz intra-chunk
+# size prefix sum → mdat slice), and the keyframe map (stss) is a
+# first-class table rather than a per-chunk flag word.  The sampled
+# decode therefore performs index-driven sparse access THROUGH the
+# nested container: seek to the stss anchor's sample offset, roll the
+# BDV reconstruction forward — the same GOP-bounded cost the AVI path
+# proves, with the offsets derived from the sample tables instead of a
+# flat index (and no index-less fallback exists: in this container
+# family the sample table IS the container).  The frame bitstreams,
+# frame decoder and feature seam are shared verbatim with the AVI-BDV
+# path (decode_bdv_frame, _y4m_features_with).
+#
+# Fixture geometry deliberately differs from the AVI-BDV fixture
+# (wider w/h ranges, 6-12 frames → up to 4 GOPs) so the two queries
+# certify different decoded values.
+
+_MB4_BRAND = b"sgbd"
+_MB4_TIMESCALE = 1000
+
+
+def _mb4_geom(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames): block-aligned dims, 6..12 frames so
+    sampling (every 4th) crosses 2-4 GOPs and all three phases."""
+    return 8 + (doc_id % 4) * 4, 4 + (doc_id % 3) * 4, 6 + doc_id % 7
+
+
+def _mb4_box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mb4_full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _mb4_box(
+        btype, bytes([version]) + flags.to_bytes(3, "big") + payload
+    )
+
+
+def _mb4_encoded_frames(doc_id: int) -> tuple[int, int, list[bytes]]:
+    w, h, nf = _mb4_geom(doc_id)
+    frames = [_bdv_frame(doc_id, f, w, h) for f in range(nf)]
+    enc = []
+    for f in range(nf):
+        g, ph = divmod(f, BDV_GOP)
+        if ph == 0:
+            enc.append(_encode_bdv_frame_bytes(frames[f], None, w, h, 0, 0))
+        else:
+            dx, dy = _bdv_motion(doc_id, g) if ph == 1 else (0, 0)
+            enc.append(
+                _encode_bdv_frame_bytes(frames[f], frames[f - 1], w, h, dx, dy)
+            )
+    return w, h, enc
+
+
+def _encode_mb4_bytes(doc_id: int) -> bytes:
+    """A genuine minimal MP4-family file: two-pass layout (the moov's
+    byte size is offset-independent, so pass 1 measures it with zeroed
+    stco entries and pass 2 fills the absolute mdat offsets — the
+    standard progressive ftyp/moov/mdat order)."""
+    import struct
+
+    w, h, enc = _mb4_encoded_frames(doc_id)
+    nf = len(enc)
+    # one chunk per GOP: stsc gets a real run-length encoding to walk
+    chunk_counts = [
+        min(BDV_GOP, nf - s) for s in range(0, nf, BDV_GOP)
+    ]
+    chunk_intra = []
+    pos = 0
+    k = 0
+    for cc in chunk_counts:
+        chunk_intra.append(pos)
+        for _ in range(cc):
+            pos += len(enc[k])
+            k += 1
+    mdat_payload = b"".join(enc)
+
+    ftyp = _mb4_box(
+        b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom" + _MB4_BRAND
+    )
+
+    def build_moov(chunk_offsets: list[int]) -> bytes:
+        dur_mv = nf * _MB4_TIMESCALE // _BDV_FPS
+        matrix = struct.pack(
+            ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+        )
+        mvhd = _mb4_full(
+            b"mvhd",
+            0,
+            0,
+            struct.pack(">IIII", 0, 0, _MB4_TIMESCALE, dur_mv)
+            + struct.pack(">iHH", 0x00010000, 0x0100, 0)
+            + b"\x00" * 8
+            + matrix
+            + b"\x00" * 24
+            + struct.pack(">I", 2),
+        )
+        tkhd = _mb4_full(
+            b"tkhd",
+            0,
+            7,
+            struct.pack(">IIIII", 0, 0, 1, 0, dur_mv)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0, 0)
+            + matrix
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = _mb4_full(
+            b"mdhd",
+            0,
+            0,
+            struct.pack(">IIII", 0, 0, _BDV_FPS, nf)
+            + struct.pack(">HH", 0x55C4, 0),  # 'und' language
+        )
+        hdlr = _mb4_full(
+            b"hdlr",
+            0,
+            0,
+            struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00",
+        )
+        vmhd = _mb4_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        dref = _mb4_full(
+            b"dref",
+            0,
+            0,
+            struct.pack(">I", 1) + _mb4_full(b"url ", 0, 1, b""),
+        )
+        dinf = _mb4_box(b"dinf", dref)
+        # VisualSampleEntry 'bdv1' (86 bytes): the sample description
+        # carries the authoritative dims (tkhd's 16.16 pair must agree)
+        entry = (
+            b"\x00" * 6
+            + struct.pack(">H", 1)  # data_reference_index
+            + b"\x00" * 16
+            + struct.pack(">HH", w, h)
+            + struct.pack(">II", 0x00480000, 0x00480000)
+            + struct.pack(">I", 0)
+            + struct.pack(">H", 1)  # frame_count
+            + b"\x00" * 32  # compressorname
+            + struct.pack(">Hh", 24, -1)
+        )
+        stsd = _mb4_full(
+            b"stsd",
+            0,
+            0,
+            struct.pack(">I", 1) + _mb4_box(b"bdv1", entry),
+        )
+        stts = _mb4_full(
+            b"stts", 0, 0, struct.pack(">III", 1, nf, 1)
+        )
+        # run-length stsc: emit an entry only when samples_per_chunk
+        # changes (here: at chunk 1, and at the last chunk if short)
+        stsc_entries = [(1, chunk_counts[0])]
+        for i, cc in enumerate(chunk_counts[1:], start=2):
+            if cc != stsc_entries[-1][1]:
+                stsc_entries.append((i, cc))
+        stsc = _mb4_full(
+            b"stsc",
+            0,
+            0,
+            struct.pack(">I", len(stsc_entries))
+            + b"".join(
+                struct.pack(">III", fc, spc, 1)
+                for fc, spc in stsc_entries
+            ),
+        )
+        stsz = _mb4_full(
+            b"stsz",
+            0,
+            0,
+            struct.pack(">II", 0, nf)
+            + b"".join(struct.pack(">I", len(e)) for e in enc),
+        )
+        stco = _mb4_full(
+            b"stco",
+            0,
+            0,
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+        )
+        syncs = [f + 1 for f in range(nf) if f % BDV_GOP == 0]
+        stss = _mb4_full(
+            b"stss",
+            0,
+            0,
+            struct.pack(">I", len(syncs))
+            + b"".join(struct.pack(">I", s) for s in syncs),
+        )
+        stbl = _mb4_box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+        minf = _mb4_box(b"minf", vmhd + dinf + stbl)
+        mdia = _mb4_box(b"mdia", mdhd + hdlr + minf)
+        trak = _mb4_box(b"trak", tkhd + mdia)
+        return _mb4_box(b"moov", mvhd + trak)
+
+    moov_len = len(build_moov([0] * len(chunk_counts)))
+    base = len(ftyp) + moov_len + 8  # + mdat box header
+    moov = build_moov([base + o for o in chunk_intra])
+    if len(moov) != moov_len:
+        raise AssertionError("moov size changed between passes")
+    return ftyp + moov + _mb4_box(b"mdat", mdat_payload)
+
+
+def _encode_mb4(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        ids = [int(d) for d in batch["doc_id"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "payload": [_encode_mb4_bytes(d) for d in ids],
+            }
+        )
+
+
+def _mb4_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _codec_ids(spark, sf_dir).mapInPandas(
+        _encode_mb4, schema="doc_id long, payload binary"
+    )
+
+
+def _mb4_boxes(b: bytes, pos: int, end: int):
+    """Iterate (type, payload_start, payload_end) over a box sequence;
+    malformed sizes fail loudly (32-bit sizes only in this subset)."""
+    import struct
+
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated box header")
+        (size,) = struct.unpack(">I", b[pos : pos + 4])
+        btype = b[pos + 4 : pos + 8]
+        if size < 8 or pos + size > end:
+            raise ValueError(f"bad box size for {btype!r}")
+        yield btype, pos + 8, pos + size
+        pos += size
+
+
+def _mb4_find(b: bytes, pos: int, end: int, btype: bytes) -> tuple[int, int]:
+    hits = [
+        (ps, pe) for t, ps, pe in _mb4_boxes(b, pos, end) if t == btype
+    ]
+    if len(hits) != 1:
+        raise ValueError(f"expected exactly one {btype!r}, got {len(hits)}")
+    return hits[0]
+
+
+def _mb4_scan(b: bytes):
+    """Walk the full box tree and return (w, h, sample_offsets,
+    sample_sizes, sync_set) with every cross-table consistency rule
+    enforced: brand, handler, stsd↔tkhd dims, stts↔stsz↔mdhd counts,
+    stsc chunk expansion vs stco, offsets inside mdat."""
+    import struct
+
+    top = list(_mb4_boxes(b, 0, len(b)))
+    if not top or top[0][0] != b"ftyp":
+        raise ValueError("file does not start with ftyp")
+    fps_, fpe_ = top[0][1], top[0][2]
+    if _MB4_BRAND not in b[fps_:fpe_]:
+        raise ValueError("compatible-brand list lacks the BDV brand")
+    moov = _mb4_find(b, 0, len(b), b"moov")
+    mdat = _mb4_find(b, 0, len(b), b"mdat")
+    trak = _mb4_find(b, *moov, b"trak")
+    tkhd = _mb4_find(b, *trak, b"tkhd")
+    tk = b[tkhd[0] : tkhd[1]]
+    tk_w, tk_h = struct.unpack(">II", tk[-8:])
+    mdia = _mb4_find(b, *trak, b"mdia")
+    mdhd = _mb4_find(b, *mdia, b"mdhd")
+    (md_dur,) = struct.unpack(
+        ">I", b[mdhd[0] + 16 : mdhd[0] + 20]
+    )
+    hdlr = _mb4_find(b, *mdia, b"hdlr")
+    if b[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+        raise ValueError("handler is not a video track")
+    minf = _mb4_find(b, *mdia, b"minf")
+    stbl = _mb4_find(b, *minf, b"stbl")
+
+    stsd = _mb4_find(b, *stbl, b"stsd")
+    (n_desc,) = struct.unpack(">I", b[stsd[0] + 4 : stsd[0] + 8])
+    if n_desc != 1:
+        raise ValueError("expected one sample description")
+    fmt, es, ee = next(_mb4_boxes(b, stsd[0] + 8, stsd[1]))
+    if fmt != b"bdv1":
+        raise ValueError("sample entry is not bdv1")
+    w, h = struct.unpack(">HH", b[es + 24 : es + 28])
+    if (tk_w >> 16, tk_h >> 16) != (w, h):
+        raise ValueError("tkhd dims disagree with the sample entry")
+
+    stts = _mb4_find(b, *stbl, b"stts")
+    n_tt, cnt, delta = struct.unpack(
+        ">III", b[stts[0] + 4 : stts[0] + 16]
+    )
+    if n_tt != 1 or delta != 1:
+        raise ValueError("expected a single unit-delta stts run")
+
+    stsz = _mb4_find(b, *stbl, b"stsz")
+    fixed, n_sz = struct.unpack(">II", b[stsz[0] + 4 : stsz[0] + 12])
+    if fixed != 0:
+        raise ValueError("expected per-sample stsz sizes")
+    if n_sz != cnt or n_sz != md_dur:
+        raise ValueError("stsz/stts/mdhd sample counts disagree")
+    if stsz[0] + 12 + 4 * n_sz > stsz[1]:
+        raise ValueError("truncated stsz table")
+    sizes = list(
+        struct.unpack(f">{n_sz}I", b[stsz[0] + 12 : stsz[0] + 12 + 4 * n_sz])
+    )
+
+    stco = _mb4_find(b, *stbl, b"stco")
+    (n_ch,) = struct.unpack(">I", b[stco[0] + 4 : stco[0] + 8])
+    offs = list(
+        struct.unpack(f">{n_ch}I", b[stco[0] + 8 : stco[0] + 8 + 4 * n_ch])
+    )
+
+    stsc = _mb4_find(b, *stbl, b"stsc")
+    (n_sc,) = struct.unpack(">I", b[stsc[0] + 4 : stsc[0] + 8])
+    runs = [
+        struct.unpack(
+            ">III", b[stsc[0] + 8 + 12 * i : stsc[0] + 20 + 12 * i]
+        )
+        for i in range(n_sc)
+    ]
+    # expand the run-length stsc over the stco chunk list
+    per_chunk = []
+    for i, (fc, spc, sdi) in enumerate(runs):
+        if sdi != 1:
+            raise ValueError("unknown sample description index")
+        last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_ch
+        if fc > last:
+            raise ValueError("stsc runs are not ascending")
+        per_chunk.extend([spc] * (last - fc + 1))
+    if len(per_chunk) != n_ch or sum(per_chunk) != n_sz:
+        raise ValueError("stsc expansion disagrees with stco/stsz")
+
+    sample_offsets = []
+    k = 0
+    for c, spc in enumerate(per_chunk):
+        pos = offs[c]
+        for _ in range(spc):
+            sample_offsets.append(pos)
+            pos += sizes[k]
+            k += 1
+    for o, s in zip(sample_offsets, sizes):
+        if o < mdat[0] or o + s > mdat[1]:
+            raise ValueError("sample falls outside mdat")
+
+    stss = _mb4_find(b, *stbl, b"stss")
+    (n_ss,) = struct.unpack(">I", b[stss[0] + 4 : stss[0] + 8])
+    syncs = struct.unpack(
+        f">{n_ss}I", b[stss[0] + 8 : stss[0] + 8 + 4 * n_ss]
+    )
+    if not syncs or syncs[0] != 1:
+        raise ValueError("stream does not open with a sync sample")
+    if any(s < 1 or s > n_sz for s in syncs):
+        raise ValueError("stss entry out of range")
+    return w, h, sample_offsets, sizes, sorted(s - 1 for s in syncs)
+
+
+def decode_mb4_bdv(payload: bytes, frame_decode=decode_bdv_frame):
+    """Full sequential decode through the sample tables — the
+    (w, h, [(frame_idx, flat uint8)]) seam contract."""
+    b = bytes(payload)
+    w, h, offs, sizes, _syncs = _mb4_scan(b)
+    frames = []
+    state = None
+    for f, (o, s) in enumerate(zip(offs, sizes)):
+        state = frame_decode(b[o : o + s], w, h, state)
+        frames.append((f, state))
+    return w, h, frames
+
+
+def decode_mb4_bdv_sampled(
+    payload: bytes, sample_every: int, frame_decode=decode_bdv_frame
+):
+    """Keyframe-anchored sparse decode via the sample tables: for each
+    sampled ordinal, seek to the latest stss sync at or before it (a
+    direct byte offset composed from stsc→stco→stsz — no scan of mdat)
+    and roll the BDV reconstruction forward; when the running state is
+    already closer, continue from it.  Per-sampled-frame decode cost is
+    GOP-bounded exactly as the AVI path (tests/test_mb4.py asserts the
+    decoder-call bound).  There is no index-less fallback in this
+    container family: the sample table IS the container."""
+    import bisect
+
+    b = bytes(payload)
+    w, h, offs, sizes, syncs = _mb4_scan(b)
+    frames = []
+    state = None
+    pos = -1
+    for f in range(0, len(offs), sample_every):
+        anchor = syncs[bisect.bisect_right(syncs, f) - 1]
+        if state is None or anchor > pos or f < pos:
+            start = anchor
+            state = None
+        else:
+            start = pos + 1
+        for k in range(start, f + 1):
+            state = frame_decode(b[offs[k] : offs[k] + sizes[k]], w, h, state)
+            pos = k
+        frames.append((f, state))
+    return w, h, frames
+
+
+def _decode_mb4_for_features(payload: bytes):
+    return decode_mb4_bdv_sampled(payload, SAMPLE_EVERY)
+
+
+def _mb4_feature_rows(
+    spark: SparkSession, sf_dir: str, decode=_decode_mb4_for_features
+) -> DataFrame:
+    return _mb4_media(spark, sf_dir).mapInPandas(
+        _y4m_features_with(decode), schema=_Y4M_FEAT_SCHEMA
+    )
+
+
+def video_features_mb4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact checksum over every sampled frame decoded from the
+    MP4-style box-tree container: matching the closed-form oracle
+    proves the nested box walk, all four sample-table compositions
+    (stsc→stco→stsz offsets), the stss keyframe seek, and the shared
+    BDV reconstruction chain byte-exactly — the table-driven container
+    class the flat RIFF fixtures cannot exercise."""
+    f = _mb4_feature_rows(spark, sf_dir)
+    return f.agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("width").alias("sum_width"),
+        F.sum("height").alias("sum_height"),
+        F.sum("frame_idx").alias("sum_frame_idx"),
+        F.sum("frame_sum").alias("total_frame_sum"),
+        F.sum(
+            F.expr(
+                f"(((doc_id * 131 + frame_idx) % {P})"
+                f" * (idx_weighted % {P})) % {P}"
+            )
+        ).alias("id_weighted_binding"),
+    )
+
+
 # --- Cross-video duplicate-frame detection (fingerprint → hash groupBy) -----
 #
 # The training-pipeline op the video tier exists FOR: near-identical
@@ -3683,6 +4134,7 @@ QUERIES = {
     "video_frame_sample_y4m": video_frame_sample_y4m,
     "video_features_mjpeg": video_features_mjpeg,
     "video_features_bdv": video_features_bdv,
+    "video_features_mb4": video_features_mb4,
     "video_frame_dedup_y4m": video_frame_dedup_y4m,
     "audio_window_rms": audio_window_rms,
     "audio_features_mulaw": audio_features_mulaw,
@@ -4005,6 +4457,38 @@ FULLROW_ORACLES = {
         f" CAST(SUM(((i % {P}) * val) % {P}) AS BIGINT) AS idx_weighted"
         " FROM dec GROUP BY doc_id, w, h, f"
     ),
+    # the MB4 tree carries the same BDV bitstream over its own fixture
+    # geometry — the oracle re-derives every motion-compensated pixel
+    # from the closed-form generators exactly as bdv_feature_rows does
+    "mb4_feature_rows": (
+        "WITH geom AS (SELECT doc_id,"
+        " 8 + CAST(doc_id % 4 AS INT) * 4 AS w,"
+        " 4 + CAST(doc_id % 3 AS INT) * 4 AS h,"
+        " 6 + CAST(doc_id % 7 AS INT) AS nf FROM documents),"
+        " fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f"
+        " FROM geom),"
+        f" sampled AS (SELECT * FROM fr WHERE f % {SAMPLE_EVERY} = 0),"
+        f" gp AS (SELECT doc_id, w, h, f, f // {BDV_GOP} AS g,"
+        f" f % {BDV_GOP} AS ph FROM sampled),"
+        " mv AS (SELECT *,"
+        " CASE WHEN ph >= 1 THEN (doc_id + g) % 3 - 1 ELSE 0 END AS dx,"
+        " CASE WHEN ph >= 1 THEN (doc_id * 2 + g) % 3 - 1 ELSE 0 END"
+        " AS dy,"
+        " CASE WHEN ph = 2 THEN (doc_id * 5 + g * 9 + 7) % 256"
+        " ELSE 0 END AS r FROM gp),"
+        " pix AS (SELECT doc_id, w, h, f, g, dx, dy, r,"
+        " unnest(range(0, w * h * 3)) AS i FROM mv),"
+        " dec AS (SELECT doc_id, w, h, f, i,"
+        " (doc_id * 17 + g * 71"
+        " + (((((i // (3 * w)) - dy) % h + h) % h) * w"
+        " + ((((i // 3) % w - dx) % w + w) % w)) * 3 * 13"
+        " + (i % 3) * 13 + r) % 256 AS val FROM pix)"
+        " SELECT doc_id, CAST(w AS INT) AS width,"
+        " CAST(h AS INT) AS height, CAST(f AS INT) AS frame_idx,"
+        " CAST(SUM(val) AS BIGINT) AS frame_sum,"
+        f" CAST(SUM(((i % {P}) * val) % {P}) AS BIGINT) AS idx_weighted"
+        " FROM dec GROUP BY doc_id, w, h, f"
+    ),
     "mjpeg_feature_rows": (
         "WITH geom AS (SELECT doc_id,"
         " 16 + CAST(doc_id % 3 AS INT) * 8 AS w,"
@@ -4213,6 +4697,19 @@ ORACLES = {
     ),
     "video_features_bdv": (
         f"WITH f AS ({FULLROW_ORACLES['bdv_feature_rows']})"
+        " SELECT COUNT(*) AS n_frames,"
+        " COUNT(DISTINCT doc_id) AS n_docs,"
+        " CAST(SUM(width) AS BIGINT) AS sum_width,"
+        " CAST(SUM(height) AS BIGINT) AS sum_height,"
+        " CAST(SUM(frame_idx) AS BIGINT) AS sum_frame_idx,"
+        " CAST(SUM(frame_sum) AS BIGINT) AS total_frame_sum,"
+        f" CAST(SUM((((doc_id * 131 + frame_idx) % {P})"
+        f" * (idx_weighted % {P})) % {P}) AS BIGINT)"
+        " AS id_weighted_binding"
+        " FROM f"
+    ),
+    "video_features_mb4": (
+        f"WITH f AS ({FULLROW_ORACLES['mb4_feature_rows']})"
         " SELECT COUNT(*) AS n_frames,"
         " COUNT(DISTINCT doc_id) AS n_docs,"
         " CAST(SUM(width) AS BIGINT) AS sum_width,"
