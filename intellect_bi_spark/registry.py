@@ -149,6 +149,32 @@ for _mod in _MODULES:
 # SemDeDup oracle) are both GENERATED-TEXT-IDENTICAL — the kmeans oracle
 # string is locked by tests/test_clustering_oracle_text.py — so neither
 # certified row is stale.
+# The round-12 front (CORRECTNESS_r11: 50/50 green; never-checked = 0;
+# oldest driver rows anywhere are the 31-query r7 cohort):
+# (a) the COMPLETE 31-query r7 cohort, registry order — the rotation
+#     disclosed in the r11 front comment and demanded by VERDICT r11
+#     "Next round" #1; after this round the oldest driver row anywhere
+#     is r8;
+# (b) r12 net-new: the two incremental index-maintenance queries
+#     (ann_index_upsert — frozen-model cell-partition merge;
+#     bm25_index_upsert — posting append + versioned lexicon/stats
+#     merge; both VERDICT r11 #2) and the MB4 ISO-BMFF box-tree
+#     container (VERDICT r11 #8);
+# (c) the oldest r8 rows, registry order, filling the remaining 16
+#     slots.
+# NOT stale (identical generated plans, disclosed): the r12 memo-key
+# conversion (functions/memo.py — cache KEYING only; the persisted
+# relations and every consumer plan are unchanged) and the
+# sketch_rollup_store build/serve extraction (the query now composes
+# build_sketch_rollup_store + serve_sketch_rollup_from_store, whose
+# bodies are the extracted verbatim text — same composition, same
+# plan; re-verified by this session's strict parity runs at sf0.001,
+# sf0.01 AND sf0.1).
+# Disclosed deferrals: the remaining 31 r8-cohort rows rotate in r13
+# (registry order continues from range_join_click_bursts); all are
+# strict-parity green locally this session at sf0.001, sf0.01 AND
+# sf0.1 (tests/test_parity.py).
+# ---- superseded r11 front comment kept for the ledger: -------------
 # The round-11 front (CORRECTNESS_r10: 50/50 green; never-checked = 0;
 # oldest driver rows anywhere are the 21-query r6 cohort):
 # (a) queries whose generated plan changed this round, making their
@@ -180,6 +206,62 @@ for _mod in _MODULES:
 # green locally this session at sf0.001, sf0.01 AND sf0.1
 # (tests/test_parity.py, 214 passed at each scale).
 _FRONT = (
+    # -- (a) complete r7 cohort, registry order -------------------------------
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q20_excess_stock_suppliers",
+    "revenue_by_region",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q16_part_supplier_counts",
+    "q21_late_suppliers",
+    "q11_part_value_concentration",
+    "p2_eq_filter",
+    "p3_ci_eq_filter",
+    "o1_topk_multisort",
+    "f_scalar_suite",
+    "json_extract_events",
+    "drilldown_cube",
+    "drilldown_rollup",
+    "distinct_products_per_region",
+    "setop_union_counts",
+    "setop_intersect_except",
+    "xml_roundtrip_checksum",
+    "jsonl_roundtrip_checksum",
+    "orc_roundtrip_checksum",
+    "sketch_rollup_value_median",
+    "theta_audience_overlap",
+    "chunk_docs_etl_1500_200",
+    "text_token_stats",
+    "click_purchase_attribution",
+    "minhash_lsh_pairs",
+    "multimodal_catalog",
+    "image_features_stub",
+    "video_frame_sample_stub",
+    # -- (b) r12 net-new -------------------------------------------------------
+    "ann_index_upsert",
+    "bm25_index_upsert",
+    "video_features_mb4",
+    # -- (c) oldest r8 rows, registry order ------------------------------------
+    "yoy_quarter",
+    "corr_sales_satisfaction",
+    "last_two_quarters_satisfaction",
+    "gender_satisfaction",
+    "region_quarter_delta",
+    "nl_yoy_quarter",
+    "nl_last2_quarters_by_region",
+    "nl_monthly_sales_north",
+    "nl_correlation",
+    "orders_by_status",
+    "q18_large_orders",
+    "q13_order_count_distribution",
+    "q22_dormant_customers",
+    "skew_profile_orders_custkey",
+    "approx_distinct_counts",
+    "asof_join_clicks",
+)
+
+_FRONT_R11 = (
     # -- (a) stale re-certs (plan changed this round) -------------------------
     "json_props_stats",
     "video_features_mjpeg",
