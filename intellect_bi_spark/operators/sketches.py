@@ -687,3 +687,201 @@ ORACLES["cms_user_event_counts"] = (
     " AND pc.bucket = c.bucket"
     " GROUP BY pc.user_id, pc.exact_n ORDER BY pc.user_id"
 )
+
+
+# --- Bloom-filter membership decontamination (r12) ---------------------------
+#
+# The missing member of the mergeable-summary family (HLL cardinality /
+# KLL quantiles / theta set-algebra / CMS frequencies / Bloom
+# MEMBERSHIP), applied to the job membership sketches exist for in a
+# training-data pipeline: decontamination probes.  The exact n-gram
+# decontam (similarity.decontam_ngram_overlap) JOINS corpus grams
+# against the benchmark gram relation; the Bloom path condenses the
+# benchmark side into a fixed BLOOM_M-bit array (built with one
+# map-side-combined bit_or aggregation — bits from any shard merge by
+# OR, the mergeable-summary property) and probes the corpus DICTIONARY
+# map-side against the broadcast bit words.  At 100 TB the probe never
+# shuffles the benchmark relation anywhere — the filter is KBs — and
+# false positives are one-sided (a flagged gram might be clean; a
+# member gram is NEVER missed), which is exactly the safe direction
+# for decontamination.  Public structure: Bloom 1970, CACM 13(7).
+#
+# Parity discipline: positions are the portable salted md5
+# (functions/text.py) mod BLOOM_M; words are BIGINT bit_or folds;
+# probes test (word & mask) != 0 — every value is an exact integer in
+# both engines, so the whole filter (including each false positive) is
+# oracle-stated bit-for-bit.
+
+BLOOM_M = 1 << 13  # 8192 bits, packed 63 per BIGINT word (131 words,
+# ~1 KB broadcast; 63 not 64 — DuckDB's checked arithmetic rejects the
+# sign-bit shift 1<<63, and one spare bit per word costs nothing)
+BLOOM_K = 3
+BLOOM_TEST_MOD = 10
+BLOOM_TEST_REM = 3  # benchmark split = doc_id % 10 == 3
+
+
+def _bloom_pos_sql(gram: str, k: str) -> str:
+    from ..functions.text import md5_mod_hash_sql
+
+    return md5_mod_hash_sql(
+        f"concat('bl', CAST({k} AS STRING), '|', {gram})", BLOOM_M
+    )
+
+
+def _bloom_pos_duck(gram: str, k: str) -> str:
+    from ..functions.text import md5_mod_hash_duck
+
+    return md5_mod_hash_duck(
+        f"'bl' || CAST({k} AS VARCHAR) || '|' || {gram}", BLOOM_M
+    )
+
+
+def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, g): word-3-gram rows under the dedup shingle convention
+    (plain space split; short docs contribute the whole text as one
+    gram) — JVM-side explode, spread to session parallelism."""
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+                " transform(sequence(1, size(split(text, ' ')) - 2),"
+                " i -> concat_ws(' ', element_at(split(text, ' '), i),"
+                " element_at(split(text, ' '), i + 1),"
+                " element_at(split(text, ' '), i + 2)))"
+                " ELSE array(array_join(split(text, ' '), ' ')) END"
+            )
+        ).alias("g"),
+    )
+
+
+def bloom_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a Bloom filter over the benchmark split's distinct 3-grams
+    (BLOOM_K salted-md5 positions each, BIGINT words via bit_or), probe
+    the training corpus' distinct-gram dictionary against the broadcast
+    words, and report the full confusion accounting in one row:
+    benchmark/corpus gram counts, flagged grams, TRUE members (exact,
+    via the dictionary semi-join), the one-sided false-positive count,
+    corpus documents carrying ≥1 flagged gram, and an order-free
+    binding over the flagged dictionary.  No false negative is possible
+    by construction, and the oracle recomputes every bit — so a green
+    row certifies the filter build, the probe, and each individual
+    false positive."""
+    grams = _doc_grams(spark, sf_dir)
+    is_test = F.col("doc_id") % BLOOM_TEST_MOD == BLOOM_TEST_REM
+    test_g = grams.filter(is_test).select("g").distinct()
+    corpus_gd = grams.filter(~is_test)
+    corpus_g = corpus_gd.select("g").distinct()
+
+    ks = F.explode(F.expr(f"sequence(0, {BLOOM_K - 1})")).alias("k")
+    mask = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))"
+    ).alias("mask")
+    widx = F.expr("CAST(pos DIV 63 AS INT)").alias("w")
+    bloom = (
+        test_g.select("g", ks)
+        .select(F.expr(_bloom_pos_sql("g", "k")).alias("pos"))
+        .select(widx, mask)
+        .groupBy("w")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+    probed = (
+        corpus_g.select("g", ks)
+        .select("g", F.expr(_bloom_pos_sql("g", "k")).alias("pos"))
+        .select("g", widx, mask)
+        .join(F.broadcast(bloom), "w", "left")
+        .select(
+            "g",
+            F.coalesce(
+                (F.col("word").bitwiseAND(F.col("mask")) != 0),
+                F.lit(False),
+            ).alias("hit"),
+        )
+        .groupBy("g")
+        .agg(F.expr("bool_and(hit)").alias("flagged"))
+    )
+    flagged_g = probed.filter(F.col("flagged")).select("g")
+    members = corpus_g.join(test_g, "g", "left_semi")
+    from ..functions.text import md5_mod_hash_sql
+
+    counts = (
+        test_g.agg(F.count(F.lit(1)).alias("n_test_grams"))
+        .crossJoin(corpus_g.agg(F.count(F.lit(1)).alias("n_corpus_grams")))
+        .crossJoin(
+            flagged_g.agg(
+                F.count(F.lit(1)).alias("n_flagged"),
+                F.coalesce(
+                    F.sum(F.expr(md5_mod_hash_sql("g"))), F.lit(0)
+                ).alias("flagged_binding"),
+            )
+        )
+        .crossJoin(members.agg(F.count(F.lit(1)).alias("n_members")))
+        .crossJoin(
+            corpus_gd.join(F.broadcast(flagged_g), "g", "left_semi")
+            .agg(F.countDistinct("doc_id").alias("docs_flagged"))
+        )
+    )
+    return counts.select(
+        "n_test_grams",
+        "n_corpus_grams",
+        "n_flagged",
+        "n_members",
+        (F.col("n_flagged") - F.col("n_members")).alias("n_false_pos"),
+        "docs_flagged",
+        "flagged_binding",
+    )
+
+
+QUERIES["bloom_decontam_stats"] = bloom_decontam_stats
+
+_BLOOM_GRAMS_DUCK = (
+    "toksb AS (SELECT doc_id, string_split(text, ' ') AS ws"
+    " FROM documents),"
+    " shb AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN"
+    " list_transform(range(1, len(ws) - 1),"
+    " i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])"
+    " ELSE [array_to_string(ws, ' ')] END AS shs FROM toksb),"
+    " gr AS (SELECT doc_id, unnest(shs) AS g FROM shb)"
+)
+
+ORACLES["bloom_decontam_stats"] = (
+    f"WITH {_BLOOM_GRAMS_DUCK},"
+    f" tg AS (SELECT DISTINCT g FROM gr"
+    f" WHERE doc_id % {BLOOM_TEST_MOD} = {BLOOM_TEST_REM}),"
+    f" cgd AS (SELECT doc_id, g FROM gr"
+    f" WHERE doc_id % {BLOOM_TEST_MOD} != {BLOOM_TEST_REM}),"
+    " cg AS (SELECT DISTINCT g FROM cgd),"
+    " bits AS (SELECT"
+    f" {_bloom_pos_duck('g', 'k')} AS pos"
+    f" FROM tg, unnest(range(0, {BLOOM_K})) AS u(k)),"
+    " bloom AS (SELECT CAST(pos // 63 AS INT) AS w,"
+    " bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS word"
+    " FROM bits GROUP BY 1),"
+    " pp AS (SELECT g,"
+    f" {_bloom_pos_duck('g', 'k')} AS pos"
+    f" FROM cg, unnest(range(0, {BLOOM_K})) AS u(k)),"
+    " probed AS (SELECT pp.g,"
+    " bool_and(COALESCE((b.word &"
+    " (CAST(1 AS BIGINT) << CAST(pp.pos % 63 AS INT))) != 0, FALSE))"
+    " AS flagged"
+    " FROM pp LEFT JOIN bloom b ON b.w = CAST(pp.pos // 63 AS INT)"
+    " GROUP BY pp.g),"
+    " fg AS (SELECT g FROM probed WHERE flagged),"
+    " mem AS (SELECT g FROM cg WHERE g IN (SELECT g FROM tg))"
+    " SELECT (SELECT COUNT(*) FROM tg) AS n_test_grams,"
+    " (SELECT COUNT(*) FROM cg) AS n_corpus_grams,"
+    " (SELECT COUNT(*) FROM fg) AS n_flagged,"
+    " (SELECT COUNT(*) FROM mem) AS n_members,"
+    " (SELECT COUNT(*) FROM fg) - (SELECT COUNT(*) FROM mem)"
+    " AS n_false_pos,"
+    " (SELECT COUNT(DISTINCT doc_id) FROM cgd"
+    " WHERE g IN (SELECT g FROM fg)) AS docs_flagged,"
+    " (SELECT COALESCE(CAST(SUM("
+    + _md5_duck("g")
+    + ") AS BIGINT), 0) FROM fg) AS flagged_binding"
+)

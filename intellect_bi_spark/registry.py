@@ -158,10 +158,11 @@ for _mod in _MODULES:
 # (b) r12 net-new: the two incremental index-maintenance queries
 #     (ann_index_upsert — frozen-model cell-partition merge;
 #     bm25_index_upsert — posting append + versioned lexicon/stats
-#     merge; both VERDICT r11 #2) and the MB4 ISO-BMFF box-tree
-#     container (VERDICT r11 #8);
-# (c) the oldest r8 rows, registry order, filling the remaining 16
-#     slots.
+#     merge; both VERDICT r11 #2), the MB4 ISO-BMFF box-tree
+#     container (VERDICT r11 #8), and the Bloom-filter membership
+#     decontam (the missing mergeable-summary family member);
+# (c) the oldest r8 rows, registry order, filling the remaining 15
+#     slots (through approx_distinct_counts).
 # NOT stale (identical generated plans, disclosed): the r12 memo-key
 # conversion (functions/memo.py — cache KEYING only; the persisted
 # relations and every consumer plan are unchanged) and the
@@ -170,8 +171,8 @@ for _mod in _MODULES:
 # bodies are the extracted verbatim text — same composition, same
 # plan; re-verified by this session's strict parity runs at sf0.001,
 # sf0.01 AND sf0.1).
-# Disclosed deferrals: the remaining 31 r8-cohort rows rotate in r13
-# (registry order continues from range_join_click_bursts); all are
+# Disclosed deferrals: the remaining 32 r8-cohort rows rotate in r13
+# (registry order continues from asof_join_clicks); all are
 # strict-parity green locally this session at sf0.001, sf0.01 AND
 # sf0.1 (tests/test_parity.py).
 # ---- superseded r11 front comment kept for the ledger: -------------
@@ -242,6 +243,7 @@ _FRONT = (
     "ann_index_upsert",
     "bm25_index_upsert",
     "video_features_mb4",
+    "bloom_decontam_stats",
     # -- (c) oldest r8 rows, registry order ------------------------------------
     "yoy_quarter",
     "corr_sales_satisfaction",
@@ -258,7 +260,6 @@ _FRONT = (
     "q22_dormant_customers",
     "skew_profile_orders_custkey",
     "approx_distinct_counts",
-    "asof_join_clicks",
 )
 
 _FRONT_R11 = (
