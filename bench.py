@@ -140,6 +140,7 @@ HEADLINE = [
     "snapshot_diff_orders",  # CDC full-outer snapshot diff (r8)
     "sketch_sliding_7d_users",  # windowed re-merge of stored sketches (r8)
     "bloom_decontam_stats",  # Bloom membership decontam probe (r12)
+    "sketch_rollup_upsert",  # day-partition cell append maintenance (r12)
     "user_click_streaks",  # order-dependent streak CEP batch twin (r8)
     "token_drift_tvd",  # exact train/test distribution drift (r8)
     "compaction_plan",  # small-file bin-packing planner (r8)
@@ -185,6 +186,7 @@ _ADDED_AFTER_R9 = {
     "bm25_index_upsert",
     "video_features_mb4",
     "bloom_decontam_stats",
+    "sketch_rollup_upsert",
 }
 
 # Queries whose individual bench rows depend on within-rep ordering

@@ -885,3 +885,98 @@ ORACLES["bloom_decontam_stats"] = (
     + _md5_duck("g")
     + ") AS BIGINT), 0) FROM fg) AS flagged_binding"
 )
+
+
+# --- incremental sketch-store maintenance (r12) ------------------------------
+
+
+def sketch_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance for the THIRD store family: the HLL
+    rollup is per-(day, type) cells, so an ingest batch of new days
+    merges by APPENDING its cells into new day partitions — no existing
+    partition is read or rewritten, and the serve-time ``hll_union_agg``
+    is associative/commutative, so upsert ≡ full rebuild by
+    construction (the cell relation is identical; the file-level and
+    cell-level claims are locked by tests/test_sketch_upsert.py).
+    Completes the incremental-maintenance story across all three
+    persisted stores (ANN cells / BM25 postings / sketch rollups).
+
+    Build the store from all days OUTSIDE the batch (day-of-month
+    % 7 == 3 marks the batch days), append the batch days' cells
+    computed from ONLY the batch events (the honest production input),
+    then serve merged per-type estimates from the upserted store,
+    self-checked against the exact distinct over ALL events
+    (self-checking-sketch rule: the flag's oracle is literal 1) with
+    the batch-day count bound into the row."""
+    import shutil
+    import tempfile
+
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    is_batch_day = F.dayofmonth(F.expr("CAST(ts AS DATE)")) % 7 == 3
+    tmp = tempfile.mkdtemp(prefix="sgraft_sketch_upsert_")
+    try:
+        user_sketch_rollup(ev.filter(~is_batch_day)).withColumn(
+            "day_part", F.col("day").cast("string")
+        ).write.partitionBy("day_part").parquet(f"{tmp}/rollup")
+        batch = ev.filter(is_batch_day)
+        user_sketch_rollup(batch).withColumn(
+            "day_part", F.col("day").cast("string")
+        ).write.mode("append").partitionBy("day_part").parquet(
+            f"{tmp}/rollup"
+        )
+        merged = serve_sketch_rollup_from_store(spark, tmp)
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_users")
+        )
+        updays = batch.agg(
+            F.countDistinct(F.expr("CAST(ts AS DATE)")).alias(
+                "n_upserted_days"
+            )
+        )
+        in_bounds = (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.greatest(
+                F.col("exact_users") * F.lit(_REL_BOUND),
+                F.lit(_ABS_SLACK),
+            )
+        )
+        out = (
+            merged.join(exact, "event_type")
+            .crossJoin(F.broadcast(updays))
+            .select(
+                "event_type",
+                "n_events",
+                "exact_users",
+                F.when(in_bounds, 1).otherwise(0).cast("int").alias(
+                    "store_in_bounds"
+                ),
+                "n_upserted_days",
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+QUERIES["sketch_rollup_upsert"] = sketch_rollup_upsert
+
+# upsert semantics: appended day cells + serve-time union must equal
+# the direct full-corpus aggregate (the flag oracle is literal 1 per
+# the self-checking-sketch rule; everything else exact)
+ORACLES["sketch_rollup_upsert"] = (
+    "WITH up AS (SELECT COUNT(DISTINCT CAST(ts AS DATE))"
+    " AS n_upserted_days FROM events"
+    " WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+    " AND EXTRACT(day FROM CAST(ts AS DATE)) % 7 = 3)"
+    " SELECT event_type,"
+    " COUNT(*) AS n_events,"
+    " COUNT(DISTINCT user_id) AS exact_users,"
+    " CAST(1 AS INT) AS store_in_bounds,"
+    " up.n_upserted_days"
+    " FROM events, up WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+    " GROUP BY event_type, up.n_upserted_days ORDER BY event_type"
+)

@@ -159,10 +159,12 @@ for _mod in _MODULES:
 #     (ann_index_upsert — frozen-model cell-partition merge;
 #     bm25_index_upsert — posting append + versioned lexicon/stats
 #     merge; both VERDICT r11 #2), the MB4 ISO-BMFF box-tree
-#     container (VERDICT r11 #8), and the Bloom-filter membership
-#     decontam (the missing mergeable-summary family member);
-# (c) the oldest r8 rows, registry order, filling the remaining 15
-#     slots (through approx_distinct_counts).
+#     container (VERDICT r11 #8), the Bloom-filter membership
+#     decontam (the missing mergeable-summary family member), and
+#     sketch_rollup_upsert (incremental maintenance for the third
+#     store family — day-partition cell append);
+# (c) the oldest r8 rows, registry order, filling the remaining 14
+#     slots (through skew_profile_orders_custkey).
 # NOT stale (identical generated plans, disclosed): the r12 memo-key
 # conversion (functions/memo.py — cache KEYING only; the persisted
 # relations and every consumer plan are unchanged) and the
@@ -171,8 +173,8 @@ for _mod in _MODULES:
 # bodies are the extracted verbatim text — same composition, same
 # plan; re-verified by this session's strict parity runs at sf0.001,
 # sf0.01 AND sf0.1).
-# Disclosed deferrals: the remaining 32 r8-cohort rows rotate in r13
-# (registry order continues from asof_join_clicks); all are
+# Disclosed deferrals: the remaining 33 r8-cohort rows rotate in r13
+# (registry order continues from approx_distinct_counts); all are
 # strict-parity green locally this session at sf0.001, sf0.01 AND
 # sf0.1 (tests/test_parity.py).
 # ---- superseded r11 front comment kept for the ledger: -------------
@@ -244,6 +246,7 @@ _FRONT = (
     "bm25_index_upsert",
     "video_features_mb4",
     "bloom_decontam_stats",
+    "sketch_rollup_upsert",
     # -- (c) oldest r8 rows, registry order ------------------------------------
     "yoy_quarter",
     "corr_sales_satisfaction",
@@ -259,7 +262,6 @@ _FRONT = (
     "q13_order_count_distribution",
     "q22_dormant_customers",
     "skew_profile_orders_custkey",
-    "approx_distinct_counts",
 )
 
 _FRONT_R11 = (
