@@ -92,6 +92,7 @@ HEADLINE = [
     "ann_index_upsert",  # incremental cell-partition merge, frozen model (r12)
     "bm25_index_store",  # parquet-persisted inverted-index serving (r10)
     "bm25_index_upsert",  # posting append + versioned lexicon merge (r12)
+    "bm25_stream_upsert_store",  # availableNow micro-batch upsert chain (r12)
     "text_quality_scores",
     "html_text_extract_stats",  # web-ingest markup strip/decode (r9)
     "chunk_documents",
@@ -187,6 +188,7 @@ _ADDED_AFTER_R9 = {
     "video_features_mb4",
     "bloom_decontam_stats",
     "sketch_rollup_upsert",
+    "bm25_stream_upsert_store",
 }
 
 # Queries whose individual bench rows depend on within-rep ordering

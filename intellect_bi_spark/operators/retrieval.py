@@ -581,12 +581,12 @@ def _base_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def build_bm25_index_v2(spark: SparkSession, sf_dir: str, path: str) -> None:
-    """Initial build of the UPSERTABLE store on the base corpus (the
-    upsert batch held out): bucket-partitioned postings, versioned
-    lexicon (derived from the stored postings, the v1 drift-proofing
-    discipline) and versioned (n_docs, sum_len) stats."""
-    toks = _toks_of(_base_docs(spark, sf_dir).filter(~_doc_batch_pred()))
+def _init_bm25_store(docs: DataFrame, path: str) -> None:
+    """First write of an upsertable store from a document frame:
+    bucket-partitioned postings, v=1 lexicon (derived from the STORED
+    postings, the drift-proofing discipline) and v=1 stats."""
+    spark = docs.sparkSession
+    toks = _toks_of(docs)
     (
         _postings_of(toks)
         .repartition(N_TB, "tb")
@@ -598,6 +598,14 @@ def build_bm25_index_v2(spark: SparkSession, sf_dir: str, path: str) -> None:
         F.count(F.lit(1)).alias("df")
     ).write.parquet(f"{path}/lexicon/v=1")
     _stats2_of(toks).write.parquet(f"{path}/stats/v=1")
+
+
+def build_bm25_index_v2(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Initial build of the UPSERTABLE store on the base corpus (the
+    upsert batch held out)."""
+    _init_bm25_store(
+        _base_docs(spark, sf_dir).filter(~_doc_batch_pred()), path
+    )
 
 
 def upsert_bm25_index(
@@ -703,10 +711,95 @@ def bm25_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+N_FEED_FILES = 4  # staged corpus files → availableNow micro-batches
+
+
+def bm25_stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingestion into the upsertable lexical store: stage the
+    corpus as N_FEED_FILES parquet files, run a REAL availableNow file
+    stream over them (`maxFilesPerTrigger=1` → one micro-batch per
+    file), and let ``foreachBatch`` drive the store — batch 0
+    initializes it, every later batch runs the SAME versioned upsert
+    the batch path certifies (posting append + lexicon/stats merge).
+    After the stream drains, the fixed query is served from the final
+    version and must equal the DIRECT full-corpus scoring — proving the
+    upsert chain COMPOSES: N successive merges from an empty store
+    reconstruct the exact global index state (associativity of every
+    merged integer), driven by the real streaming engine rather than a
+    hand-rolled loop.  This is how a 100 TB deployment actually feeds
+    its retrieval index: a continuous ingest stream upserting
+    per-micro-batch, never a rebuild.  Output: the top-k rows plus
+    n_docs_indexed read from the FINAL stats version (binds the chain's
+    accounting into the checked result); the 4-micro-batch version
+    chain itself is locked by tests/test_vectorstore.py."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25_stream_")
+    try:
+        _run_bm25_upsert_stream(spark, sf_dir, tmp)
+        store = f"{tmp}/store"
+        v = _latest_version(f"{store}/stats")
+        nd = spark.read.parquet(f"{store}/stats/v={v}").select(
+            F.col("n_docs").alias("n_docs_indexed")
+        )
+        out = (
+            serve_bm25_v2(spark, store)
+            .crossJoin(F.broadcast(nd))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _run_bm25_upsert_stream(
+    spark: SparkSession, sf_dir: str, root: str
+) -> None:
+    """Stage the corpus feed, run the availableNow upsert stream into
+    ``root/store``, and block until it drains (extracted so the
+    version-chain unit can inspect the store the registry query
+    deletes)."""
+    store = f"{root}/store"
+    docs = _base_docs(spark, sf_dir)
+    docs.repartition(N_FEED_FILES).write.parquet(f"{root}/feed")
+
+    def sink(bdf: DataFrame, _bid: int) -> None:
+        import os
+
+        if bdf.isEmpty():
+            return
+        if not os.path.isdir(f"{store}/lexicon"):
+            _init_bm25_store(bdf, store)
+        else:
+            upsert_bm25_index(bdf.sparkSession, sf_dir, store, bdf)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/feed")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+        if q.isActive:
+            raise TimeoutError("bm25 upsert stream did not drain in 300 s")
+    finally:
+        if q.isActive:
+            try:
+                q.stop()
+            except Exception:
+                pass
+
+
 QUERIES = {
     "bm25_topk_docs": bm25_topk_docs,
     "bm25_index_store": bm25_index_store,
     "bm25_index_upsert": bm25_index_upsert,
+    "bm25_stream_upsert_store": bm25_stream_upsert_store,
     "hybrid_search_rrf": hybrid_search_rrf,
     "bm25_ndcg_eval": bm25_ndcg_eval,
     "fuzzy_name_match_summary": fuzzy_name_match_summary,
@@ -799,6 +892,35 @@ ORACLES["bm25_index_upsert"] = (
     f" CAST(FLOOR(score * {SCORE_QUANT}.0 + 0.5) AS BIGINT) AS score_q,"
     " up.n_upserted"
     " FROM per CROSS JOIN up"
+    f" ORDER BY score_q DESC, doc_id LIMIT {TOP_K}"
+)
+
+# streaming-upsert semantics: N micro-batch merges from an empty store
+# must reconstruct the exact global index — the oracle is the direct
+# full-corpus scoring with the corpus count bound in
+ORACLES["bm25_stream_upsert_store"] = (
+    f"WITH tok AS ({_TOKS_DUCK}),"
+    " st AS (SELECT CAST(SUM(len(toks)) AS DOUBLE)"
+    " / CAST(COUNT(*) AS DOUBLE) AS avgdl,"
+    " COUNT(*) AS n_docs FROM tok),"
+    " base AS (SELECT doc_id, len(toks) AS dl,"
+    f" unnest(list_filter(toks, t -> t IN ({_terms_in()}))) AS term"
+    " FROM tok),"
+    " tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM base"
+    " GROUP BY doc_id, dl, term),"
+    " dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),"
+    " scored AS (SELECT doc_id, term,"
+    f" {_bm25_term_score('tf', 'df', 'dl', 'n_docs')} AS s"
+    " FROM tf JOIN dfs USING (term) CROSS JOIN st),"
+    " per AS (SELECT doc_id, COUNT(*) AS n_hit_terms,"
+    " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list(s ORDER BY term)), (acc, v) -> acc + v) AS score"
+    " FROM scored GROUP BY doc_id),"
+    " nd AS (SELECT COUNT(*) AS n_docs_indexed FROM documents)"
+    " SELECT doc_id, n_hit_terms,"
+    f" CAST(FLOOR(score * {SCORE_QUANT}.0 + 0.5) AS BIGINT) AS score_q,"
+    " nd.n_docs_indexed"
+    " FROM per CROSS JOIN nd"
     f" ORDER BY score_q DESC, doc_id LIMIT {TOP_K}"
 )
 

@@ -160,11 +160,13 @@ for _mod in _MODULES:
 #     bm25_index_upsert — posting append + versioned lexicon/stats
 #     merge; both VERDICT r11 #2), the MB4 ISO-BMFF box-tree
 #     container (VERDICT r11 #8), the Bloom-filter membership
-#     decontam (the missing mergeable-summary family member), and
+#     decontam (the missing mergeable-summary family member),
 #     sketch_rollup_upsert (incremental maintenance for the third
-#     store family — day-partition cell append);
-# (c) the oldest r8 rows, registry order, filling the remaining 14
-#     slots (through skew_profile_orders_custkey).
+#     store family — day-partition cell append), and
+#     bm25_stream_upsert_store (the availableNow ingest stream driving
+#     the versioned upsert chain per micro-batch);
+# (c) the oldest r8 rows, registry order, filling the remaining 13
+#     slots (through q22_dormant_customers).
 # NOT stale (identical generated plans, disclosed): the r12 memo-key
 # conversion (functions/memo.py — cache KEYING only; the persisted
 # relations and every consumer plan are unchanged) and the
@@ -173,8 +175,8 @@ for _mod in _MODULES:
 # bodies are the extracted verbatim text — same composition, same
 # plan; re-verified by this session's strict parity runs at sf0.001,
 # sf0.01 AND sf0.1).
-# Disclosed deferrals: the remaining 33 r8-cohort rows rotate in r13
-# (registry order continues from approx_distinct_counts); all are
+# Disclosed deferrals: the remaining 34 r8-cohort rows rotate in r13
+# (registry order continues from skew_profile_orders_custkey); all are
 # strict-parity green locally this session at sf0.001, sf0.01 AND
 # sf0.1 (tests/test_parity.py).
 # ---- superseded r11 front comment kept for the ledger: -------------
@@ -247,6 +249,7 @@ _FRONT = (
     "video_features_mb4",
     "bloom_decontam_stats",
     "sketch_rollup_upsert",
+    "bm25_stream_upsert_store",
     # -- (c) oldest r8 rows, registry order ------------------------------------
     "yoy_quarter",
     "corr_sales_satisfaction",
@@ -261,7 +264,6 @@ _FRONT = (
     "q18_large_orders",
     "q13_order_count_distribution",
     "q22_dormant_customers",
-    "skew_profile_orders_custkey",
 )
 
 _FRONT_R11 = (

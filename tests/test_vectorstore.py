@@ -419,3 +419,39 @@ def test_bm25_v2_serve_prunes_term_buckets(spark, sf_dir):
         assert any("tb" in ln for ln in part), plan[:2000]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bm25_stream_upsert_version_chain(spark, sf_dir):
+    """The streaming ingest really runs as N_FEED_FILES micro-batches
+    (maxFilesPerTrigger=1 under availableNow), each landing one more
+    lexicon/stats version — and the final version serves the exact
+    direct full-corpus ranking (the upsert chain composes)."""
+    import os
+
+    from intellect_bi_spark.operators import retrieval as rt
+
+    want = [
+        (r["doc_id"], r["n_hit_terms"], r["score_q"])
+        for r in rt.bm25_topk_docs(spark, sf_dir).collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25streamtest_")
+    try:
+        rt._run_bm25_upsert_stream(spark, sf_dir, tmp)
+        store = f"{tmp}/store"
+        assert rt._latest_version(f"{store}/lexicon") == rt.N_FEED_FILES
+        assert rt._latest_version(f"{store}/stats") == rt.N_FEED_FILES
+        # every intermediate version survives (snapshot isolation chain)
+        for v in range(1, rt.N_FEED_FILES + 1):
+            assert os.path.isdir(f"{store}/lexicon/v={v}")
+        got = [
+            (r["doc_id"], r["n_hit_terms"], r["score_q"])
+            for r in rt.serve_bm25_v2(spark, store).collect()
+        ]
+        assert got == want and len(got) == rt.TOP_K
+        # final stats == full corpus accounting
+        v = rt._latest_version(f"{store}/stats")
+        stats = spark.read.parquet(f"{store}/stats/v={v}").collect()[0]
+        n_docs = rt._base_docs(spark, sf_dir).count()
+        assert stats["n_docs"] == n_docs
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
