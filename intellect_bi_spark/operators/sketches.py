@@ -760,6 +760,26 @@ def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..functions.text import P as P_BIND  # noqa: E402  (binding modulus)
+
+GH_MOD = 1 << 60  # gram-key domain: the md5 hash condenses each gram
+# string to an 8-byte key BEFORE any distinct/shuffle (the dedup
+# discipline — exchanges move longs, never multi-word strings);
+# expected collisions at 2^60 are ~n²/2^61 (≈1e-6 at a million grams),
+# the module's accepted-risk class, and BOTH engines hash identically
+# so parity is unaffected either way
+
+
+def _doc_gram_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gh): hashed gram rows — the map-side condense every
+    downstream stage (distinct, bloom positions, semi-joins) runs on."""
+    from ..functions.text import md5_mod_hash_sql
+
+    return _doc_grams(spark, sf_dir).select(
+        "doc_id", F.expr(md5_mod_hash_sql("g", GH_MOD)).alias("gh")
+    )
+
+
 def bloom_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a Bloom filter over the benchmark split's distinct 3-grams
     (BLOOM_K salted-md5 positions each, BIGINT words via bit_or), probe
@@ -772,11 +792,11 @@ def bloom_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction, and the oracle recomputes every bit — so a green
     row certifies the filter build, the probe, and each individual
     false positive."""
-    grams = _doc_grams(spark, sf_dir)
+    grams = _doc_gram_keys(spark, sf_dir)
     is_test = F.col("doc_id") % BLOOM_TEST_MOD == BLOOM_TEST_REM
-    test_g = grams.filter(is_test).select("g").distinct()
+    test_g = grams.filter(is_test).select("gh").distinct()
     corpus_gd = grams.filter(~is_test)
-    corpus_g = corpus_gd.select("g").distinct()
+    corpus_g = corpus_gd.select("gh").distinct()
 
     ks = F.explode(F.expr(f"sequence(0, {BLOOM_K - 1})")).alias("k")
     mask = F.expr(
@@ -784,31 +804,31 @@ def bloom_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("mask")
     widx = F.expr("CAST(pos DIV 63 AS INT)").alias("w")
     bloom = (
-        test_g.select("g", ks)
-        .select(F.expr(_bloom_pos_sql("g", "k")).alias("pos"))
+        test_g.select("gh", ks)
+        .select(F.expr(_bloom_pos_sql("CAST(gh AS STRING)", "k")).alias("pos"))
         .select(widx, mask)
         .groupBy("w")
         .agg(F.expr("bit_or(mask)").alias("word"))
     )
     probed = (
-        corpus_g.select("g", ks)
-        .select("g", F.expr(_bloom_pos_sql("g", "k")).alias("pos"))
-        .select("g", widx, mask)
+        corpus_g.select("gh", ks)
+        .select(
+            "gh", F.expr(_bloom_pos_sql("CAST(gh AS STRING)", "k")).alias("pos")
+        )
+        .select("gh", widx, mask)
         .join(F.broadcast(bloom), "w", "left")
         .select(
-            "g",
+            "gh",
             F.coalesce(
                 (F.col("word").bitwiseAND(F.col("mask")) != 0),
                 F.lit(False),
             ).alias("hit"),
         )
-        .groupBy("g")
+        .groupBy("gh")
         .agg(F.expr("bool_and(hit)").alias("flagged"))
     )
-    flagged_g = probed.filter(F.col("flagged")).select("g")
-    members = corpus_g.join(test_g, "g", "left_semi")
-    from ..functions.text import md5_mod_hash_sql
-
+    flagged_g = probed.filter(F.col("flagged")).select("gh")
+    members = corpus_g.join(test_g, "gh", "left_semi")
     counts = (
         test_g.agg(F.count(F.lit(1)).alias("n_test_grams"))
         .crossJoin(corpus_g.agg(F.count(F.lit(1)).alias("n_corpus_grams")))
@@ -816,13 +836,13 @@ def bloom_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             flagged_g.agg(
                 F.count(F.lit(1)).alias("n_flagged"),
                 F.coalesce(
-                    F.sum(F.expr(md5_mod_hash_sql("g"))), F.lit(0)
+                    F.sum(F.col("gh") % F.lit(P_BIND)), F.lit(0)
                 ).alias("flagged_binding"),
             )
         )
         .crossJoin(members.agg(F.count(F.lit(1)).alias("n_members")))
         .crossJoin(
-            corpus_gd.join(F.broadcast(flagged_g), "g", "left_semi")
+            corpus_gd.join(F.broadcast(flagged_g), "gh", "left_semi")
             .agg(F.countDistinct("doc_id").alias("docs_flagged"))
         )
     )
@@ -851,28 +871,29 @@ _BLOOM_GRAMS_DUCK = (
 
 ORACLES["bloom_decontam_stats"] = (
     f"WITH {_BLOOM_GRAMS_DUCK},"
-    f" tg AS (SELECT DISTINCT g FROM gr"
+    f" grh AS (SELECT doc_id, {_md5_duck('g', GH_MOD)} AS gh FROM gr),"
+    f" tg AS (SELECT DISTINCT gh FROM grh"
     f" WHERE doc_id % {BLOOM_TEST_MOD} = {BLOOM_TEST_REM}),"
-    f" cgd AS (SELECT doc_id, g FROM gr"
+    f" cgd AS (SELECT doc_id, gh FROM grh"
     f" WHERE doc_id % {BLOOM_TEST_MOD} != {BLOOM_TEST_REM}),"
-    " cg AS (SELECT DISTINCT g FROM cgd),"
+    " cg AS (SELECT DISTINCT gh FROM cgd),"
     " bits AS (SELECT"
-    f" {_bloom_pos_duck('g', 'k')} AS pos"
+    f" {_bloom_pos_duck('CAST(gh AS VARCHAR)', 'k')} AS pos"
     f" FROM tg, unnest(range(0, {BLOOM_K})) AS u(k)),"
     " bloom AS (SELECT CAST(pos // 63 AS INT) AS w,"
     " bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS word"
     " FROM bits GROUP BY 1),"
-    " pp AS (SELECT g,"
-    f" {_bloom_pos_duck('g', 'k')} AS pos"
+    " pp AS (SELECT gh,"
+    f" {_bloom_pos_duck('CAST(gh AS VARCHAR)', 'k')} AS pos"
     f" FROM cg, unnest(range(0, {BLOOM_K})) AS u(k)),"
-    " probed AS (SELECT pp.g,"
+    " probed AS (SELECT pp.gh,"
     " bool_and(COALESCE((b.word &"
     " (CAST(1 AS BIGINT) << CAST(pp.pos % 63 AS INT))) != 0, FALSE))"
     " AS flagged"
     " FROM pp LEFT JOIN bloom b ON b.w = CAST(pp.pos // 63 AS INT)"
-    " GROUP BY pp.g),"
-    " fg AS (SELECT g FROM probed WHERE flagged),"
-    " mem AS (SELECT g FROM cg WHERE g IN (SELECT g FROM tg))"
+    " GROUP BY pp.gh),"
+    " fg AS (SELECT gh FROM probed WHERE flagged),"
+    " mem AS (SELECT gh FROM cg WHERE gh IN (SELECT gh FROM tg))"
     " SELECT (SELECT COUNT(*) FROM tg) AS n_test_grams,"
     " (SELECT COUNT(*) FROM cg) AS n_corpus_grams,"
     " (SELECT COUNT(*) FROM fg) AS n_flagged,"
@@ -880,10 +901,9 @@ ORACLES["bloom_decontam_stats"] = (
     " (SELECT COUNT(*) FROM fg) - (SELECT COUNT(*) FROM mem)"
     " AS n_false_pos,"
     " (SELECT COUNT(DISTINCT doc_id) FROM cgd"
-    " WHERE g IN (SELECT g FROM fg)) AS docs_flagged,"
-    " (SELECT COALESCE(CAST(SUM("
-    + _md5_duck("g")
-    + ") AS BIGINT), 0) FROM fg) AS flagged_binding"
+    " WHERE gh IN (SELECT gh FROM fg)) AS docs_flagged,"
+    f" (SELECT COALESCE(CAST(SUM(gh % {P_BIND}) AS BIGINT), 0) FROM fg)"
+    " AS flagged_binding"
 )
 
 

@@ -31,14 +31,16 @@ def test_bloom_no_false_negatives_and_bounds(spark, sf_dir):
 def test_bloom_word_array_is_broadcast_sized(spark, sf_dir):
     """The scale claim: the filter condenses to ≤ BLOOM_M/64 BIGINT
     words (1 KB) no matter how large the benchmark split is."""
-    grams = sk._doc_grams(spark, sf_dir)
+    grams = sk._doc_gram_keys(spark, sf_dir)
     test_g = grams.filter(
         F.col("doc_id") % sk.BLOOM_TEST_MOD == sk.BLOOM_TEST_REM
-    ).select("g").distinct()
+    ).select("gh").distinct()
     ks = F.explode(F.expr(f"sequence(0, {sk.BLOOM_K - 1})")).alias("k")
     bloom = (
-        test_g.select("g", ks)
-        .select(F.expr(sk._bloom_pos_sql("g", "k")).alias("pos"))
+        test_g.select("gh", ks)
+        .select(
+            F.expr(sk._bloom_pos_sql("CAST(gh AS STRING)", "k")).alias("pos")
+        )
         .select(
             F.expr("CAST(pos DIV 63 AS INT)").alias("w"),
             F.expr(
