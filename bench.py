@@ -90,6 +90,7 @@ HEADLINE = [
     "ann_index_store",  # parquet-persisted IVF-PQ index serving (r9)
     "ann_index_store_batch",  # build-once/serve-many batch from the store (r9)
     "ann_index_upsert",  # incremental cell-partition merge, frozen model (r12)
+    "ann_index_compact",  # post-upsert affected-cell compaction (r12)
     "bm25_index_store",  # parquet-persisted inverted-index serving (r10)
     "bm25_index_upsert",  # posting append + versioned lexicon merge (r12)
     "bm25_stream_upsert_store",  # availableNow micro-batch upsert chain (r12)
@@ -189,6 +190,7 @@ _ADDED_AFTER_R9 = {
     "bloom_decontam_stats",
     "sketch_rollup_upsert",
     "bm25_stream_upsert_store",
+    "ann_index_compact",
 }
 
 # Queries whose individual bench rows depend on within-rep ordering

@@ -468,10 +468,81 @@ def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def compact_index_cells(spark: SparkSession, path: str, cells) -> None:
+    """Post-upsert maintenance: every append-mode upsert leaves one more
+    small file in each affected cell partition; compaction rewrites
+    ONLY those cells, coalescing each back to one file, via dynamic
+    partition overwrite (the sources/sinks.upsert_embeddings
+    copy-on-write discipline: untouched cells are never read or
+    rewritten).  The affected rows are localCheckpointed first — Spark
+    refuses to overwrite a path that appears in the write's own read
+    plan, and the checkpoint (bounded: the affected cells' 2-byte-class
+    code rows) severs that lineage.  At 100 TB this runs per-cell-batch
+    on a schedule, exactly the job the generic ``compaction_plan``
+    operator budgets."""
+    cells = sorted(int(c) for c in cells)
+    if not cells:
+        return
+    affected = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("cell").isin(cells))
+        .localCheckpoint(eager=True)
+    )
+    (
+        affected.repartition(len(cells), "cell")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+
+
+def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full maintenance cycle: build the frozen-model store, upsert
+    the ingest batch (affected cells gain an appended file), COMPACT
+    exactly the affected cells back to one file each, and serve the
+    fixed top-k from the compacted store.  The oracle is the identical
+    full-rebuild restatement the upsert row uses — a green row proves
+    compaction is a pure physical rewrite (served results unchanged);
+    the file-level claims (one file per compacted cell, unaffected
+    cells byte-untouched) are locked by tests/test_vectorstore.py."""
+    import shutil
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    batch = emb.filter(_upsert_batch_pred())
+    tmp = tempfile.mkdtemp(prefix="sgraft_ann_compact_")
+    try:
+        build_index_frozen(spark, sf_dir, tmp)
+        upsert_index(spark, sf_dir, tmp, batch)
+        centroids = spark.read.parquet(f"{tmp}/centroids")
+        touched_rows = _assign_cells(batch, centroids)
+        # bounded driver-side scalar list (≤ N_CELLS ints — the
+        # sinks.upsert_embeddings model-boundary collect class)
+        affected = [
+            r["cell"]
+            for r in touched_rows.select("cell").distinct().collect()
+        ]
+        compact_index_cells(spark, tmp, affected)
+        ncc = touched_rows.agg(
+            F.countDistinct("cell").alias("n_cells_compacted")
+        )
+        _, codebook, codes = read_index(spark, tmp)
+        out = (
+            topk_from_index(centroids, codebook, codes, emb)
+            .crossJoin(F.broadcast(ncc))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "ann_index_store": ann_index_store,
     "ann_index_store_batch": ann_index_store_batch,
     "ann_index_upsert": ann_index_upsert,
+    "ann_index_compact": ann_index_compact,
 }
 
 
@@ -656,8 +727,20 @@ def _upsert_oracle() -> str:
     )
 
 
+def _compact_oracle() -> str:
+    """Compaction is a pure physical rewrite, so its oracle IS the
+    upsert oracle with only the telemetry column swapped — proving the
+    served results are unchanged by the rewrite."""
+    o = _upsert_oracle()
+    old_sel = " up.n_upserted, up.n_cells_touched"
+    if o.count(old_sel) != 1:  # text-surgery guard
+        raise AssertionError("upsert oracle shape changed; update compact")
+    return o.replace(old_sel, " up.n_cells_touched AS n_cells_compacted")
+
+
 ORACLES = {
     "ann_index_store": _oracle(),
     "ann_index_store_batch": _batch_oracle(),
     "ann_index_upsert": _upsert_oracle(),
+    "ann_index_compact": _compact_oracle(),
 }

@@ -162,11 +162,13 @@ for _mod in _MODULES:
 #     container (VERDICT r11 #8), the Bloom-filter membership
 #     decontam (the missing mergeable-summary family member),
 #     sketch_rollup_upsert (incremental maintenance for the third
-#     store family — day-partition cell append), and
+#     store family — day-partition cell append),
 #     bm25_stream_upsert_store (the availableNow ingest stream driving
-#     the versioned upsert chain per micro-batch);
-# (c) the oldest r8 rows, registry order, filling the remaining 13
-#     slots (through q22_dormant_customers).
+#     the versioned upsert chain per micro-batch), and
+#     ann_index_compact (post-upsert cell compaction — the physical
+#     rewrite is provably serve-invariant);
+# (c) the oldest r8 rows, registry order, filling the remaining 12
+#     slots (through q13_order_count_distribution).
 # NOT stale (identical generated plans, disclosed): the r12 memo-key
 # conversion (functions/memo.py — cache KEYING only; the persisted
 # relations and every consumer plan are unchanged) and the
@@ -175,8 +177,8 @@ for _mod in _MODULES:
 # bodies are the extracted verbatim text — same composition, same
 # plan; re-verified by this session's strict parity runs at sf0.001,
 # sf0.01 AND sf0.1).
-# Disclosed deferrals: the remaining 34 r8-cohort rows rotate in r13
-# (registry order continues from skew_profile_orders_custkey); all are
+# Disclosed deferrals: the remaining 35 r8-cohort rows rotate in r13
+# (registry order continues from q22_dormant_customers); all are
 # strict-parity green locally this session at sf0.001, sf0.01 AND
 # sf0.1 (tests/test_parity.py).
 # ---- superseded r11 front comment kept for the ledger: -------------
@@ -250,6 +252,7 @@ _FRONT = (
     "bloom_decontam_stats",
     "sketch_rollup_upsert",
     "bm25_stream_upsert_store",
+    "ann_index_compact",
     # -- (c) oldest r8 rows, registry order ------------------------------------
     "yoy_quarter",
     "corr_sales_satisfaction",
@@ -263,7 +266,6 @@ _FRONT = (
     "orders_by_status",
     "q18_large_orders",
     "q13_order_count_distribution",
-    "q22_dormant_customers",
 )
 
 _FRONT_R11 = (

@@ -455,3 +455,67 @@ def test_bm25_stream_upsert_version_chain(spark, sf_dir):
         assert stats["n_docs"] == n_docs
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_compact_rewrites_only_affected_cells_to_one_file(spark, sf_dir):
+    """After upsert, affected cells hold 2 files; compaction must (a)
+    coalesce each affected cell to ONE file with identical code
+    content, (b) leave every unaffected cell's files byte-untouched,
+    and (c) leave the served ranking unchanged."""
+    import os
+
+    emb = _emb(spark, sf_dir)
+    batch = emb.filter(vs._upsert_batch_pred())
+    tmp = tempfile.mkdtemp(prefix="sgraft_compact_")
+    try:
+        vs.build_index_frozen(spark, sf_dir, tmp)
+        vs.upsert_index(spark, sf_dir, tmp, batch)
+        centroids = spark.read.parquet(f"{tmp}/centroids")
+        affected = {
+            f"cell={r['cell']}"
+            for r in vs._assign_cells(batch, centroids)
+            .select("cell")
+            .distinct()
+            .collect()
+        }
+        before = _codes_files(tmp)
+        sizes = {
+            (d, f): os.path.getsize(os.path.join(tmp, "codes", d, f))
+            for d, fs in before.items()
+            for f in fs
+        }
+        codes_before = sorted(
+            (r["vec_id"], r["m"], r["cid"], r["cell"])
+            for r in vs.read_index(spark, tmp)[2].collect()
+        )
+        serve_before = [
+            (r["vec_id"], r["label"], r["cosine"])
+            for r in vs.topk_from_index(*vs.read_index(spark, tmp), emb).collect()
+        ]
+        assert any(len(before[d]) > 1 for d in affected)  # fragmentation real
+        vs.compact_index_cells(
+            spark, tmp, [int(d.split("=")[1]) for d in affected]
+        )
+        after = _codes_files(tmp)
+        for d in after:
+            if d in affected:
+                assert len(after[d]) == 1, f"{d}: not coalesced"
+            else:
+                assert after[d] == before[d], f"{d}: untouched cell changed"
+                for f in before[d]:
+                    assert (
+                        os.path.getsize(os.path.join(tmp, "codes", d, f))
+                        == sizes[(d, f)]
+                    )
+        codes_after = sorted(
+            (r["vec_id"], r["m"], r["cid"], r["cell"])
+            for r in vs.read_index(spark, tmp)[2].collect()
+        )
+        assert codes_after == codes_before
+        serve_after = [
+            (r["vec_id"], r["label"], r["cosine"])
+            for r in vs.topk_from_index(*vs.read_index(spark, tmp), emb).collect()
+        ]
+        assert serve_after == serve_before
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
