@@ -11,9 +11,26 @@ context, so the aliasing hazard disappears).
 Lifecycle (ADVICE r11): entries are capped (FIFO — an evicted relation
 simply recomputes and re-persists on next use, the windows._PERSISTED
 policy) and every ``put`` first evicts entries whose owning session has
-been stopped or collected, so a long-lived process that cycles through
-many SparkSessions/corpora cannot accumulate pinned frames or keep dead
-session objects alive (entries hold only a weakref to their session).
+been STOPPED or collected, so a long-lived process that cycles through
+many SparkSessions/corpora cannot accumulate entries past the cap.
+Scope of the guarantee (ADVICE r12): the weakref in each entry is to
+the session OBJECT, but the cached DataFrame payload itself strongly
+references its SparkSession — so a session that is dropped WITHOUT
+being stopped stays pinned by its payload until cap/stopped eviction
+reaches it.  The hard guarantees are (a) stopped sessions' entries are
+released on the next put, and (b) the total footprint never exceeds
+MEMO_CAP entries; the collected-session path only covers payloads that
+do not reference the session (exercised by the test stubs).
+
+``put`` under a key that is already present REPLACES that entry in
+place (unpersisting the old payload) — it never evicts an unrelated
+older entry for a same-key refresh (ADVICE r12).
+
+Contextless sessions (VERDICT r12): ``session_key`` falls back to a
+``pyid-…`` key when the session has no live context — that key is
+id-based and reusable after GC, the exact aliasing hazard the
+applicationId migration removed, so ``put`` REFUSES to memoize under
+it (compute-without-caching) and ``get`` can never hit one.
 """
 
 from __future__ import annotations
@@ -72,6 +89,13 @@ class SessionMemo:
         return None if entry is None else entry[1]
 
     def put(self, spark: Any, sf_dir: str, payload: Any) -> Any:
+        key = session_key(spark)
+        if key.startswith("pyid-"):
+            # a contextless session has no stable identity — memoizing
+            # under the reusable-after-GC id() key would re-admit the
+            # aliasing hazard applicationId keying removed (VERDICT
+            # r12).  Hand the caller its frames without caching.
+            return payload
         # evict entries whose owning session is gone (ADVICE r11): a
         # stopped context's persisted frames are already invalid, and
         # holding them would pin the dead session via the DataFrame
@@ -80,14 +104,19 @@ class SessionMemo:
             if owner is None or _is_stopped(owner):
                 _unpersist_all(pl)
                 del self._entries[k]
-        while len(self._entries) >= self._cap:
-            oldest = next(iter(self._entries))
-            _unpersist_all(self._entries.pop(oldest)[1])
+        if (key, sf_dir) in self._entries:
+            # same-key refresh: replace in place, releasing the stale
+            # payload — never evict an unrelated entry (ADVICE r12)
+            _unpersist_all(self._entries.pop((key, sf_dir))[1])
+        else:
+            while len(self._entries) >= self._cap:
+                oldest = next(iter(self._entries))
+                _unpersist_all(self._entries.pop(oldest)[1])
         try:
             ref = weakref.ref(spark)
         except TypeError:  # exotic session objects without __weakref__
             ref = (lambda s: (lambda: s))(spark)
-        self._entries[(session_key(spark), sf_dir)] = (ref, payload)
+        self._entries[(key, sf_dir)] = (ref, payload)
         return payload
 
     def clear(self) -> None:

@@ -114,6 +114,39 @@ def test_collected_session_entries_evicted_on_put() -> None:
     assert frame.unpersisted == 1
 
 
+def test_contextless_session_neither_stores_nor_retrieves() -> None:
+    """VERDICT r12: a session without a live context falls back to a
+    ``pyid-…`` key — the reusable-after-GC identity the applicationId
+    migration removed — so the memo must refuse to cache under it."""
+
+    class _NoContext:
+        pass
+
+    memo = SessionMemo()
+    s = _NoContext()
+    assert session_key(s).startswith("pyid-")
+    frame = _FakeFrame()
+    assert memo.put(s, "/sf", frame) is frame  # caller still gets frames
+    assert len(memo) == 0  # …but nothing was memoized
+    assert memo.get(s, "/sf") is None
+
+
+def test_same_key_refresh_replaces_in_place() -> None:
+    """ADVICE r12: put() on an already-present key must unpersist the
+    replaced payload and must NOT evict an unrelated older entry."""
+    memo = SessionMemo(cap=2)
+    s = _FakeSession("app-A")
+    other, old, new = _FakeFrame(), _FakeFrame(), _FakeFrame()
+    memo.put(s, "/other", other)
+    memo.put(s, "/sf", old)
+    memo.put(s, "/sf", new)  # at cap, but same-key → no eviction
+    assert len(memo) == 2
+    assert old.unpersisted == 1  # stale payload released
+    assert other.unpersisted == 0  # unrelated entry untouched
+    assert memo.get(s, "/other") is other
+    assert memo.get(s, "/sf") is new
+
+
 def test_tuple_payloads_fully_unpersisted_on_clear() -> None:
     memo = SessionMemo()
     s = _FakeSession("app-A")
