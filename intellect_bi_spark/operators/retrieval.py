@@ -562,14 +562,41 @@ def _stats2_of(toks: DataFrame) -> DataFrame:
     )
 
 
-def _latest_version(path: str) -> int:
-    import os
+def _fs_of(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path) for ``path`` — resolves through the
+    session's Hadoop configuration, so version discovery and existence
+    checks work on ANY supported filesystem (HDFS, S3A, local), not
+    just driver-local POSIX (ADVICE r12: the earlier ``os.listdir``
+    form silently assumed the store lived on the driver's disk)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(
+        spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+    )
+    return fs, hpath
 
-    vs = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(path)
-        if d.startswith("v=")
-    ]
+
+def _store_dir_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _fs_of(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def _versions_in(spark: SparkSession, path: str) -> list[int]:
+    fs, hpath = _fs_of(spark, path)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("v="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def _latest_version(spark: SparkSession, path: str) -> int:
+    vs = _versions_in(spark, path)
+    if not vs:
+        raise FileNotFoundError(f"no v=N versions under {path}")
     return max(vs)
 
 
@@ -609,13 +636,16 @@ def build_bm25_index_v2(spark: SparkSession, sf_dir: str, path: str) -> None:
 
 
 def upsert_bm25_index(
-    spark: SparkSession, sf_dir: str, path: str, batch_docs: DataFrame
+    spark: SparkSession, path: str, batch_docs: DataFrame
 ) -> None:
     """Merge a new document batch into the stored index: append the
     batch's postings into their term buckets (pre-existing posting
     files are never rewritten — tests prove the file-level claim),
     then write the NEXT VERSION of the lexicon (old df + batch df,
-    full-outer integer merge) and stats (component-wise BIGINT add)."""
+    full-outer integer merge) and stats (component-wise BIGINT add).
+    The batch frame fully determines the merge — the store is not
+    corpus-bound (ADVICE r12: the earlier unused ``sf_dir`` parameter
+    invited exactly that misreading)."""
     toks = _toks_of(batch_docs)
     bp = _postings_of(toks)
     (
@@ -624,7 +654,7 @@ def upsert_bm25_index(
         .partitionBy("tb")
         .parquet(f"{path}/postings")
     )
-    v = _latest_version(f"{path}/lexicon")
+    v = _latest_version(spark, f"{path}/lexicon")
     old_lex = spark.read.parquet(f"{path}/lexicon/v={v}")
     batch_df = bp.groupBy("term").agg(F.count(F.lit(1)).alias("bdf"))
     (
@@ -673,7 +703,7 @@ def serve_bm25_v2(spark: SparkSession, path: str) -> DataFrame:
     postings = spark.read.parquet(f"{path}/postings").filter(
         F.col("tb").isin(buckets)
     )
-    v = _latest_version(f"{path}/lexicon")
+    v = _latest_version(spark, f"{path}/lexicon")
     lexicon = spark.read.parquet(f"{path}/lexicon/v={v}")
     stats = spark.read.parquet(f"{path}/stats/v={v}").select(
         (
@@ -699,7 +729,7 @@ def bm25_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="sgraft_bm25_upsert_")
     try:
         build_bm25_index_v2(spark, sf_dir, tmp)
-        upsert_bm25_index(spark, sf_dir, tmp, batch)
+        upsert_bm25_index(spark, tmp, batch)
         n_up = batch.agg(F.count(F.lit(1)).alias("n_upserted"))
         out = (
             serve_bm25_v2(spark, tmp)
@@ -739,7 +769,7 @@ def bm25_stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         _run_bm25_upsert_stream(spark, sf_dir, tmp)
         store = f"{tmp}/store"
-        v = _latest_version(f"{store}/stats")
+        v = _latest_version(spark, f"{store}/stats")
         nd = spark.read.parquet(f"{store}/stats/v={v}").select(
             F.col("n_docs").alias("n_docs_indexed")
         )
@@ -753,6 +783,35 @@ def bm25_stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _bm25_stream_sink(store: str, bdf: DataFrame, bid: int) -> None:
+    """foreachBatch body for the ingest stream: batch 0 initializes the
+    store, later batches run the certified versioned upsert.
+
+    Redelivery idempotency (ADVICE r12): each fully-applied batch
+    leaves a ``_batches/bid=N`` marker, written AFTER the upsert
+    completes — a redelivered batch id (the retry path the
+    checkpointLocation exists for: sink succeeded but the offset
+    commit did not) is skipped instead of double-appending postings
+    and double-merging the lexicon/stats version.  Limitation, by
+    design: a crash MIDWAY through the sink (postings appended, marker
+    absent) still re-applies on retry — exactly-once there needs a
+    stage-then-atomic-publish write path (a manifest commit), which is
+    the storage-format upgrade (Iceberg/Delta-class) this parquet
+    store deliberately stops short of; the marker closes the common
+    redelivery case and the limitation is now explicit."""
+    sess = bdf.sparkSession
+    marker = f"{store}/_batches/bid={bid}"
+    if _store_dir_exists(sess, marker):
+        return  # redelivered, already fully applied
+    if not bdf.isEmpty():
+        if not _store_dir_exists(sess, f"{store}/lexicon"):
+            _init_bm25_store(bdf, store)
+        else:
+            upsert_bm25_index(sess, store, bdf)
+    fs, hpath = _fs_of(sess, marker)
+    fs.mkdirs(hpath)
+
+
 def _run_bm25_upsert_stream(
     spark: SparkSession, sf_dir: str, root: str
 ) -> None:
@@ -764,15 +823,8 @@ def _run_bm25_upsert_stream(
     docs = _base_docs(spark, sf_dir)
     docs.repartition(N_FEED_FILES).write.parquet(f"{root}/feed")
 
-    def sink(bdf: DataFrame, _bid: int) -> None:
-        import os
-
-        if bdf.isEmpty():
-            return
-        if not os.path.isdir(f"{store}/lexicon"):
-            _init_bm25_store(bdf, store)
-        else:
-            upsert_bm25_index(bdf.sparkSession, sf_dir, store, bdf)
+    def sink(bdf: DataFrame, bid: int) -> None:
+        _bm25_stream_sink(store, bdf, bid)
 
     q = (
         spark.readStream.schema(docs.schema)
@@ -795,11 +847,224 @@ def _run_bm25_upsert_stream(
                 pass
 
 
+# --- version retention / vacuum (r13, VERDICT r12 #2) ------------------------
+#
+# Snapshot isolation (each merge writes lexicon/stats v=N+1, old readers
+# undisturbed) must not become unbounded storage: at 100 TB with
+# continuous ingest, dead versions dominate within days.  The vacuum is
+# the compaction twin on the TIME axis: keep the newest K versions of
+# each versioned table, delete everything older.  Readers of a vacuumed
+# version would fail — the retention window IS the snapshot-read SLA a
+# deployment advertises (the Iceberg/Delta `VACUUM ... RETAIN` shape).
+# Reference analogue: Chroma persistence is a single mutable collection
+# (reference api/main.py:152-157) — it never accumulates snapshots;
+# our snapshot-isolation upgrade needs this op to not regress storage.
+
+RETAIN_VERSIONS = 1  # the registry query's retention: latest-only
+DOC_UPSERT_RES2 = 3  # second ingest batch for the vacuum chain (~10%,
+# disjoint from the DOC_UPSERT_RES batch)
+
+
+def vacuum_bm25_store(
+    spark: SparkSession, path: str, keep_last: int = RETAIN_VERSIONS
+) -> int:
+    """Delete all but the newest ``keep_last`` versions of the two
+    versioned tables (lexicon, stats).  Postings are never touched —
+    they are append-only data, not versioned metadata.  Returns the
+    number of version directories removed.  Cost is pure metadata
+    (directory deletes): independent of corpus size."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the live version)")
+    removed = 0
+    for table in ("lexicon", "stats"):
+        vs = _versions_in(spark, f"{path}/{table}")
+        for v in vs[:-keep_last]:
+            fs, hp = _fs_of(spark, f"{path}/{table}/v={v}")
+            fs.delete(hp, True)
+            removed += 1
+    return removed
+
+
+def bm25_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version retention, end to end: build the versioned store on the
+    base corpus, run TWO successive upserts (→ a 3-version chain, the
+    snapshot-isolation state a few ingest cycles leave behind), VACUUM
+    to the latest version only, and serve the fixed query from the
+    survivor.  Output binds n_docs_indexed (read from the SURVIVING
+    stats version — proving the vacuum kept the right one) and
+    n_versions_purged into the checked rows.
+
+    The oracle is the direct full-corpus scoring — a green row proves
+    serve-from-latest is UNCHANGED by the vacuum; the file-level claims
+    (old v=N directories gone, the live version's files byte-untouched,
+    postings untouched) are locked by tests/test_vectorstore.py."""
+    import shutil
+    import tempfile
+
+    docs = _base_docs(spark, sf_dir)
+    b1 = docs.filter(F.col("doc_id") % DOC_UPSERT_MOD == DOC_UPSERT_RES)
+    b2 = docs.filter(F.col("doc_id") % DOC_UPSERT_MOD == DOC_UPSERT_RES2)
+    base = docs.filter(
+        (F.col("doc_id") % DOC_UPSERT_MOD != DOC_UPSERT_RES)
+        & (F.col("doc_id") % DOC_UPSERT_MOD != DOC_UPSERT_RES2)
+    )
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25_vacuum_")
+    try:
+        _init_bm25_store(base, tmp)
+        upsert_bm25_index(spark, tmp, b1)
+        upsert_bm25_index(spark, tmp, b2)
+        purged = vacuum_bm25_store(spark, tmp, keep_last=RETAIN_VERSIONS)
+        v = _latest_version(spark, f"{tmp}/stats")
+        nd = spark.read.parquet(f"{tmp}/stats/v={v}").select(
+            F.col("n_docs").alias("n_docs_indexed")
+        )
+        out = (
+            serve_bm25_v2(spark, tmp)
+            .crossJoin(F.broadcast(nd))
+            .withColumn(
+                "n_versions_purged", F.lit(purged).cast("bigint")
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# --- deletion through the index (r13, VERDICT r12 #3) ------------------------
+#
+# The lexical twin of vectorstore.delete_from_index: GDPR-class erasure
+# must reach the derived store.  The delete mirrors the upsert exactly,
+# with every merged integer decremented instead of added: postings for
+# the deleted docs are removed by rewriting ONLY the term buckets that
+# hold them (dynamic partition overwrite; buckets left empty are
+# dropped outright), df decrements into a new lexicon version (terms
+# reaching df=0 are dropped), and stats decrement component-wise.  The
+# decrements are derived by re-tokenizing the deleted docs with the
+# SAME functions the ingest used (deterministic tokenization → exactly
+# what was indexed), so delete ≡ rebuild-without-the-docs holds
+# bit-exactly, including a changed avgdl and idf for every survivor.
+
+DOC_DELETE_RES = 3  # erase set: doc_id % 10 == 3 (~10% of the corpus)
+
+
+def delete_from_bm25_index(
+    spark: SparkSession, path: str, del_docs: DataFrame
+) -> list[int]:
+    """Erase ``del_docs`` (a (doc_id, text) frame — the erasure request
+    carries the docs being purged, fetched from the base table before
+    the base rows themselves are erased) from the stored index.
+    Writes the next lexicon/stats version FIRST (snapshot isolation:
+    v=N readers see the pre-delete index until the bucket rewrite
+    commits), then rewrites only the affected term-bucket partitions.
+    Returns the affected bucket list (≤ N_TB ints).  Cost is
+    proportional to the affected buckets' postings + the
+    vocabulary-bounded lexicon merge — never a corpus rescan."""
+    toks = _toks_of(del_docs)
+    dp = _postings_of(toks)
+    buckets = sorted(
+        r["tb"] for r in dp.select("tb").distinct().collect()
+    )
+    v = _latest_version(spark, f"{path}/lexicon")
+    old_lex = spark.read.parquet(f"{path}/lexicon/v={v}")
+    ddf = dp.groupBy("term").agg(F.count(F.lit(1)).alias("ddf"))
+    (
+        old_lex.join(ddf, "term", "left")
+        .select(
+            "term",
+            (F.col("df") - F.coalesce("ddf", F.lit(0))).alias("df"),
+        )
+        .filter(F.col("df") > 0)
+        .write.parquet(f"{path}/lexicon/v={v + 1}")
+    )
+    old_stats = spark.read.parquet(f"{path}/stats/v={v}")
+    ds = _stats2_of(toks)
+    (
+        old_stats.select(
+            F.col("n_docs").alias("n0"), F.col("sum_len").alias("s0")
+        )
+        .crossJoin(
+            F.broadcast(
+                ds.select(
+                    F.col("n_docs").alias("n1"),
+                    F.col("sum_len").alias("s1"),
+                )
+            )
+        )
+        .select(
+            (F.col("n0") - F.col("n1")).alias("n_docs"),
+            (F.col("s0") - F.col("s1")).alias("sum_len"),
+        )
+        .write.parquet(f"{path}/stats/v={v + 1}")
+    )
+    if not buckets:
+        return []
+    del_ids = del_docs.select("doc_id")
+    kept = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("tb").isin(buckets))
+        .join(del_ids, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)  # severs lineage from the files
+        # the dynamic overwrite below replaces
+    )
+    survivors = {r["tb"] for r in kept.select("tb").distinct().collect()}
+    if survivors:
+        (
+            kept.repartition(len(survivors), "tb")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("tb")
+            .parquet(f"{path}/postings")
+        )
+    for tb in buckets:
+        if tb not in survivors:
+            # dynamic overwrite writes nothing for an emptied group,
+            # which would silently leave the old files — drop the
+            # bucket directory explicitly
+            fs, hp = _fs_of(spark, f"{path}/postings/tb={tb}")
+            fs.delete(hp, True)
+    return buckets
+
+
+def bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion through the lexical store, end to end: build the
+    versioned store over the FULL corpus, erase the delete set
+    (affected-bucket rewrite + decremented lexicon/stats version), and
+    serve the fixed query from the post-delete store.  Output binds
+    n_deleted into the checked rows.
+
+    The oracle restates the rebuild: direct scoring over the surviving
+    documents only — every decremented integer (df, n_docs, sum_len)
+    must land exactly where a from-scratch index of the survivors
+    would, including the changed avgdl/idf, so a green row proves the
+    erasure verifiably reached the derived store bit-for-bit."""
+    import shutil
+    import tempfile
+
+    docs = _base_docs(spark, sf_dir)
+    dels = docs.filter(F.col("doc_id") % DOC_UPSERT_MOD == DOC_DELETE_RES)
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25_delete_")
+    try:
+        _init_bm25_store(docs, tmp)
+        delete_from_bm25_index(spark, tmp, dels)
+        n_del = dels.agg(F.count(F.lit(1)).alias("n_deleted"))
+        out = (
+            serve_bm25_v2(spark, tmp)
+            .crossJoin(F.broadcast(n_del))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "bm25_topk_docs": bm25_topk_docs,
     "bm25_index_store": bm25_index_store,
     "bm25_index_upsert": bm25_index_upsert,
     "bm25_stream_upsert_store": bm25_stream_upsert_store,
+    "bm25_store_vacuum": bm25_store_vacuum,
+    "bm25_index_delete": bm25_index_delete,
     "hybrid_search_rrf": hybrid_search_rrf,
     "bm25_ndcg_eval": bm25_ndcg_eval,
     "fuzzy_name_match_summary": fuzzy_name_match_summary,
@@ -921,6 +1186,75 @@ ORACLES["bm25_stream_upsert_store"] = (
     f" CAST(FLOOR(score * {SCORE_QUANT}.0 + 0.5) AS BIGINT) AS score_q,"
     " nd.n_docs_indexed"
     " FROM per CROSS JOIN nd"
+    f" ORDER BY score_q DESC, doc_id LIMIT {TOP_K}"
+)
+
+# vacuum semantics: serve-from-the-surviving-version must equal the
+# direct full-corpus scoring (the vacuum changed STORAGE, not state);
+# n_docs_indexed read from the surviving stats version must equal the
+# corpus count (the vacuum kept the RIGHT version), and the purge
+# count restates the retention policy: the chain writes 1 build + 2
+# upsert versions per versioned table (lexicon, stats), keep_last=1
+# leaves one each ⇒ 2 * (3 - 1) directories removed.
+ORACLES["bm25_store_vacuum"] = (
+    f"WITH tok AS ({_TOKS_DUCK}),"
+    " st AS (SELECT CAST(SUM(len(toks)) AS DOUBLE)"
+    " / CAST(COUNT(*) AS DOUBLE) AS avgdl,"
+    " COUNT(*) AS n_docs FROM tok),"
+    " base AS (SELECT doc_id, len(toks) AS dl,"
+    f" unnest(list_filter(toks, t -> t IN ({_terms_in()}))) AS term"
+    " FROM tok),"
+    " tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM base"
+    " GROUP BY doc_id, dl, term),"
+    " dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),"
+    " scored AS (SELECT doc_id, term,"
+    f" {_bm25_term_score('tf', 'df', 'dl', 'n_docs')} AS s"
+    " FROM tf JOIN dfs USING (term) CROSS JOIN st),"
+    " per AS (SELECT doc_id, COUNT(*) AS n_hit_terms,"
+    " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list(s ORDER BY term)), (acc, v) -> acc + v) AS score"
+    " FROM scored GROUP BY doc_id),"
+    " nd AS (SELECT COUNT(*) AS n_docs_indexed FROM documents)"
+    " SELECT doc_id, n_hit_terms,"
+    f" CAST(FLOOR(score * {SCORE_QUANT}.0 + 0.5) AS BIGINT) AS score_q,"
+    " nd.n_docs_indexed,"
+    f" CAST(2 * (3 - {RETAIN_VERSIONS}) AS BIGINT) AS n_versions_purged"
+    " FROM per CROSS JOIN nd"
+    f" ORDER BY score_q DESC, doc_id LIMIT {TOP_K}"
+)
+
+# delete semantics: the rebuild-without-the-docs — direct scoring over
+# the SURVIVING documents only, so every decremented quantity (df,
+# n_docs, sum_len → avgdl, idf) must land exactly where a from-scratch
+# index of the survivors would
+_TOKS_SURVIVORS_DUCK = _TOKS_DUCK + (
+    f" WHERE doc_id % {DOC_UPSERT_MOD} <> {DOC_DELETE_RES}"
+)
+
+ORACLES["bm25_index_delete"] = (
+    f"WITH tok AS ({_TOKS_SURVIVORS_DUCK}),"
+    " st AS (SELECT CAST(SUM(len(toks)) AS DOUBLE)"
+    " / CAST(COUNT(*) AS DOUBLE) AS avgdl,"
+    " COUNT(*) AS n_docs FROM tok),"
+    " base AS (SELECT doc_id, len(toks) AS dl,"
+    f" unnest(list_filter(toks, t -> t IN ({_terms_in()}))) AS term"
+    " FROM tok),"
+    " tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM base"
+    " GROUP BY doc_id, dl, term),"
+    " dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),"
+    " scored AS (SELECT doc_id, term,"
+    f" {_bm25_term_score('tf', 'df', 'dl', 'n_docs')} AS s"
+    " FROM tf JOIN dfs USING (term) CROSS JOIN st),"
+    " per AS (SELECT doc_id, COUNT(*) AS n_hit_terms,"
+    " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list(s ORDER BY term)), (acc, v) -> acc + v) AS score"
+    " FROM scored GROUP BY doc_id),"
+    " up AS (SELECT COUNT(*) AS n_deleted FROM documents"
+    f" WHERE doc_id % {DOC_UPSERT_MOD} = {DOC_DELETE_RES})"
+    " SELECT doc_id, n_hit_terms,"
+    f" CAST(FLOOR(score * {SCORE_QUANT}.0 + 0.5) AS BIGINT) AS score_q,"
+    " up.n_deleted"
+    " FROM per CROSS JOIN up"
     f" ORDER BY score_q DESC, doc_id LIMIT {TOP_K}"
 )
 

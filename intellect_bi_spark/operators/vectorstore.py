@@ -538,11 +538,309 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- deletion through the index (r13, VERDICT r12 #3) -----------------------
+#
+# The remaining CRUD leg after r12's upserts: a governed 100 TB corpus
+# must be able to ERASE documents from the derived stores, not just the
+# base parquet (GDPR erasure reaches the index, the
+# quality.erasure_impact_plan shape).  The delete is tombstone-free and
+# affected-cells-only: find the cells holding any deleted vector (a
+# semi-join against the stored codes — never a corpus scan), rewrite
+# ONLY those cell partitions without the deleted rows (dynamic
+# partition overwrite, the compaction discipline), and drop outright
+# any cell left empty.  The frozen model stays — production erasure
+# removes DATA immediately; the model retrains on its own schedule
+# (here the delete set is disjoint from the training reservoir, so a
+# rebuild-without-the-docs retrains to the IDENTICAL model and the
+# oracle's delete ≡ rebuild claim is exact).
+
+DELETE_MOD = 10
+DELETE_RES = 3  # erase set: vec_id % 10 == 3 AND vec_id >= TRAIN_CAP —
+# ~10% of the corpus, disjoint from the query (0), the centroid rows
+# (1..N_CELLS) and the codebook training reservoir (< TRAIN_CAP)
+
+
+def _delete_pred():
+    return (F.col("vec_id") % DELETE_MOD == DELETE_RES) & (
+        F.col("vec_id") >= TRAIN_CAP
+    )
+
+
+def build_index_frozen_full(
+    spark: SparkSession, sf_dir: str, path: str
+) -> None:
+    """The upsertable-store layout (reservoir-trained frozen model)
+    built over the FULL corpus in one pass — the starting state for
+    the deletion query (build + upsert composition is certified by
+    ``ann_index_upsert``; the delete row should time the delete)."""
+    emb = _emb(spark, sf_dir)
+    cents = _centroids(emb)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cb = _reservoir_codebook(spark, sf_dir)
+    cb.write.mode("overwrite").parquet(f"{path}/codebook")
+    (
+        _encode_codes(emb, cb, cents)
+        .repartition(N_CELLS, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+
+
+def delete_from_index(
+    spark: SparkSession, path: str, delete_ids: DataFrame
+) -> list[int]:
+    """Erase ``delete_ids`` (a (vec_id) frame) from the stored codes:
+    locate the affected cells by semi-join, rewrite ONLY those cell
+    partitions without the deleted rows, and drop any cell left empty
+    (dynamic overwrite writes nothing for an empty group, which would
+    silently LEAVE the old files — the explicit directory delete closes
+    that hole).  Unaffected cells are never read or rewritten
+    (tests/test_vectorstore.py proves the file-level claim).  Returns
+    the affected cell list (bounded ≤ N_CELLS — the model-boundary
+    collect class).  Merge cost is proportional to the affected cells'
+    code rows, never to the corpus."""
+    from .retrieval import _fs_of
+
+    codes = spark.read.parquet(f"{path}/codes")
+    affected = sorted(
+        r["cell"]
+        for r in codes.join(delete_ids, "vec_id", "left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return []
+    kept = (
+        codes.filter(F.col("cell").isin(affected))
+        .join(delete_ids, "vec_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    survivors = {
+        r["cell"] for r in kept.select("cell").distinct().collect()
+    }
+    if survivors:
+        (
+            kept.repartition(len(survivors), "cell")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(f"{path}/codes")
+        )
+    for cell in affected:
+        if cell not in survivors:
+            fs, hp = _fs_of(spark, f"{path}/codes/cell={cell}")
+            fs.delete(hp, True)
+    return affected
+
+
+def ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion through the index store, end to end: build the frozen-
+    model store over the full corpus, ERASE the delete set (affected-
+    cell rewrite), and serve the fixed top-k from the post-delete
+    store.  Output binds the erasure accounting (n_deleted,
+    n_cells_rewritten) into the checked rows.
+
+    The oracle restates a REBUILD WITHOUT THE DELETED DOCS — reservoir
+    model (delete set is reservoir-disjoint, so retraining reproduces
+    it), every surviving vector encoded, probe → ADC → rerank — so a
+    green row proves delete-then-serve ≡ rebuild-without-docs exactly:
+    the erasure verifiably REACHED the derived store."""
+    import shutil
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    dels = emb.filter(_delete_pred()).select("vec_id")
+    tmp = tempfile.mkdtemp(prefix="sgraft_ann_delete_")
+    try:
+        build_index_frozen_full(spark, sf_dir, tmp)
+        affected = delete_from_index(spark, tmp, dels)
+        tele = dels.agg(
+            F.count(F.lit(1)).alias("n_deleted"),
+            F.lit(len(affected)).cast("bigint").alias("n_cells_rewritten"),
+        )
+        centroids, codebook, codes = read_index(spark, tmp)
+        out = (
+            topk_from_index(centroids, codebook, codes, emb)
+            .crossJoin(F.broadcast(tele))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# --- streaming index ingestion (r13, VERDICT r12 #4) -------------------------
+#
+# The ANN twin of retrieval.bm25_stream_upsert_store: a REAL
+# availableNow file stream over the staged corpus drives the certified
+# cell-partition upsert per micro-batch, composing the full index from
+# an EMPTY store.  The frozen-model discipline is held ACROSS batches:
+# the model (centroids + reservoir codebook) is written once by the
+# first batch — from the fixed training reservoir, which is a build-
+# time artifact independent of batch arrival order — and every batch
+# (including the first) only appends codes.
+
+
+def _init_ann_store_model(
+    spark: SparkSession, sf_dir: str, path: str
+) -> None:
+    """Write the frozen model tables (no codes): the centroids and the
+    reservoir-trained codebook.  Idempotent inputs by construction —
+    the reservoir is a fixed corpus slice, not stream state."""
+    emb = _emb(spark, sf_dir)
+    _centroids(emb).write.mode("overwrite").parquet(f"{path}/centroids")
+    _reservoir_codebook(spark, sf_dir).write.mode("overwrite").parquet(
+        f"{path}/codebook"
+    )
+
+
+def _ann_stream_sink(
+    sf_dir: str, store: str, bdf: DataFrame, bid: int
+) -> None:
+    """foreachBatch body for the ANN ingest stream: first batch also
+    writes the frozen model, every batch appends its codes into the
+    affected cells (the certified ``upsert_index`` discipline).  Same
+    redelivery-idempotency contract as retrieval._bm25_stream_sink:
+    a ``_batches/bid=N`` marker written after the batch is fully
+    applied skips redelivered batch ids; a crash midway through a
+    batch still re-applies on retry (exactly-once would need a
+    stage-then-atomic-publish manifest — documented limitation)."""
+    from .retrieval import _fs_of, _store_dir_exists
+
+    sess = bdf.sparkSession
+    marker = f"{store}/_batches/bid={bid}"
+    if _store_dir_exists(sess, marker):
+        return
+    if not bdf.isEmpty():
+        if not _store_dir_exists(sess, f"{store}/centroids"):
+            _init_ann_store_model(sess, sf_dir, store)
+        centroids = sess.read.parquet(f"{store}/centroids")
+        cb = sess.read.parquet(f"{store}/codebook")
+        (
+            _encode_codes(bdf, cb, centroids)
+            .repartition(N_CELLS, "cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{store}/codes")
+        )
+    fs, hp = _fs_of(sess, marker)
+    fs.mkdirs(hp)
+
+
+def _run_ann_upsert_stream(
+    spark: SparkSession, sf_dir: str, root: str
+) -> None:
+    """Stage the corpus feed, run the availableNow ingest stream into
+    ``root/store``, and block until it drains (extracted so the
+    composition unit can inspect the store the registry query
+    deletes)."""
+    from .retrieval import N_FEED_FILES
+
+    store = f"{root}/store"
+    emb = _emb(spark, sf_dir)
+    emb.repartition(N_FEED_FILES).write.parquet(f"{root}/feed")
+
+    def sink(bdf: DataFrame, bid: int) -> None:
+        _ann_stream_sink(sf_dir, store, bdf, bid)
+
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/feed")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+        if q.isActive:
+            raise TimeoutError("ann upsert stream did not drain in 300 s")
+    finally:
+        if q.isActive:
+            try:
+                q.stop()
+            except Exception:
+                pass
+
+
+def ann_stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingestion into the ANN index store: stage the corpus
+    as N_FEED_FILES parquet files, run a real availableNow stream
+    (`maxFilesPerTrigger=1` → one micro-batch per file), and let
+    ``foreachBatch`` compose the index from an EMPTY store — the first
+    batch writes the frozen model, every batch appends its codes into
+    affected cells only.  After the stream drains, the fixed top-k is
+    served from the composed store and must equal the full-rebuild
+    restatement — proving the N-batch cell-append chain COMPOSES under
+    the frozen-model discipline (the model never depends on batch
+    order).  Output binds n_vecs_indexed (distinct vectors in the
+    stored codes) into the checked rows; the per-batch marker chain is
+    locked by tests/test_vectorstore.py."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_ann_stream_")
+    try:
+        _run_ann_upsert_stream(spark, sf_dir, tmp)
+        store = f"{tmp}/store"
+        centroids, codebook, codes = read_index(spark, store)
+        nv = codes.select("vec_id").distinct().agg(
+            F.count(F.lit(1)).alias("n_vecs_indexed")
+        )
+        out = (
+            topk_from_index(centroids, codebook, codes, _emb(spark, sf_dir))
+            .crossJoin(F.broadcast(nv))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def vacuum_ann_codes(spark: SparkSession, path: str) -> int:
+    """Prune dead files from the codes table: anything under a cell
+    directory that is not a live ``part-*.parquet`` data file (aborted-
+    task leftovers, ``_temporary`` staging dirs, stray ``.crc``/tmp
+    files an interrupted writer can leave on object stores).  In the
+    healthy flow — including immediately after upsert + compaction,
+    whose dynamic overwrite already removes superseded files at commit
+    — this deletes NOTHING (the unit asserts exactly that); its job is
+    the crash-recovery sweep a 100 TB store runs on a schedule.
+    Returns the number of paths deleted; serving is unaffected by
+    construction (only non-data paths are touched)."""
+    from .retrieval import _fs_of
+
+    fs, root = _fs_of(spark, f"{path}/codes")
+    deleted = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("cell="):
+            for f in fs.listStatus(st.getPath()):
+                fname = f.getPath().getName()
+                live = (
+                    fname.startswith("part-")
+                    and fname.endswith(".parquet")
+                    and not fname.endswith(".parquet.tmp")
+                )
+                if not live:
+                    fs.delete(f.getPath(), True)
+                    deleted += 1
+        elif name not in ("_SUCCESS",):
+            fs.delete(st.getPath(), True)
+            deleted += 1
+    return deleted
+
+
 QUERIES = {
     "ann_index_store": ann_index_store,
     "ann_index_store_batch": ann_index_store_batch,
     "ann_index_upsert": ann_index_upsert,
     "ann_index_compact": ann_index_compact,
+    "ann_index_delete": ann_index_delete,
+    "ann_stream_upsert_store": ann_stream_upsert_store,
 }
 
 
@@ -738,9 +1036,78 @@ def _compact_oracle() -> str:
     return o.replace(old_sel, " up.n_cells_touched AS n_cells_compacted")
 
 
+def _delete_oracle() -> str:
+    """The REBUILD-WITHOUT-THE-DOCS restatement: same frozen reservoir
+    model (the delete set is reservoir-disjoint, so retraining
+    reproduces it), ADC over the surviving vectors only, plus the
+    erasure accounting — proving delete-then-serve ≡
+    rebuild-without-docs."""
+    o = _upsert_oracle()
+    batch_pred = (
+        f"vec_id % {UPSERT_MOD} = {UPSERT_RES} AND vec_id >= {TRAIN_CAP}"
+    )
+    del_pred = (
+        f"vec_id % {DELETE_MOD} = {DELETE_RES} AND vec_id >= {TRAIN_CAP}"
+    )
+    up_cte = (
+        f"up AS (SELECT COUNT(*) AS n_upserted,"
+        f" COUNT(DISTINCT cell) AS n_cells_touched FROM assign"
+        f" WHERE {batch_pred}),"
+    )
+    if o.count(up_cte) != 1:  # locked-text surgery guard
+        raise AssertionError("upsert oracle shape changed; update delete")
+    o = o.replace(
+        up_cte,
+        f"up AS (SELECT COUNT(*) AS n_deleted,"
+        f" COUNT(DISTINCT cell) AS n_cells_rewritten FROM assign"
+        f" WHERE {del_pred}),",
+    )
+    adc_anchor = f" AND c.vec_id != {QUERY_VEC_ID}"
+    if o.count(adc_anchor) != 1:
+        raise AssertionError("ADC filter shape changed; update delete")
+    o = o.replace(
+        adc_anchor,
+        adc_anchor
+        + f" AND NOT (c.vec_id % {DELETE_MOD} = {DELETE_RES}"
+        + f" AND c.vec_id >= {TRAIN_CAP})",
+    )
+    old_sel = " up.n_upserted, up.n_cells_touched"
+    if o.count(old_sel) != 1:
+        raise AssertionError("telemetry select shape changed; update delete")
+    return o.replace(old_sel, " up.n_deleted, up.n_cells_rewritten")
+
+
+def _stream_oracle() -> str:
+    """The full-rebuild restatement of the stream-composed store: the
+    staged feed is the whole corpus, so the rebuild is the reservoir-
+    model encode of EVERY vector — the upsert oracle's serving text
+    with the telemetry swapped to the corpus count."""
+    o = _upsert_oracle()
+    batch_pred = (
+        f"vec_id % {UPSERT_MOD} = {UPSERT_RES} AND vec_id >= {TRAIN_CAP}"
+    )
+    up_cte = (
+        f"up AS (SELECT COUNT(*) AS n_upserted,"
+        f" COUNT(DISTINCT cell) AS n_cells_touched FROM assign"
+        f" WHERE {batch_pred}),"
+    )
+    if o.count(up_cte) != 1:  # locked-text surgery guard
+        raise AssertionError("upsert oracle shape changed; update stream")
+    o = o.replace(
+        up_cte,
+        "up AS (SELECT COUNT(*) AS n_vecs_indexed FROM embeddings),",
+    )
+    old_sel = " up.n_upserted, up.n_cells_touched"
+    if o.count(old_sel) != 1:
+        raise AssertionError("telemetry select shape changed; update stream")
+    return o.replace(old_sel, " up.n_vecs_indexed")
+
+
 ORACLES = {
     "ann_index_store": _oracle(),
     "ann_index_store_batch": _batch_oracle(),
     "ann_index_upsert": _upsert_oracle(),
     "ann_index_compact": _compact_oracle(),
+    "ann_index_delete": _delete_oracle(),
+    "ann_stream_upsert_store": _stream_oracle(),
 }

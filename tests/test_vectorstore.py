@@ -306,14 +306,14 @@ def test_bm25_upsert_equals_rebuild_and_direct(spark, sf_dir):
     try:
         rt.build_bm25_index_v2(spark, sf_dir, tmp)
         batch = rt._base_docs(spark, sf_dir).filter(rt._doc_batch_pred())
-        rt.upsert_bm25_index(spark, sf_dir, tmp, batch)
+        rt.upsert_bm25_index(spark, tmp, batch)
         got = [
             (r["doc_id"], r["n_hit_terms"], r["score_q"])
             for r in rt.serve_bm25_v2(spark, tmp).collect()
         ]
         assert got == want and len(got) == rt.TOP_K
         # merged lexicon == full-corpus df relation, exactly
-        v = rt._latest_version(f"{tmp}/lexicon")
+        v = rt._latest_version(spark, f"{tmp}/lexicon")
         assert v == 2  # build wrote v=1, the upsert wrote v=2
         merged_lex = sorted(
             (r["term"], r["df"])
@@ -377,7 +377,7 @@ def test_bm25_upsert_appends_only_batch_term_buckets(spark, sf_dir):
             .collect()
         }
         assert batch_buckets
-        rt.upsert_bm25_index(spark, sf_dir, tmp, batch)
+        rt.upsert_bm25_index(spark, tmp, batch)
         after = posting_files(tmp)
         for d in set(before) | set(after):
             old = set(before.get(d, []))
@@ -438,8 +438,8 @@ def test_bm25_stream_upsert_version_chain(spark, sf_dir):
     try:
         rt._run_bm25_upsert_stream(spark, sf_dir, tmp)
         store = f"{tmp}/store"
-        assert rt._latest_version(f"{store}/lexicon") == rt.N_FEED_FILES
-        assert rt._latest_version(f"{store}/stats") == rt.N_FEED_FILES
+        assert rt._latest_version(spark, f"{store}/lexicon") == rt.N_FEED_FILES
+        assert rt._latest_version(spark, f"{store}/stats") == rt.N_FEED_FILES
         # every intermediate version survives (snapshot isolation chain)
         for v in range(1, rt.N_FEED_FILES + 1):
             assert os.path.isdir(f"{store}/lexicon/v={v}")
@@ -449,10 +449,26 @@ def test_bm25_stream_upsert_version_chain(spark, sf_dir):
         ]
         assert got == want and len(got) == rt.TOP_K
         # final stats == full corpus accounting
-        v = rt._latest_version(f"{store}/stats")
+        v = rt._latest_version(spark, f"{store}/stats")
         stats = spark.read.parquet(f"{store}/stats/v={v}").collect()[0]
         n_docs = rt._base_docs(spark, sf_dir).count()
         assert stats["n_docs"] == n_docs
+        # redelivery idempotency (ADVICE r12): every applied batch left
+        # a marker, and re-running the sink with an already-applied
+        # batch id must NOT double-append — version chain and stats are
+        # unchanged after the redelivery
+        for bid in range(rt.N_FEED_FILES):
+            assert os.path.isdir(f"{store}/_batches/bid={bid}")
+        redelivered = rt._base_docs(spark, sf_dir).limit(5)
+        rt._bm25_stream_sink(store, redelivered, 0)
+        assert rt._latest_version(spark, f"{store}/stats") == v
+        stats2 = spark.read.parquet(f"{store}/stats/v={v}").collect()[0]
+        assert stats2["n_docs"] == n_docs
+        got2 = [
+            (r["doc_id"], r["n_hit_terms"], r["score_q"])
+            for r in rt.serve_bm25_v2(spark, store).collect()
+        ]
+        assert got2 == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
