@@ -535,3 +535,294 @@ def test_compact_rewrites_only_affected_cells_to_one_file(spark, sf_dir):
         assert serve_after == serve_before
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ann_delete_rewrites_only_affected_cells(spark, sf_dir):
+    """Deletion through the ANN store (VERDICT r12 #3), file level:
+    only the cells holding deleted vectors are rewritten; every other
+    cell's files are byte-untouched; the surviving code rows are
+    exactly the full build minus the delete set; and the post-delete
+    serve equals a from-scratch rebuild WITHOUT the deleted vectors
+    (the erasure verifiably reached the derived store)."""
+    import os
+
+    emb = _emb(spark, sf_dir)
+    dels = emb.filter(vs._delete_pred()).select("vec_id")
+    del_ids = {r["vec_id"] for r in dels.collect()}
+    assert del_ids  # the fixture erase set is non-empty
+    tmp = tempfile.mkdtemp(prefix="sgraft_anndel_")
+    try:
+        vs.build_index_frozen_full(spark, sf_dir, tmp)
+        before = _codes_files(tmp)
+        sizes = {
+            (d, f): os.path.getsize(os.path.join(tmp, "codes", d, f))
+            for d, fs in before.items()
+            for f in fs
+        }
+        codes_before = sorted(
+            (r["vec_id"], r["m"], r["cid"], r["cell"])
+            for r in vs.read_index(spark, tmp)[2].collect()
+        )
+        affected = vs.delete_from_index(spark, tmp, dels)
+        assert affected  # ~10% of the corpus must hit some cell
+        affected_dirs = {f"cell={c}" for c in affected}
+        after = _codes_files(tmp)
+        for d in after:
+            if d not in affected_dirs:
+                assert after[d] == before[d], f"{d}: untouched cell changed"
+                for f in before[d]:
+                    assert (
+                        os.path.getsize(os.path.join(tmp, "codes", d, f))
+                        == sizes[(d, f)]
+                    ), f"{d}/{f}: untouched file rewritten"
+        # surviving rows == full build minus the erase set, exactly
+        codes_after = sorted(
+            (r["vec_id"], r["m"], r["cid"], r["cell"])
+            for r in vs.read_index(spark, tmp)[2].collect()
+        )
+        assert codes_after == [
+            r for r in codes_before if r[0] not in del_ids
+        ]
+        # delete-then-serve == rebuild-without-docs serve, bit-exact.
+        # The model is delete-invariant by construction (centroids are
+        # vec_id 1..N_CELLS, the codebook reservoir is vec_id <
+        # TRAIN_CAP, and the erase set is vec_id >= TRAIN_CAP), so a
+        # from-scratch encode of ONLY the survivors is the true
+        # independent rebuild.
+        got = [
+            tuple(r)
+            for r in vs.topk_from_index(
+                *vs.read_index(spark, tmp), emb
+            ).collect()
+        ]
+        emb_kept = emb.join(dels, "vec_id", "left_anti")
+        cents_kept = vs._centroids(emb_kept)
+        cb = vs._reservoir_codebook(spark, sf_dir)
+        codes_kept = vs._encode_codes(emb_kept, cb, cents_kept)
+        want = [
+            tuple(r)
+            for r in vs.topk_from_index(
+                cents_kept, cb, codes_kept, emb
+            ).collect()
+        ]
+        assert got == want and len(got) == vs.TOP_K
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ann_stream_upsert_marker_chain(spark, sf_dir):
+    """The ANN ingest stream really runs as N_FEED_FILES micro-batches,
+    leaves one applied-batch marker per batch, composes the full corpus
+    into the codes table, and skips a redelivered batch id without
+    double-appending (same idempotency contract as the BM25 sink)."""
+    import os
+
+    from intellect_bi_spark.operators import retrieval as rt
+
+    emb = _emb(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sgraft_annstreamtest_")
+    try:
+        vs._run_ann_upsert_stream(spark, sf_dir, tmp)
+        store = f"{tmp}/store"
+        for bid in range(rt.N_FEED_FILES):
+            assert os.path.isdir(f"{store}/_batches/bid={bid}")
+        codes = vs.read_index(spark, store)[2]
+        n_corpus = emb.count()
+        assert codes.select("vec_id").distinct().count() == n_corpus
+        n_rows = codes.count()
+        serve = [
+            tuple(r)
+            for r in vs.topk_from_index(
+                *vs.read_index(spark, store), emb
+            ).collect()
+        ]
+        # the composed store serves the single-pass full build's answer
+        cents = vs._centroids(emb)
+        cb = vs._reservoir_codebook(spark, sf_dir)
+        want = [
+            tuple(r)
+            for r in vs.topk_from_index(
+                cents, cb, vs._encode_codes(emb, cb, cents), emb
+            ).collect()
+        ]
+        assert serve == want and len(serve) == vs.TOP_K
+        # redelivery of an applied batch id must change nothing
+        vs._ann_stream_sink(sf_dir, store, emb.limit(5), 0)
+        codes2 = vs.read_index(spark, store)[2]
+        assert codes2.count() == n_rows
+        assert codes2.select("vec_id").distinct().count() == n_corpus
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_vacuum_ann_codes_noop_then_sweeps_debris(spark, sf_dir):
+    """The crash-recovery sweep: on a healthy store (fresh build +
+    upsert + compaction) the vacuum deletes NOTHING; after planting
+    the debris an interrupted writer leaves (_temporary staging dir,
+    .tmp file, stray non-data file) it deletes exactly that debris,
+    and the served ranking is unchanged throughout."""
+    import os
+
+    emb = _emb(spark, sf_dir)
+    batch = emb.filter(vs._upsert_batch_pred())
+    tmp = tempfile.mkdtemp(prefix="sgraft_annvac_")
+    try:
+        vs.build_index_frozen(spark, sf_dir, tmp)
+        vs.upsert_index(spark, sf_dir, tmp, batch)
+        assert vs.vacuum_ann_codes(spark, tmp) == 0  # healthy: no-op
+        serve_before = [
+            tuple(r)
+            for r in vs.topk_from_index(
+                *vs.read_index(spark, tmp), emb
+            ).collect()
+        ]
+        files_before = _codes_files(tmp)
+        cell0 = sorted(files_before)[0]
+        os.makedirs(f"{tmp}/codes/_temporary/0", exist_ok=True)
+        with open(f"{tmp}/codes/{cell0}/part-junk.parquet.tmp", "w") as fh:
+            fh.write("x")
+        with open(f"{tmp}/codes/{cell0}/stray.txt", "w") as fh:
+            fh.write("x")
+        assert vs.vacuum_ann_codes(spark, tmp) == 3
+        assert not os.path.exists(f"{tmp}/codes/_temporary")
+        assert not os.path.exists(f"{tmp}/codes/{cell0}/stray.txt")
+        assert _codes_files(tmp) == files_before  # data files untouched
+        serve_after = [
+            tuple(r)
+            for r in vs.topk_from_index(
+                *vs.read_index(spark, tmp), emb
+            ).collect()
+        ]
+        assert serve_after == serve_before
+        assert vs.vacuum_ann_codes(spark, tmp) == 0  # idempotent
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bm25_vacuum_retains_latest_leaves_live_files(spark, sf_dir):
+    """Version retention (VERDICT r12 #2), file level: after a
+    3-version chain (build + two upserts), vacuum(keep_last=1) removes
+    exactly the four superseded version directories (lexicon v1,v2 +
+    stats v1,v2); the live version's files and the postings data files
+    are byte-untouched; and serve-from-latest is unchanged."""
+    import os
+
+    from intellect_bi_spark.operators import retrieval as rt
+
+    docs = rt._base_docs(spark, sf_dir)
+    b1 = docs.filter(F.col("doc_id") % rt.DOC_UPSERT_MOD == rt.DOC_UPSERT_RES)
+    b2 = docs.filter(F.col("doc_id") % rt.DOC_UPSERT_MOD == rt.DOC_UPSERT_RES2)
+    base = docs.join(b1.unionByName(b2), "doc_id", "left_anti")
+
+    def tree_sizes(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = os.path.getsize(p)
+        return out
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25vac_")
+    try:
+        rt._init_bm25_store(base, tmp)
+        rt.upsert_bm25_index(spark, tmp, b1)
+        rt.upsert_bm25_index(spark, tmp, b2)
+        for table in ("lexicon", "stats"):
+            assert rt._versions_in(spark, f"{tmp}/{table}") == [1, 2, 3]
+        serve_before = [
+            tuple(r) for r in rt.serve_bm25_v2(spark, tmp).collect()
+        ]
+        live_before = {
+            t: tree_sizes(f"{tmp}/{t}/v=3") for t in ("lexicon", "stats")
+        }
+        postings_before = tree_sizes(f"{tmp}/postings")
+        assert rt.vacuum_bm25_store(spark, tmp, keep_last=1) == 4
+        for table in ("lexicon", "stats"):
+            assert rt._versions_in(spark, f"{tmp}/{table}") == [3]
+            assert tree_sizes(f"{tmp}/{table}/v=3") == live_before[table]
+        assert tree_sizes(f"{tmp}/postings") == postings_before
+        serve_after = [
+            tuple(r) for r in rt.serve_bm25_v2(spark, tmp).collect()
+        ]
+        assert serve_after == serve_before and len(serve_after) == rt.TOP_K
+        assert rt.vacuum_bm25_store(spark, tmp, keep_last=1) == 0  # idempotent
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bm25_delete_equals_rebuild_without_docs(spark, sf_dir):
+    """Deletion through the lexical store (VERDICT r12 #3): after
+    erasing the delete set from a full-corpus store, the lexicon,
+    stats, surviving postings, AND the served ranking all equal a
+    from-scratch index of ONLY the survivors — every decremented
+    integer lands exactly where the rebuild puts it (changed avgdl and
+    idf included).  File level: term buckets holding no deleted
+    postings are byte-untouched."""
+    import os
+
+    from intellect_bi_spark.operators import retrieval as rt
+
+    def posting_files(root):
+        out = {}
+        pdir = os.path.join(root, "postings")
+        for entry in sorted(os.listdir(pdir)):
+            if entry.startswith("tb="):
+                out[entry] = sorted(
+                    (f, os.path.getsize(os.path.join(pdir, entry, f)))
+                    for f in os.listdir(os.path.join(pdir, entry))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    docs = rt._base_docs(spark, sf_dir)
+    dels = docs.filter(
+        F.col("doc_id") % rt.DOC_UPSERT_MOD == rt.DOC_DELETE_RES
+    )
+    kept = docs.join(dels.select("doc_id"), "doc_id", "left_anti")
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25del_")
+    tmp2 = tempfile.mkdtemp(prefix="sgraft_bm25del_rebuild_")
+    try:
+        rt._init_bm25_store(docs, tmp)
+        before = posting_files(tmp)
+        affected = {
+            f"tb={tb}" for tb in rt.delete_from_bm25_index(spark, tmp, dels)
+        }
+        assert affected
+        after = posting_files(tmp)
+        for d in before:
+            if d not in affected:
+                assert after.get(d) == before[d], f"{d}: untouched bucket changed"
+        # independent rebuild over the survivors only
+        rt._init_bm25_store(kept, tmp2)
+        v = rt._latest_version(spark, f"{tmp}/lexicon")
+        assert v == 2  # build wrote v=1, the delete wrote v=2
+        got_lex = sorted(
+            (r["term"], r["df"])
+            for r in spark.read.parquet(f"{tmp}/lexicon/v={v}").collect()
+        )
+        want_lex = sorted(
+            (r["term"], r["df"])
+            for r in spark.read.parquet(f"{tmp2}/lexicon/v=1").collect()
+        )
+        assert got_lex == want_lex
+        got_stats = spark.read.parquet(f"{tmp}/stats/v={v}").collect()[0]
+        want_stats = spark.read.parquet(f"{tmp2}/stats/v=1").collect()[0]
+        assert (got_stats["n_docs"], got_stats["sum_len"]) == (
+            want_stats["n_docs"],
+            want_stats["sum_len"],
+        )
+        got_postings = sorted(
+            (r["term"], r["doc_id"], r["dl"], r["tf"])
+            for r in spark.read.parquet(f"{tmp}/postings").collect()
+        )
+        want_postings = sorted(
+            (r["term"], r["doc_id"], r["dl"], r["tf"])
+            for r in spark.read.parquet(f"{tmp2}/postings").collect()
+        )
+        assert got_postings == want_postings
+        got = [tuple(r) for r in rt.serve_bm25_v2(spark, tmp).collect()]
+        want = [tuple(r) for r in rt.serve_bm25_v2(spark, tmp2).collect()]
+        assert got == want and len(got) == rt.TOP_K
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp2, ignore_errors=True)
