@@ -91,9 +91,13 @@ HEADLINE = [
     "ann_index_store_batch",  # build-once/serve-many batch from the store (r9)
     "ann_index_upsert",  # incremental cell-partition merge, frozen model (r12)
     "ann_index_compact",  # post-upsert affected-cell compaction (r12)
+    "ann_index_delete",  # erasure through the store, affected cells only (r13)
+    "ann_stream_upsert_store",  # availableNow cell-append ingest chain (r13)
     "bm25_index_store",  # parquet-persisted inverted-index serving (r10)
     "bm25_index_upsert",  # posting append + versioned lexicon merge (r12)
     "bm25_stream_upsert_store",  # availableNow micro-batch upsert chain (r12)
+    "bm25_store_vacuum",  # keep-latest version retention (r13)
+    "bm25_index_delete",  # erasure: bucket rewrite + stat decrement (r13)
     "text_quality_scores",
     "html_text_extract_stats",  # web-ingest markup strip/decode (r9)
     "chunk_documents",
@@ -111,6 +115,7 @@ HEADLINE = [
     "video_features_mjpeg",  # MJPEG/AVI entropy-coded video decode (r10)
     "video_features_bdv",  # inter-frame P-frame codec, keyframe seek (r11)
     "video_features_mb4",  # ISO-BMFF box tree, sample-table sparse access (r12)
+    "video_features_fmp4",  # fragmented ISO-BMFF, per-moof sample map (r13)
     "video_frame_dedup_y4m",  # cross-video frame-fingerprint dedup (r10)
     "xml_roundtrip_checksum",  # interchange sink+scan certification (r7)
     "jsonl_roundtrip_checksum",
@@ -191,6 +196,14 @@ _ADDED_AFTER_R9 = {
     "sketch_rollup_upsert",
     "bm25_stream_upsert_store",
     "ann_index_compact",
+    "ann_index_delete",
+    "ann_stream_upsert_store",
+    "bm25_store_vacuum",
+    "bm25_index_delete",
+    "video_features_fmp4",
+    "ann_upsert_only",
+    "bm25_upsert_only",
+    "sketch_upsert_only",
 }
 
 # Queries whose individual bench rows depend on within-rep ordering
@@ -258,6 +271,70 @@ def main() -> None:
     sketch_store = tempfile.mkdtemp(prefix="sgraft_bench_sketchstore_")
     sketches.build_sketch_rollup_store(spark, sf_dir, sketch_store)
 
+    # Upsert-only latency (VERDICT r12 #7): the registry's upsert rows
+    # time build+upsert+both-serves+teardown as one number, which hides
+    # what an incremental ingest cycle costs.  Stage each upsertable
+    # base store ONCE (untimed); each rep clones the pristine store
+    # (untimed — the clone isolates reps from each other's appends) and
+    # times ONLY the certified upsert call, batch compute included
+    # (encoding/tokenizing the batch IS the ingest cost).
+    from pyspark.sql import functions as _F  # noqa: N811
+
+    ann_up_base = tempfile.mkdtemp(prefix="sgraft_bench_annup_")
+    vectorstore.build_index_frozen(spark, sf_dir, ann_up_base)
+    bm25_up_base = tempfile.mkdtemp(prefix="sgraft_bench_bm25up_")
+    retrieval.build_bm25_index_v2(spark, sf_dir, bm25_up_base)
+    sketch_up_base = tempfile.mkdtemp(prefix="sgraft_bench_sketchup_")
+    from intellect_bi_spark.catalog import load_tables  # noqa: E402
+
+    _ev = load_tables(spark, sf_dir)["events"].filter(
+        _F.col("user_id").isNotNull() & _F.col("ts").isNotNull()
+    )
+    _is_batch_day = (
+        _F.dayofmonth(_F.expr("CAST(ts AS DATE)")) % 7 == 3
+    )
+    sketches.user_sketch_rollup(
+        _ev.filter(~_is_batch_day)
+    ).withColumn("day_part", _F.col("day").cast("string")).write.partitionBy(
+        "day_part"
+    ).parquet(f"{sketch_up_base}/rollup")
+
+    def _timed_upsert(base: str, run) -> float:
+        dst = tempfile.mkdtemp(prefix="sgraft_bench_upclone_")
+        try:
+            shutil.rmtree(dst)
+            shutil.copytree(base, dst)
+            t0 = time.perf_counter()
+            run(dst)
+            return round(time.perf_counter() - t0, 4)
+        finally:
+            shutil.rmtree(dst, ignore_errors=True)
+
+    def _ann_upsert_only() -> float:
+        batch = vectorstore._emb(spark, sf_dir).filter(
+            vectorstore._upsert_batch_pred()
+        )
+        return _timed_upsert(
+            ann_up_base,
+            lambda dst: vectorstore.upsert_index(spark, sf_dir, dst, batch),
+        )
+
+    def _bm25_upsert_only() -> float:
+        batch = retrieval._base_docs(spark, sf_dir).filter(
+            retrieval._doc_batch_pred()
+        )
+        return _timed_upsert(
+            bm25_up_base,
+            lambda dst: retrieval.upsert_bm25_index(spark, dst, batch),
+        )
+
+    def _sketch_upsert_only() -> float:
+        batch = _ev.filter(_is_batch_day)
+        return _timed_upsert(
+            sketch_up_base,
+            lambda dst: sketches.upsert_sketch_rollup_store(batch, dst),
+        )
+
     def _ann_serve_only() -> None:
         centroids, codebook, codes = vectorstore.read_index(
             spark, ann_store
@@ -308,11 +385,17 @@ def main() -> None:
             timings["sketch_rollup_serve_only"] = round(
                 time.perf_counter() - t0, 4
             )
+            timings["ann_upsert_only"] = _ann_upsert_only()
+            timings["bm25_upsert_only"] = _bm25_upsert_only()
+            timings["sketch_upsert_only"] = _sketch_upsert_only()
             per_rep.append(timings)
     finally:
         shutil.rmtree(ann_store, ignore_errors=True)
         shutil.rmtree(bm25_store, ignore_errors=True)
         shutil.rmtree(sketch_store, ignore_errors=True)
+        shutil.rmtree(ann_up_base, ignore_errors=True)
+        shutil.rmtree(bm25_up_base, ignore_errors=True)
+        shutil.rmtree(sketch_up_base, ignore_errors=True)
 
     # first reps carry JIT/codegen/cache warmup (r10's rep_totals were
     # still descending at rep 5) — medians/spread use steady reps only

@@ -3582,10 +3582,23 @@ def decode_mb4_bdv_sampled(
     GOP-bounded exactly as the AVI path (tests/test_mb4.py asserts the
     decoder-call bound).  There is no index-less fallback in this
     container family: the sample table IS the container."""
-    import bisect
-
     b = bytes(payload)
     w, h, offs, sizes, syncs = _mb4_scan(b)
+    return w, h, _anchored_sampled_roll(
+        b, w, h, offs, sizes, syncs, sample_every, frame_decode
+    )
+
+
+def _anchored_sampled_roll(
+    b, w, h, offs, sizes, syncs, sample_every, frame_decode
+):
+    """The keyframe-anchored sparse reconstruction over a resolved
+    (offsets, sizes, sync-set) sample map — extracted VERBATIM from
+    decode_mb4_bdv_sampled so the fragmented container reuses the
+    identical certified walk (the two containers differ only in how
+    the sample map is resolved, never in how frames roll forward)."""
+    import bisect
+
     frames = []
     state = None
     pos = -1
@@ -3600,7 +3613,7 @@ def decode_mb4_bdv_sampled(
             state = frame_decode(b[offs[k] : offs[k] + sizes[k]], w, h, state)
             pos = k
         frames.append((f, state))
-    return w, h, frames
+    return frames
 
 
 def _decode_mb4_for_features(payload: bytes):
@@ -3623,6 +3636,381 @@ def video_features_mb4(spark: SparkSession, sf_dir: str) -> DataFrame:
     BDV reconstruction chain byte-exactly — the table-driven container
     class the flat RIFF fixtures cannot exercise."""
     f = _mb4_feature_rows(spark, sf_dir)
+    return f.agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("width").alias("sum_width"),
+        F.sum("height").alias("sum_height"),
+        F.sum("frame_idx").alias("sum_frame_idx"),
+        F.sum("frame_sum").alias("total_frame_sum"),
+        F.sum(
+            F.expr(
+                f"(((doc_id * 131 + frame_idx) % {P})"
+                f" * (idx_weighted % {P})) % {P}"
+            )
+        ).alias("id_weighted_binding"),
+    )
+
+
+# --- FV4: FRAGMENTED ISO-BMFF container (moof/mfhd/traf/tfhd/tfdt/trun) -----
+#
+# The streaming-container class (VERDICT r12 #8): where MB4's monolithic
+# moov carries the complete sample tables up front, a fragmented file
+# declares an EMPTY movie box (stbl with zero-entry stts/stsc/stsz/stco
+# plus an mvex/trex defaults box) and ships the sample map
+# incrementally — one moof (movie fragment) box per GOP, each carrying
+# its own mfhd sequence number, tfhd track defaults, tfdt decode-time
+# anchor, and a trun run whose per-sample sizes + data offset resolve
+# into the mdat that IMMEDIATELY follows.  This exercises incremental
+# container parsing the monolithic walk cannot: the reader never sees a
+# global table — it accumulates the (offsets, sizes, syncs) sample map
+# fragment by fragment, enforcing the cross-fragment continuity rules
+# (contiguous mfhd sequence, tfdt == samples seen so far, full mdat
+# coverage) as it goes.  Keyframe signaling moves from stss into the
+# trun sample flags: the first sample of every fragment carries sync
+# first_sample_flags; trex's default flags mark the rest non-sync.
+# The payload is the SAME BDV bitstream over the fixture's own
+# geometry, and the sparse decode reuses _anchored_sampled_roll —
+# the containers differ only in sample-map resolution.
+# Reference parity: the reference stores media as opaque uploaded files
+# (api/main.py upload surface); the container decoders are the
+# charter's scale extension (SURVEY.md §2.12).
+
+_FMP4_BRAND = b"sgbf"
+_TFHD_BASE_IS_MOOF = 0x020000
+_TRUN_FLAGS = 0x000205  # data-offset | first-sample-flags | sample-size
+_FMP4_SYNC = 0x02000000  # depends_on=2 (I-frame), non_sync bit clear
+_FMP4_NONSYNC = 0x01010000  # depends_on=1, sample_is_non_sync_sample
+
+
+def _fmp4_geom(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames): the fixture's OWN geometry (distinct
+    from MB4's) — 7..12 frames so every file spans 3-4 fragments."""
+    return 8 + (doc_id % 3) * 4, 4 + (doc_id % 4) * 4, 7 + doc_id % 6
+
+
+def _fmp4_encoded_frames(doc_id: int) -> tuple[int, int, list[bytes]]:
+    w, h, nf = _fmp4_geom(doc_id)
+    frames = [_bdv_frame(doc_id, f, w, h) for f in range(nf)]
+    enc = []
+    for f in range(nf):
+        g, ph = divmod(f, BDV_GOP)
+        if ph == 0:
+            enc.append(_encode_bdv_frame_bytes(frames[f], None, w, h, 0, 0))
+        else:
+            dx, dy = _bdv_motion(doc_id, g) if ph == 1 else (0, 0)
+            enc.append(
+                _encode_bdv_frame_bytes(frames[f], frames[f - 1], w, h, dx, dy)
+            )
+    return w, h, enc
+
+
+def _encode_fmp4_bytes(doc_id: int) -> bytes:
+    """A genuine minimal fragmented MP4-family file:
+    ftyp | moov(mvhd, trak(... empty stbl), mvex(trex)) |
+    [moof(mfhd, traf(tfhd, tfdt, trun)) mdat]* — one fragment per GOP.
+    The trun's data_offset is moof-relative (default-base-is-moof), so
+    each fragment is self-contained: no absolute file offsets anywhere,
+    which is what lets a real muxer emit fragments as the stream
+    arrives."""
+    import struct
+
+    w, h, enc = _fmp4_encoded_frames(doc_id)
+    nf = len(enc)
+    gops = [enc[i : i + BDV_GOP] for i in range(0, nf, BDV_GOP)]
+
+    ftyp = _mb4_box(
+        b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom" + _FMP4_BRAND
+    )
+    matrix = struct.pack(
+        ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+    )
+    # fragmented convention: durations in the movie box are 0 — the
+    # fragments own the timeline
+    mvhd = _mb4_full(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, _MB4_TIMESCALE, 0)
+        + struct.pack(">iHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + matrix
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _mb4_full(
+        b"tkhd",
+        0,
+        7,
+        struct.pack(">IIIII", 0, 0, 1, 0, 0)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + matrix
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _mb4_full(
+        b"mdhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, _BDV_FPS, 0)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _mb4_full(
+        b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00"
+    )
+    vmhd = _mb4_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _mb4_full(
+        b"dref", 0, 0, struct.pack(">I", 1) + _mb4_full(b"url ", 0, 1, b"")
+    )
+    dinf = _mb4_box(b"dinf", dref)
+    entry = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = _mb4_full(
+        b"stsd", 0, 0, struct.pack(">I", 1) + _mb4_box(b"bdv1", entry)
+    )
+    # the fragmented discipline: every fixed table is declared EMPTY
+    stts = _mb4_full(b"stts", 0, 0, struct.pack(">I", 0))
+    stsc = _mb4_full(b"stsc", 0, 0, struct.pack(">I", 0))
+    stsz = _mb4_full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+    stco = _mb4_full(b"stco", 0, 0, struct.pack(">I", 0))
+    stbl = _mb4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _mb4_box(b"minf", vmhd + dinf + stbl)
+    mdia = _mb4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mb4_box(b"trak", tkhd + mdia)
+    trex = _mb4_full(
+        b"trex",
+        0,
+        0,
+        struct.pack(">IIIII", 1, 1, 1, 0, _FMP4_NONSYNC),
+    )
+    mvex = _mb4_box(b"mvex", trex)
+    moov = _mb4_box(b"moov", mvhd + trak + mvex)
+
+    out = [ftyp, moov]
+    decode_time = 0
+    for g, frames_g in enumerate(gops):
+
+        def build_moof(data_offset: int) -> bytes:
+            mfhd = _mb4_full(b"mfhd", 0, 0, struct.pack(">I", g + 1))
+            tfhd = _mb4_full(
+                b"tfhd", 0, _TFHD_BASE_IS_MOOF, struct.pack(">I", 1)
+            )
+            tfdt = _mb4_full(
+                b"tfdt", 1, 0, struct.pack(">Q", decode_time)
+            )
+            trun = _mb4_full(
+                b"trun",
+                0,
+                _TRUN_FLAGS,
+                struct.pack(
+                    ">IiI", len(frames_g), data_offset, _FMP4_SYNC
+                )
+                + b"".join(struct.pack(">I", len(e)) for e in frames_g),
+            )
+            traf = _mb4_box(b"traf", tfhd + tfdt + trun)
+            return _mb4_box(b"moof", mfhd + traf)
+
+        # two-pass: the offset field is fixed-width, so the moof's size
+        # is identical in both passes
+        moof_len = len(build_moof(0))
+        moof = build_moof(moof_len + 8)  # samples start after mdat hdr
+        if len(moof) != moof_len:
+            raise AssertionError("moof size changed between passes")
+        out.append(moof)
+        out.append(_mb4_box(b"mdat", b"".join(frames_g)))
+        decode_time += len(frames_g)
+    return b"".join(out)
+
+
+def _encode_fmp4(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        ids = [int(d) for d in batch["doc_id"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "payload": [_encode_fmp4_bytes(d) for d in ids],
+            }
+        )
+
+
+def _fmp4_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _codec_ids(spark, sf_dir).mapInPandas(
+        _encode_fmp4, schema="doc_id long, payload binary"
+    )
+
+
+def _fmp4_scan(b: bytes):
+    """Incrementally accumulate (w, h, sample_offsets, sample_sizes,
+    sync_set) from the fragment chain, enforcing every cross-fragment
+    consistency rule: brand, handler, tkhd↔stsd dims, EMPTY movie-box
+    sample tables, trex defaults, strictly alternating moof/mdat pairs,
+    contiguous mfhd sequence numbers, tfdt == samples accumulated so
+    far, trun full-coverage of its fragment's mdat, and sync-flagged
+    fragment openers."""
+    import struct
+
+    top = list(_mb4_boxes(b, 0, len(b)))
+    if not top or top[0][0] != b"ftyp":
+        raise ValueError("file does not start with ftyp")
+    if _FMP4_BRAND not in b[top[0][1] : top[0][2]]:
+        raise ValueError("compatible-brand list lacks the fragmented brand")
+    moov = _mb4_find(b, 0, len(b), b"moov")
+    trak = _mb4_find(b, *moov, b"trak")
+    tkhd = _mb4_find(b, *trak, b"tkhd")
+    tk_w, tk_h = struct.unpack(">II", b[tkhd[0] : tkhd[1]][-8:])
+    mdia = _mb4_find(b, *trak, b"mdia")
+    hdlr = _mb4_find(b, *mdia, b"hdlr")
+    if b[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+        raise ValueError("handler is not a video track")
+    minf = _mb4_find(b, *mdia, b"minf")
+    stbl = _mb4_find(b, *minf, b"stbl")
+    stsd = _mb4_find(b, *stbl, b"stsd")
+    (n_desc,) = struct.unpack(">I", b[stsd[0] + 4 : stsd[0] + 8])
+    if n_desc != 1:
+        raise ValueError("expected one sample description")
+    fmt, es, _ee = next(_mb4_boxes(b, stsd[0] + 8, stsd[1]))
+    if fmt != b"bdv1":
+        raise ValueError("sample entry is not bdv1")
+    w, h = struct.unpack(">HH", b[es + 24 : es + 28])
+    if (tk_w >> 16, tk_h >> 16) != (w, h):
+        raise ValueError("tkhd dims disagree with the sample entry")
+    # the movie box must declare NO samples — fragments own them all
+    stsz = _mb4_find(b, *stbl, b"stsz")
+    fixed, n_sz = struct.unpack(">II", b[stsz[0] + 4 : stsz[0] + 12])
+    if fixed != 0 or n_sz != 0:
+        raise ValueError("fragmented file declares moov-resident samples")
+    stco = _mb4_find(b, *stbl, b"stco")
+    if struct.unpack(">I", b[stco[0] + 4 : stco[0] + 8])[0] != 0:
+        raise ValueError("fragmented file declares moov-resident chunks")
+    mvex = _mb4_find(b, *moov, b"mvex")
+    trex = _mb4_find(b, *mvex, b"trex")
+    trex_tid, _dsdi, _ddur, _dsz, dflags = struct.unpack(
+        ">IIIII", b[trex[0] + 4 : trex[0] + 24]
+    )
+    if dflags & 0x010000 == 0:
+        raise ValueError("trex default flags must mark non-sync samples")
+
+    frags = [
+        (t, ps, pe) for t, ps, pe in top if t in (b"moof", b"mdat")
+    ]
+    if not frags or len(frags) % 2 != 0 or any(
+        t != (b"moof" if i % 2 == 0 else b"mdat")
+        for i, (t, _, _) in enumerate(frags)
+    ):
+        raise ValueError("fragments must alternate moof, mdat")
+
+    offs: list[int] = []
+    sizes: list[int] = []
+    syncs: list[int] = []
+    for i in range(0, len(frags), 2):
+        _t, ms, me = frags[i]
+        _t2, ds, de = frags[i + 1]
+        moof_start = ms - 8
+        mfhd = _mb4_find(b, ms, me, b"mfhd")
+        (seq,) = struct.unpack(">I", b[mfhd[0] + 4 : mfhd[0] + 8])
+        if seq != i // 2 + 1:
+            raise ValueError("mfhd sequence numbers are not contiguous")
+        traf = _mb4_find(b, ms, me, b"traf")
+        tfhd = _mb4_find(b, *traf, b"tfhd")
+        tf_flags = int.from_bytes(b[tfhd[0] + 1 : tfhd[0] + 4], "big")
+        (tf_tid,) = struct.unpack(">I", b[tfhd[0] + 4 : tfhd[0] + 8])
+        if tf_tid != trex_tid:
+            raise ValueError("fragment addresses an unknown track")
+        if tf_flags & _TFHD_BASE_IS_MOOF == 0:
+            raise ValueError("tfhd must set default-base-is-moof")
+        tfdt = _mb4_find(b, *traf, b"tfdt")
+        (bmdt,) = struct.unpack(">Q", b[tfdt[0] + 4 : tfdt[0] + 12])
+        if bmdt != len(offs):
+            raise ValueError("tfdt breaks cross-fragment continuity")
+        trun = _mb4_find(b, *traf, b"trun")
+        tr_flags = int.from_bytes(b[trun[0] + 1 : trun[0] + 4], "big")
+        if tr_flags != _TRUN_FLAGS:
+            raise ValueError("unsupported trun flag combination")
+        n, doff, first_flags = struct.unpack(
+            ">IiI", b[trun[0] + 4 : trun[0] + 16]
+        )
+        if n < 1:
+            raise ValueError("empty trun run")
+        if first_flags & 0x010000:
+            raise ValueError("fragment does not open with a sync sample")
+        run_sizes = struct.unpack(
+            f">{n}I", b[trun[0] + 16 : trun[0] + 16 + 4 * n]
+        )
+        pos = moof_start + doff
+        if pos != ds:
+            raise ValueError("trun data offset misses its mdat payload")
+        syncs.append(len(offs))
+        for s in run_sizes:
+            offs.append(pos)
+            sizes.append(s)
+            pos += s
+        if pos != de:
+            raise ValueError("trun run does not cover its mdat exactly")
+    if not offs:
+        raise ValueError("no fragments carry samples")
+    return w, h, offs, sizes, syncs
+
+
+def decode_fmp4_bdv(payload: bytes, frame_decode=decode_bdv_frame):
+    """Full sequential decode through the fragment chain — the
+    (w, h, [(frame_idx, flat uint8)]) seam contract."""
+    b = bytes(payload)
+    w, h, offs, sizes, _syncs = _fmp4_scan(b)
+    frames = []
+    state = None
+    for f, (o, s) in enumerate(zip(offs, sizes)):
+        state = frame_decode(b[o : o + s], w, h, state)
+        frames.append((f, state))
+    return w, h, frames
+
+
+def decode_fmp4_bdv_sampled(
+    payload: bytes, sample_every: int, frame_decode=decode_bdv_frame
+):
+    """Fragment-anchored sparse decode: the accumulated sample map
+    feeds the SAME keyframe-anchored roll as the monolithic container
+    (syncs are the fragment openers), so per-sampled-frame decode cost
+    is GOP-bounded identically (tests/test_fmp4.py asserts the
+    decoder-call bound)."""
+    b = bytes(payload)
+    w, h, offs, sizes, syncs = _fmp4_scan(b)
+    return w, h, _anchored_sampled_roll(
+        b, w, h, offs, sizes, syncs, sample_every, frame_decode
+    )
+
+
+def _decode_fmp4_for_features(payload: bytes):
+    return decode_fmp4_bdv_sampled(payload, SAMPLE_EVERY)
+
+
+def _fmp4_feature_rows(
+    spark: SparkSession, sf_dir: str, decode=_decode_fmp4_for_features
+) -> DataFrame:
+    return _fmp4_media(spark, sf_dir).mapInPandas(
+        _y4m_features_with(decode), schema=_Y4M_FEAT_SCHEMA
+    )
+
+
+def video_features_fmp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact checksum over every sampled frame decoded from the
+    FRAGMENTED box-tree container: matching the closed-form oracle
+    proves the incremental fragment walk (mfhd sequencing, tfdt
+    continuity, moof-relative trun offset resolution, sync-flagged
+    fragment openers) and the shared BDV reconstruction chain
+    byte-exactly — the streaming-container class where the sample
+    tables arrive per-fragment."""
+    f = _fmp4_feature_rows(spark, sf_dir)
     return f.agg(
         F.count(F.lit(1)).alias("n_frames"),
         F.countDistinct("doc_id").alias("n_docs"),
@@ -4135,6 +4523,7 @@ QUERIES = {
     "video_features_mjpeg": video_features_mjpeg,
     "video_features_bdv": video_features_bdv,
     "video_features_mb4": video_features_mb4,
+    "video_features_fmp4": video_features_fmp4,
     "video_frame_dedup_y4m": video_frame_dedup_y4m,
     "audio_window_rms": audio_window_rms,
     "audio_features_mulaw": audio_features_mulaw,
@@ -4489,6 +4878,38 @@ FULLROW_ORACLES = {
         f" CAST(SUM(((i % {P}) * val) % {P}) AS BIGINT) AS idx_weighted"
         " FROM dec GROUP BY doc_id, w, h, f"
     ),
+    # the fragmented container carries the same BDV bitstream over the
+    # FV4 fixture geometry — the oracle re-derives every sampled pixel
+    # from the closed-form generators without ever seeing a moof box
+    "fmp4_feature_rows": (
+        "WITH geom AS (SELECT doc_id,"
+        " 8 + CAST(doc_id % 3 AS INT) * 4 AS w,"
+        " 4 + CAST(doc_id % 4 AS INT) * 4 AS h,"
+        " 7 + CAST(doc_id % 6 AS INT) AS nf FROM documents),"
+        " fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f"
+        " FROM geom),"
+        f" sampled AS (SELECT * FROM fr WHERE f % {SAMPLE_EVERY} = 0),"
+        f" gp AS (SELECT doc_id, w, h, f, f // {BDV_GOP} AS g,"
+        f" f % {BDV_GOP} AS ph FROM sampled),"
+        " mv AS (SELECT *,"
+        " CASE WHEN ph >= 1 THEN (doc_id + g) % 3 - 1 ELSE 0 END AS dx,"
+        " CASE WHEN ph >= 1 THEN (doc_id * 2 + g) % 3 - 1 ELSE 0 END"
+        " AS dy,"
+        " CASE WHEN ph = 2 THEN (doc_id * 5 + g * 9 + 7) % 256"
+        " ELSE 0 END AS r FROM gp),"
+        " pix AS (SELECT doc_id, w, h, f, g, dx, dy, r,"
+        " unnest(range(0, w * h * 3)) AS i FROM mv),"
+        " dec AS (SELECT doc_id, w, h, f, i,"
+        " (doc_id * 17 + g * 71"
+        " + (((((i // (3 * w)) - dy) % h + h) % h) * w"
+        " + ((((i // 3) % w - dx) % w + w) % w)) * 3 * 13"
+        " + (i % 3) * 13 + r) % 256 AS val FROM pix)"
+        " SELECT doc_id, CAST(w AS INT) AS width,"
+        " CAST(h AS INT) AS height, CAST(f AS INT) AS frame_idx,"
+        " CAST(SUM(val) AS BIGINT) AS frame_sum,"
+        f" CAST(SUM(((i % {P}) * val) % {P}) AS BIGINT) AS idx_weighted"
+        " FROM dec GROUP BY doc_id, w, h, f"
+    ),
     "mjpeg_feature_rows": (
         "WITH geom AS (SELECT doc_id,"
         " 16 + CAST(doc_id % 3 AS INT) * 8 AS w,"
@@ -4710,6 +5131,19 @@ ORACLES = {
     ),
     "video_features_mb4": (
         f"WITH f AS ({FULLROW_ORACLES['mb4_feature_rows']})"
+        " SELECT COUNT(*) AS n_frames,"
+        " COUNT(DISTINCT doc_id) AS n_docs,"
+        " CAST(SUM(width) AS BIGINT) AS sum_width,"
+        " CAST(SUM(height) AS BIGINT) AS sum_height,"
+        " CAST(SUM(frame_idx) AS BIGINT) AS sum_frame_idx,"
+        " CAST(SUM(frame_sum) AS BIGINT) AS total_frame_sum,"
+        f" CAST(SUM((((doc_id * 131 + frame_idx) % {P})"
+        f" * (idx_weighted % {P})) % {P}) AS BIGINT)"
+        " AS id_weighted_binding"
+        " FROM f"
+    ),
+    "video_features_fmp4": (
+        f"WITH f AS ({FULLROW_ORACLES['fmp4_feature_rows']})"
         " SELECT COUNT(*) AS n_frames,"
         " COUNT(DISTINCT doc_id) AS n_docs,"
         " CAST(SUM(width) AS BIGINT) AS sum_width,"

@@ -910,6 +910,20 @@ ORACLES["bloom_decontam_stats"] = (
 # --- incremental sketch-store maintenance (r12) ------------------------------
 
 
+def upsert_sketch_rollup_store(batch_events: DataFrame, path: str) -> None:
+    """Append an ingest batch's (day, type) HLL cells into new day
+    partitions of a stored rollup (the merge half of
+    :func:`sketch_rollup_upsert`, extracted verbatim so bench.py's
+    ``sketch_upsert_only`` metric can stage the base store untimed and
+    time only the append — VERDICT r12 #7, the serve-only discipline
+    applied to the upsert leg)."""
+    user_sketch_rollup(batch_events).withColumn(
+        "day_part", F.col("day").cast("string")
+    ).write.mode("append").partitionBy("day_part").parquet(
+        f"{path}/rollup"
+    )
+
+
 def sketch_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental maintenance for the THIRD store family: the HLL
     rollup is per-(day, type) cells, so an ingest batch of new days
@@ -941,11 +955,7 @@ def sketch_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day_part", F.col("day").cast("string")
         ).write.partitionBy("day_part").parquet(f"{tmp}/rollup")
         batch = ev.filter(is_batch_day)
-        user_sketch_rollup(batch).withColumn(
-            "day_part", F.col("day").cast("string")
-        ).write.mode("append").partitionBy("day_part").parquet(
-            f"{tmp}/rollup"
-        )
+        upsert_sketch_rollup_store(batch, tmp)
         merged = serve_sketch_rollup_from_store(spark, tmp)
         exact = ev.groupBy("event_type").agg(
             F.countDistinct("user_id").alias("exact_users")

