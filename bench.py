@@ -148,6 +148,8 @@ HEADLINE = [
     "sketch_sliding_7d_users",  # windowed re-merge of stored sketches (r8)
     "bloom_decontam_stats",  # Bloom membership decontam probe (r12)
     "sketch_rollup_upsert",  # day-partition cell append maintenance (r12)
+    "sketch_rollup_delete",  # user erasure via affected-day recompute (r13)
+    "sketch_stream_upsert_store",  # availableNow cell-append ingest (r13)
     "user_click_streaks",  # order-dependent streak CEP batch twin (r8)
     "token_drift_tvd",  # exact train/test distribution drift (r8)
     "compaction_plan",  # small-file bin-packing planner (r8)
@@ -201,6 +203,8 @@ _ADDED_AFTER_R9 = {
     "bm25_store_vacuum",
     "bm25_index_delete",
     "video_features_fmp4",
+    "sketch_rollup_delete",
+    "sketch_stream_upsert_store",
     "ann_upsert_only",
     "bm25_upsert_only",
     "sketch_upsert_only",

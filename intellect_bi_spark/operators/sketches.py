@@ -1010,3 +1010,307 @@ ORACLES["sketch_rollup_upsert"] = (
     " FROM events, up WHERE user_id IS NOT NULL AND ts IS NOT NULL"
     " GROUP BY event_type, up.n_upserted_days ORDER BY event_type"
 )
+
+
+# --- deletion through the sketch store (r13) ---------------------------------
+#
+# The third store's erasure leg: HLL sketches are NOT subtractable (a
+# union-only summary cannot remove a member), so GDPR-class deletion of
+# a user set necessarily RECOMPUTES — but only the affected day
+# partitions (days where the erased users had events), from the base
+# events of those days minus the erased users.  The affected-partition
+# scoping is what keeps this tractable at 100 TB: the rescan touches
+# exactly the erased users' activity days, never the whole fact; cells
+# for every other day are byte-untouched.  delete-then-serve ≡
+# rebuild-without-the-users holds bit-exactly because the rewritten
+# cells ARE the rebuild's cells (same deterministic hll_sketch_agg over
+# the identical surviving rows).
+
+DEL_USER_MOD = 10
+DEL_USER_RES = 3  # erase set: user_id % 10 == 3 (~10% of users)
+
+
+def _del_users_pred():
+    return F.col("user_id") % DEL_USER_MOD == DEL_USER_RES
+
+
+def delete_users_from_sketch_store(
+    spark: SparkSession, path: str, ev_base: DataFrame, del_pred
+) -> list[str]:
+    """Erase every user matching ``del_pred`` from the stored rollup:
+    locate the affected day partitions from the base events, recompute
+    those days' cells over the surviving events only, and rewrite ONLY
+    those partitions (dynamic overwrite; days left with no events are
+    dropped outright — dynamic overwrite writes nothing for an emptied
+    group, which would silently leave the old cells).  Returns the
+    affected day list (bounded by the calendar — the model-boundary
+    collect class).  ``ev_base`` is the raw fact (the deletion MUST
+    re-derive from base data: union-only sketches cannot subtract)."""
+    from .retrieval import _fs_of
+
+    affected = sorted(
+        str(r["day"])
+        for r in ev_base.filter(del_pred)
+        .select(F.expr("CAST(ts AS DATE)").alias("day"))
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return []
+    surv = ev_base.filter(
+        F.expr("CAST(ts AS DATE)").cast("string").isin(affected)
+        & ~del_pred
+    )
+    cells = user_sketch_rollup(surv).withColumn(
+        "day_part", F.col("day").cast("string")
+    )
+    survivor_days = {
+        str(r["day_part"])
+        for r in cells.select("day_part").distinct().collect()
+    }
+    if survivor_days:
+        (
+            cells.repartition(len(survivor_days), "day_part")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day_part")
+            .parquet(f"{path}/rollup")
+        )
+    for day in affected:
+        if day not in survivor_days:
+            fs, hp = _fs_of(spark, f"{path}/rollup/day_part={day}")
+            fs.delete(hp, True)
+    return affected
+
+
+def sketch_rollup_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion through the sketch store, end to end: build the
+    day-partitioned rollup over the full fact, ERASE a user set
+    (affected-day recompute + rewrite), and serve merged per-type
+    estimates from the post-delete store, self-checked against the
+    exact distinct over the SURVIVING events (the flag's oracle is
+    literal 1 per the self-checking-sketch rule).  Output binds the
+    erasure accounting (n_users_deleted, n_days_rewritten) into the
+    checked rows — both closed-form restatable, so a green row proves
+    the erasure verifiably reached the derived store."""
+    import shutil
+    import tempfile
+
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    tmp = tempfile.mkdtemp(prefix="sgraft_sketch_delete_")
+    try:
+        build_sketch_rollup_store(spark, sf_dir, tmp)
+        affected = delete_users_from_sketch_store(
+            spark, tmp, ev, _del_users_pred()
+        )
+        surv = ev.filter(~_del_users_pred())
+        merged = serve_sketch_rollup_from_store(spark, tmp)
+        exact = surv.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_users")
+        )
+        tele = surv.sparkSession.createDataFrame(
+            [(len(affected),)], "n_days_rewritten bigint"
+        ).crossJoin(
+            ev.filter(_del_users_pred()).agg(
+                F.countDistinct("user_id").alias("n_users_deleted")
+            )
+        )
+        in_bounds = (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.greatest(
+                F.col("exact_users") * F.lit(_REL_BOUND),
+                F.lit(_ABS_SLACK),
+            )
+        )
+        out = (
+            merged.join(exact, "event_type")
+            .crossJoin(F.broadcast(tele))
+            .select(
+                "event_type",
+                "n_events",
+                "exact_users",
+                F.when(in_bounds, 1).otherwise(0).cast("int").alias(
+                    "store_in_bounds"
+                ),
+                "n_users_deleted",
+                "n_days_rewritten",
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+QUERIES["sketch_rollup_delete"] = sketch_rollup_delete
+
+# delete semantics: serve-from-rewritten-store must equal the direct
+# aggregate over the SURVIVING events (n_events per type decremented
+# exactly; estimates in bounds vs surviving distincts — literal-1 flag
+# per the self-checking-sketch rule); telemetry closed-form restated
+ORACLES["sketch_rollup_delete"] = (
+    "WITH base AS (SELECT * FROM events"
+    " WHERE user_id IS NOT NULL AND ts IS NOT NULL),"
+    f" tele AS (SELECT (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM base"
+    f" WHERE user_id % {DEL_USER_MOD} = {DEL_USER_RES})"
+    " AS n_days_rewritten,"
+    f" (SELECT COUNT(DISTINCT user_id) FROM base"
+    f" WHERE user_id % {DEL_USER_MOD} = {DEL_USER_RES})"
+    " AS n_users_deleted)"
+    " SELECT event_type,"
+    " COUNT(*) AS n_events,"
+    " COUNT(DISTINCT user_id) AS exact_users,"
+    " CAST(1 AS INT) AS store_in_bounds,"
+    " tele.n_users_deleted, tele.n_days_rewritten"
+    f" FROM base, tele WHERE user_id % {DEL_USER_MOD} != {DEL_USER_RES}"
+    " GROUP BY event_type, tele.n_users_deleted, tele.n_days_rewritten"
+    " ORDER BY event_type"
+)
+
+
+# --- streaming sketch-store ingestion (r13) ----------------------------------
+#
+# The third store's ingest-stream leg, and the one where composition is
+# FREE by algebra: serve-time hll_union_agg is associative and
+# commutative over cells, so ANY batch split of the fact — including
+# splits that land partial days in different micro-batches — composes
+# to the same served estimates; no version chain or frozen model is
+# needed.  The foreachBatch sink is the certified append
+# (upsert_sketch_rollup_store) plus the same per-batch marker
+# idempotency contract as the BM25/ANN sinks.
+
+
+def _sketch_stream_sink(store: str, bdf: DataFrame, bid: int) -> None:
+    from .retrieval import _fs_of, _store_dir_exists
+
+    sess = bdf.sparkSession
+    marker = f"{store}/_batches/bid={bid}"
+    if _store_dir_exists(sess, marker):
+        return  # redelivered, already fully applied
+    if not bdf.isEmpty():
+        upsert_sketch_rollup_store(bdf, store)
+    fs, hp = _fs_of(sess, marker)
+    fs.mkdirs(hp)
+
+
+def _run_sketch_upsert_stream(
+    spark: SparkSession, sf_dir: str, root: str
+) -> None:
+    """Stage the fact feed, run the availableNow append stream into
+    ``root/store``, and block until it drains (extracted so the
+    composition unit can inspect the store the registry query
+    deletes)."""
+    from .retrieval import N_FEED_FILES
+
+    store = f"{root}/store"
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    ev.repartition(N_FEED_FILES).write.parquet(f"{root}/feed")
+
+    def sink(bdf: DataFrame, bid: int) -> None:
+        _sketch_stream_sink(store, bdf, bid)
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/feed")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+        if q.isActive:
+            raise TimeoutError("sketch upsert stream did not drain in 300 s")
+    finally:
+        if q.isActive:
+            try:
+                q.stop()
+            except Exception:
+                pass
+
+
+def sketch_stream_upsert_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING ingestion into the sketch store: stage the fact as
+    N_FEED_FILES parquet files, run a real availableNow stream
+    (one micro-batch per file), and let ``foreachBatch`` append each
+    batch's (day, type) HLL cells — partial-day cells from different
+    batches coexist and merge at serve time (union associativity), so
+    the N-batch composition equals the single-pass build WITHOUT any
+    cross-batch coordination.  After the stream drains, merged per-type
+    estimates are self-checked against the exact distinct over all
+    events; n_days_stored (distinct day partitions in the composed
+    store) binds the store's physical layout into the checked rows."""
+    import shutil
+    import tempfile
+
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    tmp = tempfile.mkdtemp(prefix="sgraft_sketch_stream_")
+    try:
+        _run_sketch_upsert_stream(spark, sf_dir, tmp)
+        store = f"{tmp}/store"
+        nd = (
+            spark.read.parquet(f"{store}/rollup")
+            .select(F.col("day_part"))
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_days_stored"))
+        )
+        merged = serve_sketch_rollup_from_store(spark, store)
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_users")
+        )
+        in_bounds = (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.greatest(
+                F.col("exact_users") * F.lit(_REL_BOUND),
+                F.lit(_ABS_SLACK),
+            )
+        )
+        out = (
+            merged.join(exact, "event_type")
+            .crossJoin(F.broadcast(nd))
+            .select(
+                "event_type",
+                "n_events",
+                "exact_users",
+                F.when(in_bounds, 1).otherwise(0).cast("int").alias(
+                    "store_in_bounds"
+                ),
+                "n_days_stored",
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+QUERIES["sketch_stream_upsert_store"] = sketch_stream_upsert_store
+
+# stream-composed store semantics: per-type exact accounting over all
+# events (the fact reached the store losslessly through the batch
+# chain), estimates in bounds (literal-1 flag), and the day-partition
+# count restated as the distinct event days
+ORACLES["sketch_stream_upsert_store"] = (
+    "WITH base AS (SELECT * FROM events"
+    " WHERE user_id IS NOT NULL AND ts IS NOT NULL),"
+    " nd AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days_stored"
+    " FROM base)"
+    " SELECT event_type,"
+    " COUNT(*) AS n_events,"
+    " COUNT(DISTINCT user_id) AS exact_users,"
+    " CAST(1 AS INT) AS store_in_bounds,"
+    " nd.n_days_stored"
+    " FROM base, nd"
+    " GROUP BY event_type, nd.n_days_stored ORDER BY event_type"
+)

