@@ -593,10 +593,37 @@ def _versions_in(spark: SparkSession, path: str) -> list[int]:
     return sorted(out)
 
 
-def _latest_version(spark: SparkSession, path: str) -> int:
-    vs = _versions_in(spark, path)
+def _publish_version(spark: SparkSession, store: str, v: int) -> None:
+    """Atomically PUBLISH version ``v`` of a store: create the empty
+    marker ``{store}/_published/v=N`` AFTER every data directory of
+    that version is fully written.  Marker creation (mkdirs) is the
+    commit point — the same effectively-atomic primitive the stream
+    sinks' redelivery markers use — so a writer that crashes midway
+    leaves dangling, UNREFERENCED ``v=N`` data dirs that no reader ever
+    resolves (and that vacuum sweeps), instead of a half-merged version
+    a directory-listing reader would happily serve (r13, the
+    crash-safety leg ADVICE r12's Hadoop-FS conversion stopped short
+    of).  Boundary, stated: the POSTINGS table is append-only and not
+    versioned — a crashed upsert's appended posting files are visible
+    to concurrent readers before the version publish; true whole-store
+    snapshot isolation needs per-version FILE manifests (the
+    Iceberg/Delta-class storage-format upgrade this parquet store
+    deliberately stops short of)."""
+    fs, hp = _fs_of(spark, f"{store}/_published/v={v}")
+    fs.mkdirs(hp)
+
+
+def _published_versions(spark: SparkSession, store: str) -> list[int]:
+    return _versions_in(spark, f"{store}/_published")
+
+
+def _latest_version(spark: SparkSession, store: str) -> int:
+    """The store's live version: the newest PUBLISHED marker — never a
+    directory listing of the data dirs themselves, so partially-written
+    versions from a crashed writer are invisible by construction."""
+    vs = _published_versions(spark, store)
     if not vs:
-        raise FileNotFoundError(f"no v=N versions under {path}")
+        raise FileNotFoundError(f"no published versions under {store}")
     return max(vs)
 
 
@@ -625,6 +652,7 @@ def _init_bm25_store(docs: DataFrame, path: str) -> None:
         F.count(F.lit(1)).alias("df")
     ).write.parquet(f"{path}/lexicon/v=1")
     _stats2_of(toks).write.parquet(f"{path}/stats/v=1")
+    _publish_version(spark, path, 1)
 
 
 def build_bm25_index_v2(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -642,7 +670,10 @@ def upsert_bm25_index(
     batch's postings into their term buckets (pre-existing posting
     files are never rewritten — tests prove the file-level claim),
     then write the NEXT VERSION of the lexicon (old df + batch df,
-    full-outer integer merge) and stats (component-wise BIGINT add).
+    full-outer integer merge) and stats (component-wise BIGINT add),
+    and finally PUBLISH v+1 (the marker commit — readers resolve only
+    published versions, so a crash anywhere before the publish leaves
+    the live version serving untouched).
     The batch frame fully determines the merge — the store is not
     corpus-bound (ADVICE r12: the earlier unused ``sf_dir`` parameter
     invited exactly that misreading)."""
@@ -654,7 +685,7 @@ def upsert_bm25_index(
         .partitionBy("tb")
         .parquet(f"{path}/postings")
     )
-    v = _latest_version(spark, f"{path}/lexicon")
+    v = _latest_version(spark, path)
     old_lex = spark.read.parquet(f"{path}/lexicon/v={v}")
     batch_df = bp.groupBy("term").agg(F.count(F.lit(1)).alias("bdf"))
     (
@@ -687,6 +718,7 @@ def upsert_bm25_index(
         )
         .write.parquet(f"{path}/stats/v={v + 1}")
     )
+    _publish_version(spark, path, v + 1)
 
 
 def serve_bm25_v2(spark: SparkSession, path: str) -> DataFrame:
@@ -703,7 +735,7 @@ def serve_bm25_v2(spark: SparkSession, path: str) -> DataFrame:
     postings = spark.read.parquet(f"{path}/postings").filter(
         F.col("tb").isin(buckets)
     )
-    v = _latest_version(spark, f"{path}/lexicon")
+    v = _latest_version(spark, path)
     lexicon = spark.read.parquet(f"{path}/lexicon/v={v}")
     stats = spark.read.parquet(f"{path}/stats/v={v}").select(
         (
@@ -769,7 +801,7 @@ def bm25_stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         _run_bm25_upsert_stream(spark, sf_dir, tmp)
         store = f"{tmp}/store"
-        v = _latest_version(spark, f"{store}/stats")
+        v = _latest_version(spark, store)
         nd = spark.read.parquet(f"{store}/stats/v={v}").select(
             F.col("n_docs").alias("n_docs_indexed")
         )
@@ -868,20 +900,30 @@ DOC_UPSERT_RES2 = 3  # second ingest batch for the vacuum chain (~10%,
 def vacuum_bm25_store(
     spark: SparkSession, path: str, keep_last: int = RETAIN_VERSIONS
 ) -> int:
-    """Delete all but the newest ``keep_last`` versions of the two
-    versioned tables (lexicon, stats).  Postings are never touched —
-    they are append-only data, not versioned metadata.  Returns the
-    number of version directories removed.  Cost is pure metadata
-    (directory deletes): independent of corpus size."""
+    """Delete all but the newest ``keep_last`` PUBLISHED versions of
+    the two versioned tables (lexicon, stats) — and, as the
+    crash-recovery half, every UNPUBLISHED data directory a crashed
+    writer left dangling (a version dir with no ``_published`` marker
+    is unreferenced by construction and safe to remove at any time).
+    Postings are never touched — they are append-only data, not
+    versioned metadata.  Returns the number of version data
+    directories removed.  Cost is pure metadata (directory deletes):
+    independent of corpus size."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the live version)")
+    latest = _latest_version(spark, path)
+    keep = set(range(latest - keep_last + 1, latest + 1))
     removed = 0
     for table in ("lexicon", "stats"):
-        vs = _versions_in(spark, f"{path}/{table}")
-        for v in vs[:-keep_last]:
-            fs, hp = _fs_of(spark, f"{path}/{table}/v={v}")
+        for v in _versions_in(spark, f"{path}/{table}"):
+            if v not in keep:
+                fs, hp = _fs_of(spark, f"{path}/{table}/v={v}")
+                fs.delete(hp, True)
+                removed += 1
+    for v in _published_versions(spark, path):
+        if v not in keep:
+            fs, hp = _fs_of(spark, f"{path}/_published/v={v}")
             fs.delete(hp, True)
-            removed += 1
     return removed
 
 
@@ -914,7 +956,7 @@ def bm25_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         upsert_bm25_index(spark, tmp, b1)
         upsert_bm25_index(spark, tmp, b2)
         purged = vacuum_bm25_store(spark, tmp, keep_last=RETAIN_VERSIONS)
-        v = _latest_version(spark, f"{tmp}/stats")
+        v = _latest_version(spark, tmp)
         nd = spark.read.parquet(f"{tmp}/stats/v={v}").select(
             F.col("n_docs").alias("n_docs_indexed")
         )
@@ -954,9 +996,10 @@ def delete_from_bm25_index(
     """Erase ``del_docs`` (a (doc_id, text) frame — the erasure request
     carries the docs being purged, fetched from the base table before
     the base rows themselves are erased) from the stored index.
-    Writes the next lexicon/stats version FIRST (snapshot isolation:
-    v=N readers see the pre-delete index until the bucket rewrite
-    commits), then rewrites only the affected term-bucket partitions.
+    Writes the next lexicon/stats version, rewrites only the affected
+    term-bucket partitions, then PUBLISHES v+1 (the marker commit) —
+    readers resolve published versions only, so they see the
+    pre-delete index until the erasure is physically complete.
     Returns the affected bucket list (≤ N_TB ints).  Cost is
     proportional to the affected buckets' postings + the
     vocabulary-bounded lexicon merge — never a corpus rescan."""
@@ -965,7 +1008,7 @@ def delete_from_bm25_index(
     buckets = sorted(
         r["tb"] for r in dp.select("tb").distinct().collect()
     )
-    v = _latest_version(spark, f"{path}/lexicon")
+    v = _latest_version(spark, path)
     old_lex = spark.read.parquet(f"{path}/lexicon/v={v}")
     ddf = dp.groupBy("term").agg(F.count(F.lit(1)).alias("ddf"))
     (
@@ -998,6 +1041,7 @@ def delete_from_bm25_index(
         .write.parquet(f"{path}/stats/v={v + 1}")
     )
     if not buckets:
+        _publish_version(spark, path, v + 1)
         return []
     del_ids = del_docs.select("doc_id")
     kept = (
@@ -1023,6 +1067,10 @@ def delete_from_bm25_index(
             # bucket directory explicitly
             fs, hp = _fs_of(spark, f"{path}/postings/tb={tb}")
             fs.delete(hp, True)
+    # publish only after the bucket rewrite: a v+1 reader must see the
+    # post-delete postings (the erasure is not "committed" until the
+    # deleted postings are physically unreachable)
+    _publish_version(spark, path, v + 1)
     return buckets
 
 

@@ -185,7 +185,14 @@ for _mod in _MODULES:
 # Hadoop-FS version-discovery conversion (retrieval._fs_of replacing
 # os.listdir) and the stream-sink idempotency markers change no
 # certified query's generated plan or output (ADVICE r12 items; the
-# marker writes are new files outside every read path).
+# marker writes are new files outside every read path).  Likewise the
+# r13 manifest commit (retrieval._publish_version): version resolution
+# moved from data-dir listing to published markers — bm25_index_upsert's
+# generated plan and values are unchanged (same parquet paths read; the
+# markers are empty dirs outside every scan), re-verified by this
+# session's strict parity runs at sf0.001, sf0.01 AND sf0.1; the
+# crash-safety property the markers add is locked by
+# tests/test_vectorstore.py::test_bm25_manifest_commit_gates_visibility.
 # Disclosed deferrals: the remaining 29 r9-cohort rows rotate in r14
 # (registry order continues from gap_fill_daily_revenue); all are
 # strict-parity green locally this session at sf0.001, sf0.01 AND

@@ -313,7 +313,7 @@ def test_bm25_upsert_equals_rebuild_and_direct(spark, sf_dir):
         ]
         assert got == want and len(got) == rt.TOP_K
         # merged lexicon == full-corpus df relation, exactly
-        v = rt._latest_version(spark, f"{tmp}/lexicon")
+        v = rt._latest_version(spark, tmp)
         assert v == 2  # build wrote v=1, the upsert wrote v=2
         merged_lex = sorted(
             (r["term"], r["df"])
@@ -438,8 +438,7 @@ def test_bm25_stream_upsert_version_chain(spark, sf_dir):
     try:
         rt._run_bm25_upsert_stream(spark, sf_dir, tmp)
         store = f"{tmp}/store"
-        assert rt._latest_version(spark, f"{store}/lexicon") == rt.N_FEED_FILES
-        assert rt._latest_version(spark, f"{store}/stats") == rt.N_FEED_FILES
+        assert rt._latest_version(spark, store) == rt.N_FEED_FILES
         # every intermediate version survives (snapshot isolation chain)
         for v in range(1, rt.N_FEED_FILES + 1):
             assert os.path.isdir(f"{store}/lexicon/v={v}")
@@ -449,7 +448,7 @@ def test_bm25_stream_upsert_version_chain(spark, sf_dir):
         ]
         assert got == want and len(got) == rt.TOP_K
         # final stats == full corpus accounting
-        v = rt._latest_version(spark, f"{store}/stats")
+        v = rt._latest_version(spark, store)
         stats = spark.read.parquet(f"{store}/stats/v={v}").collect()[0]
         n_docs = rt._base_docs(spark, sf_dir).count()
         assert stats["n_docs"] == n_docs
@@ -461,7 +460,7 @@ def test_bm25_stream_upsert_version_chain(spark, sf_dir):
             assert os.path.isdir(f"{store}/_batches/bid={bid}")
         redelivered = rt._base_docs(spark, sf_dir).limit(5)
         rt._bm25_stream_sink(store, redelivered, 0)
-        assert rt._latest_version(spark, f"{store}/stats") == v
+        assert rt._latest_version(spark, store) == v
         stats2 = spark.read.parquet(f"{store}/stats/v={v}").collect()[0]
         assert stats2["n_docs"] == n_docs
         got2 = [
@@ -794,7 +793,7 @@ def test_bm25_delete_equals_rebuild_without_docs(spark, sf_dir):
                 assert after.get(d) == before[d], f"{d}: untouched bucket changed"
         # independent rebuild over the survivors only
         rt._init_bm25_store(kept, tmp2)
-        v = rt._latest_version(spark, f"{tmp}/lexicon")
+        v = rt._latest_version(spark, tmp)
         assert v == 2  # build wrote v=1, the delete wrote v=2
         got_lex = sorted(
             (r["term"], r["df"])
@@ -826,3 +825,47 @@ def test_bm25_delete_equals_rebuild_without_docs(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(tmp2, ignore_errors=True)
+
+
+def test_bm25_manifest_commit_gates_visibility(spark, sf_dir):
+    """The marker commit (r13): readers resolve only PUBLISHED
+    versions, so a crashed writer's dangling v=N+1 data dirs are
+    invisible to serve, and vacuum sweeps them as the crash-recovery
+    half.  Walks the whole lifecycle: build publishes v=1, upsert
+    publishes v=2, a simulated mid-crash (v=3 data dirs, no marker)
+    leaves the live version serving unchanged, and vacuum removes
+    exactly the superseded + dangling dirs while the published chain
+    stays intact."""
+    import os
+
+    from intellect_bi_spark.operators import retrieval as rt
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25manifest_")
+    try:
+        rt.build_bm25_index_v2(spark, sf_dir, tmp)
+        assert rt._published_versions(spark, tmp) == [1]
+        batch = rt._base_docs(spark, sf_dir).filter(rt._doc_batch_pred())
+        rt.upsert_bm25_index(spark, tmp, batch)
+        assert rt._published_versions(spark, tmp) == [1, 2]
+        assert rt._latest_version(spark, tmp) == 2
+        want = [tuple(r) for r in rt.serve_bm25_v2(spark, tmp).collect()]
+        # simulate a writer that crashed AFTER writing v=3 data but
+        # BEFORE the marker commit: copy the live version's parquet
+        # into v=3 dirs (content is irrelevant — it must be ignored)
+        for table in ("lexicon", "stats"):
+            shutil.copytree(f"{tmp}/{table}/v=2", f"{tmp}/{table}/v=3")
+        assert rt._versions_in(spark, f"{tmp}/lexicon") == [1, 2, 3]
+        assert rt._latest_version(spark, tmp) == 2  # dangling invisible
+        got = [tuple(r) for r in rt.serve_bm25_v2(spark, tmp).collect()]
+        assert got == want  # serve unaffected by the crash debris
+        # vacuum removes v=1 (superseded) AND v=3 (dangling) from both
+        # tables: 4 data dirs
+        assert rt.vacuum_bm25_store(spark, tmp, keep_last=1) == 4
+        for table in ("lexicon", "stats"):
+            assert rt._versions_in(spark, f"{tmp}/{table}") == [2]
+        assert rt._published_versions(spark, tmp) == [2]
+        assert not os.path.isdir(f"{tmp}/lexicon/v=3")
+        got2 = [tuple(r) for r in rt.serve_bm25_v2(spark, tmp).collect()]
+        assert got2 == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
