@@ -98,6 +98,8 @@ HEADLINE = [
     "bm25_stream_upsert_store",  # availableNow micro-batch upsert chain (r12)
     "bm25_store_vacuum",  # keep-latest version retention (r13)
     "bm25_index_delete",  # erasure: bucket rewrite + stat decrement (r13)
+    "phrase_search_topk",  # positional adjacency equi-join chain (r13)
+    "phrase_index_store",  # persisted positional index, pruned serve (r13)
     "text_quality_scores",
     "html_text_extract_stats",  # web-ingest markup strip/decode (r9)
     "chunk_documents",
@@ -205,6 +207,8 @@ _ADDED_AFTER_R9 = {
     "video_features_fmp4",
     "sketch_rollup_delete",
     "sketch_stream_upsert_store",
+    "phrase_search_topk",
+    "phrase_index_store",
     "ann_upsert_only",
     "bm25_upsert_only",
     "sketch_upsert_only",

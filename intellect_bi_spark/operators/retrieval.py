@@ -1412,3 +1412,152 @@ def _ndcg_oracle() -> str:
 
 
 ORACLES["bm25_ndcg_eval"] = _ndcg_oracle()
+
+
+# --- positional phrase search (r13) ------------------------------------------
+#
+# The retrieval capability the bag-of-words BM25 tier cannot express:
+# "these words, adjacent, in this order".  The index gains POSITIONS —
+# (doc_id, dl, pos, term) rows — and a phrase match becomes a chain of
+# pure EQUI-joins: anchor word w0 at p0, word w_i must sit at p0 + i,
+# so each subsequent branch joins on the composite key (doc_id, p0)
+# after shifting its positions by -i.  No inequality join, no window,
+# no per-doc Python: at 100 TB each branch is a pushed
+# term-equality scan of the positional postings (term-bucket partition
+# pruning + predicate pushdown when served from the store), and the
+# join keys are exactly the candidate occurrences — never a corpus
+# product.  Reference analogue: the reference's retrieval surface is
+# embedding-only (api/main.py query path); phrase/proximity search is
+# the lexical capability a production corpus engine adds beside it.
+
+PHRASE = ("filter", "merge", "data")  # fixture phrase, df spread
+PHRASE_K = 10
+
+
+def _pos_postings_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, pos, term, tb): the positional posting relation —
+    same deterministic tokenization as the BM25 tier, plus the 0-based
+    token position and the term-hash bucket."""
+    return (
+        _toks_of(docs)
+        .select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.posexplode("toks").alias("pos", "term"),
+        )
+        .withColumn("tb", _term_bucket(F.col("term")))
+    )
+
+
+def _phrase_topk(pp: DataFrame) -> DataFrame:
+    """Adjacency-chain phrase match over a positional posting relation:
+    per-doc phrase frequency + first occurrence, deterministic top-k."""
+    w = list(PHRASE)
+    occ = pp.filter(F.col("term") == w[0]).select(
+        "doc_id", "dl", F.col("pos").alias("p0")
+    )
+    for i, term in enumerate(w[1:], start=1):
+        nxt = pp.filter(F.col("term") == term).select(
+            "doc_id", (F.col("pos") - i).alias("p0")
+        )
+        occ = occ.join(nxt, ["doc_id", "p0"])
+    return (
+        occ.groupBy("doc_id", "dl")
+        .agg(
+            F.count(F.lit(1)).alias("phrase_tf"),
+            F.min("p0").alias("first_pos"),
+        )
+        .orderBy(F.desc("phrase_tf"), "doc_id")
+        .limit(PHRASE_K)
+    )
+
+
+def phrase_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct phrase search: positional postings from one corpus
+    tokenization pass, adjacency equi-join chain, top-k docs by phrase
+    frequency (doc_id tie-break)."""
+    return _phrase_topk(_pos_postings_of(_base_docs(spark, sf_dir)))
+
+
+def build_phrase_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the positional postings, term-hash-bucket partitioned —
+    the one corpus pass; every later phrase query reads only its
+    words' buckets."""
+    (
+        _pos_postings_of(_base_docs(spark, sf_dir))
+        .repartition(N_TB, "tb")
+        .write.partitionBy("tb")
+        .parquet(f"{path}/postings_pos")
+    )
+
+
+def serve_phrase_from_store(spark: SparkSession, path: str) -> DataFrame:
+    """Answer the fixed phrase query from the stored positional index:
+    the scan carries the term-bucket PARTITION filter (directory
+    pruning) and each adjacency branch pushes its term equality into
+    the parquet scan — the phrase never re-tokenizes the corpus."""
+    import zlib
+
+    buckets = sorted(
+        {zlib.crc32(t.encode("utf-8")) % N_TB for t in PHRASE}
+    )
+    pp = spark.read.parquet(f"{path}/postings_pos").filter(
+        F.col("tb").isin(buckets)
+    )
+    return _phrase_topk(pp)
+
+
+def phrase_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape: build the positional index on parquet,
+    serve the fixed phrase query FROM THE STORE (bucket-pruned, term
+    filters pushed), teardown.  The oracle restates the phrase match
+    from the raw text — a green row proves the positional store
+    roundtrip and the adjacency chain byte-exactly."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_phrase_store_")
+    try:
+        build_phrase_index(spark, sf_dir, tmp)
+        out = serve_phrase_from_store(spark, tmp).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+QUERIES["phrase_search_topk"] = phrase_search_topk
+QUERIES["phrase_index_store"] = phrase_index_store
+
+
+def _phrase_oracle() -> str:
+    w = list(PHRASE)
+    branches = ", ".join(
+        f"w{i} AS (SELECT doc_id, pos - {i} AS p0 FROM p"
+        f" WHERE term = '{t}')"
+        for i, t in enumerate(w[1:], start=1)
+    )
+    joins = " ".join(
+        f"JOIN w{i} USING (doc_id, p0)" for i in range(1, len(w))
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, list_filter("
+        "string_split_regex(lower(text), '[^a-z0-9]+'),"
+        " t -> t <> '') AS toks FROM documents),"
+        " p AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term,"
+        " generate_subscripts(toks, 1) - 1 AS pos FROM tok),"
+        f" a AS (SELECT doc_id, dl, pos AS p0 FROM p"
+        f" WHERE term = '{w[0]}'),"
+        f" {branches},"
+        f" occ AS (SELECT a.doc_id, a.dl, a.p0 FROM a {joins}),"
+        " g AS (SELECT doc_id, dl, COUNT(*) AS phrase_tf,"
+        " MIN(p0) AS first_pos FROM occ GROUP BY doc_id, dl)"
+        " SELECT doc_id, CAST(dl AS INT) AS dl, phrase_tf,"
+        " CAST(first_pos AS INT) AS first_pos FROM g"
+        f" ORDER BY phrase_tf DESC, doc_id LIMIT {PHRASE_K}"
+    )
+
+
+ORACLES["phrase_search_topk"] = _phrase_oracle()
+ORACLES["phrase_index_store"] = _phrase_oracle()

@@ -172,9 +172,12 @@ for _mod in _MODULES:
 #     sketch_stream_upsert_store — availableNow cell-append ingest,
 #     composition free by union associativity) so ALL THREE persisted
 #     stores now carry build / upsert / delete / vacuum-or-compact /
-#     stream-ingest certifications;
-# (c) the oldest r9 rows, registry order, filling the remaining 8
-#     slots (nl_qoq_delta through pivot_region_quarter).
+#     stream-ingest certifications, and positional PHRASE search
+#     (phrase_search_topk — adjacency as a pure equi-join chain over
+#     positional postings; phrase_index_store — the bucket-partitioned
+#     persisted index with pruned+pushed serving, plan-unit locked);
+# (c) the oldest r9 rows, registry order, filling the remaining 6
+#     slots (nl_qoq_delta through q17_small_quantity_revenue).
 # NOT stale (bit-identical behavior, disclosed): the r13
 # _anchored_sampled_roll extraction (multimodal.py — the keyframe-
 # anchored roll loop moved VERBATIM out of decode_mb4_bdv_sampled so
@@ -193,8 +196,8 @@ for _mod in _MODULES:
 # session's strict parity runs at sf0.001, sf0.01 AND sf0.1; the
 # crash-safety property the markers add is locked by
 # tests/test_vectorstore.py::test_bm25_manifest_commit_gates_visibility.
-# Disclosed deferrals: the remaining 29 r9-cohort rows rotate in r14
-# (registry order continues from gap_fill_daily_revenue); all are
+# Disclosed deferrals: the remaining 31 r9-cohort rows rotate in r14
+# (registry order continues from q19_bracketed_revenue); all are
 # strict-parity green locally this session at sf0.001, sf0.01 AND
 # sf0.1 (tests/test_parity.py).
 # ---- superseded r12 front comment kept for the ledger: -------------
@@ -306,6 +309,8 @@ _FRONT = (
     "video_features_fmp4",
     "sketch_rollup_delete",
     "sketch_stream_upsert_store",
+    "phrase_search_topk",
+    "phrase_index_store",
     # -- (c) oldest r9 rows, registry order ------------------------------------
     "nl_qoq_delta",
     "q10_returned_revenue",
@@ -313,8 +318,6 @@ _FRONT = (
     "q14_promo_share",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
-    "q19_bracketed_revenue",
-    "pivot_region_quarter",
 )
 
 _FRONT_R12 = (

@@ -869,3 +869,76 @@ def test_bm25_manifest_commit_gates_visibility(spark, sf_dir):
         assert got2 == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_phrase_stored_equals_direct_ranking(spark, sf_dir):
+    """The positional store is a pure roundtrip: serving the fixed
+    phrase query from the persisted bucket-partitioned postings must
+    reproduce the direct (tokenize-in-query) ranking bit for bit."""
+    from intellect_bi_spark.operators import retrieval as rt
+
+    want = [
+        tuple(r) for r in rt.phrase_search_topk(spark, sf_dir).collect()
+    ]
+    assert want  # the fixture phrase must actually occur
+    tmp = tempfile.mkdtemp(prefix="sgraft_phrasetest_")
+    try:
+        rt.build_phrase_index(spark, sf_dir, tmp)
+        got = [
+            tuple(r)
+            for r in rt.serve_phrase_from_store(spark, tmp).collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got == want
+
+
+def test_phrase_serve_scan_prunes_and_pushes(spark, sf_dir):
+    """The stored phrase serve must carry BOTH the term-bucket
+    partition filter (directory pruning) and pushed term predicates —
+    the properties that keep a phrase query from reading the whole
+    positional index at 100 TB."""
+    from intellect_bi_spark.operators import retrieval as rt
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_phraseplan_")
+    try:
+        rt.build_phrase_index(spark, sf_dir, tmp)
+        plan = (
+            rt.serve_phrase_from_store(spark, tmp)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert part and all("tb" in ln for ln in part), plan[:2000]
+        pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+        assert any("term" in ln for ln in pushed), plan[:2000]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_phrase_adjacency_semantics(spark):
+    """Hand-built corpus locks the match semantics: order matters,
+    adjacency matters, occurrences can overlap-count per anchor, and
+    phrase_tf counts every anchored occurrence."""
+    from intellect_bi_spark.operators import retrieval as rt
+
+    w0, w1, w2 = rt.PHRASE
+    docs = spark.createDataFrame(
+        [
+            # two clean occurrences
+            (1, f"{w0} {w1} {w2} x {w0} {w1} {w2}"),
+            # wrong order: no match
+            (2, f"{w2} {w1} {w0}"),
+            # gap breaks adjacency: no match
+            (3, f"{w0} x {w1} {w2}"),
+            # one occurrence at the very start
+            (4, f"{w0} {w1} {w2}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["phrase_tf"], r["first_pos"])
+        for r in rt._phrase_topk(rt._pos_postings_of(docs)).collect()
+    }
+    assert got == {1: (2, 0), 4: (1, 0)}
