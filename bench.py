@@ -100,6 +100,7 @@ HEADLINE = [
     "bm25_index_delete",  # erasure: bucket rewrite + stat decrement (r13)
     "phrase_search_topk",  # positional adjacency equi-join chain (r13)
     "phrase_index_store",  # persisted positional index, pruned serve (r13)
+    "bm25_postings_compact",  # affected-bucket file coalescing (r13)
     "text_quality_scores",
     "html_text_extract_stats",  # web-ingest markup strip/decode (r9)
     "chunk_documents",
@@ -209,6 +210,7 @@ _ADDED_AFTER_R9 = {
     "sketch_stream_upsert_store",
     "phrase_search_topk",
     "phrase_index_store",
+    "bm25_postings_compact",
     "ann_upsert_only",
     "bm25_upsert_only",
     "sketch_upsert_only",

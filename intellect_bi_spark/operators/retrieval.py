@@ -1561,3 +1561,75 @@ def _phrase_oracle() -> str:
 
 ORACLES["phrase_search_topk"] = _phrase_oracle()
 ORACLES["phrase_index_store"] = _phrase_oracle()
+
+
+# --- post-upsert postings compaction (r13) -----------------------------------
+#
+# The lexical twin of vectorstore.compact_index_cells: every append-mode
+# upsert leaves one more small file in each affected term bucket, and at
+# 100 TB with continuous ingest the bucket file count grows without
+# bound (the small-files problem compaction_plan budgets).  Compaction
+# rewrites ONLY the affected buckets, coalescing each back to one file
+# via dynamic partition overwrite; untouched buckets are never read or
+# rewritten.
+
+
+def compact_bm25_buckets(spark: SparkSession, path: str, buckets) -> None:
+    """Coalesce the given term-bucket partitions back to one file each
+    (localCheckpoint severs the read-from-write-target lineage, the
+    compact_index_cells discipline)."""
+    buckets = sorted(int(b) for b in buckets)
+    if not buckets:
+        return
+    affected = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("tb").isin(buckets))
+        .localCheckpoint(eager=True)
+    )
+    (
+        affected.repartition(len(buckets), "tb")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tb")
+        .parquet(f"{path}/postings")
+    )
+
+
+def bm25_postings_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lexical maintenance cycle: build the versioned store on the
+    base corpus, upsert the ingest batch (its term buckets gain an
+    appended file), COMPACT exactly those buckets back to one file
+    each, and serve the fixed query from the compacted store.  The
+    oracle is the identical direct full-corpus restatement the upsert
+    row uses — a green row proves the compaction is a pure physical
+    rewrite (served ranking unchanged); the file-level claims (one
+    file per compacted bucket, untouched buckets byte-identical,
+    posting rows preserved) are locked by tests/test_vectorstore.py."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25_compact_")
+    try:
+        build_bm25_index_v2(spark, sf_dir, tmp)
+        batch = _base_docs(spark, sf_dir).filter(_doc_batch_pred())
+        upsert_bm25_index(spark, tmp, batch)
+        bp = _postings_of(_toks_of(batch))
+        # bounded driver-side scalar list (≤ N_TB ints — the
+        # model-boundary collect class)
+        buckets = [
+            r["tb"] for r in bp.select("tb").distinct().collect()
+        ]
+        compact_bm25_buckets(spark, tmp, buckets)
+        nu = batch.agg(F.count(F.lit(1)).alias("n_upserted"))
+        out = (
+            serve_bm25_v2(spark, tmp)
+            .crossJoin(F.broadcast(nu))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+QUERIES["bm25_postings_compact"] = bm25_postings_compact
+ORACLES["bm25_postings_compact"] = ORACLES["bm25_index_upsert"]

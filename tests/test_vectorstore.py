@@ -942,3 +942,81 @@ def test_phrase_adjacency_semantics(spark):
         for r in rt._phrase_topk(rt._pos_postings_of(docs)).collect()
     }
     assert got == {1: (2, 0), 4: (1, 0)}
+
+
+def test_bm25_compact_rewrites_only_affected_buckets_to_one_file(
+    spark, sf_dir
+):
+    """After upsert, the batch's term buckets hold 2 files; compaction
+    must (a) coalesce each affected bucket to ONE file with identical
+    posting rows, (b) leave every untouched bucket's files
+    byte-identical, and (c) leave the served ranking unchanged."""
+    import os
+
+    from intellect_bi_spark.operators import retrieval as rt
+
+    def posting_files(root):
+        out = {}
+        pdir = os.path.join(root, "postings")
+        for entry in sorted(os.listdir(pdir)):
+            if entry.startswith("tb="):
+                out[entry] = sorted(
+                    f
+                    for f in os.listdir(os.path.join(pdir, entry))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25compact_")
+    try:
+        rt.build_bm25_index_v2(spark, sf_dir, tmp)
+        batch = rt._base_docs(spark, sf_dir).filter(rt._doc_batch_pred())
+        rt.upsert_bm25_index(spark, tmp, batch)
+        affected = {
+            f"tb={r['tb']}"
+            for r in rt._postings_of(rt._toks_of(batch))
+            .select("tb")
+            .distinct()
+            .collect()
+        }
+        before = posting_files(tmp)
+        sizes = {
+            (d, f): os.path.getsize(os.path.join(tmp, "postings", d, f))
+            for d, fs in before.items()
+            for f in fs
+        }
+        rows_before = sorted(
+            (r["term"], r["doc_id"], r["dl"], r["tf"])
+            for r in spark.read.parquet(f"{tmp}/postings").collect()
+        )
+        serve_before = [
+            tuple(r) for r in rt.serve_bm25_v2(spark, tmp).collect()
+        ]
+        assert any(len(before[d]) > 1 for d in affected)  # frag real
+        rt.compact_bm25_buckets(
+            spark, tmp, [int(d.split("=")[1]) for d in affected]
+        )
+        after = posting_files(tmp)
+        for d in after:
+            if d in affected:
+                assert len(after[d]) == 1, f"{d}: not coalesced"
+            else:
+                assert after[d] == before[d], f"{d}: untouched changed"
+                for f in before[d]:
+                    assert (
+                        os.path.getsize(
+                            os.path.join(tmp, "postings", d, f)
+                        )
+                        == sizes[(d, f)]
+                    )
+        rows_after = sorted(
+            (r["term"], r["doc_id"], r["dl"], r["tf"])
+            for r in spark.read.parquet(f"{tmp}/postings").collect()
+        )
+        assert rows_after == rows_before
+        serve_after = [
+            tuple(r) for r in rt.serve_bm25_v2(spark, tmp).collect()
+        ]
+        assert serve_after == serve_before
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
