@@ -101,6 +101,7 @@ HEADLINE = [
     "phrase_search_topk",  # positional adjacency equi-join chain (r13)
     "phrase_index_store",  # persisted positional index, pruned serve (r13)
     "bm25_postings_compact",  # affected-bucket file coalescing (r13)
+    "near_search_topk",  # banded position-bucket proximity join (r13)
     "text_quality_scores",
     "html_text_extract_stats",  # web-ingest markup strip/decode (r9)
     "chunk_documents",
@@ -211,6 +212,7 @@ _ADDED_AFTER_R9 = {
     "phrase_search_topk",
     "phrase_index_store",
     "bm25_postings_compact",
+    "near_search_topk",
     "ann_upsert_only",
     "bm25_upsert_only",
     "sketch_upsert_only",

@@ -1633,3 +1633,93 @@ def bm25_postings_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["bm25_postings_compact"] = bm25_postings_compact
 ORACLES["bm25_postings_compact"] = ORACLES["bm25_index_upsert"]
+
+
+# --- proximity (NEAR) search (r13) -------------------------------------------
+#
+# The unordered companion to phrase search: "these words within W
+# positions of each other, either order".  The naive formulation is an
+# inequality join (|pa - pb| <= W) — a range join that degenerates to
+# per-doc products.  The scale-safe plan is the BANDED equi-join the
+# LSH tiers use: bucket positions by W, explode the left side to its
+# bucket and both neighbors, equi-join on (doc_id, bucket), THEN apply
+# the exact |pa - pb| <= W filter.  |pa - pb| <= W implies the bucket
+# ids differ by at most 1, so the 3-bucket explosion loses nothing,
+# and each qualifying pair is emitted exactly once (the right side's
+# bucket id is a single value).  No inequality join, no window, no
+# cartesian — the plan audit's rules hold by construction.
+
+NEAR_TERMS = ("spark", "window")
+NEAR_W = 3  # within 3 token positions, either order
+
+
+def _near_topk(pp: DataFrame) -> DataFrame:
+    """Banded proximity match over a positional posting relation:
+    per-doc near-pair count + tightest gap, deterministic top-k."""
+    t0, t1 = NEAR_TERMS
+    a = pp.filter(F.col("term") == t0).select(
+        "doc_id", "dl", F.col("pos").alias("pa")
+    )
+    b = pp.filter(F.col("term") == t1).select(
+        "doc_id",
+        F.col("pos").alias("pb"),
+        (F.col("pos") / NEAR_W).cast("long").alias("bk"),
+    )
+    a_banded = a.select(
+        "doc_id",
+        "dl",
+        "pa",
+        F.explode(
+            F.array(
+                (F.col("pa") / NEAR_W).cast("long") - 1,
+                (F.col("pa") / NEAR_W).cast("long"),
+                (F.col("pa") / NEAR_W).cast("long") + 1,
+            )
+        ).alias("bk"),
+    )
+    pairs = a_banded.join(b, ["doc_id", "bk"]).filter(
+        F.abs(F.col("pa") - F.col("pb")) <= NEAR_W
+    )
+    return (
+        pairs.groupBy("doc_id", "dl")
+        .agg(
+            F.count(F.lit(1)).alias("near_tf"),
+            F.min(F.abs(F.col("pa") - F.col("pb"))).alias("min_gap"),
+        )
+        .orderBy(F.desc("near_tf"), "doc_id")
+        .limit(PHRASE_K)
+    )
+
+
+def near_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct proximity search over the corpus: positional postings
+    from one tokenization pass, banded equi-join, exact-gap refine,
+    top-k docs by qualifying-pair count (doc_id tie-break)."""
+    return _near_topk(_pos_postings_of(_base_docs(spark, sf_dir)))
+
+
+QUERIES["near_search_topk"] = near_search_topk
+
+
+def _near_oracle() -> str:
+    t0, t1 = NEAR_TERMS
+    return (
+        "WITH tok AS (SELECT doc_id, list_filter("
+        "string_split_regex(lower(text), '[^a-z0-9]+'),"
+        " t -> t <> '') AS toks FROM documents),"
+        " p AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term,"
+        " generate_subscripts(toks, 1) - 1 AS pos FROM tok),"
+        f" a AS (SELECT doc_id, dl, pos AS pa FROM p"
+        f" WHERE term = '{t0}'),"
+        f" b AS (SELECT doc_id, pos AS pb FROM p WHERE term = '{t1}'),"
+        " pairs AS (SELECT a.doc_id, a.dl, ABS(pa - pb) AS gap"
+        f" FROM a JOIN b USING (doc_id) WHERE ABS(pa - pb) <= {NEAR_W}),"
+        " g AS (SELECT doc_id, dl, COUNT(*) AS near_tf,"
+        " MIN(gap) AS min_gap FROM pairs GROUP BY doc_id, dl)"
+        " SELECT doc_id, CAST(dl AS INT) AS dl, near_tf,"
+        " CAST(min_gap AS INT) AS min_gap FROM g"
+        f" ORDER BY near_tf DESC, doc_id LIMIT {PHRASE_K}"
+    )
+
+
+ORACLES["near_search_topk"] = _near_oracle()

@@ -176,11 +176,14 @@ for _mod in _MODULES:
 #     (phrase_search_topk — adjacency as a pure equi-join chain over
 #     positional postings; phrase_index_store — the bucket-partitioned
 #     persisted index with pruned+pushed serving, plan-unit locked),
-#     and bm25_postings_compact (the lexical twin of ann_index_compact:
+#     bm25_postings_compact (the lexical twin of ann_index_compact:
 #     affected term buckets coalesced to one file each, serve-invariant
-#     by the identical direct-restatement oracle);
-# (c) the oldest r9 rows, registry order, filling the remaining 5
-#     slots (nl_qoq_delta through q15_top_supplier).
+#     by the identical direct-restatement oracle), and near_search_topk
+#     (unordered proximity via the BANDED position-bucket equi-join —
+#     never an inequality join; boundary/either-order/exactly-once
+#     semantics unit-locked);
+# (c) the oldest r9 rows, registry order, filling the remaining 4
+#     slots (nl_qoq_delta through q14_promo_share).
 # NOT stale (bit-identical behavior, disclosed): the r13
 # _anchored_sampled_roll extraction (multimodal.py — the keyframe-
 # anchored roll loop moved VERBATIM out of decode_mb4_bdv_sampled so
@@ -199,8 +202,8 @@ for _mod in _MODULES:
 # session's strict parity runs at sf0.001, sf0.01 AND sf0.1; the
 # crash-safety property the markers add is locked by
 # tests/test_vectorstore.py::test_bm25_manifest_commit_gates_visibility.
-# Disclosed deferrals: the remaining 32 r9-cohort rows rotate in r14
-# (registry order continues from q17_small_quantity_revenue); all are
+# Disclosed deferrals: the remaining 33 r9-cohort rows rotate in r14
+# (registry order continues from q15_top_supplier); all are
 # strict-parity green locally this session at sf0.001, sf0.01 AND
 # sf0.1 (tests/test_parity.py).
 # ---- superseded r12 front comment kept for the ledger: -------------
@@ -315,12 +318,12 @@ _FRONT = (
     "phrase_search_topk",
     "phrase_index_store",
     "bm25_postings_compact",
+    "near_search_topk",
     # -- (c) oldest r9 rows, registry order ------------------------------------
     "nl_qoq_delta",
     "q10_returned_revenue",
     "q12_shipmode_priority",
     "q14_promo_share",
-    "q15_top_supplier",
 )
 
 _FRONT_R12 = (

@@ -1020,3 +1020,39 @@ def test_bm25_compact_rewrites_only_affected_buckets_to_one_file(
         assert serve_after == serve_before
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_near_search_semantics_and_plan(spark):
+    """Hand-built corpus locks NEAR semantics: either order matches,
+    the window boundary is inclusive, pairs straddling a position
+    bucket edge are found EXACTLY once (the 3-bucket explosion loses
+    nothing and double-counts nothing), and out-of-window pairs do not
+    match.  The plan must realize proximity as an EQUI-join — no
+    nested-loop/cartesian anywhere."""
+    from intellect_bi_spark.operators import retrieval as rt
+
+    t0, t1 = rt.NEAR_TERMS
+    w = rt.NEAR_W
+    docs = spark.createDataFrame(
+        [
+            # gap exactly W (inclusive boundary), t0 first
+            (1, f"{t0} x x {t1}"),
+            # reversed order, gap 1
+            (2, f"{t1} {t0}"),
+            # straddles the bucket edge: t0 at pos 2 (bucket 0), t1 at
+            # pos 3 (bucket 1) — must count exactly once
+            (3, f"x x {t0} {t1}"),
+            # gap W+1: no match
+            (4, f"{t0} x x x {t1}"),
+            # two qualifying pairs: t1 at 1 and 3 around t0 at 2
+            (5, f"x {t1} {t0} {t1}"),
+        ],
+        "doc_id long, text string",
+    )
+    df = rt._near_topk(rt._pos_postings_of(docs))
+    got = {
+        r["doc_id"]: (r["near_tf"], r["min_gap"]) for r in df.collect()
+    }
+    assert got == {1: (1, w), 2: (1, 1), 3: (1, 1), 5: (2, 1)}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:1500]
