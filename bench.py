@@ -120,6 +120,7 @@ HEADLINE = [
     "video_features_bdv",  # inter-frame P-frame codec, keyframe seek (r11)
     "video_features_mb4",  # ISO-BMFF box tree, sample-table sparse access (r12)
     "video_features_fmp4",  # fragmented ISO-BMFF, per-moof sample map (r13)
+    "video_features_sts",  # packetized transport demux + PES reassembly (r13)
     "video_frame_dedup_y4m",  # cross-video frame-fingerprint dedup (r10)
     "xml_roundtrip_checksum",  # interchange sink+scan certification (r7)
     "jsonl_roundtrip_checksum",
@@ -213,6 +214,7 @@ _ADDED_AFTER_R9 = {
     "phrase_index_store",
     "bm25_postings_compact",
     "near_search_topk",
+    "video_features_sts",
     "ann_upsert_only",
     "bm25_upsert_only",
     "sketch_upsert_only",

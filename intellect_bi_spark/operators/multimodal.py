@@ -4027,6 +4027,347 @@ def video_features_fmp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- STS: transport-stream (MPEG-TS-style packetized) container (r13) -------
+#
+# The third container class, after the monolithic sample-table walk
+# (MB4) and the fragmented per-GOP sample map (FV4): a PACKETIZED
+# transport — the shape broadcast/streaming capture actually arrives
+# in, where nothing is a file-level table and everything is a chain of
+# fixed 188-byte packets demultiplexed by PID.  The subset is faithful
+# to the MPEG-TS layering: a 4-byte packet header (0x47 sync, PUSI,
+# 13-bit PID, 2-bit adaptation-field control, 4-bit continuity
+# counter), adaptation-field stuffing for the final short packet of
+# each payload, PSI signalling (a PAT on PID 0 naming the PMT PID, a
+# PMT naming the elementary video PID and carrying the stream geometry
+# descriptor, both CRC32-protected), and PES-like packets (start code
+# 0x000001, stream id, payload length, frame index, keyframe flag)
+# reassembled across packets at PUSI boundaries.  The decoder is a
+# real demultiplexer: it enforces sync bytes, per-PID continuity
+# (a lost packet is DETECTED, not silently skipped), PSI CRCs, PES
+# length accounting, and PAT→PMT→ES referential integrity — then hands
+# the reassembled BDV frames to the same reconstruction chain the
+# other containers use.  Sampled decode: a transport stream has no
+# random-access index, so the packet scan/reassembly touches every
+# packet (inherent to the class, and cheap — it is bounded by container
+# bytes, not pixel work), while the EXPENSIVE step — frame_decode — is
+# keyframe-anchored exactly as MB4/FV4 (the PES keyframe flags are the
+# sync set; tests/test_sts.py asserts the same GOP-bounded call count).
+# The payload is the SAME BDV bitstream over the fixture's own
+# geometry.  Reference parity: media arrives as opaque uploaded files
+# (api/main.py upload surface); the container decoders are the
+# charter's scale extension (SURVEY.md §2.12).
+
+_TS_PKT = 188
+_TS_BODY = _TS_PKT - 4
+_TS_SYNC = 0x47
+_TS_PID_PAT = 0x000
+_TS_STREAM_ID = 0xE0
+_TS_PES_HDR = 9  # 00 00 01 | stream_id | len(2) | frame_idx(2) | key(1)
+
+
+def _sts_geom(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames): the fixture's OWN geometry (distinct
+    from MB4's and FV4's); 6..10 frames spans 2-4 GOPs."""
+    return 12 + (doc_id % 2) * 4, 4 + (doc_id % 3) * 4, 6 + doc_id % 5
+
+
+def _sts_pids(doc_id: int) -> tuple[int, int]:
+    """(pmt_pid, video_pid), doc-varying so the demux is never
+    hard-coded to a constant beyond the spec'd PAT PID 0."""
+    pmt = 0x100 + doc_id % 16
+    return pmt, pmt + 0x20
+
+
+def _sts_encoded_frames(doc_id: int) -> tuple[int, int, list[bytes]]:
+    w, h, nf = _sts_geom(doc_id)
+    frames = [_bdv_frame(doc_id, f, w, h) for f in range(nf)]
+    enc = []
+    for f in range(nf):
+        g, ph = divmod(f, BDV_GOP)
+        if ph == 0:
+            enc.append(_encode_bdv_frame_bytes(frames[f], None, w, h, 0, 0))
+        else:
+            dx, dy = _bdv_motion(doc_id, g) if ph == 1 else (0, 0)
+            enc.append(
+                _encode_bdv_frame_bytes(frames[f], frames[f - 1], w, h, dx, dy)
+            )
+    return w, h, enc
+
+
+def _ts_packets(pid: int, cc0: int, payload: bytes) -> tuple[list[bytes], int]:
+    """Packetize one payload unit onto ``pid`` starting at continuity
+    counter ``cc0``: PUSI set on the first packet, adaptation-field
+    stuffing pads the final short packet.  Returns (packets, next_cc)."""
+    import struct
+
+    out = []
+    cc = cc0
+    pos = 0
+    first = True
+    while pos < len(payload) or first:
+        chunk = payload[pos : pos + _TS_BODY]
+        pos += len(chunk)
+        first_flag = 0x40 if first else 0x00
+        first = False
+        hdr12 = (first_flag | (pid >> 8)) & 0xFF
+        if len(chunk) == _TS_BODY:
+            head = bytes([_TS_SYNC, hdr12, pid & 0xFF, 0x10 | cc])
+            out.append(head + chunk)
+        else:
+            af_len = _TS_BODY - 1 - len(chunk)
+            head = bytes([_TS_SYNC, hdr12, pid & 0xFF, 0x30 | cc])
+            af = bytes([af_len]) + b"\xff" * af_len
+            pkt = head + af + chunk
+            if len(pkt) != _TS_PKT:
+                raise AssertionError("packetizer arithmetic broke")
+            out.append(pkt)
+        cc = (cc + 1) & 0xF
+    return out, cc
+
+
+def _sts_section(table_id: int, body: bytes) -> bytes:
+    """A PSI-style section: pointer_field | table_id | length | body |
+    CRC32 over table_id..body (zlib/IEEE CRC — the subset's documented
+    stand-in for the MPEG-2 PSI polynomial)."""
+    import struct
+    import zlib
+
+    sec = bytes([table_id]) + struct.pack(">H", len(body)) + body
+    return b"\x00" + sec + struct.pack(">I", zlib.crc32(sec) & 0xFFFFFFFF)
+
+
+def _encode_sts_bytes(doc_id: int) -> bytes:
+    """A genuine packetized transport stream: PAT, PMT, then one PES
+    payload unit per frame, each packetized with continuity counters
+    per PID and adaptation-field stuffing."""
+    import struct
+
+    w, h, enc = _sts_encoded_frames(doc_id)
+    pmt_pid, video_pid = _sts_pids(doc_id)
+    pkts: list[bytes] = []
+    pat = _sts_section(0x00, struct.pack(">HH", 1, pmt_pid))
+    p, _ = _ts_packets(_TS_PID_PAT, 0, pat)
+    pkts += p
+    pmt = _sts_section(
+        0x02, struct.pack(">HBHHH", video_pid, 0x06, w, h, len(enc))
+    )
+    p, _ = _ts_packets(pmt_pid, 0, pmt)
+    pkts += p
+    cc = 0
+    for f, fb in enumerate(enc):
+        key = 1 if f % BDV_GOP == 0 else 0
+        pes = (
+            b"\x00\x00\x01"
+            + bytes([_TS_STREAM_ID])
+            + struct.pack(">HHB", len(fb), f, key)
+            + fb
+        )
+        p, cc = _ts_packets(video_pid, cc, pes)
+        pkts += p
+    return b"".join(pkts)
+
+
+def _encode_sts(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        ids = [int(d) for d in batch["doc_id"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "payload": [_encode_sts_bytes(d) for d in ids],
+            }
+        )
+
+
+def _sts_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _codec_ids(spark, sf_dir).mapInPandas(
+        _encode_sts, schema="doc_id long, payload binary"
+    )
+
+
+def _ts_depacketize(b: bytes) -> dict:
+    """Demultiplex the packet chain: validate sync bytes, split per
+    PID, enforce per-PID continuity counters (a lost or duplicated
+    payload packet fails LOUDLY), strip adaptation fields, and cut the
+    byte stream at PUSI boundaries.  Returns {pid: [payload_unit, ...]}
+    in arrival order."""
+    if len(b) % _TS_PKT != 0:
+        raise ValueError("stream is not a whole number of packets")
+    units: dict[int, list[bytes]] = {}
+    open_buf: dict[int, bytearray] = {}
+    last_cc: dict[int, int] = {}
+    for i in range(0, len(b), _TS_PKT):
+        pkt = b[i : i + _TS_PKT]
+        if pkt[0] != _TS_SYNC:
+            raise ValueError(f"lost sync at packet {i // _TS_PKT}")
+        pusi = bool(pkt[1] & 0x40)
+        pid = ((pkt[1] & 0x1F) << 8) | pkt[2]
+        afc = (pkt[3] >> 4) & 0x3
+        cc = pkt[3] & 0xF
+        if pid in last_cc and cc != ((last_cc[pid] + 1) & 0xF):
+            raise ValueError(f"continuity break on pid {pid:#x}")
+        last_cc[pid] = cc
+        body = pkt[4:]
+        if afc == 0x3:
+            af_len = body[0]
+            body = body[1 + af_len :]
+        elif afc != 0x1:
+            raise ValueError("unsupported adaptation-field control")
+        if pusi:
+            if pid in open_buf:
+                units.setdefault(pid, []).append(bytes(open_buf[pid]))
+            open_buf[pid] = bytearray()
+        if pid not in open_buf:
+            raise ValueError(f"payload before first PUSI on pid {pid:#x}")
+        open_buf[pid].extend(body)
+    for pid, buf in open_buf.items():
+        units.setdefault(pid, []).append(bytes(buf))
+    return units
+
+
+def _sts_parse_section(unit: bytes, want_table: int) -> bytes:
+    import struct
+    import zlib
+
+    if unit[0] != 0x00:
+        raise ValueError("nonzero PSI pointer field")
+    table_id = unit[1]
+    if table_id != want_table:
+        raise ValueError(f"expected table {want_table:#x}, got {table_id:#x}")
+    (length,) = struct.unpack(">H", unit[2:4])
+    body = unit[4 : 4 + length]
+    (crc,) = struct.unpack(">I", unit[4 + length : 8 + length])
+    if zlib.crc32(unit[1 : 4 + length]) & 0xFFFFFFFF != crc:
+        raise ValueError("PSI section CRC mismatch")
+    return body
+
+
+def _sts_scan(b: bytes):
+    """Full demux: PAT → PMT → geometry + ES PID, then PES reassembly
+    with length/sequence accounting.  Returns (w, h, frames_bytes,
+    sync_set) — the frame payloads in index order plus the
+    keyframe-flag sync set."""
+    import struct
+
+    units = _ts_depacketize(b)
+    if _TS_PID_PAT not in units:
+        raise ValueError("no PAT on PID 0")
+    pat = _sts_parse_section(units[_TS_PID_PAT][0], 0x00)
+    prog_num, pmt_pid = struct.unpack(">HH", pat)
+    if prog_num != 1:
+        raise ValueError("expected program 1")
+    if pmt_pid not in units:
+        raise ValueError("PAT names a PMT PID with no packets")
+    pmt = _sts_parse_section(units[pmt_pid][0], 0x02)
+    video_pid, stype, w, h, nf = struct.unpack(">HBHHH", pmt)
+    if stype != 0x06:
+        raise ValueError("unexpected stream type")
+    if video_pid not in units:
+        raise ValueError("PMT names an ES PID with no packets")
+    pes_units = units[video_pid]
+    if len(pes_units) != nf:
+        raise ValueError("PES unit count disagrees with the PMT")
+    frames: list[bytes] = []
+    syncs: list[int] = []
+    for i, u in enumerate(pes_units):
+        if u[:3] != b"\x00\x00\x01" or u[3] != _TS_STREAM_ID:
+            raise ValueError("bad PES start code / stream id")
+        ln, fidx, key = struct.unpack(">HHB", u[4:9])
+        if fidx != i:
+            raise ValueError("PES frame index out of sequence")
+        fb = u[_TS_PES_HDR:]
+        if len(fb) != ln:
+            raise ValueError("PES payload length mismatch")
+        if key:
+            syncs.append(i)
+        frames.append(fb)
+    if not syncs or syncs[0] != 0:
+        raise ValueError("stream does not open with a keyframe")
+    return w, h, frames, syncs
+
+
+def decode_sts_bdv(payload: bytes, frame_decode=decode_bdv_frame):
+    """Full sequential decode through the demultiplexer — the
+    (w, h, [(frame_idx, flat uint8)]) seam contract."""
+    w, h, fbs, _syncs = _sts_scan(bytes(payload))
+    frames = []
+    state = None
+    for f, fb in enumerate(fbs):
+        state = frame_decode(fb, w, h, state)
+        frames.append((f, state))
+    return w, h, frames
+
+
+def decode_sts_bdv_sampled(
+    payload: bytes, sample_every: int, frame_decode=decode_bdv_frame
+):
+    """Keyframe-anchored sparse decode over the demultiplexed stream:
+    the packet scan/reassembly is linear in CONTAINER bytes (a
+    transport stream has no random-access index — inherent to the
+    class), but the expensive step, frame_decode, runs GOP-bounded per
+    sampled frame exactly as the indexed containers (the PES keyframe
+    flags are the sync set; tests/test_sts.py asserts the call
+    bound).  The anchored walk is the same start/continue policy as
+    _anchored_sampled_roll, expressed over the in-hand payload list
+    (the byte-offset form exists for containers whose samples are
+    still inside the file)."""
+    import bisect
+
+    w, h, fbs, syncs = _sts_scan(bytes(payload))
+    frames = []
+    state = None
+    pos = -1
+    for f in range(0, len(fbs), sample_every):
+        anchor = syncs[bisect.bisect_right(syncs, f) - 1]
+        if state is None or anchor > pos or f < pos:
+            start = anchor
+            state = None
+        else:
+            start = pos + 1
+        for k in range(start, f + 1):
+            state = frame_decode(fbs[k], w, h, state)
+            pos = k
+        frames.append((f, state))
+    return w, h, frames
+
+
+def _decode_sts_for_features(payload: bytes):
+    return decode_sts_bdv_sampled(payload, SAMPLE_EVERY)
+
+
+def _sts_feature_rows(
+    spark: SparkSession, sf_dir: str, decode=_decode_sts_for_features
+) -> DataFrame:
+    return _sts_media(spark, sf_dir).mapInPandas(
+        _y4m_features_with(decode), schema=_Y4M_FEAT_SCHEMA
+    )
+
+
+def video_features_sts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact checksum over every sampled frame decoded from the
+    packetized transport container: matching the closed-form oracle
+    proves the whole demux stack (sync bytes, PID demultiplexing,
+    continuity counters, adaptation-field stripping, CRC-checked
+    PAT -> PMT -> ES signalling, PES reassembly + length/sequence
+    accounting) and the shared BDV reconstruction chain byte-exactly."""
+    f = _sts_feature_rows(spark, sf_dir)
+    return f.agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("width").alias("sum_width"),
+        F.sum("height").alias("sum_height"),
+        F.sum("frame_idx").alias("sum_frame_idx"),
+        F.sum("frame_sum").alias("total_frame_sum"),
+        F.sum(
+            F.expr(
+                f"(((doc_id * 131 + frame_idx) % {P})"
+                f" * (idx_weighted % {P})) % {P}"
+            )
+        ).alias("id_weighted_binding"),
+    )
+
+
 # --- Cross-video duplicate-frame detection (fingerprint → hash groupBy) -----
 #
 # The training-pipeline op the video tier exists FOR: near-identical
@@ -4524,6 +4865,7 @@ QUERIES = {
     "video_features_bdv": video_features_bdv,
     "video_features_mb4": video_features_mb4,
     "video_features_fmp4": video_features_fmp4,
+    "video_features_sts": video_features_sts,
     "video_frame_dedup_y4m": video_frame_dedup_y4m,
     "audio_window_rms": audio_window_rms,
     "audio_features_mulaw": audio_features_mulaw,
@@ -4910,6 +5252,38 @@ FULLROW_ORACLES = {
         f" CAST(SUM(((i % {P}) * val) % {P}) AS BIGINT) AS idx_weighted"
         " FROM dec GROUP BY doc_id, w, h, f"
     ),
+    # the packetized transport carries the same BDV bitstream over the
+    # STS fixture geometry — the oracle re-derives every sampled pixel
+    # from the closed-form generators without ever seeing a packet
+    "sts_feature_rows": (
+        "WITH geom AS (SELECT doc_id,"
+        " 12 + CAST(doc_id % 2 AS INT) * 4 AS w,"
+        " 4 + CAST(doc_id % 3 AS INT) * 4 AS h,"
+        " 6 + CAST(doc_id % 5 AS INT) AS nf FROM documents),"
+        " fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f"
+        " FROM geom),"
+        f" sampled AS (SELECT * FROM fr WHERE f % {SAMPLE_EVERY} = 0),"
+        f" gp AS (SELECT doc_id, w, h, f, f // {BDV_GOP} AS g,"
+        f" f % {BDV_GOP} AS ph FROM sampled),"
+        " mv AS (SELECT *,"
+        " CASE WHEN ph >= 1 THEN (doc_id + g) % 3 - 1 ELSE 0 END AS dx,"
+        " CASE WHEN ph >= 1 THEN (doc_id * 2 + g) % 3 - 1 ELSE 0 END"
+        " AS dy,"
+        " CASE WHEN ph = 2 THEN (doc_id * 5 + g * 9 + 7) % 256"
+        " ELSE 0 END AS r FROM gp),"
+        " pix AS (SELECT doc_id, w, h, f, g, dx, dy, r,"
+        " unnest(range(0, w * h * 3)) AS i FROM mv),"
+        " dec AS (SELECT doc_id, w, h, f, i,"
+        " (doc_id * 17 + g * 71"
+        " + (((((i // (3 * w)) - dy) % h + h) % h) * w"
+        " + ((((i // 3) % w - dx) % w + w) % w)) * 3 * 13"
+        " + (i % 3) * 13 + r) % 256 AS val FROM pix)"
+        " SELECT doc_id, CAST(w AS INT) AS width,"
+        " CAST(h AS INT) AS height, CAST(f AS INT) AS frame_idx,"
+        " CAST(SUM(val) AS BIGINT) AS frame_sum,"
+        f" CAST(SUM(((i % {P}) * val) % {P}) AS BIGINT) AS idx_weighted"
+        " FROM dec GROUP BY doc_id, w, h, f"
+    ),
     "mjpeg_feature_rows": (
         "WITH geom AS (SELECT doc_id,"
         " 16 + CAST(doc_id % 3 AS INT) * 8 AS w,"
@@ -5144,6 +5518,19 @@ ORACLES = {
     ),
     "video_features_fmp4": (
         f"WITH f AS ({FULLROW_ORACLES['fmp4_feature_rows']})"
+        " SELECT COUNT(*) AS n_frames,"
+        " COUNT(DISTINCT doc_id) AS n_docs,"
+        " CAST(SUM(width) AS BIGINT) AS sum_width,"
+        " CAST(SUM(height) AS BIGINT) AS sum_height,"
+        " CAST(SUM(frame_idx) AS BIGINT) AS sum_frame_idx,"
+        " CAST(SUM(frame_sum) AS BIGINT) AS total_frame_sum,"
+        f" CAST(SUM((((doc_id * 131 + frame_idx) % {P})"
+        f" * (idx_weighted % {P})) % {P}) AS BIGINT)"
+        " AS id_weighted_binding"
+        " FROM f"
+    ),
+    "video_features_sts": (
+        f"WITH f AS ({FULLROW_ORACLES['sts_feature_rows']})"
         " SELECT COUNT(*) AS n_frames,"
         " COUNT(DISTINCT doc_id) AS n_docs,"
         " CAST(SUM(width) AS BIGINT) AS sum_width,"

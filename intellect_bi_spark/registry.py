@@ -181,9 +181,12 @@ for _mod in _MODULES:
 #     by the identical direct-restatement oracle), and near_search_topk
 #     (unordered proximity via the BANDED position-bucket equi-join —
 #     never an inequality join; boundary/either-order/exactly-once
-#     semantics unit-locked);
-# (c) the oldest r9 rows, registry order, filling the remaining 4
-#     slots (nl_qoq_delta through q14_promo_share).
+#     semantics unit-locked), and the PACKETIZED transport container
+#     (video_features_sts — 188-byte packets, PID demux, continuity
+#     counters, CRC-checked PAT→PMT→ES signalling, PES reassembly;
+#     the third container class after monolithic-table and fragmented);
+# (c) the oldest r9 rows, registry order, filling the remaining 3
+#     slots (nl_qoq_delta through q12_shipmode_priority).
 # NOT stale (bit-identical behavior, disclosed): the r13
 # _anchored_sampled_roll extraction (multimodal.py — the keyframe-
 # anchored roll loop moved VERBATIM out of decode_mb4_bdv_sampled so
@@ -202,8 +205,8 @@ for _mod in _MODULES:
 # session's strict parity runs at sf0.001, sf0.01 AND sf0.1; the
 # crash-safety property the markers add is locked by
 # tests/test_vectorstore.py::test_bm25_manifest_commit_gates_visibility.
-# Disclosed deferrals: the remaining 33 r9-cohort rows rotate in r14
-# (registry order continues from q15_top_supplier); all are
+# Disclosed deferrals: the remaining 34 r9-cohort rows rotate in r14
+# (registry order continues from q14_promo_share); all are
 # strict-parity green locally this session at sf0.001, sf0.01 AND
 # sf0.1 (tests/test_parity.py).
 # ---- superseded r12 front comment kept for the ledger: -------------
@@ -319,11 +322,11 @@ _FRONT = (
     "phrase_index_store",
     "bm25_postings_compact",
     "near_search_topk",
+    "video_features_sts",
     # -- (c) oldest r9 rows, registry order ------------------------------------
     "nl_qoq_delta",
     "q10_returned_revenue",
     "q12_shipmode_priority",
-    "q14_promo_share",
 )
 
 _FRONT_R12 = (

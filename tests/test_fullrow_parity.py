@@ -46,6 +46,7 @@ def test_dedup_fullrow(spark, duck, sf_dir, producer, oracle_key):
         (multimodal._bdv_feature_rows, "bdv_feature_rows"),
         (multimodal._mb4_feature_rows, "mb4_feature_rows"),
         (multimodal._fmp4_feature_rows, "fmp4_feature_rows"),
+        (multimodal._sts_feature_rows, "sts_feature_rows"),
     ],
 )
 def test_multimodal_fullrow(spark, duck, sf_dir, producer, oracle_key):
