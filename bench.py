@@ -93,6 +93,7 @@ HEADLINE = [
     "ann_index_compact",  # post-upsert affected-cell compaction (r12)
     "ann_index_delete",  # erasure through the store, affected cells only (r13)
     "ann_stream_upsert_store",  # availableNow cell-append ingest chain (r13)
+    "ann_crud_chain",  # interleaved build/upsert/delete/compact (r13)
     "bm25_index_store",  # parquet-persisted inverted-index serving (r10)
     "bm25_index_upsert",  # posting append + versioned lexicon merge (r12)
     "bm25_stream_upsert_store",  # availableNow micro-batch upsert chain (r12)
@@ -101,6 +102,7 @@ HEADLINE = [
     "phrase_search_topk",  # positional adjacency equi-join chain (r13)
     "phrase_index_store",  # persisted positional index, pruned serve (r13)
     "bm25_postings_compact",  # affected-bucket file coalescing (r13)
+    "bm25_crud_chain",  # interleaved init/upsert/delete/compact/vacuum (r13)
     "near_search_topk",  # banded position-bucket proximity join (r13)
     "text_quality_scores",
     "html_text_extract_stats",  # web-ingest markup strip/decode (r9)
@@ -215,6 +217,8 @@ _ADDED_AFTER_R9 = {
     "bm25_postings_compact",
     "near_search_topk",
     "video_features_sts",
+    "bm25_crud_chain",
+    "ann_crud_chain",
     "ann_upsert_only",
     "bm25_upsert_only",
     "sketch_upsert_only",

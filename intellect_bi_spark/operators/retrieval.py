@@ -1723,3 +1723,104 @@ def _near_oracle() -> str:
 
 
 ORACLES["near_search_topk"] = _near_oracle()
+
+
+# --- interleaved CRUD chain certification (r13) ------------------------------
+#
+# Each lifecycle leg is individually certified (build / upsert / delete
+# / compact / vacuum / stream-ingest), but a production store never
+# runs one leg in isolation — it runs YEARS of interleavings.  This row
+# drives one representative interleaving END TO END from an empty
+# store — init(base) → upsert(b1) → delete(d) → upsert(b2) →
+# compact(b2's buckets) → vacuum(keep latest) — and requires the final
+# serve to equal direct scoring over the NET corpus (base ∪ b1 ∪ b2)
+# − d.  A green row proves the merge/decrement/rewrite algebra
+# COMPOSES: version numbers chain (v1..v4), the deletion survives the
+# later upsert, the compaction and vacuum change nothing, and the
+# stats/lexicon land exactly where a from-scratch index of the net
+# corpus would put them.
+
+DOC_CRUD_DEL_RES = 5  # chain erase set: doc_id % 10 == 5 (~10%),
+# disjoint from both ingest batches (7 and 3)
+
+
+def bm25_crud_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full interleaved lifecycle on the lexical store; output
+    binds the final published version (a closed-form constant of the
+    chain: init 1 + upsert 2 + delete 3 + upsert 4) and the surviving
+    doc count read from the FINAL stats version."""
+    import shutil
+    import tempfile
+
+    docs = _base_docs(spark, sf_dir)
+    b1 = docs.filter(F.col("doc_id") % DOC_UPSERT_MOD == DOC_UPSERT_RES)
+    b2 = docs.filter(F.col("doc_id") % DOC_UPSERT_MOD == DOC_UPSERT_RES2)
+    dels = docs.filter(
+        F.col("doc_id") % DOC_UPSERT_MOD == DOC_CRUD_DEL_RES
+    )
+    base = docs.join(
+        b1.unionByName(b2).select("doc_id"), "doc_id", "left_anti"
+    )
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25_crud_")
+    try:
+        _init_bm25_store(base, tmp)
+        upsert_bm25_index(spark, tmp, b1)
+        delete_from_bm25_index(spark, tmp, dels)
+        upsert_bm25_index(spark, tmp, b2)
+        buckets = [
+            r["tb"]
+            for r in _postings_of(_toks_of(b2))
+            .select("tb")
+            .distinct()
+            .collect()
+        ]
+        compact_bm25_buckets(spark, tmp, buckets)
+        vacuum_bm25_store(spark, tmp, keep_last=1)
+        v = _latest_version(spark, tmp)
+        nd = spark.read.parquet(f"{tmp}/stats/v={v}").select(
+            F.col("n_docs").alias("n_docs_indexed")
+        )
+        out = (
+            serve_bm25_v2(spark, tmp)
+            .crossJoin(F.broadcast(nd))
+            .withColumn("final_version", F.lit(v).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+QUERIES["bm25_crud_chain"] = bm25_crud_chain
+
+# the oracle scores the NET corpus directly: every doc except the
+# erased residue class (both ingest batches are back in), with the
+# version constant restated literally from the chain's length
+ORACLES["bm25_crud_chain"] = (
+    f"WITH tok AS (SELECT doc_id,"
+    " list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    " t -> t <> '') AS toks FROM documents"
+    f" WHERE doc_id % {DOC_UPSERT_MOD} != {DOC_CRUD_DEL_RES}),"
+    " st AS (SELECT CAST(SUM(len(toks)) AS DOUBLE)"
+    " / CAST(COUNT(*) AS DOUBLE) AS avgdl,"
+    " COUNT(*) AS n_docs FROM tok),"
+    " base AS (SELECT doc_id, len(toks) AS dl,"
+    f" unnest(list_filter(toks, t -> t IN ({_terms_in()}))) AS term"
+    " FROM tok),"
+    " tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM base"
+    " GROUP BY doc_id, dl, term),"
+    " dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),"
+    " scored AS (SELECT doc_id, term,"
+    f" {_bm25_term_score('tf', 'df', 'dl', 'n_docs')} AS s"
+    " FROM tf JOIN dfs USING (term) CROSS JOIN st),"
+    " per AS (SELECT doc_id, COUNT(*) AS n_hit_terms,"
+    " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list(s ORDER BY term)), (acc, v) -> acc + v) AS score"
+    " FROM scored GROUP BY doc_id),"
+    " nd AS (SELECT COUNT(*) AS n_docs_indexed FROM tok)"
+    " SELECT doc_id, n_hit_terms,"
+    f" CAST(FLOOR(score * {SCORE_QUANT}.0 + 0.5) AS BIGINT) AS score_q,"
+    " nd.n_docs_indexed, CAST(4 AS BIGINT) AS final_version"
+    " FROM per CROSS JOIN nd"
+    f" ORDER BY score_q DESC, doc_id LIMIT {TOP_K}"
+)

@@ -1111,3 +1111,59 @@ ORACLES = {
     "ann_index_delete": _delete_oracle(),
     "ann_stream_upsert_store": _stream_oracle(),
 }
+
+
+# --- interleaved CRUD chain certification (r13) ------------------------------
+#
+# The ANN twin of retrieval.bm25_crud_chain: one representative
+# production interleaving driven end to end — build the frozen-model
+# store on the base corpus (ingest batch held out), upsert the batch,
+# ERASE the delete set, compact the upsert-affected cells — and the
+# final serve must equal the rebuild-without-the-deleted-docs
+# restatement.  The net relation is exactly ann_index_delete's
+# ((corpus − batch) + batch − dels = corpus − dels, with the frozen
+# model invariant across every leg), so the oracle is the SAME
+# delete oracle — a green row proves the append/rewrite/coalesce
+# algebra COMPOSES, not just that each leg works from a fresh store.
+
+
+def ann_crud_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    batch = emb.filter(_upsert_batch_pred())
+    dels = emb.filter(_delete_pred()).select("vec_id")
+    tmp = tempfile.mkdtemp(prefix="sgraft_ann_crud_")
+    try:
+        build_index_frozen(spark, sf_dir, tmp)
+        upsert_index(spark, sf_dir, tmp, batch)
+        affected_del = delete_from_index(spark, tmp, dels)
+        centroids = spark.read.parquet(f"{tmp}/centroids")
+        batch_cells = [
+            r["cell"]
+            for r in _assign_cells(batch, centroids)
+            .select("cell")
+            .distinct()
+            .collect()
+        ]
+        compact_index_cells(spark, tmp, batch_cells)
+        tele = dels.agg(
+            F.count(F.lit(1)).alias("n_deleted"),
+            F.lit(len(affected_del)).cast("bigint").alias(
+                "n_cells_rewritten"
+            ),
+        )
+        centroids2, codebook, codes = read_index(spark, tmp)
+        out = (
+            topk_from_index(centroids2, codebook, codes, emb)
+            .crossJoin(F.broadcast(tele))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+QUERIES["ann_crud_chain"] = ann_crud_chain
+ORACLES["ann_crud_chain"] = _delete_oracle()

@@ -184,9 +184,14 @@ for _mod in _MODULES:
 #     semantics unit-locked), and the PACKETIZED transport container
 #     (video_features_sts — 188-byte packets, PID demux, continuity
 #     counters, CRC-checked PAT→PMT→ES signalling, PES reassembly;
-#     the third container class after monolithic-table and fragmented);
-# (c) the oldest r9 rows, registry order, filling the remaining 3
-#     slots (nl_qoq_delta through q12_shipmode_priority).
+#     the third container class after monolithic-table and fragmented),
+#     plus the two interleaved CRUD-chain certifications
+#     (bm25_crud_chain — init→upsert→delete→upsert→compact→vacuum from
+#     empty, serve ≡ direct scoring of the net corpus, version chain
+#     v1..v4 bound in; ann_crud_chain — build→upsert→delete→compact,
+#     oracle = the delete oracle since the net relation is identical:
+#     the legs COMPOSE, not just work from fresh stores);
+# (c) the oldest r9 row fills the remaining slot (nl_qoq_delta).
 # NOT stale (bit-identical behavior, disclosed): the r13
 # _anchored_sampled_roll extraction (multimodal.py — the keyframe-
 # anchored roll loop moved VERBATIM out of decode_mb4_bdv_sampled so
@@ -205,8 +210,8 @@ for _mod in _MODULES:
 # session's strict parity runs at sf0.001, sf0.01 AND sf0.1; the
 # crash-safety property the markers add is locked by
 # tests/test_vectorstore.py::test_bm25_manifest_commit_gates_visibility.
-# Disclosed deferrals: the remaining 34 r9-cohort rows rotate in r14
-# (registry order continues from q14_promo_share); all are
+# Disclosed deferrals: the remaining 36 r9-cohort rows rotate in r14
+# (registry order continues from q10_returned_revenue); all are
 # strict-parity green locally this session at sf0.001, sf0.01 AND
 # sf0.1 (tests/test_parity.py).
 # ---- superseded r12 front comment kept for the ledger: -------------
@@ -323,10 +328,10 @@ _FRONT = (
     "bm25_postings_compact",
     "near_search_topk",
     "video_features_sts",
+    "bm25_crud_chain",
+    "ann_crud_chain",
     # -- (c) oldest r9 rows, registry order ------------------------------------
     "nl_qoq_delta",
-    "q10_returned_revenue",
-    "q12_shipmode_priority",
 )
 
 _FRONT_R12 = (
