@@ -407,6 +407,13 @@ def main() -> None:
             timings["bm25_upsert_only"] = _bm25_upsert_only()
             timings["sketch_upsert_only"] = _sketch_upsert_only()
             per_rep.append(timings)
+            # Between-rep hygiene (r13): drop terminated streaming-query
+            # metadata (three availableNow rows per rep accumulate it
+            # otherwise).  A forced System.gc() here was measured to buy
+            # nothing — a 6-rep probe of the checkpoint-heavy store rows
+            # showed pinned-RDD count flat at ~3 with ContextCleaner
+            # keeping pace unaided — so cleanup is left to the JVM.
+            spark.streams.resetTerminated()
     finally:
         shutil.rmtree(ann_store, ignore_errors=True)
         shutil.rmtree(bm25_store, ignore_errors=True)
