@@ -101,6 +101,7 @@ HEADLINE = [
     "bm25_index_delete",  # erasure: bucket rewrite + stat decrement (r13)
     "phrase_search_topk",  # positional adjacency equi-join chain (r13)
     "phrase_index_store",  # persisted positional index, pruned serve (r13)
+    "near_index_store",  # NEAR served from the same positional store (r13)
     "bm25_postings_compact",  # affected-bucket file coalescing (r13)
     "bm25_crud_chain",  # interleaved init/upsert/delete/compact/vacuum (r13)
     "near_search_topk",  # banded position-bucket proximity join (r13)
@@ -216,6 +217,7 @@ _ADDED_AFTER_R9 = {
     "phrase_index_store",
     "bm25_postings_compact",
     "near_search_topk",
+    "near_index_store",
     "video_features_sts",
     "bm25_crud_chain",
     "ann_crud_chain",

@@ -1824,3 +1824,42 @@ ORACLES["bm25_crud_chain"] = (
     " FROM per CROSS JOIN nd"
     f" ORDER BY score_q DESC, doc_id LIMIT {TOP_K}"
 )
+
+
+def serve_near_from_store(spark: SparkSession, path: str) -> DataFrame:
+    """Answer the fixed NEAR query from the stored positional index —
+    the same bucket-pruned, term-pushed scan as the phrase serve
+    feeding the banded proximity join (one positional store serves
+    BOTH ordered-phrase and unordered-proximity queries)."""
+    import zlib
+
+    buckets = sorted(
+        {zlib.crc32(t.encode("utf-8")) % N_TB for t in NEAR_TERMS}
+    )
+    pp = spark.read.parquet(f"{path}/postings_pos").filter(
+        F.col("tb").isin(buckets)
+    )
+    return _near_topk(pp)
+
+
+def near_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search served from the persisted positional index:
+    build once, serve the fixed NEAR query with directory pruning and
+    pushed term predicates, teardown.  Same oracle as the direct row —
+    the store roundtrip and the banded join are both proven."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_near_store_")
+    try:
+        build_phrase_index(spark, sf_dir, tmp)
+        out = serve_near_from_store(spark, tmp).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+QUERIES["near_index_store"] = near_index_store
+ORACLES["near_index_store"] = _near_oracle()

@@ -213,7 +213,11 @@ for _mod in _MODULES:
 # Disclosed deferrals: the remaining 36 r9-cohort rows rotate in r14
 # (registry order continues from q10_returned_revenue); all are
 # strict-parity green locally this session at sf0.001, sf0.01 AND
-# sf0.1 (tests/test_parity.py).
+# sf0.1 (tests/test_parity.py).  Also queued for the r14 front:
+# near_index_store (the late-r13 addition — NEAR served from the
+# persisted positional store, same oracle as the direct row,
+# store ≡ direct + pruning locked by a unit; strict-parity green at
+# all three scales this session).
 # ---- superseded r12 front comment kept for the ledger: -------------
 # The round-12 front (CORRECTNESS_r11: 50/50 green; never-checked = 0;
 # oldest driver rows anywhere are the 31-query r7 cohort):

@@ -1056,3 +1056,28 @@ def test_near_search_semantics_and_plan(spark):
     assert got == {1: (1, w), 2: (1, 1), 3: (1, 1), 5: (2, 1)}
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:1500]
+
+
+def test_near_stored_equals_direct_and_prunes(spark, sf_dir):
+    """One positional store serves both query shapes: the stored NEAR
+    serve equals the direct ranking bit for bit, and its scan carries
+    the bucket partition filter + pushed term predicates."""
+    from intellect_bi_spark.operators import retrieval as rt
+
+    want = [
+        tuple(r) for r in rt.near_search_topk(spark, sf_dir).collect()
+    ]
+    assert want
+    tmp = tempfile.mkdtemp(prefix="sgraft_neartest_")
+    try:
+        rt.build_phrase_index(spark, sf_dir, tmp)
+        served = rt.serve_near_from_store(spark, tmp)
+        got = [tuple(r) for r in served.collect()]
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert part and all("tb" in ln for ln in part), plan[:2000]
+        pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+        assert any("term" in ln for ln in pushed), plan[:2000]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got == want
