@@ -501,14 +501,17 @@ def bm25_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The lexical twin of vectorstore.upsert_index: at 100 TB the inverted
 # index never full-rebuilds for an ingest batch — new docs' postings
-# APPEND into their term-hash bucket partitions (corpus-scale, batch-
-# proportional cost), while the vocabulary-bounded lexicon (term → df)
-# and the 1-row corpus stats merge copy-on-write into a new VERSION
-# directory (snapshot isolation: readers of v=N are never disturbed;
-# at production scale per-bucket posting compaction would run beside
-# this — the compaction_plan operator's job).  Reference analogue: the
-# reference ingests incrementally (Chroma upsert, api/ingest_docs.py:
-# 97-102) but its retrieval index had no incremental path here either.
+# land as a fresh immutable SEGMENT (corpus-scale, batch-proportional
+# cost), while the vocabulary-bounded lexicon (term → df), the 1-row
+# corpus stats AND the file MANIFEST merge copy-on-write into a new
+# VERSION (r14, VERDICT r13 #3: the manifest pins the version's exact
+# (segment, bucket) file set, so snapshot isolation covers the
+# postings too — readers of v=N are never disturbed by upserts,
+# deletes or compactions; at production scale per-bucket posting
+# compaction runs beside this — the compaction_plan operator's job).
+# Reference analogue: the reference ingests incrementally (Chroma
+# upsert, api/ingest_docs.py:97-102) but its retrieval index had no
+# incremental path here either.
 #
 # upsert ≡ rebuild holds EXACTLY because every merged quantity is an
 # integer: postings are per (term, doc) — a doc lives entirely in one
@@ -593,24 +596,129 @@ def _versions_in(spark: SparkSession, path: str) -> list[int]:
     return sorted(out)
 
 
+class VersionConflict(RuntimeError):
+    """Raised when a writer tries to publish a version number another
+    writer already published — the optimistic-concurrency signal
+    (VERDICT r13 #4).  Callers retry: re-read the new latest, re-merge,
+    publish the next number."""
+
+
+PUBLISH_RETRIES = 3  # optimistic-concurrency retry budget per mutation
+
+
+def _new_seg_id() -> str:
+    """A fresh immutable-segment id.  The 's' prefix keeps partition-
+    value type inference at STRING (an all-digit hex id would infer
+    numeric and conflict across segments)."""
+    import uuid
+
+    return "s" + uuid.uuid4().hex[:12]
+
+
+def _write_segment(df: DataFrame, root: str, seg: str) -> None:
+    """Write one immutable posting SEGMENT: ``{root}/seg={seg}/tb=N``.
+    Segments are the unit of the manifest's file pinning — once a
+    manifest references (seg, tb), those files are never rewritten;
+    mutations write NEW segments and new manifests.  Overwrite mode is
+    the retry-safety half: a re-attempt of the same segment id replaces
+    only its own partial debris, never another segment's files."""
+    (
+        df.write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(f"{root}/seg={seg}")
+    )
+
+
+def _read_segments(
+    spark: SparkSession,
+    root: str,
+    entries: list[tuple[str, int]],
+    schema: str,
+) -> DataFrame:
+    """Read exactly the (seg, tb) directories a manifest pins —
+    ``basePath`` keeps seg/tb as partition columns — normalized to the
+    logical posting ``schema`` (seg dropped).  An empty pin list yields
+    an empty frame of the same schema, so serving a store with no
+    matching buckets degrades to zero rows, not an error."""
+    cols = [c.split()[0] for c in schema.split(",")]
+    dirs = sorted({f"{root}/seg={s}/tb={t}" for s, t in entries})
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.option("basePath", root).parquet(*dirs).select(*cols)
+    )
+
+
+def _seg_buckets(spark: SparkSession, root: str, seg: str) -> list[int]:
+    """The bucket list a just-written segment actually produced —
+    read back from the STORED files (drift-proofing: the manifest pins
+    what is on disk, not what the writer intended).  Metadata-bounded
+    (≤ N_TB distinct values)."""
+    fs, hp = _fs_of(spark, f"{root}/seg={seg}")
+    out = []
+    if fs.exists(hp):
+        for st in fs.listStatus(hp):
+            name = st.getPath().getName()
+            if name.startswith("tb="):
+                out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+_MANIFEST_SCHEMA = "seg string, tb int"
+
+
+def _write_manifest(
+    spark: SparkSession, store: str, v: int, entries: list[tuple[str, int]]
+) -> None:
+    """Persist version ``v``'s file manifest: the exact (segment,
+    bucket) directories that ARE the version's postings (the
+    Iceberg/Delta-class pinning, VERDICT r13 #3).  Metadata-sized
+    (≤ versions × N_TB rows); overwrite mode for retry safety."""
+    df = spark.createDataFrame(
+        [(s, int(t)) for s, t in sorted(entries)], _MANIFEST_SCHEMA
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{store}/manifests/v={v}"
+    )
+
+
+def _manifest_entries(
+    spark: SparkSession, store: str, v: int
+) -> list[tuple[str, int]]:
+    """Version ``v``'s pinned (seg, tb) list — a driver-side metadata
+    read (the model-boundary collect class)."""
+    rows = (
+        spark.read.schema(_MANIFEST_SCHEMA)
+        .parquet(f"{store}/manifests/v={v}")
+        .collect()
+    )
+    return sorted((r["seg"], r["tb"]) for r in rows)
+
+
 def _publish_version(spark: SparkSession, store: str, v: int) -> None:
     """Atomically PUBLISH version ``v`` of a store: create the empty
-    marker ``{store}/_published/v=N`` AFTER every data directory of
-    that version is fully written.  Marker creation (mkdirs) is the
-    commit point — the same effectively-atomic primitive the stream
-    sinks' redelivery markers use — so a writer that crashes midway
-    leaves dangling, UNREFERENCED ``v=N`` data dirs that no reader ever
-    resolves (and that vacuum sweeps), instead of a half-merged version
-    a directory-listing reader would happily serve (r13, the
-    crash-safety leg ADVICE r12's Hadoop-FS conversion stopped short
-    of).  Boundary, stated: the POSTINGS table is append-only and not
-    versioned — a crashed upsert's appended posting files are visible
-    to concurrent readers before the version publish; true whole-store
-    snapshot isolation needs per-version FILE manifests (the
-    Iceberg/Delta-class storage-format upgrade this parquet store
-    deliberately stops short of)."""
+    marker FILE ``{store}/_published/v=N`` AFTER every data directory
+    and the manifest of that version are fully written.  The marker is
+    created with ``createNewFile`` — create-exclusive — so it doubles
+    as the optimistic-concurrency gate: if another writer already
+    published ``v``, :class:`VersionConflict` is raised and the caller
+    retries its merge against the new latest (VERDICT r13 #4).  A
+    writer that crashes midway leaves dangling, UNREFERENCED version
+    dirs and segments that no reader ever resolves (vacuum sweeps
+    them); a retried mutation overwrites its own version dirs and pins
+    a fresh segment, so redelivery is exactly-once BY CONSTRUCTION —
+    the crashed attempt's segment is in no manifest.  Residual
+    boundary, stated: two writers racing the SAME version number can
+    interleave such that the loser overwrites the winner's v+1 data
+    dirs between the winner's write and publish; full protection needs
+    unique staging paths + rename (or a lock service).  The conditional
+    publish serializes LOGICAL commits, which is the single-compactor /
+    single-ingester deployment this store targets."""
     fs, hp = _fs_of(spark, f"{store}/_published/v={v}")
-    fs.mkdirs(hp)
+    if fs.exists(hp) or not fs.createNewFile(hp):
+        raise VersionConflict(
+            f"version {v} already published under {store}"
+        )
 
 
 def _published_versions(spark: SparkSession, store: str) -> list[int]:
@@ -635,23 +743,30 @@ def _base_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_POSTING_SCHEMA = "term string, doc_id bigint, dl int, tf bigint, tb int"
+
+
 def _init_bm25_store(docs: DataFrame, path: str) -> None:
-    """First write of an upsertable store from a document frame:
-    bucket-partitioned postings, v=1 lexicon (derived from the STORED
-    postings, the drift-proofing discipline) and v=1 stats."""
+    """First write of an upsertable store from a document frame: one
+    bucket-partitioned posting SEGMENT, v=1 lexicon (derived from the
+    STORED segment, the drift-proofing discipline), v=1 stats, and the
+    v=1 manifest pinning exactly that segment's buckets."""
     spark = docs.sparkSession
     toks = _toks_of(docs)
-    (
-        _postings_of(toks)
-        .repartition(N_TB, "tb")
-        .write.mode("overwrite")
-        .partitionBy("tb")
-        .parquet(f"{path}/postings")
+    seg = _new_seg_id()
+    root = f"{path}/postings"
+    _write_segment(
+        _postings_of(toks).repartition(N_TB, "tb"), root, seg
     )
-    spark.read.parquet(f"{path}/postings").groupBy("term").agg(
+    buckets = _seg_buckets(spark, root, seg)
+    stored = _read_segments(
+        spark, root, [(seg, b) for b in buckets], _BM25_POSTING_SCHEMA
+    )
+    stored.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
-    ).write.parquet(f"{path}/lexicon/v=1")
-    _stats2_of(toks).write.parquet(f"{path}/stats/v=1")
+    ).write.mode("overwrite").parquet(f"{path}/lexicon/v=1")
+    _stats2_of(toks).write.mode("overwrite").parquet(f"{path}/stats/v=1")
+    _write_manifest(spark, path, 1, [(seg, b) for b in buckets])
     _publish_version(spark, path, 1)
 
 
@@ -666,76 +781,103 @@ def build_bm25_index_v2(spark: SparkSession, sf_dir: str, path: str) -> None:
 def upsert_bm25_index(
     spark: SparkSession, path: str, batch_docs: DataFrame
 ) -> None:
-    """Merge a new document batch into the stored index: append the
-    batch's postings into their term buckets (pre-existing posting
-    files are never rewritten — tests prove the file-level claim),
-    then write the NEXT VERSION of the lexicon (old df + batch df,
-    full-outer integer merge) and stats (component-wise BIGINT add),
-    and finally PUBLISH v+1 (the marker commit — readers resolve only
-    published versions, so a crash anywhere before the publish leaves
-    the live version serving untouched).
+    """Merge a new document batch into the stored index: write the
+    batch's postings as one NEW immutable segment (pre-existing posting
+    files are never touched — tests prove the file-level claim), then
+    write the NEXT VERSION of the lexicon (old df + batch df,
+    full-outer integer merge), stats (component-wise BIGINT add) and
+    manifest (old pin list + the new segment's buckets), and finally
+    PUBLISH v+1.  Readers resolve only published versions and read only
+    manifest-pinned files, so a crash anywhere before the publish
+    leaves EVERY reader of the live version fully undisturbed — and a
+    retried attempt (stream redelivery, a crashed writer) re-applies
+    exactly-once: it pins a fresh segment and overwrites its own
+    version dirs; the crashed attempt's segment is in no manifest.  On
+    :class:`VersionConflict` (another writer published v+1 first) the
+    merge retries against the new latest — the batch segment is
+    version-independent and written once.
     The batch frame fully determines the merge — the store is not
     corpus-bound (ADVICE r12: the earlier unused ``sf_dir`` parameter
     invited exactly that misreading)."""
     toks = _toks_of(batch_docs)
     bp = _postings_of(toks)
-    (
-        bp.repartition(N_TB, "tb")
-        .write.mode("append")
-        .partitionBy("tb")
-        .parquet(f"{path}/postings")
-    )
-    v = _latest_version(spark, path)
-    old_lex = spark.read.parquet(f"{path}/lexicon/v={v}")
+    root = f"{path}/postings"
+    seg = _new_seg_id()
+    _write_segment(bp.repartition(N_TB, "tb"), root, seg)
+    seg_buckets = _seg_buckets(spark, root, seg)
     batch_df = bp.groupBy("term").agg(F.count(F.lit(1)).alias("bdf"))
-    (
-        old_lex.join(batch_df, "term", "full_outer")
-        .select(
-            "term",
-            (
-                F.coalesce("df", F.lit(0)) + F.coalesce("bdf", F.lit(0))
-            ).alias("df"),
-        )
-        .write.parquet(f"{path}/lexicon/v={v + 1}")
-    )
-    old_stats = spark.read.parquet(f"{path}/stats/v={v}")
     bs = _stats2_of(toks)
-    (
-        old_stats.select(
-            F.col("n_docs").alias("n0"), F.col("sum_len").alias("s0")
+    last: VersionConflict | None = None
+    for _ in range(PUBLISH_RETRIES):
+        v = _latest_version(spark, path)
+        old_lex = spark.read.parquet(f"{path}/lexicon/v={v}")
+        (
+            old_lex.join(batch_df, "term", "full_outer")
+            .select(
+                "term",
+                (
+                    F.coalesce("df", F.lit(0)) + F.coalesce("bdf", F.lit(0))
+                ).alias("df"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/lexicon/v={v + 1}")
         )
-        .crossJoin(
-            F.broadcast(
-                bs.select(
-                    F.col("n_docs").alias("n1"),
-                    F.col("sum_len").alias("s1"),
+        old_stats = spark.read.parquet(f"{path}/stats/v={v}")
+        (
+            old_stats.select(
+                F.col("n_docs").alias("n0"), F.col("sum_len").alias("s0")
+            )
+            .crossJoin(
+                F.broadcast(
+                    bs.select(
+                        F.col("n_docs").alias("n1"),
+                        F.col("sum_len").alias("s1"),
+                    )
                 )
             )
+            .select(
+                (F.col("n0") + F.col("n1")).alias("n_docs"),
+                (F.col("s0") + F.col("s1")).alias("sum_len"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/stats/v={v + 1}")
         )
-        .select(
-            (F.col("n0") + F.col("n1")).alias("n_docs"),
-            (F.col("s0") + F.col("s1")).alias("sum_len"),
-        )
-        .write.parquet(f"{path}/stats/v={v + 1}")
-    )
-    _publish_version(spark, path, v + 1)
+        entries = _manifest_entries(spark, path, v) + [
+            (seg, b) for b in seg_buckets
+        ]
+        _write_manifest(spark, path, v + 1, entries)
+        try:
+            _publish_version(spark, path, v + 1)
+            return
+        except VersionConflict as e:
+            last = e  # loser of the race: re-merge onto the new latest
+    raise last if last is not None else RuntimeError("unreachable")
 
 
-def serve_bm25_v2(spark: SparkSession, path: str) -> DataFrame:
-    """Answer the fixed query from the upsertable store's LATEST
-    version: the postings scan carries BOTH the term-bucket partition
-    filter (directory pruning — the lexical analogue of the IVF cell
-    filter) and the pushed term IN-filter; avgdl derives from the
-    stored exact (n_docs, sum_len)."""
+def serve_bm25_v2_at(
+    spark: SparkSession, path: str, v: int
+) -> DataFrame:
+    """Answer the fixed query from a PINNED store version: the postings
+    read touches only the manifest-pinned (seg, tb) directories whose
+    bucket matches a query term (manifest-level directory pruning — the
+    lexical analogue of the IVF cell filter), still carries the tb
+    partition filter and the pushed term IN-filter, and avgdl derives
+    from version ``v``'s exact (n_docs, sum_len).  Because every file
+    the read touches is pinned by ``v``'s manifest and segments are
+    immutable, a reader of ``v`` is FULLY isolated from concurrent
+    upserts, deletes and compactions (VERDICT r13 #3 — the unit proves
+    a mid-delete reader of v sees the complete pre-delete store)."""
     import zlib
 
     buckets = sorted(
         {zlib.crc32(t.encode("utf-8")) % N_TB for t in QUERY_TERMS}
     )
-    postings = spark.read.parquet(f"{path}/postings").filter(
-        F.col("tb").isin(buckets)
-    )
-    v = _latest_version(spark, path)
+    entries = [
+        e for e in _manifest_entries(spark, path, v) if e[1] in set(buckets)
+    ]
+    postings = _read_segments(
+        spark, f"{path}/postings", entries, _BM25_POSTING_SCHEMA
+    ).filter(F.col("tb").isin(buckets))
     lexicon = spark.read.parquet(f"{path}/lexicon/v={v}")
     stats = spark.read.parquet(f"{path}/stats/v={v}").select(
         (
@@ -744,6 +886,11 @@ def serve_bm25_v2(spark: SparkSession, path: str) -> DataFrame:
         "n_docs",
     )
     return topk_from_bm25_index(postings, lexicon, stats)
+
+
+def serve_bm25_v2(spark: SparkSession, path: str) -> DataFrame:
+    """Serve from the store's LATEST published version."""
+    return serve_bm25_v2_at(spark, path, _latest_version(spark, path))
 
 
 def bm25_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -823,20 +970,24 @@ def _bm25_stream_sink(store: str, bdf: DataFrame, bid: int) -> None:
     leaves a ``_batches/bid=N`` marker, written AFTER the upsert
     completes — a redelivered batch id (the retry path the
     checkpointLocation exists for: sink succeeded but the offset
-    commit did not) is skipped instead of double-appending postings
-    and double-merging the lexicon/stats version.  Limitation, by
-    design: a crash MIDWAY through the sink (postings appended, marker
-    absent) still re-applies on retry — exactly-once there needs a
-    stage-then-atomic-publish write path (a manifest commit), which is
-    the storage-format upgrade (Iceberg/Delta-class) this parquet
-    store deliberately stops short of; the marker closes the common
-    redelivery case and the limitation is now explicit."""
+    commit did not) is skipped instead of double-merging the version
+    chain.  A crash MIDWAY through the sink is now exactly-once too
+    (r14, the manifest commit): the crashed attempt's segment is in no
+    manifest and its version dirs are unpublished, so the retry's
+    re-application overwrites that debris and pins a fresh segment —
+    no double counting is reachable, and vacuum sweeps the orphaned
+    segment (ADVICE r13: the pre-manifest path could strand a
+    dangling errorifexists version dir and fail the retry outright;
+    overwrite-mode version writes close that)."""
     sess = bdf.sparkSession
     marker = f"{store}/_batches/bid={bid}"
     if _store_dir_exists(sess, marker):
         return  # redelivered, already fully applied
     if not bdf.isEmpty():
-        if not _store_dir_exists(sess, f"{store}/lexicon"):
+        if not _published_versions(sess, store):
+            # no PUBLISHED version ⇒ initialize (a crashed batch-0
+            # attempt left only unpublished debris, which init's
+            # overwrite-mode writes replace)
             _init_bm25_store(bdf, store)
         else:
             upsert_bm25_index(sess, store, bdf)
@@ -897,34 +1048,72 @@ DOC_UPSERT_RES2 = 3  # second ingest batch for the vacuum chain (~10%,
 # disjoint from the DOC_UPSERT_RES batch)
 
 
-def vacuum_bm25_store(
-    spark: SparkSession, path: str, keep_last: int = RETAIN_VERSIONS
+def _vacuum_versioned_store(
+    spark: SparkSession,
+    path: str,
+    tables: tuple[str, ...],
+    posting_roots: tuple[str, ...],
+    keep_last: int,
 ) -> int:
-    """Delete all but the newest ``keep_last`` PUBLISHED versions of
-    the two versioned tables (lexicon, stats) — and, as the
-    crash-recovery half, every UNPUBLISHED data directory a crashed
-    writer left dangling (a version dir with no ``_published`` marker
-    is unreferenced by construction and safe to remove at any time).
-    Postings are never touched — they are append-only data, not
-    versioned metadata.  Returns the number of version data
-    directories removed.  Cost is pure metadata (directory deletes):
-    independent of corpus size."""
+    """Shared vacuum for manifest-pinned stores: keep the newest
+    ``keep_last`` PUBLISHED versions (ADVICE r13: derived from the
+    published set itself, so a sparse chain still retains exactly
+    ``keep_last`` live versions), delete every other version directory
+    of every versioned table — including UNPUBLISHED dirs a crashed
+    writer left dangling (unreferenced by construction) — and
+    garbage-collect every posting segment no retained manifest pins.
+    Returns version dirs + segments removed.  Cost is pure metadata
+    (directory deletes + manifest reads): independent of corpus size.
+    Single-writer assumption, stated: vacuum must not run concurrently
+    with a writer — it would sweep the writer's staged (unpublished)
+    version dirs and segment mid-flight; deployments serialize vacuum
+    behind the ingest lock (the same single-compactor discipline the
+    conditional publish targets)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the live version)")
-    latest = _latest_version(spark, path)
-    keep = set(range(latest - keep_last + 1, latest + 1))
+    published = _published_versions(spark, path)
+    if not published:
+        raise FileNotFoundError(f"no published versions under {path}")
+    keep = set(sorted(published)[-keep_last:])
     removed = 0
-    for table in ("lexicon", "stats"):
+    for table in tables:
         for v in _versions_in(spark, f"{path}/{table}"):
             if v not in keep:
                 fs, hp = _fs_of(spark, f"{path}/{table}/v={v}")
                 fs.delete(hp, True)
                 removed += 1
-    for v in _published_versions(spark, path):
+    for v in published:
         if v not in keep:
             fs, hp = _fs_of(spark, f"{path}/_published/v={v}")
             fs.delete(hp, True)
+    live_segs: set[str] = set()
+    for v in keep:
+        live_segs |= {s for s, _ in _manifest_entries(spark, path, v)}
+    for root_name in posting_roots:
+        root = f"{path}/{root_name}"
+        fs, hp = _fs_of(spark, root)
+        if not fs.exists(hp):
+            continue
+        for st in fs.listStatus(hp):
+            name = st.getPath().getName()
+            if name.startswith("seg=") and name[4:] not in live_segs:
+                fs.delete(st.getPath(), True)
+                removed += 1
     return removed
+
+
+def vacuum_bm25_store(
+    spark: SparkSession, path: str, keep_last: int = RETAIN_VERSIONS
+) -> int:
+    """Retention vacuum for the BM25 store: keep the newest
+    ``keep_last`` published versions of lexicon/stats/manifests, sweep
+    dangling unpublished versions, and GC unreferenced posting
+    segments (see :func:`_vacuum_versioned_store` for the contract and
+    the single-writer assumption)."""
+    return _vacuum_versioned_store(
+        spark, path, ("lexicon", "stats", "manifests"), ("postings",),
+        keep_last,
+    )
 
 
 def bm25_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -977,10 +1166,12 @@ def bm25_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The lexical twin of vectorstore.delete_from_index: GDPR-class erasure
 # must reach the derived store.  The delete mirrors the upsert exactly,
-# with every merged integer decremented instead of added: postings for
-# the deleted docs are removed by rewriting ONLY the term buckets that
-# hold them (dynamic partition overwrite; buckets left empty are
-# dropped outright), df decrements into a new lexicon version (terms
+# with every merged integer decremented instead of added: the affected
+# term buckets' SURVIVING postings land in a new segment and the v+1
+# manifest un-pins every prior segment of those buckets (old files
+# untouched — snapshot isolation for in-flight readers; the deleted
+# bytes become unreachable at publish and are swept by vacuum's
+# segment GC), df decrements into a new lexicon version (terms
 # reaching df=0 are dropped), and stats decrement component-wise.  The
 # decrements are derived by re-tokenizing the deleted docs with the
 # SAME functions the ingest used (deterministic tokenization → exactly
@@ -996,82 +1187,86 @@ def delete_from_bm25_index(
     """Erase ``del_docs`` (a (doc_id, text) frame — the erasure request
     carries the docs being purged, fetched from the base table before
     the base rows themselves are erased) from the stored index.
-    Writes the next lexicon/stats version, rewrites only the affected
-    term-bucket partitions, then PUBLISHES v+1 (the marker commit) —
-    readers resolve published versions only, so they see the
-    pre-delete index until the erasure is physically complete.
-    Returns the affected bucket list (≤ N_TB ints).  Cost is
-    proportional to the affected buckets' postings + the
-    vocabulary-bounded lexicon merge — never a corpus rescan."""
+    Writes the next lexicon/stats version, writes the affected
+    buckets' SURVIVING postings as a new segment, and publishes a v+1
+    manifest that pins the new segment INSTEAD of every prior pin of
+    the affected buckets — old segments are never touched, so a
+    concurrent reader of v sees the FULL pre-delete store (true
+    snapshot isolation, VERDICT r13 #3; the pre-manifest layout
+    rewrote shared bucket files in place and could not honestly claim
+    this).  The deleted postings become physically unreachable at the
+    v+1 publish and their bytes are reclaimed by vacuum's segment GC —
+    the erasure SLA is "unreachable at commit, swept at retention",
+    the Iceberg/Delta erasure contract.  Returns the affected bucket
+    list (≤ N_TB ints).  Cost is proportional to the affected buckets'
+    postings + the vocabulary-bounded lexicon merge — never a corpus
+    rescan."""
     toks = _toks_of(del_docs)
     dp = _postings_of(toks)
     buckets = sorted(
         r["tb"] for r in dp.select("tb").distinct().collect()
     )
-    v = _latest_version(spark, path)
-    old_lex = spark.read.parquet(f"{path}/lexicon/v={v}")
     ddf = dp.groupBy("term").agg(F.count(F.lit(1)).alias("ddf"))
-    (
-        old_lex.join(ddf, "term", "left")
-        .select(
-            "term",
-            (F.col("df") - F.coalesce("ddf", F.lit(0))).alias("df"),
-        )
-        .filter(F.col("df") > 0)
-        .write.parquet(f"{path}/lexicon/v={v + 1}")
-    )
-    old_stats = spark.read.parquet(f"{path}/stats/v={v}")
     ds = _stats2_of(toks)
-    (
-        old_stats.select(
-            F.col("n_docs").alias("n0"), F.col("sum_len").alias("s0")
+    del_ids = del_docs.select("doc_id")
+    root = f"{path}/postings"
+    last: VersionConflict | None = None
+    for _ in range(PUBLISH_RETRIES):
+        v = _latest_version(spark, path)
+        old_lex = spark.read.parquet(f"{path}/lexicon/v={v}")
+        (
+            old_lex.join(ddf, "term", "left")
+            .select(
+                "term",
+                (F.col("df") - F.coalesce("ddf", F.lit(0))).alias("df"),
+            )
+            .filter(F.col("df") > 0)
+            .write.mode("overwrite")
+            .parquet(f"{path}/lexicon/v={v + 1}")
         )
-        .crossJoin(
-            F.broadcast(
-                ds.select(
-                    F.col("n_docs").alias("n1"),
-                    F.col("sum_len").alias("s1"),
+        old_stats = spark.read.parquet(f"{path}/stats/v={v}")
+        (
+            old_stats.select(
+                F.col("n_docs").alias("n0"), F.col("sum_len").alias("s0")
+            )
+            .crossJoin(
+                F.broadcast(
+                    ds.select(
+                        F.col("n_docs").alias("n1"),
+                        F.col("sum_len").alias("s1"),
+                    )
                 )
             )
-        )
-        .select(
-            (F.col("n0") - F.col("n1")).alias("n_docs"),
-            (F.col("s0") - F.col("s1")).alias("sum_len"),
-        )
-        .write.parquet(f"{path}/stats/v={v + 1}")
-    )
-    if not buckets:
-        _publish_version(spark, path, v + 1)
-        return []
-    del_ids = del_docs.select("doc_id")
-    kept = (
-        spark.read.parquet(f"{path}/postings")
-        .filter(F.col("tb").isin(buckets))
-        .join(del_ids, "doc_id", "left_anti")
-        .localCheckpoint(eager=True)  # severs lineage from the files
-        # the dynamic overwrite below replaces
-    )
-    survivors = {r["tb"] for r in kept.select("tb").distinct().collect()}
-    if survivors:
-        (
-            kept.repartition(len(survivors), "tb")
+            .select(
+                (F.col("n0") - F.col("n1")).alias("n_docs"),
+                (F.col("s0") - F.col("s1")).alias("sum_len"),
+            )
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("tb")
-            .parquet(f"{path}/postings")
+            .parquet(f"{path}/stats/v={v + 1}")
         )
-    for tb in buckets:
-        if tb not in survivors:
-            # dynamic overwrite writes nothing for an emptied group,
-            # which would silently leave the old files — drop the
-            # bucket directory explicitly
-            fs, hp = _fs_of(spark, f"{path}/postings/tb={tb}")
-            fs.delete(hp, True)
-    # publish only after the bucket rewrite: a v+1 reader must see the
-    # post-delete postings (the erasure is not "committed" until the
-    # deleted postings are physically unreachable)
-    _publish_version(spark, path, v + 1)
-    return buckets
+        entries = _manifest_entries(spark, path, v)
+        if buckets:
+            hit = set(buckets)
+            affected = [e for e in entries if e[1] in hit]
+            kept = _read_segments(
+                spark, root, affected, _BM25_POSTING_SCHEMA
+            ).join(del_ids, "doc_id", "left_anti")
+            seg = _new_seg_id()
+            n_out = max(1, len(buckets))
+            _write_segment(kept.repartition(n_out, "tb"), root, seg)
+            survivors = _seg_buckets(spark, root, seg)
+            new_entries = [e for e in entries if e[1] not in hit] + [
+                (seg, b) for b in survivors
+            ]
+        else:
+            new_entries = entries
+        _write_manifest(spark, path, v + 1, new_entries)
+        try:
+            _publish_version(spark, path, v + 1)
+            return buckets
+        except VersionConflict as e:
+            last = e  # re-derive survivors against the new latest
+    raise last if last is not None else RuntimeError("unreachable")
 
 
 def bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1242,8 +1437,10 @@ ORACLES["bm25_stream_upsert_store"] = (
 # n_docs_indexed read from the surviving stats version must equal the
 # corpus count (the vacuum kept the RIGHT version), and the purge
 # count restates the retention policy: the chain writes 1 build + 2
-# upsert versions per versioned table (lexicon, stats), keep_last=1
-# leaves one each ⇒ 2 * (3 - 1) directories removed.
+# upsert versions per versioned table (lexicon, stats, manifests),
+# keep_last=1 leaves one each ⇒ 3 * (3 - 1) directories removed; all
+# three posting segments are pinned by the surviving manifest, so the
+# segment GC removes none.
 ORACLES["bm25_store_vacuum"] = (
     f"WITH tok AS ({_TOKS_DUCK}),"
     " st AS (SELECT CAST(SUM(len(toks)) AS DOUBLE)"
@@ -1266,7 +1463,7 @@ ORACLES["bm25_store_vacuum"] = (
     " SELECT doc_id, n_hit_terms,"
     f" CAST(FLOOR(score * {SCORE_QUANT}.0 + 0.5) AS BIGINT) AS score_q,"
     " nd.n_docs_indexed,"
-    f" CAST(2 * (3 - {RETAIN_VERSIONS}) AS BIGINT) AS n_versions_purged"
+    f" CAST(3 * (3 - {RETAIN_VERSIONS}) AS BIGINT) AS n_versions_purged"
     " FROM per CROSS JOIN nd"
     f" ORDER BY score_q DESC, doc_id LIMIT {TOP_K}"
 )
@@ -1479,32 +1676,147 @@ def phrase_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _phrase_topk(_pos_postings_of(_base_docs(spark, sf_dir)))
 
 
-def build_phrase_index(spark: SparkSession, sf_dir: str, path: str) -> None:
-    """Persist the positional postings, term-hash-bucket partitioned —
-    the one corpus pass; every later phrase query reads only its
-    words' buckets."""
-    (
-        _pos_postings_of(_base_docs(spark, sf_dir))
-        .repartition(N_TB, "tb")
-        .write.partitionBy("tb")
-        .parquet(f"{path}/postings_pos")
+_POS_POSTING_SCHEMA = "doc_id bigint, dl int, pos int, term string, tb int"
+_POS_ROOT = "postings_pos"
+
+
+def _init_pos_store(docs: DataFrame, path: str) -> None:
+    """First write of the VERSIONED positional store: one bucket-
+    partitioned segment + the v=1 manifest pinning it (the positional
+    index carries no lexicon/stats — phrase/NEAR scoring is pure
+    per-document counting, so the manifest is the only versioned
+    metadata)."""
+    spark = docs.sparkSession
+    root = f"{path}/{_POS_ROOT}"
+    seg = _new_seg_id()
+    _write_segment(
+        _pos_postings_of(docs).repartition(N_TB, "tb"), root, seg
     )
+    buckets = _seg_buckets(spark, root, seg)
+    _write_manifest(spark, path, 1, [(seg, b) for b in buckets])
+    _publish_version(spark, path, 1)
+
+
+def build_phrase_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the positional postings, term-hash-bucket partitioned,
+    manifest-pinned and published — the one corpus pass; every later
+    phrase/NEAR query reads only its words' pinned buckets."""
+    _init_pos_store(_base_docs(spark, sf_dir), path)
+
+
+def upsert_phrase_index(
+    spark: SparkSession, path: str, batch_docs: DataFrame
+) -> None:
+    """Merge an ingest batch into the positional store: the batch's
+    positional postings land as one new immutable segment, and the v+1
+    manifest pins the old entries plus the new segment's buckets —
+    the same copy-on-write discipline as the BM25 upsert (VERDICT r13
+    #5), with the same conditional-publish retry."""
+    root = f"{path}/{_POS_ROOT}"
+    seg = _new_seg_id()
+    _write_segment(
+        _pos_postings_of(batch_docs).repartition(N_TB, "tb"), root, seg
+    )
+    seg_buckets = _seg_buckets(spark, root, seg)
+    last: VersionConflict | None = None
+    for _ in range(PUBLISH_RETRIES):
+        v = _latest_version(spark, path)
+        entries = _manifest_entries(spark, path, v) + [
+            (seg, b) for b in seg_buckets
+        ]
+        _write_manifest(spark, path, v + 1, entries)
+        try:
+            _publish_version(spark, path, v + 1)
+            return
+        except VersionConflict as e:
+            last = e
+    raise last if last is not None else RuntimeError("unreachable")
+
+
+def delete_from_phrase_index(
+    spark: SparkSession, path: str, del_docs: DataFrame
+) -> list[int]:
+    """Erase ``del_docs`` from the positional store: the affected term
+    buckets (every bucket any deleted doc's terms hash into) get their
+    SURVIVING positional postings rewritten into a new segment; the
+    v+1 manifest un-pins every prior segment of those buckets.  Old
+    files untouched — a reader of v keeps the full pre-delete index;
+    the erased positions become unreachable at publish and vacuum's
+    segment GC reclaims the bytes.  Returns the affected bucket list
+    (≤ N_TB ints)."""
+    dp = _pos_postings_of(del_docs)
+    buckets = sorted(
+        r["tb"] for r in dp.select("tb").distinct().collect()
+    )
+    del_ids = del_docs.select("doc_id")
+    root = f"{path}/{_POS_ROOT}"
+    last: VersionConflict | None = None
+    for _ in range(PUBLISH_RETRIES):
+        v = _latest_version(spark, path)
+        entries = _manifest_entries(spark, path, v)
+        if buckets:
+            hit = set(buckets)
+            affected = [e for e in entries if e[1] in hit]
+            kept = _read_segments(
+                spark, root, affected, _POS_POSTING_SCHEMA
+            ).join(del_ids, "doc_id", "left_anti")
+            seg = _new_seg_id()
+            _write_segment(
+                kept.repartition(max(1, len(buckets)), "tb"), root, seg
+            )
+            survivors = _seg_buckets(spark, root, seg)
+            new_entries = [e for e in entries if e[1] not in hit] + [
+                (seg, b) for b in survivors
+            ]
+        else:
+            new_entries = entries
+        _write_manifest(spark, path, v + 1, new_entries)
+        try:
+            _publish_version(spark, path, v + 1)
+            return buckets
+        except VersionConflict as e:
+            last = e
+    raise last if last is not None else RuntimeError("unreachable")
+
+
+def vacuum_phrase_store(
+    spark: SparkSession, path: str, keep_last: int = RETAIN_VERSIONS
+) -> int:
+    """Retention vacuum for the positional store (manifests + segment
+    GC; no lexicon/stats tables)."""
+    return _vacuum_versioned_store(
+        spark, path, ("manifests",), (_POS_ROOT,), keep_last
+    )
+
+
+def _pos_store_postings(
+    spark: SparkSession, path: str, terms, v: int | None = None
+) -> DataFrame:
+    """The pinned positional-posting scan for a term set: resolve the
+    (or a pinned) version, select only manifest entries whose bucket
+    can hold one of ``terms``, read exactly those directories (with
+    the tb partition filter kept on the scan for the plan audit)."""
+    import zlib
+
+    if v is None:
+        v = _latest_version(spark, path)
+    buckets = sorted(
+        {zlib.crc32(t.encode("utf-8")) % N_TB for t in terms}
+    )
+    entries = [
+        e for e in _manifest_entries(spark, path, v) if e[1] in set(buckets)
+    ]
+    return _read_segments(
+        spark, f"{path}/{_POS_ROOT}", entries, _POS_POSTING_SCHEMA
+    ).filter(F.col("tb").isin(buckets))
 
 
 def serve_phrase_from_store(spark: SparkSession, path: str) -> DataFrame:
     """Answer the fixed phrase query from the stored positional index:
-    the scan carries the term-bucket PARTITION filter (directory
-    pruning) and each adjacency branch pushes its term equality into
-    the parquet scan — the phrase never re-tokenizes the corpus."""
-    import zlib
-
-    buckets = sorted(
-        {zlib.crc32(t.encode("utf-8")) % N_TB for t in PHRASE}
-    )
-    pp = spark.read.parquet(f"{path}/postings_pos").filter(
-        F.col("tb").isin(buckets)
-    )
-    return _phrase_topk(pp)
+    manifest-level directory pruning to the phrase words' buckets, and
+    each adjacency branch pushes its term equality into the parquet
+    scan — the phrase never re-tokenizes the corpus."""
+    return _phrase_topk(_pos_store_postings(spark, path, PHRASE))
 
 
 def phrase_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1575,35 +1887,60 @@ ORACLES["phrase_index_store"] = _phrase_oracle()
 
 
 def compact_bm25_buckets(spark: SparkSession, path: str, buckets) -> None:
-    """Coalesce the given term-bucket partitions back to one file each
-    (localCheckpoint severs the read-from-write-target lineage, the
-    compact_index_cells discipline)."""
+    """Coalesce the given term buckets' postings to one file each — as
+    a new SNAPSHOT: the coalesced rows land in a fresh segment, the
+    lexicon/stats carry forward content-identical into v+1 (the
+    compaction changes storage, not state), and the v+1 manifest pins
+    the new segment instead of every prior pin of the compacted
+    buckets.  Readers of v keep their exact pre-compaction file set
+    (no in-place rewrite, no lineage hazard — the old localCheckpoint
+    is obsolete because the write target is a NEW directory); the
+    small-file debris becomes unreferenced and vacuum's segment GC
+    reclaims it."""
     buckets = sorted(int(b) for b in buckets)
     if not buckets:
         return
-    affected = (
-        spark.read.parquet(f"{path}/postings")
-        .filter(F.col("tb").isin(buckets))
-        .localCheckpoint(eager=True)
-    )
-    (
-        affected.repartition(len(buckets), "tb")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("tb")
-        .parquet(f"{path}/postings")
-    )
+    root = f"{path}/postings"
+    hit = set(buckets)
+    last: VersionConflict | None = None
+    for _ in range(PUBLISH_RETRIES):
+        v = _latest_version(spark, path)
+        entries = _manifest_entries(spark, path, v)
+        affected = [e for e in entries if e[1] in hit]
+        if not affected:
+            return  # nothing pinned in those buckets — no new snapshot
+        rows = _read_segments(spark, root, affected, _BM25_POSTING_SCHEMA)
+        seg = _new_seg_id()
+        _write_segment(rows.repartition(len(buckets), "tb"), root, seg)
+        survivors = _seg_buckets(spark, root, seg)
+        spark.read.parquet(f"{path}/lexicon/v={v}").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/lexicon/v={v + 1}")
+        spark.read.parquet(f"{path}/stats/v={v}").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/stats/v={v + 1}")
+        new_entries = [e for e in entries if e[1] not in hit] + [
+            (seg, b) for b in survivors
+        ]
+        _write_manifest(spark, path, v + 1, new_entries)
+        try:
+            _publish_version(spark, path, v + 1)
+            return
+        except VersionConflict as e:
+            last = e
+    raise last if last is not None else RuntimeError("unreachable")
 
 
 def bm25_postings_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The lexical maintenance cycle: build the versioned store on the
-    base corpus, upsert the ingest batch (its term buckets gain an
-    appended file), COMPACT exactly those buckets back to one file
-    each, and serve the fixed query from the compacted store.  The
-    oracle is the identical direct full-corpus restatement the upsert
-    row uses — a green row proves the compaction is a pure physical
-    rewrite (served ranking unchanged); the file-level claims (one
-    file per compacted bucket, untouched buckets byte-identical,
+    base corpus, upsert the ingest batch (its term buckets gain a
+    second pinned segment), COMPACT exactly those buckets — the
+    coalesced rows land in a fresh segment pinned by a new snapshot —
+    and serve the fixed query from the compacted store.  The oracle is
+    the identical direct full-corpus restatement the upsert row uses —
+    a green row proves the compaction is a pure physical rewrite
+    (served ranking unchanged); the file-level claims (one pinned file
+    per compacted bucket, untouched buckets' pins and files unchanged,
     posting rows preserved) are locked by tests/test_vectorstore.py."""
     import shutil
     import tempfile
@@ -1660,10 +1997,13 @@ def _near_topk(pp: DataFrame) -> DataFrame:
     a = pp.filter(F.col("term") == t0).select(
         "doc_id", "dl", F.col("pos").alias("pa")
     )
+    # F.floor makes the banding sign-safe and explicit (ADVICE r13: a
+    # bare cast truncates toward zero, which only coincides with floor
+    # for the non-negative positions used here)
     b = pp.filter(F.col("term") == t1).select(
         "doc_id",
         F.col("pos").alias("pb"),
-        (F.col("pos") / NEAR_W).cast("long").alias("bk"),
+        F.floor(F.col("pos") / NEAR_W).cast("long").alias("bk"),
     )
     a_banded = a.select(
         "doc_id",
@@ -1671,9 +2011,9 @@ def _near_topk(pp: DataFrame) -> DataFrame:
         "pa",
         F.explode(
             F.array(
-                (F.col("pa") / NEAR_W).cast("long") - 1,
-                (F.col("pa") / NEAR_W).cast("long"),
-                (F.col("pa") / NEAR_W).cast("long") + 1,
+                F.floor(F.col("pa") / NEAR_W).cast("long") - 1,
+                F.floor(F.col("pa") / NEAR_W).cast("long"),
+                F.floor(F.col("pa") / NEAR_W).cast("long") + 1,
             )
         ).alias("bk"),
     )
@@ -1735,8 +2075,9 @@ ORACLES["near_search_topk"] = _near_oracle()
 # compact(b2's buckets) → vacuum(keep latest) — and requires the final
 # serve to equal direct scoring over the NET corpus (base ∪ b1 ∪ b2)
 # − d.  A green row proves the merge/decrement/rewrite algebra
-# COMPOSES: version numbers chain (v1..v4), the deletion survives the
-# later upsert, the compaction and vacuum change nothing, and the
+# COMPOSES: version numbers chain (v1..v5 — compaction snapshots too
+# under the r14 manifest pinning), the deletion survives the later
+# upsert, the compaction and vacuum change nothing, and the
 # stats/lexicon land exactly where a from-scratch index of the net
 # corpus would put them.
 
@@ -1747,8 +2088,10 @@ DOC_CRUD_DEL_RES = 5  # chain erase set: doc_id % 10 == 5 (~10%),
 def bm25_crud_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full interleaved lifecycle on the lexical store; output
     binds the final published version (a closed-form constant of the
-    chain: init 1 + upsert 2 + delete 3 + upsert 4) and the surviving
-    doc count read from the FINAL stats version."""
+    chain: init 1 + upsert 2 + delete 3 + upsert 4 + compact 5 — the
+    manifest-pinned compaction publishes a snapshot of its own since
+    r14) and the surviving doc count read from the FINAL stats
+    version."""
     import shutil
     import tempfile
 
@@ -1820,7 +2163,7 @@ ORACLES["bm25_crud_chain"] = (
     " nd AS (SELECT COUNT(*) AS n_docs_indexed FROM tok)"
     " SELECT doc_id, n_hit_terms,"
     f" CAST(FLOOR(score * {SCORE_QUANT}.0 + 0.5) AS BIGINT) AS score_q,"
-    " nd.n_docs_indexed, CAST(4 AS BIGINT) AS final_version"
+    " nd.n_docs_indexed, CAST(5 AS BIGINT) AS final_version"
     " FROM per CROSS JOIN nd"
     f" ORDER BY score_q DESC, doc_id LIMIT {TOP_K}"
 )
@@ -1828,18 +2171,10 @@ ORACLES["bm25_crud_chain"] = (
 
 def serve_near_from_store(spark: SparkSession, path: str) -> DataFrame:
     """Answer the fixed NEAR query from the stored positional index —
-    the same bucket-pruned, term-pushed scan as the phrase serve
+    the same manifest-pruned, term-pushed scan as the phrase serve
     feeding the banded proximity join (one positional store serves
     BOTH ordered-phrase and unordered-proximity queries)."""
-    import zlib
-
-    buckets = sorted(
-        {zlib.crc32(t.encode("utf-8")) % N_TB for t in NEAR_TERMS}
-    )
-    pp = spark.read.parquet(f"{path}/postings_pos").filter(
-        F.col("tb").isin(buckets)
-    )
-    return _near_topk(pp)
+    return _near_topk(_pos_store_postings(spark, path, NEAR_TERMS))
 
 
 def near_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1863,3 +2198,277 @@ def near_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["near_index_store"] = near_index_store
 ORACLES["near_index_store"] = _near_oracle()
+
+
+# --- positional-store CRUD + batch serving (r14) ------------------------------
+#
+# VERDICT r13 #5/#6: the positional (phrase/NEAR) store gains the same
+# lifecycle legs as the other three stores — upsert and delete with the
+# affected-term-bucket discipline (here under the manifest pinning, so
+# both are pure copy-on-write) — and a BATCH serving path: production
+# retrieval answers a queries RELATION, not one compile-time constant,
+# so the batch join amortizes one pinned postings scan across every
+# phrase (the ann_topk_batch shape, lexical edition).
+
+PHRASE_BATCH = (
+    (1, ("table", "hash")),
+    (2, ("slow", "query")),
+    (3, ("merge", "group", "table")),
+    (4, PHRASE),
+)
+PHRASE_BATCH_K = 5
+
+
+def _pos_probes_from_store(spark: SparkSession, path: str) -> DataFrame:
+    """Both fixed probes (ordered phrase + unordered NEAR) served from
+    one positional store, unified to (probe, doc_id, dl, tf, aux) —
+    aux is first_pos for the phrase, min_gap for NEAR — so one checked
+    relation certifies both serving paths over a mutated store."""
+    ph = serve_phrase_from_store(spark, path).select(
+        F.lit("phrase").alias("probe"),
+        "doc_id",
+        "dl",
+        F.col("phrase_tf").alias("tf"),
+        F.col("first_pos").cast("int").alias("aux"),
+    )
+    nr = serve_near_from_store(spark, path).select(
+        F.lit("near").alias("probe"),
+        "doc_id",
+        "dl",
+        F.col("near_tf").alias("tf"),
+        F.col("min_gap").cast("int").alias("aux"),
+    )
+    return ph.unionByName(nr).orderBy("probe", F.desc("tf"), "doc_id")
+
+
+def phrase_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance for the positional store: build on the
+    base corpus (ingest batch held out), upsert the batch (new pinned
+    segment + manifest merge), and serve BOTH probes from the upserted
+    store.  The oracle restates phrase and NEAR directly from the FULL
+    corpus text — upsert-then-serve ≡ rebuild, for both probe shapes,
+    with n_upserted bound in."""
+    import shutil
+    import tempfile
+
+    docs = _base_docs(spark, sf_dir)
+    batch = docs.filter(_doc_batch_pred())
+    tmp = tempfile.mkdtemp(prefix="sgraft_phrase_upsert_")
+    try:
+        _init_pos_store(docs.filter(~_doc_batch_pred()), tmp)
+        upsert_phrase_index(spark, tmp, batch)
+        n_up = batch.agg(F.count(F.lit(1)).alias("n_upserted"))
+        out = (
+            _pos_probes_from_store(spark, tmp)
+            .crossJoin(F.broadcast(n_up))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def phrase_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure through the positional store: build over the FULL
+    corpus, delete the erase set (survivor rewrite of affected buckets
+    into a new pinned segment), and serve BOTH probes from the
+    post-delete store.  The oracle restates phrase and NEAR from the
+    SURVIVING documents' raw text — delete-then-serve ≡
+    rebuild-without-the-docs, with n_deleted bound in."""
+    import shutil
+    import tempfile
+
+    docs = _base_docs(spark, sf_dir)
+    dels = docs.filter(F.col("doc_id") % DOC_UPSERT_MOD == DOC_DELETE_RES)
+    tmp = tempfile.mkdtemp(prefix="sgraft_phrase_delete_")
+    try:
+        _init_pos_store(docs, tmp)
+        delete_from_phrase_index(spark, tmp, dels)
+        n_del = dels.agg(F.count(F.lit(1)).alias("n_deleted"))
+        out = (
+            _pos_probes_from_store(spark, tmp)
+            .crossJoin(F.broadcast(n_del))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def serve_phrase_batch_from_store(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """Top-k per phrase for a BATCH of phrases in ONE pinned postings
+    scan: the query relation (qid, widx, term) broadcasts onto the
+    postings, every hit is normalized to its candidate anchor
+    p0 = pos − widx, and a (qid, doc, p0) group is a full occurrence
+    exactly when all widx offsets are present (COUNT(DISTINCT widx) =
+    phrase length — correct even for phrases with repeated words).
+    Per-query ranking is a window PARTITIONED by qid: k per query, no
+    global sort, no per-query loop, no re-scan (the plan unit asserts
+    one postings FileScan)."""
+    from pyspark.sql import Window
+
+    all_terms = sorted({t for _, ws in PHRASE_BATCH for t in ws})
+    pp = _pos_store_postings(spark, path, all_terms)
+    q = spark.createDataFrame(
+        [
+            (qid, i, t)
+            for qid, ws in PHRASE_BATCH
+            for i, t in enumerate(ws)
+        ],
+        "qid int, widx int, term string",
+    )
+    qlen = spark.createDataFrame(
+        [(qid, len(ws)) for qid, ws in PHRASE_BATCH], "qid int, qlen int"
+    )
+    hits = pp.join(F.broadcast(q), "term").select(
+        "qid",
+        "doc_id",
+        "dl",
+        "widx",
+        (F.col("pos") - F.col("widx")).alias("p0"),
+    )
+    occ = hits.groupBy("qid", "doc_id", "dl", "p0").agg(
+        F.countDistinct("widx").alias("nw")
+    )
+    full = occ.join(F.broadcast(qlen), "qid").filter(
+        F.col("nw") == F.col("qlen")
+    )
+    g = full.groupBy("qid", "doc_id", "dl").agg(
+        F.count(F.lit(1)).alias("phrase_tf"),
+        F.min("p0").alias("first_pos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("phrase_tf"), "doc_id")
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PHRASE_BATCH_K)
+        .select(
+            "qid",
+            "doc_id",
+            "dl",
+            "phrase_tf",
+            F.col("first_pos").cast("int").alias("first_pos"),
+            "rank",
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+def phrase_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched phrase retrieval from the persisted positional store:
+    build once, answer all PHRASE_BATCH queries in one pass, teardown.
+    The oracle restates per-query top-k for every phrase from the raw
+    text in one relation."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_phrase_batch_")
+    try:
+        _init_pos_store(_base_docs(spark, sf_dir), tmp)
+        out = serve_phrase_batch_from_store(spark, tmp).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+QUERIES["phrase_index_upsert"] = phrase_index_upsert
+QUERIES["phrase_index_delete"] = phrase_index_delete
+QUERIES["phrase_search_batch"] = phrase_search_batch
+
+
+def _pos_probes_oracle(doc_where: str, tele_sql: str, tele_col: str) -> str:
+    """Phrase + NEAR restated from raw text over a filtered document
+    set, unified to the (probe, doc_id, dl, tf, aux) relation with one
+    telemetry column bound in."""
+    w = list(PHRASE)
+    t0, t1 = NEAR_TERMS
+    branches = ", ".join(
+        f"w{i} AS (SELECT doc_id, pos - {i} AS p0 FROM p"
+        f" WHERE term = '{t}')"
+        for i, t in enumerate(w[1:], start=1)
+    )
+    joins = " ".join(
+        f"JOIN w{i} USING (doc_id, p0)" for i in range(1, len(w))
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, list_filter("
+        "string_split_regex(lower(text), '[^a-z0-9]+'),"
+        f" t -> t <> '') AS toks FROM documents{doc_where}),"
+        " p AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term,"
+        " generate_subscripts(toks, 1) - 1 AS pos FROM tok),"
+        f" a AS (SELECT doc_id, dl, pos AS p0 FROM p"
+        f" WHERE term = '{w[0]}'),"
+        f" {branches},"
+        f" occ AS (SELECT a.doc_id, a.dl, a.p0 FROM a {joins}),"
+        " gph AS (SELECT doc_id, dl, COUNT(*) AS tf, MIN(p0) AS aux"
+        " FROM occ GROUP BY doc_id, dl),"
+        " phtop AS (SELECT 'phrase' AS probe, doc_id,"
+        " CAST(dl AS INT) AS dl, tf, CAST(aux AS INT) AS aux FROM gph"
+        f" ORDER BY tf DESC, doc_id LIMIT {PHRASE_K}),"
+        f" na AS (SELECT doc_id, dl, pos AS pa FROM p"
+        f" WHERE term = '{t0}'),"
+        f" nb AS (SELECT doc_id, pos AS pb FROM p WHERE term = '{t1}'),"
+        " prs AS (SELECT na.doc_id, na.dl, ABS(pa - pb) AS gap"
+        f" FROM na JOIN nb USING (doc_id)"
+        f" WHERE ABS(pa - pb) <= {NEAR_W}),"
+        " gnr AS (SELECT doc_id, dl, COUNT(*) AS tf, MIN(gap) AS aux"
+        " FROM prs GROUP BY doc_id, dl),"
+        " nrtop AS (SELECT 'near' AS probe, doc_id,"
+        " CAST(dl AS INT) AS dl, tf, CAST(aux AS INT) AS aux FROM gnr"
+        f" ORDER BY tf DESC, doc_id LIMIT {PHRASE_K}),"
+        " u AS (SELECT * FROM phtop UNION ALL SELECT * FROM nrtop),"
+        f" tele AS ({tele_sql})"
+        f" SELECT probe, doc_id, dl, tf, aux, tele.{tele_col}"
+        " FROM u CROSS JOIN tele ORDER BY probe, tf DESC, doc_id"
+    )
+
+
+ORACLES["phrase_index_upsert"] = _pos_probes_oracle(
+    "",
+    f"SELECT COUNT(*) AS n_upserted FROM documents"
+    f" WHERE doc_id % {DOC_UPSERT_MOD} = {DOC_UPSERT_RES}",
+    "n_upserted",
+)
+ORACLES["phrase_index_delete"] = _pos_probes_oracle(
+    f" WHERE doc_id % {DOC_UPSERT_MOD} != {DOC_DELETE_RES}",
+    f"SELECT COUNT(*) AS n_deleted FROM documents"
+    f" WHERE doc_id % {DOC_UPSERT_MOD} = {DOC_DELETE_RES}",
+    "n_deleted",
+)
+
+
+def _phrase_batch_oracle() -> str:
+    vals = ", ".join(
+        f"({qid}, {i}, '{t}')"
+        for qid, ws in PHRASE_BATCH
+        for i, t in enumerate(ws)
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, list_filter("
+        "string_split_regex(lower(text), '[^a-z0-9]+'),"
+        " t -> t <> '') AS toks FROM documents),"
+        " p AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term,"
+        " generate_subscripts(toks, 1) - 1 AS pos FROM tok),"
+        f" q(qid, widx, term) AS (VALUES {vals}),"
+        " ql AS (SELECT qid, COUNT(*) AS qlen FROM q GROUP BY qid),"
+        " hits AS (SELECT q.qid, p.doc_id, p.dl, q.widx,"
+        " p.pos - q.widx AS p0 FROM p JOIN q USING (term)),"
+        " occ AS (SELECT qid, doc_id, dl, p0,"
+        " COUNT(DISTINCT widx) AS nw FROM hits"
+        " GROUP BY qid, doc_id, dl, p0),"
+        " fo AS (SELECT occ.* FROM occ JOIN ql USING (qid)"
+        " WHERE nw = qlen),"
+        " g AS (SELECT qid, doc_id, dl, COUNT(*) AS phrase_tf,"
+        " MIN(p0) AS first_pos FROM fo GROUP BY qid, doc_id, dl),"
+        " r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid"
+        " ORDER BY phrase_tf DESC, doc_id) AS rnk FROM g)"
+        " SELECT qid, doc_id, CAST(dl AS INT) AS dl, phrase_tf,"
+        " CAST(first_pos AS INT) AS first_pos, CAST(rnk AS INT) AS rank"
+        f" FROM r WHERE rnk <= {PHRASE_BATCH_K} ORDER BY qid, rank"
+    )
+
+
+ORACLES["phrase_search_batch"] = _phrase_batch_oracle()

@@ -338,39 +338,37 @@ def test_bm25_upsert_equals_rebuild_and_direct(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def test_bm25_upsert_appends_only_batch_term_buckets(spark, sf_dir):
-    """File-level copy-on-write: pre-existing posting files are
-    byte-identical after the upsert; new files land only in the
-    batch's term buckets; the superseded lexicon/stats versions stay
-    untouched (snapshot isolation)."""
+def _tree_files(root):
+    """{relpath: size} for every parquet file under ``root`` — the
+    byte-identity snapshot the copy-on-write assertions compare."""
     import os
 
-    from intellect_bi_spark.operators import retrieval as rt
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = os.path.getsize(p)
+    return out
 
-    def posting_files(root):
-        out = {}
-        pdir = os.path.join(root, "postings")
-        for entry in sorted(os.listdir(pdir)):
-            if entry.startswith("tb="):
-                out[entry] = sorted(
-                    f
-                    for f in os.listdir(os.path.join(pdir, entry))
-                    if f.endswith(".parquet")
-                )
-        return out
+
+def test_bm25_upsert_appends_only_batch_term_buckets(spark, sf_dir):
+    """File-level copy-on-write under the manifest pinning (r14): the
+    upsert never touches a pre-existing posting file — all new files
+    land in exactly ONE new segment whose buckets are the batch's term
+    buckets; the v=2 manifest extends v=1's pin list by exactly that
+    segment's entries; the superseded lexicon/stats versions stay
+    untouched (snapshot isolation)."""
+    from intellect_bi_spark.operators import retrieval as rt
 
     tmp = tempfile.mkdtemp(prefix="sgraft_bm25upfiles_")
     try:
         rt.build_bm25_index_v2(spark, sf_dir, tmp)
-        before = posting_files(tmp)
-        sizes = {
-            (d, f): os.path.getsize(os.path.join(tmp, "postings", d, f))
-            for d, fs in before.items()
-            for f in fs
-        }
+        before = _tree_files(f"{tmp}/postings")
+        m1 = rt._manifest_entries(spark, tmp, 1)
         batch = rt._base_docs(spark, sf_dir).filter(rt._doc_batch_pred())
         batch_buckets = {
-            f"tb={r['tb']}"
+            int(r["tb"])
             for r in rt._postings_of(rt._toks_of(batch))
             .select("tb")
             .distinct()
@@ -378,20 +376,19 @@ def test_bm25_upsert_appends_only_batch_term_buckets(spark, sf_dir):
         }
         assert batch_buckets
         rt.upsert_bm25_index(spark, tmp, batch)
-        after = posting_files(tmp)
-        for d in set(before) | set(after):
-            old = set(before.get(d, []))
-            new = set(after.get(d, []))
-            assert old <= new, f"{d}: pre-existing file removed"
-            for f in old:
-                assert (
-                    os.path.getsize(os.path.join(tmp, "postings", d, f))
-                    == sizes[(d, f)]
-                ), f"{d}/{f}: pre-existing file rewritten"
-            if d not in batch_buckets:
-                assert old == new, f"{d}: untouched bucket changed"
-        touched = [d for d in batch_buckets if set(after[d]) - set(before.get(d, []))]
-        assert touched, "no batch bucket received a new file"
+        after = _tree_files(f"{tmp}/postings")
+        for p, sz in before.items():
+            assert after.get(p) == sz, f"{p}: pre-existing file changed"
+        new_files = set(after) - set(before)
+        assert new_files, "no new posting files written"
+        new_segs = {p.split("/", 1)[0] for p in new_files}
+        assert len(new_segs) == 1, f"batch spread over {new_segs}"
+        assert new_segs.isdisjoint({f"seg={s}" for s, _ in m1})
+        m2 = rt._manifest_entries(spark, tmp, 2)
+        assert set(m1) <= set(m2), "v=2 manifest dropped a v=1 pin"
+        added = set(m2) - set(m1)
+        assert {t for _, t in added} == batch_buckets
+        assert {f"seg={s}" for s, _ in added} == new_segs
         # v=1 lexicon/stats remain readable (snapshot isolation)
         assert spark.read.parquet(f"{tmp}/lexicon/v=1").count() > 0
         assert spark.read.parquet(f"{tmp}/stats/v=1").count() == 1
@@ -701,11 +698,11 @@ def test_vacuum_ann_codes_noop_then_sweeps_debris(spark, sf_dir):
 def test_bm25_vacuum_retains_latest_leaves_live_files(spark, sf_dir):
     """Version retention (VERDICT r12 #2), file level: after a
     3-version chain (build + two upserts), vacuum(keep_last=1) removes
-    exactly the four superseded version directories (lexicon v1,v2 +
-    stats v1,v2); the live version's files and the postings data files
-    are byte-untouched; and serve-from-latest is unchanged."""
-    import os
-
+    exactly the six superseded version directories (lexicon, stats and
+    manifests × v1,v2); every segment is pinned by the surviving
+    manifest so the segment GC removes nothing and the postings tree
+    is byte-untouched; the live version's files are byte-untouched;
+    and serve-from-latest is unchanged."""
     from intellect_bi_spark.operators import retrieval as rt
 
     docs = rt._base_docs(spark, sf_dir)
@@ -713,33 +710,26 @@ def test_bm25_vacuum_retains_latest_leaves_live_files(spark, sf_dir):
     b2 = docs.filter(F.col("doc_id") % rt.DOC_UPSERT_MOD == rt.DOC_UPSERT_RES2)
     base = docs.join(b1.unionByName(b2), "doc_id", "left_anti")
 
-    def tree_sizes(root):
-        out = {}
-        for dirpath, _dirs, files in os.walk(root):
-            for f in files:
-                p = os.path.join(dirpath, f)
-                out[os.path.relpath(p, root)] = os.path.getsize(p)
-        return out
-
     tmp = tempfile.mkdtemp(prefix="sgraft_bm25vac_")
     try:
         rt._init_bm25_store(base, tmp)
         rt.upsert_bm25_index(spark, tmp, b1)
         rt.upsert_bm25_index(spark, tmp, b2)
-        for table in ("lexicon", "stats"):
+        for table in ("lexicon", "stats", "manifests"):
             assert rt._versions_in(spark, f"{tmp}/{table}") == [1, 2, 3]
         serve_before = [
             tuple(r) for r in rt.serve_bm25_v2(spark, tmp).collect()
         ]
         live_before = {
-            t: tree_sizes(f"{tmp}/{t}/v=3") for t in ("lexicon", "stats")
+            t: _tree_files(f"{tmp}/{t}/v=3")
+            for t in ("lexicon", "stats", "manifests")
         }
-        postings_before = tree_sizes(f"{tmp}/postings")
-        assert rt.vacuum_bm25_store(spark, tmp, keep_last=1) == 4
-        for table in ("lexicon", "stats"):
+        postings_before = _tree_files(f"{tmp}/postings")
+        assert rt.vacuum_bm25_store(spark, tmp, keep_last=1) == 6
+        for table in ("lexicon", "stats", "manifests"):
             assert rt._versions_in(spark, f"{tmp}/{table}") == [3]
-            assert tree_sizes(f"{tmp}/{table}/v=3") == live_before[table]
-        assert tree_sizes(f"{tmp}/postings") == postings_before
+            assert _tree_files(f"{tmp}/{table}/v=3") == live_before[table]
+        assert _tree_files(f"{tmp}/postings") == postings_before
         serve_after = [
             tuple(r) for r in rt.serve_bm25_v2(spark, tmp).collect()
         ]
@@ -752,26 +742,14 @@ def test_bm25_vacuum_retains_latest_leaves_live_files(spark, sf_dir):
 def test_bm25_delete_equals_rebuild_without_docs(spark, sf_dir):
     """Deletion through the lexical store (VERDICT r12 #3): after
     erasing the delete set from a full-corpus store, the lexicon,
-    stats, surviving postings, AND the served ranking all equal a
-    from-scratch index of ONLY the survivors — every decremented
-    integer lands exactly where the rebuild puts it (changed avgdl and
-    idf included).  File level: term buckets holding no deleted
-    postings are byte-untouched."""
-    import os
-
+    stats, manifest-pinned surviving postings, AND the served ranking
+    all equal a from-scratch index of ONLY the survivors — every
+    decremented integer lands exactly where the rebuild puts it
+    (changed avgdl and idf included).  File level (r14 manifests): NO
+    pre-existing file changes at all — the delete is pure copy-on-
+    write; untouched buckets keep their exact v=1 pins, affected
+    buckets are re-pinned to one new segment."""
     from intellect_bi_spark.operators import retrieval as rt
-
-    def posting_files(root):
-        out = {}
-        pdir = os.path.join(root, "postings")
-        for entry in sorted(os.listdir(pdir)):
-            if entry.startswith("tb="):
-                out[entry] = sorted(
-                    (f, os.path.getsize(os.path.join(pdir, entry, f)))
-                    for f in os.listdir(os.path.join(pdir, entry))
-                    if f.endswith(".parquet")
-                )
-        return out
 
     docs = rt._base_docs(spark, sf_dir)
     dels = docs.filter(
@@ -782,15 +760,20 @@ def test_bm25_delete_equals_rebuild_without_docs(spark, sf_dir):
     tmp2 = tempfile.mkdtemp(prefix="sgraft_bm25del_rebuild_")
     try:
         rt._init_bm25_store(docs, tmp)
-        before = posting_files(tmp)
-        affected = {
-            f"tb={tb}" for tb in rt.delete_from_bm25_index(spark, tmp, dels)
-        }
+        before = _tree_files(f"{tmp}/postings")
+        m1 = rt._manifest_entries(spark, tmp, 1)
+        affected = set(rt.delete_from_bm25_index(spark, tmp, dels))
         assert affected
-        after = posting_files(tmp)
-        for d in before:
-            if d not in affected:
-                assert after.get(d) == before[d], f"{d}: untouched bucket changed"
+        after = _tree_files(f"{tmp}/postings")
+        for p, sz in before.items():
+            assert after.get(p) == sz, f"{p}: pre-existing file changed"
+        m2 = rt._manifest_entries(spark, tmp, 2)
+        assert [e for e in m1 if e[1] not in affected] == [
+            e for e in m2 if e[1] not in affected
+        ], "untouched buckets re-pinned"
+        new_pins = set(m2) - set(m1)
+        assert new_pins and {t for _, t in new_pins} <= affected
+        assert len({s for s, _ in new_pins}) == 1  # one survivor segment
         # independent rebuild over the survivors only
         rt._init_bm25_store(kept, tmp2)
         v = rt._latest_version(spark, tmp)
@@ -812,11 +795,18 @@ def test_bm25_delete_equals_rebuild_without_docs(spark, sf_dir):
         )
         got_postings = sorted(
             (r["term"], r["doc_id"], r["dl"], r["tf"])
-            for r in spark.read.parquet(f"{tmp}/postings").collect()
+            for r in rt._read_segments(
+                spark, f"{tmp}/postings", m2, rt._BM25_POSTING_SCHEMA
+            ).collect()
         )
         want_postings = sorted(
             (r["term"], r["doc_id"], r["dl"], r["tf"])
-            for r in spark.read.parquet(f"{tmp2}/postings").collect()
+            for r in rt._read_segments(
+                spark,
+                f"{tmp2}/postings",
+                rt._manifest_entries(spark, tmp2, 1),
+                rt._BM25_POSTING_SCHEMA,
+            ).collect()
         )
         assert got_postings == want_postings
         got = [tuple(r) for r in rt.serve_bm25_v2(spark, tmp).collect()]
@@ -825,6 +815,120 @@ def test_bm25_delete_equals_rebuild_without_docs(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(tmp2, ignore_errors=True)
+
+
+def test_bm25_mid_delete_reader_sees_full_pre_delete_store(spark, sf_dir):
+    """The r14 manifest upgrade's headline property (VERDICT r13 #3,
+    closing ADVICE r13's delete-visibility gap): a reader pinned at
+    version v — which is what any reader resolved mid-delete IS —
+    sees the COMPLETE pre-delete store: identical served ranking and
+    byte-identical pinned files, even after the delete has fully
+    committed v+1.  The pre-manifest layout rewrote shared bucket
+    files in place, so a v reader could observe post-delete postings
+    under pre-delete stats; that state is now unreachable."""
+    from intellect_bi_spark.operators import retrieval as rt
+
+    docs = rt._base_docs(spark, sf_dir)
+    dels = docs.filter(
+        F.col("doc_id") % rt.DOC_UPSERT_MOD == rt.DOC_DELETE_RES
+    )
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25midread_")
+    try:
+        rt._init_bm25_store(docs, tmp)
+        want_v1 = [
+            tuple(r) for r in rt.serve_bm25_v2_at(spark, tmp, 1).collect()
+        ]
+        m1 = rt._manifest_entries(spark, tmp, 1)
+        before = _tree_files(f"{tmp}/postings")
+        assert rt.delete_from_bm25_index(spark, tmp, dels)
+        assert rt._latest_version(spark, tmp) == 2
+        # the v=1 reader's world is untouched: same pins, same bytes,
+        # same answer
+        assert rt._manifest_entries(spark, tmp, 1) == m1
+        after = _tree_files(f"{tmp}/postings")
+        for s, t in m1:
+            rel_prefix = f"seg={s}/tb={t}"
+            pinned = {p for p in before if p.startswith(rel_prefix)}
+            assert pinned
+            for p in pinned:
+                assert after.get(p) == before[p], f"{p}: v1 file changed"
+        got_v1 = [
+            tuple(r) for r in rt.serve_bm25_v2_at(spark, tmp, 1).collect()
+        ]
+        assert got_v1 == want_v1 and len(got_v1) == rt.TOP_K
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bm25_concurrent_upsert_conflict_retries(spark, sf_dir):
+    """Optimistic writer concurrency (VERDICT r13 #4): two interleaved
+    upserts race the same version number; the loser's conditional
+    publish raises VersionConflict and its retry re-merges onto the
+    winner's version — BOTH batches survive in the final serve and the
+    final lexicon equals a full rebuild's.  Writer B is injected at
+    writer A's first publish attempt (A has already staged its v=2
+    merge), which is exactly the lost-update interleaving."""
+    from intellect_bi_spark.operators import retrieval as rt
+
+    docs = rt._base_docs(spark, sf_dir)
+    b1 = docs.filter(F.col("doc_id") % rt.DOC_UPSERT_MOD == rt.DOC_UPSERT_RES)
+    b2 = docs.filter(F.col("doc_id") % rt.DOC_UPSERT_MOD == rt.DOC_UPSERT_RES2)
+    base = docs.join(b1.unionByName(b2), "doc_id", "left_anti")
+    want = [
+        (r["doc_id"], r["n_hit_terms"], r["score_q"])
+        for r in rt.bm25_topk_docs(spark, sf_dir).collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25race_")
+    orig = rt._publish_version
+    state = {"conflicts": 0, "fired": False}
+    try:
+        rt._init_bm25_store(base, tmp)
+
+        def racy(sess, store, v):
+            if not state["fired"] and v == 2:
+                state["fired"] = True
+                # writer B completes an ENTIRE upsert (staging over A's
+                # unpublished v=2 dirs, then publishing v=2) before A's
+                # publish lands
+                rt._publish_version = orig
+                try:
+                    rt.upsert_bm25_index(sess, store, b2)
+                finally:
+                    rt._publish_version = racy
+            try:
+                return orig(sess, store, v)
+            except rt.VersionConflict:
+                state["conflicts"] += 1
+                raise
+
+        rt._publish_version = racy
+        rt.upsert_bm25_index(spark, tmp, b1)  # writer A: loses v=2
+    finally:
+        rt._publish_version = orig
+    try:
+        assert state["fired"] and state["conflicts"] == 1
+        assert rt._latest_version(spark, tmp) == 3
+        got = [
+            (r["doc_id"], r["n_hit_terms"], r["score_q"])
+            for r in rt.serve_bm25_v2(spark, tmp).collect()
+        ]
+        assert got == want and len(got) == rt.TOP_K
+        # final lexicon == full-corpus rebuild (both batches merged)
+        toks = rt._toks_of(docs)
+        full_lex = sorted(
+            (r["term"], r["df"])
+            for r in rt._postings_of(toks)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .collect()
+        )
+        got_lex = sorted(
+            (r["term"], r["df"])
+            for r in spark.read.parquet(f"{tmp}/lexicon/v=3").collect()
+        )
+        assert got_lex == full_lex
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def test_bm25_manifest_commit_gates_visibility(spark, sf_dir):
@@ -852,16 +956,17 @@ def test_bm25_manifest_commit_gates_visibility(spark, sf_dir):
         # simulate a writer that crashed AFTER writing v=3 data but
         # BEFORE the marker commit: copy the live version's parquet
         # into v=3 dirs (content is irrelevant — it must be ignored)
-        for table in ("lexicon", "stats"):
+        for table in ("lexicon", "stats", "manifests"):
             shutil.copytree(f"{tmp}/{table}/v=2", f"{tmp}/{table}/v=3")
         assert rt._versions_in(spark, f"{tmp}/lexicon") == [1, 2, 3]
         assert rt._latest_version(spark, tmp) == 2  # dangling invisible
         got = [tuple(r) for r in rt.serve_bm25_v2(spark, tmp).collect()]
         assert got == want  # serve unaffected by the crash debris
-        # vacuum removes v=1 (superseded) AND v=3 (dangling) from both
-        # tables: 4 data dirs
-        assert rt.vacuum_bm25_store(spark, tmp, keep_last=1) == 4
-        for table in ("lexicon", "stats"):
+        # vacuum removes v=1 (superseded) AND v=3 (dangling) from all
+        # three versioned tables: 6 data dirs (every segment is pinned
+        # by the surviving v=2 manifest, so the segment GC removes 0)
+        assert rt.vacuum_bm25_store(spark, tmp, keep_last=1) == 6
+        for table in ("lexicon", "stats", "manifests"):
             assert rt._versions_in(spark, f"{tmp}/{table}") == [2]
         assert rt._published_versions(spark, tmp) == [2]
         assert not os.path.isdir(f"{tmp}/lexicon/v=3")
@@ -947,25 +1052,16 @@ def test_phrase_adjacency_semantics(spark):
 def test_bm25_compact_rewrites_only_affected_buckets_to_one_file(
     spark, sf_dir
 ):
-    """After upsert, the batch's term buckets hold 2 files; compaction
-    must (a) coalesce each affected bucket to ONE file with identical
-    posting rows, (b) leave every untouched bucket's files
-    byte-identical, and (c) leave the served ranking unchanged."""
+    """After upsert, the batch's term buckets are pinned across 2
+    segments; compaction must (a) re-pin each affected bucket to ONE
+    new segment holding exactly one file with identical posting rows,
+    (b) keep every untouched bucket's pins unchanged and every
+    pre-existing file byte-identical (pure copy-on-write — the v=2
+    reader is undisturbed), and (c) leave the served ranking
+    unchanged across the new snapshot."""
     import os
 
     from intellect_bi_spark.operators import retrieval as rt
-
-    def posting_files(root):
-        out = {}
-        pdir = os.path.join(root, "postings")
-        for entry in sorted(os.listdir(pdir)):
-            if entry.startswith("tb="):
-                out[entry] = sorted(
-                    f
-                    for f in os.listdir(os.path.join(pdir, entry))
-                    if f.endswith(".parquet")
-                )
-        return out
 
     tmp = tempfile.mkdtemp(prefix="sgraft_bm25compact_")
     try:
@@ -973,45 +1069,54 @@ def test_bm25_compact_rewrites_only_affected_buckets_to_one_file(
         batch = rt._base_docs(spark, sf_dir).filter(rt._doc_batch_pred())
         rt.upsert_bm25_index(spark, tmp, batch)
         affected = {
-            f"tb={r['tb']}"
+            int(r["tb"])
             for r in rt._postings_of(rt._toks_of(batch))
             .select("tb")
             .distinct()
             .collect()
         }
-        before = posting_files(tmp)
-        sizes = {
-            (d, f): os.path.getsize(os.path.join(tmp, "postings", d, f))
-            for d, fs in before.items()
-            for f in fs
-        }
+        m2 = rt._manifest_entries(spark, tmp, 2)
+        # fragmentation real: every affected bucket pinned in 2 segments
+        for b in affected:
+            assert len({s for s, t in m2 if t == b}) == 2
+        before = _tree_files(f"{tmp}/postings")
         rows_before = sorted(
             (r["term"], r["doc_id"], r["dl"], r["tf"])
-            for r in spark.read.parquet(f"{tmp}/postings").collect()
+            for r in rt._read_segments(
+                spark, f"{tmp}/postings", m2, rt._BM25_POSTING_SCHEMA
+            ).collect()
         )
         serve_before = [
             tuple(r) for r in rt.serve_bm25_v2(spark, tmp).collect()
         ]
-        assert any(len(before[d]) > 1 for d in affected)  # frag real
-        rt.compact_bm25_buckets(
-            spark, tmp, [int(d.split("=")[1]) for d in affected]
+        rt.compact_bm25_buckets(spark, tmp, sorted(affected))
+        assert rt._latest_version(spark, tmp) == 3  # compaction snapshots
+        after = _tree_files(f"{tmp}/postings")
+        for p, sz in before.items():
+            assert after.get(p) == sz, f"{p}: pre-existing file changed"
+        m3 = rt._manifest_entries(spark, tmp, 3)
+        assert [e for e in m2 if e[1] not in affected] == [
+            e for e in m3 if e[1] not in affected
+        ], "untouched buckets re-pinned"
+        new_segs = {s for s, t in m3 if t in affected}
+        assert len(new_segs) == 1 and new_segs.isdisjoint(
+            {s for s, _ in m2}
         )
-        after = posting_files(tmp)
-        for d in after:
-            if d in affected:
-                assert len(after[d]) == 1, f"{d}: not coalesced"
-            else:
-                assert after[d] == before[d], f"{d}: untouched changed"
-                for f in before[d]:
-                    assert (
-                        os.path.getsize(
-                            os.path.join(tmp, "postings", d, f)
-                        )
-                        == sizes[(d, f)]
-                    )
+        for b in affected:
+            pins = [(s, t) for s, t in m3 if t == b]
+            assert len(pins) == 1, f"tb={b}: not re-pinned to one segment"
+            s = pins[0][0]
+            files = [
+                f
+                for f in os.listdir(f"{tmp}/postings/seg={s}/tb={b}")
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, f"tb={b}: not coalesced to one file"
         rows_after = sorted(
             (r["term"], r["doc_id"], r["dl"], r["tf"])
-            for r in spark.read.parquet(f"{tmp}/postings").collect()
+            for r in rt._read_segments(
+                spark, f"{tmp}/postings", m3, rt._BM25_POSTING_SCHEMA
+            ).collect()
         )
         assert rows_after == rows_before
         serve_after = [
@@ -1081,3 +1186,186 @@ def test_near_stored_equals_direct_and_prunes(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     assert got == want
+
+
+def test_phrase_store_upsert_delete_copy_on_write(spark, sf_dir):
+    """Positional-store CRUD (VERDICT r13 #5): upsert-then-serve equals
+    the direct full-corpus probes, delete-then-serve equals the direct
+    survivors-only probes (BOTH probe shapes), and the delete is pure
+    copy-on-write — every pre-existing file byte-identical, untouched
+    buckets' pins unchanged."""
+    from intellect_bi_spark.operators import retrieval as rt
+
+    docs = rt._base_docs(spark, sf_dir)
+    batch = docs.filter(rt._doc_batch_pred())
+    base = docs.filter(~rt._doc_batch_pred())
+    # --- upsert ---------------------------------------------------------
+    want_ph = [tuple(r) for r in rt._phrase_topk(rt._pos_postings_of(docs)).collect()]
+    want_nr = [tuple(r) for r in rt._near_topk(rt._pos_postings_of(docs)).collect()]
+    tmp = tempfile.mkdtemp(prefix="sgraft_posup_")
+    try:
+        rt._init_pos_store(base, tmp)
+        rt.upsert_phrase_index(spark, tmp, batch)
+        assert rt._latest_version(spark, tmp) == 2
+        got_ph = [tuple(r) for r in rt.serve_phrase_from_store(spark, tmp).collect()]
+        got_nr = [tuple(r) for r in rt.serve_near_from_store(spark, tmp).collect()]
+        assert got_ph == want_ph and got_nr == want_nr
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # --- delete ---------------------------------------------------------
+    dels = docs.filter(F.col("doc_id") % rt.DOC_UPSERT_MOD == rt.DOC_DELETE_RES)
+    surv = docs.join(dels.select("doc_id"), "doc_id", "left_anti")
+    want_ph = [tuple(r) for r in rt._phrase_topk(rt._pos_postings_of(surv)).collect()]
+    want_nr = [tuple(r) for r in rt._near_topk(rt._pos_postings_of(surv)).collect()]
+    tmp = tempfile.mkdtemp(prefix="sgraft_posdel_")
+    try:
+        rt._init_pos_store(docs, tmp)
+        m1 = rt._manifest_entries(spark, tmp, 1)
+        before = _tree_files(f"{tmp}/{rt._POS_ROOT}")
+        affected = set(rt.delete_from_phrase_index(spark, tmp, dels))
+        assert affected
+        after = _tree_files(f"{tmp}/{rt._POS_ROOT}")
+        for p, sz in before.items():
+            assert after.get(p) == sz, f"{p}: pre-existing file changed"
+        m2 = rt._manifest_entries(spark, tmp, 2)
+        assert [e for e in m1 if e[1] not in affected] == [
+            e for e in m2 if e[1] not in affected
+        ]
+        got_ph = [tuple(r) for r in rt.serve_phrase_from_store(spark, tmp).collect()]
+        got_nr = [tuple(r) for r in rt.serve_near_from_store(spark, tmp).collect()]
+        assert got_ph == want_ph and got_nr == want_nr
+        # version-pinned reader of v=1 still sees the pre-delete probes
+        pre_ph = [
+            tuple(r)
+            for r in rt._phrase_topk(
+                rt._pos_store_postings(spark, tmp, rt.PHRASE, v=1)
+            ).collect()
+        ]
+        full_ph = [tuple(r) for r in rt._phrase_topk(rt._pos_postings_of(docs)).collect()]
+        assert pre_ph == full_ph
+        # vacuum drops v=1 and GCs the now-unreferenced init pins of
+        # the affected buckets
+        removed = rt.vacuum_phrase_store(spark, tmp, keep_last=1)
+        assert removed >= 1
+        got_ph2 = [tuple(r) for r in rt.serve_phrase_from_store(spark, tmp).collect()]
+        assert got_ph2 == want_ph
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_phrase_batch_matches_singles_and_one_scan(spark, sf_dir):
+    """The batch phrase serve must (a) reproduce, per query id, the
+    single-phrase chain's head (projected to the shared columns), and
+    (b) run as ONE pinned postings scan — no per-query loop, no
+    re-scan, no cartesian (VERDICT r13 #6)."""
+    from intellect_bi_spark.operators import retrieval as rt
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_posbatch_")
+    try:
+        rt._init_pos_store(rt._base_docs(spark, sf_dir), tmp)
+        served = rt.serve_phrase_batch_from_store(spark, tmp)
+        rows = served.collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["qid"], []).append(
+                (r["doc_id"], r["phrase_tf"], r["first_pos"])
+            )
+        pp_all = rt._pos_postings_of(rt._base_docs(spark, sf_dir))
+        for qid, words in rt.PHRASE_BATCH:
+            occ = pp_all.filter(F.col("term") == words[0]).select(
+                "doc_id", "dl", F.col("pos").alias("p0")
+            )
+            for i, term in enumerate(words[1:], start=1):
+                nxt = pp_all.filter(F.col("term") == term).select(
+                    "doc_id", (F.col("pos") - i).alias("p0")
+                )
+                occ = occ.join(nxt, ["doc_id", "p0"])
+            want = [
+                (r["doc_id"], r["phrase_tf"], r["first_pos"])
+                for r in occ.groupBy("doc_id", "dl")
+                .agg(
+                    F.count(F.lit(1)).alias("phrase_tf"),
+                    F.min("p0").alias("first_pos"),
+                )
+                .orderBy(F.desc("phrase_tf"), "doc_id")
+                .limit(rt.PHRASE_BATCH_K)
+                .collect()
+            ]
+            assert got.get(qid, []) == want, f"qid={qid} mismatch"
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        # post-execution AQE plans print "== Final Plan ==" AND
+        # "== Initial Plan ==" — count scans in the final section only
+        final = plan.split("== Initial Plan ==")[0]
+        scans = [
+            ln
+            for ln in final.splitlines()
+            if "Scan parquet" in ln and rt._POS_ROOT in ln
+        ]
+        assert len(scans) == 1, f"{len(scans)} postings scans:\n" + final[:2000]
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ann_filtered_topk_semantics_and_plan(spark, sf_dir):
+    """Metadata-filtered ANN (VERDICT r13 #8): every returned row
+    matches the label predicate; the result equals brute-force-with-
+    filter restricted to the probed cells' candidates (the exact
+    contract of pre-rank filtering); and the label predicate is pushed
+    into the embeddings scan — it lands BEFORE the distance fold."""
+    from intellect_bi_spark.operators import similarity as sim
+
+    df = sim.ann_filtered_topk(spark, sf_dir)
+    rows = df.collect()
+    assert rows and all(r["label"] == sim.FILTER_LABEL for r in rows)
+    # brute-force-with-filter over the same candidate set
+    emb = sim._emb(spark, sf_dir)
+    assign = sim.ivf_assignments(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id").between(1, sim.N_CELLS)).select(
+        (F.col("vec_id") - 1).cast("int").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+    )
+    q = emb.filter(F.col("vec_id") == sim.QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cell",
+            (
+                sim._dot("c_emb", "q_emb")
+                / (sim._norm("c_emb") * sim._norm("q_emb"))
+            ).alias("q_cos"),
+        )
+        .orderBy(F.desc("q_cos"), "cell")
+        .limit(sim.N_PROBE)
+        .select("cell")
+    )
+    cand = (
+        assign.join(F.broadcast(probe), "cell", "left_semi")
+        .filter(F.col("vec_id") != sim.QUERY_VEC_ID)
+        .select("vec_id")
+    )
+    want = [
+        (r["vec_id"], r["label"], r["cosine"])
+        for r in emb.join(cand, "vec_id", "left_semi")
+        .filter(F.col("label") == sim.FILTER_LABEL)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            (
+                sim._dot("embedding", "q_emb")
+                / (sim._norm("embedding") * sim._norm("q_emb"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(sim.TOP_K)
+        .collect()
+    ]
+    assert [(r["vec_id"], r["label"], r["cosine"]) for r in rows] == want
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any(
+        "label" in ln and str(sim.FILTER_LABEL) in ln for ln in pushed
+    ), plan[:2000]
