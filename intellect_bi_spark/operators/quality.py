@@ -236,10 +236,184 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def erasure_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed erasure certification (VERDICT r13 #7): ONE query
+    drives the whole compliance pipeline the three r13 delete legs
+    exist for — the erasure impact plan (the dry-run accounting over
+    the customer FK chain), then deletion through ALL THREE derived
+    stores (BM25 affected-bucket copy-on-write, ANN affected-cell
+    rewrite, sketch affected-day recompute), each store then SERVED
+    post-delete with a deterministic integer binding over the served
+    relation.  One output row per unit: 3 ``base:*`` impact rows plus
+    one row per store, each carrying (n_deleted, n_affected, binding).
+    ``n_affected`` is the store's erasure blast radius: rewritten IVF
+    cells (ann), recomputed day partitions (sketch), decremented
+    lexicon terms (bm25 — the bucket count is locked by the
+    bm25_index_delete row and its units; DuckDB lacks crc32, so the
+    restatable vocabulary touch-count binds here instead).  The oracle
+    restates every binding from survivors-only first principles, so a
+    green row proves the three erasures actually reached the stores,
+    in one composed run."""
+    import shutil
+    import tempfile
+
+    from ..functions.text import md5_mod_hash_sql
+    from ..functions.windows import release_after_action
+    from .retrieval import (
+        DOC_DELETE_RES,
+        DOC_UPSERT_MOD,
+        _base_docs,
+        _init_bm25_store,
+        _postings_of,
+        _toks_of,
+        delete_from_bm25_index,
+        serve_bm25_v2,
+    )
+    from .similarity import _emb
+    from .sketches import (
+        _ABS_SLACK,
+        _REL_BOUND,
+        _del_users_pred,
+        build_sketch_rollup_store,
+        delete_users_from_sketch_store,
+        serve_sketch_rollup_from_store,
+    )
+    from .vectorstore import (
+        _delete_pred,
+        build_index_frozen_full,
+        delete_from_index,
+        read_index,
+        topk_from_index,
+    )
+
+    impact_out, pins = _erasure_impact_composed(spark, sf_dir)
+    impact_rows = impact_out.select(
+        F.concat(F.lit("base:"), F.col("table_name")).alias("store"),
+        F.col("n_rows").cast("bigint").alias("n_deleted"),
+        F.lit(0).cast("bigint").alias("n_affected"),
+        F.col("row_binding").cast("bigint").alias("binding"),
+    )
+    tmp_bm = tempfile.mkdtemp(prefix="sgraft_erasure_bm25_")
+    tmp_ann = tempfile.mkdtemp(prefix="sgraft_erasure_ann_")
+    tmp_sk = tempfile.mkdtemp(prefix="sgraft_erasure_sketch_")
+    try:
+        # --- lexical store ---------------------------------------------------
+        docs = _base_docs(spark, sf_dir)
+        ddocs = docs.filter(
+            F.col("doc_id") % DOC_UPSERT_MOD == DOC_DELETE_RES
+        )
+        _init_bm25_store(docs, tmp_bm)
+        delete_from_bm25_index(spark, tmp_bm, ddocs)
+        bm_tele = ddocs.agg(
+            F.count(F.lit(1)).alias("n_deleted"),
+        ).crossJoin(
+            F.broadcast(
+                _postings_of(_toks_of(ddocs)).agg(
+                    F.countDistinct("term").alias("n_affected")
+                )
+            )
+        )
+        bm_row = (
+            serve_bm25_v2(spark, tmp_bm)
+            .agg(
+                F.sum(
+                    F.col("doc_id") * 1000003
+                    + F.col("n_hit_terms") * 101
+                    + F.col("score_q")
+                ).alias("binding")
+            )
+            .crossJoin(F.broadcast(bm_tele))
+            .select(
+                F.lit("bm25").alias("store"),
+                F.col("n_deleted").cast("bigint"),
+                F.col("n_affected").cast("bigint"),
+                F.col("binding").cast("bigint"),
+            )
+        )
+        # --- vector store ----------------------------------------------------
+        emb = _emb(spark, sf_dir)
+        vdels = emb.filter(_delete_pred()).select("vec_id")
+        build_index_frozen_full(spark, sf_dir, tmp_ann)
+        cells = delete_from_index(spark, tmp_ann, vdels)
+        ann_tele = vdels.agg(F.count(F.lit(1)).alias("n_deleted"))
+        ann_row = (
+            topk_from_index(*read_index(spark, tmp_ann), emb)
+            .agg(
+                F.sum(
+                    F.col("vec_id") * 1000003
+                    + F.col("label") * 101
+                    + F.expr(
+                        "CAST(FLOOR(cosine * 1048576.0 + 0.5) AS BIGINT)"
+                    )
+                ).alias("binding")
+            )
+            .crossJoin(F.broadcast(ann_tele))
+            .select(
+                F.lit("ann").alias("store"),
+                F.col("n_deleted").cast("bigint"),
+                F.lit(len(cells)).cast("bigint").alias("n_affected"),
+                F.col("binding").cast("bigint"),
+            )
+        )
+        # --- sketch store ----------------------------------------------------
+        ev = load_tables(spark, sf_dir)["events"].filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        build_sketch_rollup_store(spark, sf_dir, tmp_sk)
+        days = delete_users_from_sketch_store(
+            spark, tmp_sk, ev, _del_users_pred()
+        )
+        surv = ev.filter(~_del_users_pred())
+        exact = surv.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_users")
+        )
+        in_bounds = (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.greatest(
+                F.col("exact_users") * F.lit(_REL_BOUND),
+                F.lit(_ABS_SLACK),
+            )
+        ).cast("bigint")
+        sk_tele = ev.filter(_del_users_pred()).agg(
+            F.countDistinct("user_id").alias("n_deleted")
+        )
+        sk_row = (
+            serve_sketch_rollup_from_store(spark, tmp_sk)
+            .join(exact, "event_type")
+            .agg(
+                F.sum(
+                    F.expr(md5_mod_hash_sql("event_type")) * 31
+                    + F.col("n_events") * 7
+                    + in_bounds
+                ).alias("binding")
+            )
+            .crossJoin(F.broadcast(sk_tele))
+            .select(
+                F.lit("sketch").alias("store"),
+                F.col("n_deleted").cast("bigint"),
+                F.lit(len(days)).cast("bigint").alias("n_affected"),
+                F.col("binding").cast("bigint"),
+            )
+        )
+        out = release_after_action(
+            impact_rows.unionByName(bm_row)
+            .unionByName(ann_row)
+            .unionByName(sk_row)
+            .orderBy("store"),
+            *pins,
+        )
+    finally:
+        shutil.rmtree(tmp_bm, ignore_errors=True)
+        shutil.rmtree(tmp_ann, ignore_errors=True)
+        shutil.rmtree(tmp_sk, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "fk_integrity_check": fk_integrity_check,
     "null_rate_profile": null_rate_profile,
     "erasure_impact_plan": erasure_impact_plan,
+    "erasure_e2e": erasure_e2e,
     "k_anonymity_audit": k_anonymity_audit,
 }
 
@@ -333,3 +507,106 @@ ORACLES["k_anonymity_audit"] = (
     " AS rows_low_diversity"
     " FROM classes"
 )
+
+
+def _erasure_e2e_oracle() -> str:
+    """Every leg restated survivors-only from first principles: the
+    impact chain as semi-join counts, the BM25 binding over a direct
+    scoring of the surviving documents, the ANN binding over the
+    rebuild-without-docs serving restatement (vectorstore's locked
+    delete oracle, nested as a subquery), and the sketch binding over
+    exact survivor aggregates with the literal-1 in-bounds flag (the
+    self-checking-sketch rule)."""
+    from ..functions.text import md5_mod_hash_duck
+    from .retrieval import (
+        DOC_DELETE_RES,
+        DOC_UPSERT_MOD,
+        SCORE_QUANT,
+        TOKEN_SPLIT,
+        TOP_K,
+        _bm25_term_score,
+        _terms_in,
+    )
+    from .sketches import DEL_USER_MOD, DEL_USER_RES
+    from .vectorstore import _delete_oracle
+
+    ev_bind = md5_mod_hash_duck("event_type")
+    return (
+        f"WITH k AS (SELECT c_custkey FROM customer"
+        f" WHERE c_custkey % {ERASE_MOD} = {ERASE_REM}),"
+        " o AS (SELECT o_orderkey FROM orders"
+        " WHERE o_custkey IN (SELECT c_custkey FROM k)),"
+        " imp AS (SELECT 'base:customer' AS store,"
+        " COUNT(*) AS n_deleted, CAST(0 AS BIGINT) AS n_affected,"
+        " CAST(SUM(c_custkey % 1000000007) AS BIGINT) AS binding FROM k"
+        " UNION ALL SELECT 'base:orders', COUNT(*), CAST(0 AS BIGINT),"
+        " CAST(SUM(o_orderkey % 1000000007) AS BIGINT) FROM o"
+        " UNION ALL SELECT 'base:lineitem', COUNT(*), CAST(0 AS BIGINT),"
+        " CAST(SUM(l_orderkey % 1000000007) AS BIGINT) FROM lineitem"
+        " WHERE l_orderkey IN (SELECT o_orderkey FROM o)),"
+        # BM25: direct scoring of the surviving documents only
+        " tok AS (SELECT doc_id,"
+        f" list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT}'),"
+        " t -> t <> '') AS toks FROM documents"
+        f" WHERE doc_id % {DOC_UPSERT_MOD} != {DOC_DELETE_RES}),"
+        " st AS (SELECT CAST(SUM(len(toks)) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE) AS avgdl,"
+        " COUNT(*) AS n_docs FROM tok),"
+        " base AS (SELECT doc_id, len(toks) AS dl,"
+        f" unnest(list_filter(toks, t -> t IN ({_terms_in()}))) AS term"
+        " FROM tok),"
+        " tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM base"
+        " GROUP BY doc_id, dl, term),"
+        " dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),"
+        " scored AS (SELECT doc_id, term,"
+        f" {_bm25_term_score('tf', 'df', 'dl', 'n_docs')} AS s"
+        " FROM tf JOIN dfs USING (term) CROSS JOIN st),"
+        " per AS (SELECT doc_id, COUNT(*) AS n_hit_terms,"
+        " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list(s ORDER BY term)), (acc, v) -> acc + v) AS score"
+        " FROM scored GROUP BY doc_id),"
+        " bmtop AS (SELECT doc_id, n_hit_terms,"
+        f" CAST(FLOOR(score * {SCORE_QUANT}.0 + 0.5) AS BIGINT)"
+        " AS score_q FROM per"
+        f" ORDER BY score_q DESC, doc_id LIMIT {TOP_K}),"
+        " dtok AS (SELECT doc_id,"
+        f" list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT}'),"
+        " t -> t <> '') AS toks FROM documents"
+        f" WHERE doc_id % {DOC_UPSERT_MOD} = {DOC_DELETE_RES}),"
+        " bmrow AS (SELECT 'bm25' AS store,"
+        " (SELECT COUNT(*) FROM dtok) AS n_deleted,"
+        " (SELECT COUNT(DISTINCT t) FROM"
+        " (SELECT unnest(toks) AS t FROM dtok)) AS n_affected,"
+        " (SELECT CAST(SUM(doc_id * 1000003 + n_hit_terms * 101"
+        " + score_q) AS BIGINT) FROM bmtop) AS binding),"
+        # ANN: the locked rebuild-without-docs serving restatement
+        " annrow AS (SELECT 'ann' AS store,"
+        " CAST(MAX(n_deleted) AS BIGINT) AS n_deleted,"
+        " CAST(MAX(n_cells_rewritten) AS BIGINT) AS n_affected,"
+        " CAST(SUM(vec_id * 1000003 + label * 101"
+        " + CAST(FLOOR(cosine * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT)"
+        f" AS binding FROM ({_delete_oracle()})),"
+        # sketch: exact survivor aggregates, literal-1 in-bounds flag
+        " ebase AS (SELECT * FROM events"
+        " WHERE user_id IS NOT NULL AND ts IS NOT NULL),"
+        " sk AS (SELECT event_type, COUNT(*) AS n_events FROM ebase"
+        f" WHERE user_id % {DEL_USER_MOD} != {DEL_USER_RES}"
+        " GROUP BY event_type),"
+        " skrow AS (SELECT 'sketch' AS store,"
+        " (SELECT COUNT(DISTINCT user_id) FROM ebase"
+        f" WHERE user_id % {DEL_USER_MOD} = {DEL_USER_RES})"
+        " AS n_deleted,"
+        " (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM ebase"
+        f" WHERE user_id % {DEL_USER_MOD} = {DEL_USER_RES})"
+        " AS n_affected,"
+        f" (SELECT CAST(SUM({ev_bind} * 31 + n_events * 7 + 1)"
+        " AS BIGINT) FROM sk) AS binding)"
+        " SELECT store, n_deleted, n_affected, binding FROM imp"
+        " UNION ALL SELECT * FROM bmrow"
+        " UNION ALL SELECT * FROM annrow"
+        " UNION ALL SELECT * FROM skrow"
+        " ORDER BY store"
+    )
+
+
+ORACLES["erasure_e2e"] = _erasure_e2e_oracle()

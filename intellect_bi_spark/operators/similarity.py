@@ -489,6 +489,65 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("cosine"), "vec_id").limit(TOP_K)
 
 
+FILTER_LABEL = 3  # the metadata predicate for the filtered-ANN query
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED ANN (VERDICT r13 #8 — the filtered-search
+    shape every production vector store serves: "top-k among docs
+    where lang='en'"): the IVF probe generates candidates, the label
+    predicate lands BEFORE the distance fold (pushed into the
+    embeddings scan — the plan unit asserts it), and only the
+    surviving candidates are scored and ranked.  Post-filtering after
+    top-k would return fewer than k rows whenever the filter is
+    selective; pre-rank filtering is the correct-and-cheaper order —
+    the filter prunes candidates before any dot product is spent on
+    them.  At 100 TB the label would be a partition or cluster key of
+    the embeddings table, so the same predicate prunes files too."""
+    emb = _emb(spark, sf_dir)
+    assign = ivf_assignments(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id").between(1, N_CELLS)).select(
+        (F.col("vec_id") - 1).cast("int").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    probe_cells = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cell",
+            (
+                _dot("c_emb", "q_emb") / (_norm("c_emb") * _norm("q_emb"))
+            ).alias("q_cos"),
+        )
+        .orderBy(F.desc("q_cos"), "cell")
+        .limit(N_PROBE)
+        .select("cell")
+    )
+    cand = (
+        assign.join(F.broadcast(probe_cells), "cell", "left_semi")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id")
+    )
+    # the metadata filter sits ON THE SCAN, upstream of the cosine
+    # fold: non-matching candidates are dropped before scoring
+    scored = (
+        emb.filter(F.col("label") == FILTER_LABEL)
+        .join(cand, "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            (
+                _dot("embedding", "q_emb")
+                / (_norm("embedding") * _norm("q_emb"))
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), "vec_id").limit(TOP_K)
+
+
 N_BATCH_QUERIES = 10
 
 
@@ -718,6 +777,7 @@ QUERIES = {
     "ann_topk_lsh": ann_topk_lsh,
     "ivf_assignments": ivf_assignments,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_filtered_topk": ann_filtered_topk,
     "ann_topk_batch": ann_topk_batch,
     "ann_topk_batch_lsh": ann_topk_batch_lsh,
     "semantic_decontam_summary": semantic_decontam_summary,
@@ -982,4 +1042,37 @@ ORACLES["semantic_decontam_summary"] = ORACLES[
     norm_a=_norm_duck("ea.embedding"),
     norm_b=_norm_duck("eb.embedding"),
     p=_P,
+)
+
+
+# filtered-ANN semantics: the same IVF probe + candidate set as
+# ann_topk_ivf, with the metadata predicate applied BEFORE the rank —
+# the oracle restates probe → candidates → filter → exact cosine rank
+ORACLES["ann_filtered_topk"] = (
+    f"WITH cents AS (SELECT CAST(vec_id - 1 AS INT) AS cell,"
+    f" embedding AS c_emb FROM embeddings"
+    f" WHERE vec_id BETWEEN 1 AND {N_CELLS}),"
+    f" scored AS (SELECT e.vec_id, c.cell,"
+    f" {_dot_duck('e.embedding', 'c.c_emb')} /"
+    f" ({_norm_duck('e.embedding')} * {_norm_duck('c.c_emb')}) AS c_cos"
+    f" FROM embeddings e CROSS JOIN cents c),"
+    f" ranked AS (SELECT vec_id, cell, ROW_NUMBER() OVER"
+    f" (PARTITION BY vec_id ORDER BY c_cos DESC, cell) AS rn"
+    f" FROM scored),"
+    f" assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),"
+    f" q AS (SELECT embedding AS q_emb FROM embeddings"
+    f" WHERE vec_id = {QUERY_VEC_ID}),"
+    f" probe AS (SELECT cell FROM cents, q"
+    f" ORDER BY {_dot_duck('c_emb', 'q_emb')} /"
+    f" ({_norm_duck('c_emb')} * {_norm_duck('q_emb')}) DESC, cell"
+    f" LIMIT {N_PROBE}),"
+    f" cand AS (SELECT vec_id FROM assign"
+    f" WHERE cell IN (SELECT cell FROM probe)"
+    f" AND vec_id != {QUERY_VEC_ID})"
+    f" SELECT e.vec_id, e.label,"
+    f" {_dot_duck('e.embedding', 'q_emb')} /"
+    f" ({_norm_duck('e.embedding')} * {_norm_duck('q_emb')}) AS cosine"
+    f" FROM embeddings e JOIN cand USING (vec_id), q"
+    f" WHERE e.label = {FILTER_LABEL}"
+    f" ORDER BY cosine DESC, e.vec_id LIMIT {TOP_K}"
 )
