@@ -181,6 +181,11 @@ HEADLINE = [
     "json_props_stats",  # native JSON path extraction (r8)
     "purchase_attribution_outer",  # LEFT OUTER interval join twin (r8)
     "bm25_ndcg_eval",  # NDCG@10 ranking evaluation (r8)
+    "phrase_index_upsert",  # positional-store CRUD: upsert leg (r14)
+    "phrase_index_delete",  # positional-store CRUD: delete leg (r14)
+    "phrase_search_batch",  # batched phrase serving, one scan (r14)
+    "erasure_e2e",  # composed 3-store erasure certification (r14)
+    "ann_filtered_topk",  # metadata-filtered IVF ANN (r14)
 ]
 
 # Queries benched for the first time AFTER the r9 record (plus the
@@ -224,6 +229,11 @@ _ADDED_AFTER_R9 = {
     "ann_upsert_only",
     "bm25_upsert_only",
     "sketch_upsert_only",
+    "phrase_index_upsert",
+    "phrase_index_delete",
+    "phrase_search_batch",
+    "erasure_e2e",
+    "ann_filtered_topk",
 }
 
 # Queries whose individual bench rows depend on within-rep ordering

@@ -149,6 +149,53 @@ for _mod in _MODULES:
 # SemDeDup oracle) are both GENERATED-TEXT-IDENTICAL — the kmeans oracle
 # string is locked by tests/test_clustering_oracle_text.py — so neither
 # certified row is stale.
+# The round-14 front (CORRECTNESS_r13: 50/50 green; never-checked = 1,
+# the disclosed late-r13 near_index_store; oldest driver rows anywhere
+# are the 36-query r9 cohort):
+# (a) the COMPLETE 36-query r9 cohort, registry order from
+#     q10_returned_revenue — the rotation disclosed in the r13 front
+#     comment and demanded by VERDICT r13 "Next round" #1; after this
+#     round the oldest driver row anywhere is r10;
+# (b) near_index_store — the late-r13 addition, the registry's only
+#     never-checked query (VERDICT r13 "hold the builder to it");
+# (c) re-certs whose GENERATED PLAN changed this round: the r14
+#     per-version FILE-MANIFEST upgrade (VERDICT r13 #3 — postings now
+#     live in immutable segments pinned by a per-version manifest;
+#     upsert/delete/compact are pure copy-on-write; the conditional
+#     publish adds optimistic writer concurrency, VERDICT r13 #4)
+#     changes the serving scan (manifest-selected directories) and
+#     every mutation leg of the BM25 store: bm25_index_upsert,
+#     bm25_index_delete, bm25_store_vacuum, bm25_stream_upsert_store,
+#     bm25_postings_compact (compaction now publishes a snapshot),
+#     bm25_crud_chain (final_version constant 4 → 5 — the oracle
+#     restates the longer chain); the positional store got the same
+#     versioned-manifest treatment, re-certifying phrase_index_store;
+#     and near_search_topk's banding switched to sign-safe F.floor
+#     (ADVICE r13 #4 — value-identical for non-negative positions,
+#     plan changed ⇒ re-cert by policy);
+# (d) r14 net-new: phrase_index_upsert + phrase_index_delete (the
+#     positional store's CRUD legs, VERDICT r13 #5),
+#     phrase_search_batch (batched phrase serving — one pinned
+#     postings scan for the whole query relation, VERDICT r13 #6),
+#     erasure_e2e (the composed governance certification: impact plan
+#     → all three store deletions → post-delete serves, each bound by
+#     a survivors-only restated integer binding, VERDICT r13 #7), and
+#     ann_filtered_topk (metadata-filtered IVF ANN — the predicate
+#     lands before the distance fold, VERDICT r13 #8).
+# 36 + 1 + 8 + 5 = 50 — every slot accounted for.  NOT stale
+# (disclosed): queries serving from the SIMPLE (non-versioned) BM25
+# store (bm25_index_store, bm25_topk_docs, hybrid_search_rrf,
+# bm25_ndcg_eval) and every ANN/sketch-store row are untouched by the
+# manifest upgrade (their modules changed only by the erasure_e2e
+# imports); phrase_search_topk / near_search_topk DIRECT paths don't
+# read any store — near_search_topk is in the front for the floor
+# change, phrase_search_topk's plan is byte-unchanged.  Disclosed
+# deferrals: the 48-query r10 cohort (registry order from qoq_delta)
+# becomes the oldest tier after this round and rotates into the r15
+# front, oldest-first, filling whatever slots remain after r15's
+# plan-changed re-certs; all strict-parity green locally this session
+# at sf0.001, sf0.01 AND sf0.1 (tests/test_parity.py).
+# ---- superseded r13 front comment kept for the ledger: -------------
 # The round-13 front (CORRECTNESS_r12: 50/50 green; never-checked = 0;
 # oldest driver rows anywhere are the 35-query r8 cohort):
 # (a) the COMPLETE 35-query r8 cohort, registry order from
@@ -283,6 +330,63 @@ for _mod in _MODULES:
 # green locally this session at sf0.001, sf0.01 AND sf0.1
 # (tests/test_parity.py, 214 passed at each scale).
 _FRONT = (
+    # -- (a) complete r9 cohort, registry order -------------------------------
+    "q10_returned_revenue",
+    "q12_shipmode_priority",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_bracketed_revenue",
+    "pivot_region_quarter",
+    "gap_fill_daily_revenue",
+    "event_path_trigrams",
+    "multi_touch_attribution",
+    "funnel_latency_histogram",
+    "cohort_retention_matrix",
+    "cdc_state_asof",
+    "growth_accounting_daily",
+    "event_markov_transitions",
+    "k_anonymity_audit",
+    "snapshot_diff_orders",
+    "scd2_customer_versions",
+    "cms_user_event_counts",
+    "heavy_hitter_users",
+    "sketch_sliding_7d_users",
+    "html_text_extract_stats",
+    "bpe_merge_candidates",
+    "domain_mix_selection",
+    "weighted_reservoir_sample",
+    "user_click_streaks",
+    "purchase_attribution_outer",
+    "events_tier_daily",
+    "embedding_sq8_codes",
+    "ann_topk_sq8",
+    "hybrid_search_rrf",
+    "fuzzy_name_match_summary",
+    "semantic_dedup_stats",
+    "dup_span_pairs",
+    "audio_features_mulaw",
+    "audio_features_adpcm",
+    # -- (b) the only never-checked registry entry -----------------------------
+    "near_index_store",
+    # -- (c) plan-changed re-certs (manifest upgrade + floor banding) ----------
+    "bm25_index_upsert",
+    "bm25_index_delete",
+    "bm25_store_vacuum",
+    "bm25_stream_upsert_store",
+    "bm25_postings_compact",
+    "bm25_crud_chain",
+    "phrase_index_store",
+    "near_search_topk",
+    # -- (d) r14 net-new --------------------------------------------------------
+    "phrase_index_upsert",
+    "phrase_index_delete",
+    "phrase_search_batch",
+    "erasure_e2e",
+    "ann_filtered_topk",
+)
+
+_FRONT_R13 = (
     # -- (a) complete r8 cohort, registry order -------------------------------
     "q22_dormant_customers",
     "skew_profile_orders_custkey",
