@@ -282,7 +282,7 @@ def erasure_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         _delete_pred,
         build_index_frozen_full,
         delete_from_index,
-        read_index,
+        read_index_versioned,
         topk_from_index,
     )
 
@@ -337,7 +337,7 @@ def erasure_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells = delete_from_index(spark, tmp_ann, vdels)
         ann_tele = vdels.agg(F.count(F.lit(1)).alias("n_deleted"))
         ann_row = (
-            topk_from_index(*read_index(spark, tmp_ann), emb)
+            topk_from_index(*read_index_versioned(spark, tmp_ann), emb)
             .agg(
                 F.sum(
                     F.col("vec_id") * 1000003

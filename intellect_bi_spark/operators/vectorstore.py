@@ -389,43 +389,162 @@ def _encode_codes(vecs: DataFrame, cb: DataFrame, centroids: DataFrame) -> DataF
     return codes.join(_assign_cells(vecs, centroids), "vec_id")
 
 
-def build_index_frozen(spark: SparkSession, sf_dir: str, path: str) -> None:
-    """Initial build of the upsertable store: BASE corpus only (the
-    upsert batch is held out), reservoir-trained codebook, cell-
-    partitioned codes — same three-table layout as :func:`build_index`."""
-    emb = _emb(spark, sf_dir)
-    cents = _centroids(emb)
+# The upsertable ("frozen-model") store is MANIFEST-PINNED (r15,
+# VERDICT r14 #2 — the r14 upgrade covered BM25 + positional only;
+# this closes the ANN twin): code rows live in immutable segments
+# ``codes/seg={seg}/cell=N``, each published version's manifest pins
+# its exact (segment, cell) file set, and every mutation (upsert,
+# delete, compact, stream batch) is pure copy-on-write — a reader
+# pinned at version v is fully isolated from concurrent mutations
+# (previously delete/compact rewrote cell partitions in place via
+# dynamic partition overwrite and a mid-delete reader saw mixed
+# cells).  The machinery is retrieval.py's (segments, attempt-staged
+# manifests, conditional publish, vacuum GC) with the partition axis
+# ``cell`` instead of the term bucket.
+
+_ANN_CODES_SCHEMA = "vec_id bigint, m int, cid bigint, cell int"
+_ANN_CODES_ROOT = "codes"
+
+
+def _ann_write_codes_segment(
+    spark: SparkSession, codes_df: DataFrame, path: str
+) -> tuple[str, list[int]]:
+    """Write one immutable code segment and return (seg, cells) — the
+    cells read back from the stored files (the manifest pins what is
+    on disk)."""
+    from .retrieval import _new_seg_id, _seg_buckets, _write_segment
+
+    root = f"{path}/{_ANN_CODES_ROOT}"
+    seg = _new_seg_id()
+    _write_segment(
+        codes_df.select(
+            "vec_id",
+            F.col("m").cast("int").alias("m"),
+            F.col("cid").cast("bigint").alias("cid"),
+            F.col("cell").cast("int").alias("cell"),
+        ).repartition(N_CELLS, "cell"),
+        root,
+        seg,
+        pcol="cell",
+    )
+    return seg, _seg_buckets(spark, root, seg, pcol="cell")
+
+
+def _ann_pinned_codes(
+    spark: SparkSession, path: str, v: int | None = None
+) -> DataFrame:
+    """The code relation of a PINNED store version: read exactly the
+    manifest's (segment, cell) directories — cell stays a partition
+    column, so the probe's ``cell IN (...)`` filter still prunes
+    directories before any byte is read."""
+    from .retrieval import _latest_version, _manifest_entries, _read_segments
+
+    if v is None:
+        v = _latest_version(spark, path)
+    return _read_segments(
+        spark,
+        f"{path}/{_ANN_CODES_ROOT}",
+        _manifest_entries(spark, path, v),
+        _ANN_CODES_SCHEMA,
+        pcol="cell",
+    )
+
+
+def read_index_versioned(
+    spark: SparkSession, path: str, v: int | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(centroids, codebook, pinned codes) of the manifest-pinned
+    store — the versioned twin of :func:`read_index` (the simple
+    build-once store keeps its flat layout; it has no mutations to
+    isolate)."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/codebook"),
+        _ann_pinned_codes(spark, path, v),
+    )
+
+
+def _init_ann_versioned(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    vecs: DataFrame,
+    bid: int | None = None,
+) -> None:
+    """First write of the manifest-pinned store: frozen model tables
+    (unversioned — the model is a build-time artifact mutations never
+    touch), one code segment over ``vecs``, and the published v=1
+    manifest pinning exactly that segment's cells."""
+    from .retrieval import _new_att, _publish_version, _write_manifest
+
+    cents = _centroids(_emb(spark, sf_dir))
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cb = _reservoir_codebook(spark, sf_dir)
     cb.write.mode("overwrite").parquet(f"{path}/codebook")
-    base = emb.filter(~_upsert_batch_pred())
-    (
-        _encode_codes(base, cb, cents)
-        .repartition(N_CELLS, "cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{path}/codes")
+    seg, cells = _ann_write_codes_segment(
+        spark, _encode_codes(vecs, cb, cents), path
+    )
+    att = _new_att()
+    _write_manifest(spark, path, 1, [(seg, c) for c in cells], att)
+    _publish_version(spark, path, 1, att, bid)
+
+
+def build_index_frozen(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Initial build of the upsertable store: BASE corpus only (the
+    upsert batch is held out), reservoir-trained codebook, manifest-
+    pinned cell-partitioned code segment."""
+    emb = _emb(spark, sf_dir)
+    _init_ann_versioned(
+        spark, sf_dir, path, emb.filter(~_upsert_batch_pred())
     )
 
 
-def upsert_index(spark: SparkSession, sf_dir: str, path: str, batch: DataFrame) -> None:
+def upsert_index(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    batch: DataFrame,
+    bid: int | None = None,
+) -> None:
     """Merge a new embeddings batch into the stored index: assign with
-    the STORED centroids, encode with the STORED codebook, and APPEND
-    the new codes into their cell partitions — only the affected cell
-    directories receive files; every other partition's files are
-    untouched (tests/test_vectorstore.py proves the file-level claim).
-    At 100 TB this is the whole point: the merge cost is proportional
-    to the BATCH (plus a handful of small-file appends), never to the
-    corpus."""
+    the STORED centroids, encode with the STORED codebook, land the
+    new codes as one immutable segment, and publish a v+1 manifest
+    pinning the old entries plus the new segment's cells — no
+    pre-existing file is touched (tests prove the file-level claim),
+    so every reader of v is undisturbed.  At 100 TB this is the whole
+    point: the merge cost is proportional to the BATCH plus fixed
+    metadata, never to the corpus.  On :class:`VersionConflict` the
+    manifest merge retries against the new latest (the batch segment
+    is version-independent and written once)."""
+    from .retrieval import (
+        PUBLISH_RETRIES,
+        VersionConflict,
+        _latest_version,
+        _manifest_entries,
+        _new_att,
+        _publish_version,
+        _write_manifest,
+    )
+
     centroids = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebook")
-    (
-        _encode_codes(batch, cb, centroids)
-        .repartition(N_CELLS, "cell")
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(f"{path}/codes")
+    seg, cells = _ann_write_codes_segment(
+        spark, _encode_codes(batch, cb, centroids), path
     )
+    last: VersionConflict | None = None
+    for _ in range(PUBLISH_RETRIES):
+        v = _latest_version(spark, path)
+        att = _new_att()
+        entries = _manifest_entries(spark, path, v) + [
+            (seg, c) for c in cells
+        ]
+        _write_manifest(spark, path, v + 1, entries, att)
+        try:
+            _publish_version(spark, path, v + 1, att, bid)
+            return
+        except VersionConflict as e:
+            last = e
+    raise last if last is not None else RuntimeError("unreachable")
 
 
 def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,7 +569,7 @@ def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         build_index_frozen(spark, sf_dir, tmp)
         upsert_index(spark, sf_dir, tmp, batch)
-        centroids, codebook, codes = read_index(spark, tmp)
+        centroids, codebook, codes = read_index_versioned(spark, tmp)
         touched = (
             _assign_cells(batch, centroids)
             .agg(
@@ -469,32 +588,62 @@ def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def compact_index_cells(spark: SparkSession, path: str, cells) -> None:
-    """Post-upsert maintenance: every append-mode upsert leaves one more
-    small file in each affected cell partition; compaction rewrites
-    ONLY those cells, coalescing each back to one file, via dynamic
-    partition overwrite (the sources/sinks.upsert_embeddings
-    copy-on-write discipline: untouched cells are never read or
-    rewritten).  The affected rows are localCheckpointed first — Spark
-    refuses to overwrite a path that appears in the write's own read
-    plan, and the checkpoint (bounded: the affected cells' 2-byte-class
-    code rows) severs that lineage.  At 100 TB this runs per-cell-batch
-    on a schedule, exactly the job the generic ``compaction_plan``
-    operator budgets."""
+    """Post-upsert maintenance: every upsert pins one more segment into
+    each affected cell; compaction coalesces the given cells' pinned
+    rows into ONE fresh segment (one file per cell) and publishes a
+    snapshot whose manifest pins the new segment instead of every
+    prior pin of those cells.  Readers of v keep their exact
+    pre-compaction file set — no in-place rewrite, no lineage hazard
+    (the old localCheckpoint is obsolete: the write target is a NEW
+    directory, never in the read plan) — and the small-file debris
+    becomes unreferenced for vacuum's segment GC.  At 100 TB this runs
+    per-cell-batch on a schedule, exactly the job the generic
+    ``compaction_plan`` operator budgets."""
+    from .retrieval import (
+        PUBLISH_RETRIES,
+        VersionConflict,
+        _latest_version,
+        _manifest_entries,
+        _new_att,
+        _new_seg_id,
+        _publish_version,
+        _read_segments,
+        _seg_buckets,
+        _write_manifest,
+        _write_segment,
+    )
+
     cells = sorted(int(c) for c in cells)
     if not cells:
         return
-    affected = (
-        spark.read.parquet(f"{path}/codes")
-        .filter(F.col("cell").isin(cells))
-        .localCheckpoint(eager=True)
-    )
-    (
-        affected.repartition(len(cells), "cell")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell")
-        .parquet(f"{path}/codes")
-    )
+    root = f"{path}/{_ANN_CODES_ROOT}"
+    hit = set(cells)
+    last: VersionConflict | None = None
+    for _ in range(PUBLISH_RETRIES):
+        v = _latest_version(spark, path)
+        entries = _manifest_entries(spark, path, v)
+        affected = [e for e in entries if e[1] in hit]
+        if not affected:
+            return  # nothing pinned in those cells — no new snapshot
+        rows = _read_segments(
+            spark, root, affected, _ANN_CODES_SCHEMA, pcol="cell"
+        )
+        seg = _new_seg_id()
+        att = _new_att()
+        _write_segment(
+            rows.repartition(len(cells), "cell"), root, seg, pcol="cell"
+        )
+        survivors = _seg_buckets(spark, root, seg, pcol="cell")
+        new_entries = [e for e in entries if e[1] not in hit] + [
+            (seg, c) for c in survivors
+        ]
+        _write_manifest(spark, path, v + 1, new_entries, att)
+        try:
+            _publish_version(spark, path, v + 1, att)
+            return
+        except VersionConflict as e:
+            last = e
+    raise last if last is not None else RuntimeError("unreachable")
 
 
 def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,7 +676,7 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ncc = touched_rows.agg(
             F.countDistinct("cell").alias("n_cells_compacted")
         )
-        _, codebook, codes = read_index(spark, tmp)
+        _, codebook, codes = read_index_versioned(spark, tmp)
         out = (
             topk_from_index(centroids, codebook, codes, emb)
             .crossJoin(F.broadcast(ncc))
@@ -569,70 +718,86 @@ def _delete_pred():
 def build_index_frozen_full(
     spark: SparkSession, sf_dir: str, path: str
 ) -> None:
-    """The upsertable-store layout (reservoir-trained frozen model)
-    built over the FULL corpus in one pass — the starting state for
-    the deletion query (build + upsert composition is certified by
-    ``ann_index_upsert``; the delete row should time the delete)."""
-    emb = _emb(spark, sf_dir)
-    cents = _centroids(emb)
-    cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    cb = _reservoir_codebook(spark, sf_dir)
-    cb.write.mode("overwrite").parquet(f"{path}/codebook")
-    (
-        _encode_codes(emb, cb, cents)
-        .repartition(N_CELLS, "cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{path}/codes")
-    )
+    """The upsertable-store layout (reservoir-trained frozen model,
+    manifest-pinned codes) built over the FULL corpus in one pass —
+    the starting state for the deletion query (build + upsert
+    composition is certified by ``ann_index_upsert``; the delete row
+    should time the delete)."""
+    _init_ann_versioned(spark, sf_dir, path, _emb(spark, sf_dir))
 
 
 def delete_from_index(
     spark: SparkSession, path: str, delete_ids: DataFrame
 ) -> list[int]:
     """Erase ``delete_ids`` (a (vec_id) frame) from the stored codes:
-    locate the affected cells by semi-join, rewrite ONLY those cell
-    partitions without the deleted rows, and drop any cell left empty
-    (dynamic overwrite writes nothing for an empty group, which would
-    silently LEAVE the old files — the explicit directory delete closes
-    that hole).  Unaffected cells are never read or rewritten
-    (tests/test_vectorstore.py proves the file-level claim).  Returns
-    the affected cell list (bounded ≤ N_CELLS — the model-boundary
-    collect class).  Merge cost is proportional to the affected cells'
-    code rows, never to the corpus."""
-    from .retrieval import _fs_of
+    locate the affected cells by semi-join against the PINNED code
+    relation, land those cells' SURVIVING rows in one fresh segment,
+    and publish a v+1 manifest that pins the new segment instead of
+    every prior pin of the affected cells — old segments are never
+    touched, so a concurrent reader of v sees the FULL pre-delete
+    store (true snapshot isolation; the pre-r15 layout rewrote cell
+    partitions in place via dynamic partition overwrite and a
+    mid-delete reader saw mixed cells — VERDICT r14 #2).  A cell left
+    empty simply has no files in the new segment and its old pins are
+    dropped — emptiness needs no explicit directory delete anymore.
+    The erased codes become unreachable at publish; vacuum's segment
+    GC reclaims the bytes.  Returns the affected cell list (bounded
+    ≤ N_CELLS — the model-boundary collect class).  Merge cost is
+    proportional to the affected cells' code rows + fixed metadata,
+    never to the corpus."""
+    from .retrieval import (
+        PUBLISH_RETRIES,
+        VersionConflict,
+        _latest_version,
+        _manifest_entries,
+        _new_att,
+        _new_seg_id,
+        _publish_version,
+        _read_segments,
+        _seg_buckets,
+        _write_manifest,
+        _write_segment,
+    )
 
-    codes = spark.read.parquet(f"{path}/codes")
-    affected = sorted(
-        r["cell"]
-        for r in codes.join(delete_ids, "vec_id", "left_semi")
-        .select("cell")
-        .distinct()
-        .collect()
-    )
-    if not affected:
-        return []
-    kept = (
-        codes.filter(F.col("cell").isin(affected))
-        .join(delete_ids, "vec_id", "left_anti")
-        .localCheckpoint(eager=True)
-    )
-    survivors = {
-        r["cell"] for r in kept.select("cell").distinct().collect()
-    }
-    if survivors:
-        (
-            kept.repartition(len(survivors), "cell")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("cell")
-            .parquet(f"{path}/codes")
+    root = f"{path}/{_ANN_CODES_ROOT}"
+    last: VersionConflict | None = None
+    for _ in range(PUBLISH_RETRIES):
+        v = _latest_version(spark, path)
+        codes = _ann_pinned_codes(spark, path, v)
+        affected = sorted(
+            r["cell"]
+            for r in codes.join(delete_ids, "vec_id", "left_semi")
+            .select("cell")
+            .distinct()
+            .collect()
         )
-    for cell in affected:
-        if cell not in survivors:
-            fs, hp = _fs_of(spark, f"{path}/codes/cell={cell}")
-            fs.delete(hp, True)
-    return affected
+        if not affected:
+            return []
+        hit = set(affected)
+        entries = _manifest_entries(spark, path, v)
+        kept = _read_segments(
+            spark,
+            root,
+            [e for e in entries if e[1] in hit],
+            _ANN_CODES_SCHEMA,
+            pcol="cell",
+        ).join(delete_ids, "vec_id", "left_anti")
+        seg = _new_seg_id()
+        att = _new_att()
+        _write_segment(
+            kept.repartition(len(affected), "cell"), root, seg, pcol="cell"
+        )
+        survivors = _seg_buckets(spark, root, seg, pcol="cell")
+        new_entries = [e for e in entries if e[1] not in hit] + [
+            (seg, c) for c in survivors
+        ]
+        _write_manifest(spark, path, v + 1, new_entries, att)
+        try:
+            _publish_version(spark, path, v + 1, att)
+            return affected
+        except VersionConflict as e:
+            last = e
+    raise last if last is not None else RuntimeError("unreachable")
 
 
 def ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -660,7 +825,7 @@ def ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_deleted"),
             F.lit(len(affected)).cast("bigint").alias("n_cells_rewritten"),
         )
-        centroids, codebook, codes = read_index(spark, tmp)
+        centroids, codebook, codes = read_index_versioned(spark, tmp)
         out = (
             topk_from_index(centroids, codebook, codes, emb)
             .crossJoin(F.broadcast(tele))
@@ -683,48 +848,34 @@ def ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (including the first) only appends codes.
 
 
-def _init_ann_store_model(
-    spark: SparkSession, sf_dir: str, path: str
-) -> None:
-    """Write the frozen model tables (no codes): the centroids and the
-    reservoir-trained codebook.  Idempotent inputs by construction —
-    the reservoir is a fixed corpus slice, not stream state."""
-    emb = _emb(spark, sf_dir)
-    _centroids(emb).write.mode("overwrite").parquet(f"{path}/centroids")
-    _reservoir_codebook(spark, sf_dir).write.mode("overwrite").parquet(
-        f"{path}/codebook"
-    )
-
-
 def _ann_stream_sink(
     sf_dir: str, store: str, bdf: DataFrame, bid: int
 ) -> None:
-    """foreachBatch body for the ANN ingest stream: first batch also
-    writes the frozen model, every batch appends its codes into the
-    affected cells (the certified ``upsert_index`` discipline).  Same
-    redelivery-idempotency contract as retrieval._bm25_stream_sink:
-    a ``_batches/bid=N`` marker written after the batch is fully
-    applied skips redelivered batch ids; a crash midway through a
-    batch still re-applies on retry (exactly-once would need a
-    stage-then-atomic-publish manifest — documented limitation)."""
-    from .retrieval import _fs_of, _store_dir_exists
+    """foreachBatch body for the ANN ingest stream: the first applied
+    batch initializes the manifest-pinned store (frozen model + v=1
+    segment), every later batch runs the certified versioned upsert.
+    Redelivery is exactly-once end to end (the
+    retrieval._bm25_stream_sink contract, ADVICE r14 #1): the batch id
+    rides in the publish marker, so the authoritative skip-check —
+    "does any PUBLISHED version carry this bid" — is atomic with the
+    version commit; the ``_batches/bid=N`` marker is only a fast
+    path.  A crash midway through a batch (before its publish) leaves
+    unpinned segment + staged-dir debris for vacuum and the retry
+    re-applies against the same latest version."""
+    from .retrieval import _fs_of, _published_bids, _published_versions, _store_dir_exists
 
     sess = bdf.sparkSession
     marker = f"{store}/_batches/bid={bid}"
     if _store_dir_exists(sess, marker):
         return
     if not bdf.isEmpty():
-        if not _store_dir_exists(sess, f"{store}/centroids"):
-            _init_ann_store_model(sess, sf_dir, store)
-        centroids = sess.read.parquet(f"{store}/centroids")
-        cb = sess.read.parquet(f"{store}/codebook")
-        (
-            _encode_codes(bdf, cb, centroids)
-            .repartition(N_CELLS, "cell")
-            .write.mode("append")
-            .partitionBy("cell")
-            .parquet(f"{store}/codes")
-        )
+        published = _published_versions(sess, store)
+        if published and bid in _published_bids(sess, store):
+            pass  # redelivered: a published version carries this bid
+        elif not published:
+            _init_ann_versioned(sess, sf_dir, store, bdf, bid=bid)
+        else:
+            upsert_index(sess, sf_dir, store, bdf, bid=bid)
     fs, hp = _fs_of(sess, marker)
     fs.mkdirs(hp)
 
@@ -786,7 +937,7 @@ def ann_stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         _run_ann_upsert_stream(spark, sf_dir, tmp)
         store = f"{tmp}/store"
-        centroids, codebook, codes = read_index(spark, store)
+        centroids, codebook, codes = read_index_versioned(spark, store)
         nv = codes.select("vec_id").distinct().agg(
             F.count(F.lit(1)).alias("n_vecs_indexed")
         )
@@ -800,38 +951,22 @@ def ann_stream_upsert_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def vacuum_ann_codes(spark: SparkSession, path: str) -> int:
-    """Prune dead files from the codes table: anything under a cell
-    directory that is not a live ``part-*.parquet`` data file (aborted-
-    task leftovers, ``_temporary`` staging dirs, stray ``.crc``/tmp
-    files an interrupted writer can leave on object stores).  In the
-    healthy flow — including immediately after upsert + compaction,
-    whose dynamic overwrite already removes superseded files at commit
-    — this deletes NOTHING (the unit asserts exactly that); its job is
-    the crash-recovery sweep a 100 TB store runs on a schedule.
-    Returns the number of paths deleted; serving is unaffected by
-    construction (only non-data paths are touched)."""
-    from .retrieval import _fs_of
+def vacuum_ann_store(
+    spark: SparkSession, path: str, keep_last: int = 1
+) -> int:
+    """Retention vacuum for the manifest-pinned ANN store: keep the
+    newest ``keep_last`` published versions' manifests, sweep dangling
+    unpublished / losing-attempt staged dirs, and garbage-collect
+    every code segment no retained manifest pins — the crash-recovery
+    + storage-reclaim sweep a 100 TB store runs on a schedule (same
+    contract and single-writer assumption as
+    retrieval.vacuum_bm25_store; this replaces the r13 junk-file
+    sweep, whose in-place layout no longer exists)."""
+    from .retrieval import _vacuum_versioned_store
 
-    fs, root = _fs_of(spark, f"{path}/codes")
-    deleted = 0
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if name.startswith("cell="):
-            for f in fs.listStatus(st.getPath()):
-                fname = f.getPath().getName()
-                live = (
-                    fname.startswith("part-")
-                    and fname.endswith(".parquet")
-                    and not fname.endswith(".parquet.tmp")
-                )
-                if not live:
-                    fs.delete(f.getPath(), True)
-                    deleted += 1
-        elif name not in ("_SUCCESS",):
-            fs.delete(st.getPath(), True)
-            deleted += 1
-    return deleted
+    return _vacuum_versioned_store(
+        spark, path, ("manifests",), (_ANN_CODES_ROOT,), keep_last
+    )
 
 
 QUERIES = {
@@ -1148,16 +1283,21 @@ def ann_crud_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         ]
         compact_index_cells(spark, tmp, batch_cells)
+        vacuum_ann_store(spark, tmp, keep_last=1)
+        from .retrieval import _latest_version
+
+        v = _latest_version(spark, tmp)
         tele = dels.agg(
             F.count(F.lit(1)).alias("n_deleted"),
             F.lit(len(affected_del)).cast("bigint").alias(
                 "n_cells_rewritten"
             ),
         )
-        centroids2, codebook, codes = read_index(spark, tmp)
+        centroids2, codebook, codes = read_index_versioned(spark, tmp)
         out = (
             topk_from_index(centroids2, codebook, codes, emb)
             .crossJoin(F.broadcast(tele))
+            .withColumn("final_version", F.lit(v).cast("bigint"))
             .localCheckpoint(eager=True)
         )
     finally:
@@ -1166,4 +1306,12 @@ def ann_crud_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_crud_chain"] = ann_crud_chain
-ORACLES["ann_crud_chain"] = _delete_oracle()
+# the chain's content equals delete-from-full (upsert batch and delete
+# set are disjoint), so the delete oracle restates it; the r15 manifest
+# upgrade adds the version accounting: init=1, upsert=2, delete=3,
+# compact snapshot=4, vacuum(keep_last=1) retains it → final_version 4.
+ORACLES["ann_crud_chain"] = (
+    "SELECT t.*, CAST(4 AS BIGINT) AS final_version FROM ("
+    + _delete_oracle()
+    + ") t"
+)

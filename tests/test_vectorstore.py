@@ -180,21 +180,6 @@ def test_bm25_serve_scan_pushes_term_filter(spark, sf_dir):
 # --- incremental upsert (r12, VERDICT r11 #2) --------------------------------
 
 
-def _codes_files(root):
-    """{cell-partition dir: sorted data file names} for a codes table."""
-    import os
-
-    out = {}
-    codes_dir = os.path.join(root, "codes")
-    for entry in sorted(os.listdir(codes_dir)):
-        if not entry.startswith("cell="):
-            continue
-        out[entry] = sorted(
-            f
-            for f in os.listdir(os.path.join(codes_dir, entry))
-            if f.endswith(".parquet")
-        )
-    return out
 
 
 def test_upsert_equals_full_rebuild(spark, sf_dir):
@@ -222,7 +207,7 @@ def test_upsert_equals_full_rebuild(spark, sf_dir):
         )
         up_codes = sorted(
             (r["vec_id"], r["m"], r["cid"], r["cell"])
-            for r in vs.read_index(spark, up_tmp)[2].collect()
+            for r in vs.read_index_versioned(spark, up_tmp)[2].collect()
         )
         rb_codes = sorted(
             (r["vec_id"], r["m"], r["cid"], r["cell"])
@@ -234,7 +219,7 @@ def test_upsert_equals_full_rebuild(spark, sf_dir):
         up_serve = [
             (r["vec_id"], r["label"], r["cosine"])
             for r in vs.topk_from_index(
-                *vs.read_index(spark, up_tmp), emb
+                *vs.read_index_versioned(spark, up_tmp), emb
             ).collect()
         ]
         rb_serve = [
@@ -250,43 +235,41 @@ def test_upsert_equals_full_rebuild(spark, sf_dir):
 
 
 def test_upsert_rewrites_only_affected_cells(spark, sf_dir):
-    """The file-level copy-on-write claim (VERDICT r11 #2): the upsert
-    APPENDS new files into exactly the batch's cells; every
-    pre-existing file (all cells) is byte-identical afterwards, and
-    cells the batch does not touch gain nothing."""
-    import os
+    """The file-level copy-on-write claim under the r15 manifest
+    pinning (VERDICT r11 #2 + r14 #2): the upsert never touches a
+    pre-existing code file — all new files land in exactly ONE new
+    segment whose cells are the batch's assigned cells, and the v=2
+    manifest extends v=1's pin list by exactly that segment's
+    entries."""
+    from intellect_bi_spark.operators import retrieval as rt
 
     emb = _emb(spark, sf_dir)
     batch = emb.filter(vs._upsert_batch_pred())
     tmp = tempfile.mkdtemp(prefix="sgraft_upsertfiles_")
     try:
         vs.build_index_frozen(spark, sf_dir, tmp)
-        before = _codes_files(tmp)
-        sizes_before = {
-            (d, f): os.path.getsize(os.path.join(tmp, "codes", d, f))
-            for d, fs in before.items()
-            for f in fs
-        }
+        before = _tree_files(f"{tmp}/codes")
+        m1 = rt._manifest_entries(spark, tmp, 1)
         centroids = spark.read.parquet(f"{tmp}/centroids")
         batch_cells = {
-            f"cell={r['cell']}"
+            int(r["cell"])
             for r in vs._assign_cells(batch, centroids).collect()
         }
         assert batch_cells  # the fixture batch is non-empty
         vs.upsert_index(spark, sf_dir, tmp, batch)
-        after = _codes_files(tmp)
-        for d, fs in before.items():
-            # append never rewrites: every old file survives unchanged
-            assert set(fs) <= set(after[d])
-            for f in fs:
-                assert (
-                    os.path.getsize(os.path.join(tmp, "codes", d, f))
-                    == sizes_before[(d, f)]
-                )
-            if d in batch_cells:
-                assert len(after[d]) > len(fs), f"{d}: no new file"
-            else:
-                assert after[d] == fs, f"{d}: untouched cell changed"
+        after = _tree_files(f"{tmp}/codes")
+        for path, sz in before.items():
+            assert after.get(path) == sz, f"{path}: old file changed"
+        new_files = set(after) - set(before)
+        assert new_files, "no new code files written"
+        new_segs = {path.split("/", 1)[0] for path in new_files}
+        assert len(new_segs) == 1, f"batch spread over {new_segs}"
+        assert new_segs.isdisjoint({f"seg={seg}" for seg, _ in m1})
+        m2 = rt._manifest_entries(spark, tmp, 2)
+        assert set(m1) <= set(m2), "v=2 manifest dropped a v=1 pin"
+        added = set(m2) - set(m1)
+        assert {c for _, c in added} == batch_cells
+        assert {f"seg={seg}" for seg, _ in added} == new_segs
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -317,7 +300,9 @@ def test_bm25_upsert_equals_rebuild_and_direct(spark, sf_dir):
         assert v == 2  # build wrote v=1, the upsert wrote v=2
         merged_lex = sorted(
             (r["term"], r["df"])
-            for r in spark.read.parquet(f"{tmp}/lexicon/v={v}").collect()
+            for r in spark.read.parquet(
+                rt._table_dir(spark, tmp, "lexicon", v)
+            ).collect()
         )
         toks = rt._toks_of(rt._base_docs(spark, sf_dir))
         full_lex = sorted(
@@ -328,7 +313,9 @@ def test_bm25_upsert_equals_rebuild_and_direct(spark, sf_dir):
             .collect()
         )
         assert merged_lex == full_lex
-        stats = spark.read.parquet(f"{tmp}/stats/v={v}").collect()[0]
+        stats = spark.read.parquet(
+            rt._table_dir(spark, tmp, "stats", v)
+        ).collect()[0]
         full = rt._stats2_of(toks).collect()[0]
         assert (stats["n_docs"], stats["sum_len"]) == (
             full["n_docs"],
@@ -390,8 +377,12 @@ def test_bm25_upsert_appends_only_batch_term_buckets(spark, sf_dir):
         assert {t for _, t in added} == batch_buckets
         assert {f"seg={s}" for s, _ in added} == new_segs
         # v=1 lexicon/stats remain readable (snapshot isolation)
-        assert spark.read.parquet(f"{tmp}/lexicon/v=1").count() > 0
-        assert spark.read.parquet(f"{tmp}/stats/v=1").count() == 1
+        assert spark.read.parquet(
+            rt._table_dir(spark, tmp, "lexicon", 1)
+        ).count() > 0
+        assert spark.read.parquet(
+            rt._table_dir(spark, tmp, "stats", 1)
+        ).count() == 1
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -438,7 +429,7 @@ def test_bm25_stream_upsert_version_chain(spark, sf_dir):
         assert rt._latest_version(spark, store) == rt.N_FEED_FILES
         # every intermediate version survives (snapshot isolation chain)
         for v in range(1, rt.N_FEED_FILES + 1):
-            assert os.path.isdir(f"{store}/lexicon/v={v}")
+            assert os.path.isdir(rt._table_dir(spark, store, "lexicon", v))
         got = [
             (r["doc_id"], r["n_hit_terms"], r["score_q"])
             for r in rt.serve_bm25_v2(spark, store).collect()
@@ -446,7 +437,9 @@ def test_bm25_stream_upsert_version_chain(spark, sf_dir):
         assert got == want and len(got) == rt.TOP_K
         # final stats == full corpus accounting
         v = rt._latest_version(spark, store)
-        stats = spark.read.parquet(f"{store}/stats/v={v}").collect()[0]
+        stats = spark.read.parquet(
+            rt._table_dir(spark, store, "stats", v)
+        ).collect()[0]
         n_docs = rt._base_docs(spark, sf_dir).count()
         assert stats["n_docs"] == n_docs
         # redelivery idempotency (ADVICE r12): every applied batch left
@@ -458,8 +451,18 @@ def test_bm25_stream_upsert_version_chain(spark, sf_dir):
         redelivered = rt._base_docs(spark, sf_dir).limit(5)
         rt._bm25_stream_sink(store, redelivered, 0)
         assert rt._latest_version(spark, store) == v
-        stats2 = spark.read.parquet(f"{store}/stats/v={v}").collect()[0]
+        stats2 = spark.read.parquet(
+            rt._table_dir(spark, store, "stats", v)
+        ).collect()[0]
         assert stats2["n_docs"] == n_docs
+        # the AUTHORITATIVE exactly-once check (ADVICE r14 #1): even
+        # with the _batches fast-path marker REMOVED (the crashed
+        # publish-to-marker window), redelivery is skipped because a
+        # published version already carries the bid
+        shutil.rmtree(f"{store}/_batches/bid=0")
+        assert 0 in rt._published_bids(spark, store)
+        rt._bm25_stream_sink(store, redelivered, 0)
+        assert rt._latest_version(spark, store) == v
         got2 = [
             (r["doc_id"], r["n_hit_terms"], r["score_q"])
             for r in rt.serve_bm25_v2(spark, store).collect()
@@ -470,11 +473,16 @@ def test_bm25_stream_upsert_version_chain(spark, sf_dir):
 
 
 def test_compact_rewrites_only_affected_cells_to_one_file(spark, sf_dir):
-    """After upsert, affected cells hold 2 files; compaction must (a)
-    coalesce each affected cell to ONE file with identical code
-    content, (b) leave every unaffected cell's files byte-untouched,
-    and (c) leave the served ranking unchanged."""
-    import os
+    """After upsert, affected cells are pinned across 2 segments;
+    compaction must (a) publish a snapshot whose manifest pins each
+    affected cell in exactly ONE new segment with one file per cell
+    and identical code content, (b) leave every pre-existing file
+    byte-untouched and every unaffected pin unchanged (copy-on-write —
+    a reader of v=2 keeps its exact file set), and (c) leave the
+    served ranking unchanged."""
+    from collections import Counter
+
+    from intellect_bi_spark.operators import retrieval as rt
 
     emb = _emb(spark, sf_dir)
     batch = emb.filter(vs._upsert_batch_pred())
@@ -484,49 +492,57 @@ def test_compact_rewrites_only_affected_cells_to_one_file(spark, sf_dir):
         vs.upsert_index(spark, sf_dir, tmp, batch)
         centroids = spark.read.parquet(f"{tmp}/centroids")
         affected = {
-            f"cell={r['cell']}"
+            int(r["cell"])
             for r in vs._assign_cells(batch, centroids)
             .select("cell")
             .distinct()
             .collect()
         }
-        before = _codes_files(tmp)
-        sizes = {
-            (d, f): os.path.getsize(os.path.join(tmp, "codes", d, f))
-            for d, fs in before.items()
-            for f in fs
-        }
+        before = _tree_files(f"{tmp}/codes")
+        m2 = rt._manifest_entries(spark, tmp, 2)
+        pins_per_cell = Counter(c for _, c in m2)
+        assert any(pins_per_cell[c] > 1 for c in affected)  # real fragmentation
         codes_before = sorted(
             (r["vec_id"], r["m"], r["cid"], r["cell"])
-            for r in vs.read_index(spark, tmp)[2].collect()
+            for r in vs.read_index_versioned(spark, tmp)[2].collect()
         )
         serve_before = [
             (r["vec_id"], r["label"], r["cosine"])
-            for r in vs.topk_from_index(*vs.read_index(spark, tmp), emb).collect()
+            for r in vs.topk_from_index(
+                *vs.read_index_versioned(spark, tmp), emb
+            ).collect()
         ]
-        assert any(len(before[d]) > 1 for d in affected)  # fragmentation real
-        vs.compact_index_cells(
-            spark, tmp, [int(d.split("=")[1]) for d in affected]
-        )
-        after = _codes_files(tmp)
-        for d in after:
-            if d in affected:
-                assert len(after[d]) == 1, f"{d}: not coalesced"
-            else:
-                assert after[d] == before[d], f"{d}: untouched cell changed"
-                for f in before[d]:
-                    assert (
-                        os.path.getsize(os.path.join(tmp, "codes", d, f))
-                        == sizes[(d, f)]
-                    )
+        vs.compact_index_cells(spark, tmp, sorted(affected))
+        assert rt._latest_version(spark, tmp) == 3  # a snapshot, not a rewrite
+        after = _tree_files(f"{tmp}/codes")
+        for path, sz in before.items():
+            assert after.get(path) == sz, f"{path}: old file changed"
+        m3 = rt._manifest_entries(spark, tmp, 3)
+        assert [e for e in m2 if e[1] not in affected] == [
+            e for e in m3 if e[1] not in affected
+        ], "unaffected pins changed"
+        new_pins = set(m3) - set(m2)
+        assert new_pins and {c for _, c in new_pins} == affected
+        new_segs = {seg for seg, _ in new_pins}
+        assert len(new_segs) == 1  # ONE coalesced segment
+        seg = new_segs.pop()
+        for c in affected:
+            files = [
+                path
+                for path in after
+                if path.startswith(f"seg={seg}/cell={c}/")
+            ]
+            assert len(files) == 1, f"cell {c}: not coalesced to one file"
         codes_after = sorted(
             (r["vec_id"], r["m"], r["cid"], r["cell"])
-            for r in vs.read_index(spark, tmp)[2].collect()
+            for r in vs.read_index_versioned(spark, tmp)[2].collect()
         )
         assert codes_after == codes_before
         serve_after = [
             (r["vec_id"], r["label"], r["cosine"])
-            for r in vs.topk_from_index(*vs.read_index(spark, tmp), emb).collect()
+            for r in vs.topk_from_index(
+                *vs.read_index_versioned(spark, tmp), emb
+            ).collect()
         ]
         assert serve_after == serve_before
     finally:
@@ -548,33 +564,59 @@ def test_ann_delete_rewrites_only_affected_cells(spark, sf_dir):
     assert del_ids  # the fixture erase set is non-empty
     tmp = tempfile.mkdtemp(prefix="sgraft_anndel_")
     try:
+        from intellect_bi_spark.operators import retrieval as rt
+
         vs.build_index_frozen_full(spark, sf_dir, tmp)
-        before = _codes_files(tmp)
-        sizes = {
-            (d, f): os.path.getsize(os.path.join(tmp, "codes", d, f))
-            for d, fs in before.items()
-            for f in fs
-        }
+        before = _tree_files(f"{tmp}/codes")
+        m1 = rt._manifest_entries(spark, tmp, 1)
         codes_before = sorted(
             (r["vec_id"], r["m"], r["cid"], r["cell"])
-            for r in vs.read_index(spark, tmp)[2].collect()
+            for r in vs.read_index_versioned(spark, tmp)[2].collect()
         )
+        serve_v1 = [
+            tuple(r)
+            for r in vs.topk_from_index(
+                *vs.read_index_versioned(spark, tmp, v=1), emb
+            ).collect()
+        ]
         affected = vs.delete_from_index(spark, tmp, dels)
         assert affected  # ~10% of the corpus must hit some cell
-        affected_dirs = {f"cell={c}" for c in affected}
-        after = _codes_files(tmp)
-        for d in after:
-            if d not in affected_dirs:
-                assert after[d] == before[d], f"{d}: untouched cell changed"
-                for f in before[d]:
-                    assert (
-                        os.path.getsize(os.path.join(tmp, "codes", d, f))
-                        == sizes[(d, f)]
-                    ), f"{d}/{f}: untouched file rewritten"
+        hit = set(affected)
+        # copy-on-write: NO pre-existing file changes at all
+        after = _tree_files(f"{tmp}/codes")
+        for path, sz in before.items():
+            assert after.get(path) == sz, f"{path}: pre-existing file changed"
+        # untouched cells keep their exact v=1 pins; affected cells are
+        # re-pinned to one survivor segment
+        m2 = rt._manifest_entries(spark, tmp, 2)
+        assert [e for e in m1 if e[1] not in hit] == [
+            e for e in m2 if e[1] not in hit
+        ], "untouched cells re-pinned"
+        new_pins = set(m2) - set(m1)
+        assert new_pins and {c for _, c in new_pins} <= hit
+        assert len({seg for seg, _ in new_pins}) == 1
+        # the mid-delete reader (VERDICT r14 #2's Done): a reader
+        # pinned at v=1 sees the COMPLETE pre-delete store — identical
+        # pins, byte-identical files, identical served ranking — even
+        # after the delete fully committed v=2
+        assert rt._manifest_entries(spark, tmp, 1) == m1
+        for seg, c in m1:
+            rel_prefix = f"seg={seg}/cell={c}"
+            pinned = {path for path in before if path.startswith(rel_prefix)}
+            assert pinned
+            for path in pinned:
+                assert after.get(path) == before[path], f"{path}: v1 file changed"
+        got_v1 = [
+            tuple(r)
+            for r in vs.topk_from_index(
+                *vs.read_index_versioned(spark, tmp, v=1), emb
+            ).collect()
+        ]
+        assert got_v1 == serve_v1 and len(got_v1) == vs.TOP_K
         # surviving rows == full build minus the erase set, exactly
         codes_after = sorted(
             (r["vec_id"], r["m"], r["cid"], r["cell"])
-            for r in vs.read_index(spark, tmp)[2].collect()
+            for r in vs.read_index_versioned(spark, tmp)[2].collect()
         )
         assert codes_after == [
             r for r in codes_before if r[0] not in del_ids
@@ -588,7 +630,7 @@ def test_ann_delete_rewrites_only_affected_cells(spark, sf_dir):
         got = [
             tuple(r)
             for r in vs.topk_from_index(
-                *vs.read_index(spark, tmp), emb
+                *vs.read_index_versioned(spark, tmp), emb
             ).collect()
         ]
         emb_kept = emb.join(dels, "vec_id", "left_anti")
@@ -622,14 +664,19 @@ def test_ann_stream_upsert_marker_chain(spark, sf_dir):
         store = f"{tmp}/store"
         for bid in range(rt.N_FEED_FILES):
             assert os.path.isdir(f"{store}/_batches/bid={bid}")
-        codes = vs.read_index(spark, store)[2]
+        # one published version per applied batch, each carrying its bid
+        assert rt._latest_version(spark, store) == rt.N_FEED_FILES
+        assert rt._published_bids(spark, store) == set(
+            range(rt.N_FEED_FILES)
+        )
+        codes = vs.read_index_versioned(spark, store)[2]
         n_corpus = emb.count()
         assert codes.select("vec_id").distinct().count() == n_corpus
         n_rows = codes.count()
         serve = [
             tuple(r)
             for r in vs.topk_from_index(
-                *vs.read_index(spark, store), emb
+                *vs.read_index_versioned(spark, store), emb
             ).collect()
         ]
         # the composed store serves the single-pass full build's answer
@@ -644,53 +691,71 @@ def test_ann_stream_upsert_marker_chain(spark, sf_dir):
         assert serve == want and len(serve) == vs.TOP_K
         # redelivery of an applied batch id must change nothing
         vs._ann_stream_sink(sf_dir, store, emb.limit(5), 0)
-        codes2 = vs.read_index(spark, store)[2]
+        codes2 = vs.read_index_versioned(spark, store)[2]
         assert codes2.count() == n_rows
         assert codes2.select("vec_id").distinct().count() == n_corpus
+        # the AUTHORITATIVE exactly-once check (ADVICE r14 #1): even
+        # with the fast-path marker removed — the crashed
+        # publish-to-marker window — the published bid skips the batch
+        shutil.rmtree(f"{store}/_batches/bid=0")
+        vs._ann_stream_sink(sf_dir, store, emb.limit(5), 0)
+        assert rt._latest_version(spark, store) == rt.N_FEED_FILES
+        assert vs.read_index_versioned(spark, store)[2].count() == n_rows
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def test_vacuum_ann_codes_noop_then_sweeps_debris(spark, sf_dir):
-    """The crash-recovery sweep: on a healthy store (fresh build +
-    upsert + compaction) the vacuum deletes NOTHING; after planting
-    the debris an interrupted writer leaves (_temporary staging dir,
-    .tmp file, stray non-data file) it deletes exactly that debris,
-    and the served ranking is unchanged throughout."""
+def test_vacuum_ann_store_retention_and_segment_gc(spark, sf_dir):
+    """Retention vacuum on the manifest-pinned ANN store: after build
+    (v=1, seg A) + full-cell compaction (v=2, seg B — seg A fully
+    unpinned) + a planted losing-attempt manifest dir, vacuum
+    (keep_last=1) removes the superseded v=1 manifest + marker, the
+    attempt debris, and garbage-collects segment A; the live version's
+    files are byte-untouched and the served ranking is unchanged.
+    Idempotent: a second vacuum removes nothing."""
     import os
 
+    from intellect_bi_spark.operators import retrieval as rt
+
     emb = _emb(spark, sf_dir)
-    batch = emb.filter(vs._upsert_batch_pred())
     tmp = tempfile.mkdtemp(prefix="sgraft_annvac_")
     try:
         vs.build_index_frozen(spark, sf_dir, tmp)
-        vs.upsert_index(spark, sf_dir, tmp, batch)
-        assert vs.vacuum_ann_codes(spark, tmp) == 0  # healthy: no-op
+        m1 = rt._manifest_entries(spark, tmp, 1)
+        seg_a = {seg for seg, _ in m1}
+        assert len(seg_a) == 1
+        all_cells = sorted({c for _, c in m1})
+        vs.compact_index_cells(spark, tmp, all_cells)
+        assert rt._latest_version(spark, tmp) == 2
         serve_before = [
             tuple(r)
             for r in vs.topk_from_index(
-                *vs.read_index(spark, tmp), emb
+                *vs.read_index_versioned(spark, tmp), emb
             ).collect()
         ]
-        files_before = _codes_files(tmp)
-        cell0 = sorted(files_before)[0]
-        os.makedirs(f"{tmp}/codes/_temporary/0", exist_ok=True)
-        with open(f"{tmp}/codes/{cell0}/part-junk.parquet.tmp", "w") as fh:
-            fh.write("x")
-        with open(f"{tmp}/codes/{cell0}/stray.txt", "w") as fh:
-            fh.write("x")
-        assert vs.vacuum_ann_codes(spark, tmp) == 3
-        assert not os.path.exists(f"{tmp}/codes/_temporary")
-        assert not os.path.exists(f"{tmp}/codes/{cell0}/stray.txt")
-        assert _codes_files(tmp) == files_before  # data files untouched
+        # plant a losing attempt's staged manifest dir (the race debris
+        # vacuum owns)
+        shutil.copytree(
+            rt._table_dir(spark, tmp, "manifests", 2),
+            rt._stage_path(tmp, "manifests", 2, "deadcafe"),
+        )
+        live = _tree_files(rt._table_dir(spark, tmp, "manifests", 2))
+        removed = vs.vacuum_ann_store(spark, tmp, keep_last=1)
+        # v=1 manifest dir + the planted attempt dir + segment A
+        assert removed == 3
+        assert rt._published_versions(spark, tmp) == [2]
+        assert not os.path.isdir(rt._stage_path(tmp, "manifests", 2, "deadcafe"))
+        for seg in seg_a:
+            assert not os.path.isdir(f"{tmp}/codes/seg={seg}")
+        assert _tree_files(rt._table_dir(spark, tmp, "manifests", 2)) == live
         serve_after = [
             tuple(r)
             for r in vs.topk_from_index(
-                *vs.read_index(spark, tmp), emb
+                *vs.read_index_versioned(spark, tmp), emb
             ).collect()
         ]
         assert serve_after == serve_before
-        assert vs.vacuum_ann_codes(spark, tmp) == 0  # idempotent
+        assert vs.vacuum_ann_store(spark, tmp, keep_last=1) == 0  # idempotent
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -780,15 +845,23 @@ def test_bm25_delete_equals_rebuild_without_docs(spark, sf_dir):
         assert v == 2  # build wrote v=1, the delete wrote v=2
         got_lex = sorted(
             (r["term"], r["df"])
-            for r in spark.read.parquet(f"{tmp}/lexicon/v={v}").collect()
+            for r in spark.read.parquet(
+                rt._table_dir(spark, tmp, "lexicon", v)
+            ).collect()
         )
         want_lex = sorted(
             (r["term"], r["df"])
-            for r in spark.read.parquet(f"{tmp2}/lexicon/v=1").collect()
+            for r in spark.read.parquet(
+                rt._table_dir(spark, tmp2, "lexicon", 1)
+            ).collect()
         )
         assert got_lex == want_lex
-        got_stats = spark.read.parquet(f"{tmp}/stats/v={v}").collect()[0]
-        want_stats = spark.read.parquet(f"{tmp2}/stats/v=1").collect()[0]
+        got_stats = spark.read.parquet(
+            rt._table_dir(spark, tmp, "stats", v)
+        ).collect()[0]
+        want_stats = spark.read.parquet(
+            rt._table_dir(spark, tmp2, "stats", 1)
+        ).collect()[0]
         assert (got_stats["n_docs"], got_stats["sum_len"]) == (
             want_stats["n_docs"],
             want_stats["sum_len"],
@@ -861,13 +934,21 @@ def test_bm25_mid_delete_reader_sees_full_pre_delete_store(spark, sf_dir):
 
 
 def test_bm25_concurrent_upsert_conflict_retries(spark, sf_dir):
-    """Optimistic writer concurrency (VERDICT r13 #4): two interleaved
-    upserts race the same version number; the loser's conditional
-    publish raises VersionConflict and its retry re-merges onto the
-    winner's version — BOTH batches survive in the final serve and the
-    final lexicon equals a full rebuild's.  Writer B is injected at
-    writer A's first publish attempt (A has already staged its v=2
-    merge), which is exactly the lost-update interleaving."""
+    """Optimistic writer concurrency (VERDICT r13 #4 + r14 #4, ADVICE
+    r14 #2): two interleaved upserts race the same version number.
+    Writer B completes an ENTIRE upsert — staging AND publishing v=2 —
+    while writer A has already staged its own v=2 merge; A's
+    conditional publish raises VersionConflict and its retry re-merges
+    onto v=3.  The r15 attempt-unique staging closes the r14 hole this
+    exact interleaving used to hit: A's stale staging can no longer
+    clobber B's published v=2 data, because the two writers stage under
+    paths only they can name.  Asserted: (a) both batches survive and
+    the final lexicon equals a full rebuild's; (b) the WINNER's v=2
+    data files are byte-identical after A's conflicting attempt +
+    retry (the lost-update is unreachable); (c) the LOSER's staged v=2
+    attempt dirs exist as debris and vacuum sweeps exactly them."""
+    import os
+
     from intellect_bi_spark.operators import retrieval as rt
 
     docs = rt._base_docs(spark, sf_dir)
@@ -880,23 +961,27 @@ def test_bm25_concurrent_upsert_conflict_retries(spark, sf_dir):
     ]
     tmp = tempfile.mkdtemp(prefix="sgraft_bm25race_")
     orig = rt._publish_version
-    state = {"conflicts": 0, "fired": False}
+    state = {"conflicts": 0, "fired": False, "winner_files": None}
     try:
         rt._init_bm25_store(base, tmp)
 
-        def racy(sess, store, v):
+        def racy(sess, store, v, att, bid=None):
             if not state["fired"] and v == 2:
                 state["fired"] = True
-                # writer B completes an ENTIRE upsert (staging over A's
-                # unpublished v=2 dirs, then publishing v=2) before A's
-                # publish lands
+                # writer B completes an ENTIRE upsert (stage + publish
+                # v=2) between A's staging and A's publish
                 rt._publish_version = orig
                 try:
                     rt.upsert_bm25_index(sess, store, b2)
                 finally:
                     rt._publish_version = racy
+                # snapshot the winner's published v=2 data bytes
+                state["winner_files"] = {
+                    t: _tree_files(rt._table_dir(sess, store, t, 2))
+                    for t in ("lexicon", "stats", "manifests")
+                }
             try:
-                return orig(sess, store, v)
+                return orig(sess, store, v, att, bid)
             except rt.VersionConflict:
                 state["conflicts"] += 1
                 raise
@@ -908,6 +993,17 @@ def test_bm25_concurrent_upsert_conflict_retries(spark, sf_dir):
     try:
         assert state["fired"] and state["conflicts"] == 1
         assert rt._latest_version(spark, tmp) == 3
+        # (b) the winner's v=2 data survived A's losing attempt
+        # byte-identical — the ADVICE r14 #2 lost-update is unreachable
+        for t, files in state["winner_files"].items():
+            assert _tree_files(rt._table_dir(spark, tmp, t, 2)) == files
+        # (c) the loser's staged v=2 dirs are present as debris ...
+        win2 = os.path.basename(rt._table_dir(spark, tmp, "lexicon", 2))
+        lex_dirs = set(os.listdir(f"{tmp}/lexicon"))
+        loser_dirs = {
+            d for d in lex_dirs if d.startswith("v=2-") and d != win2
+        }
+        assert loser_dirs, "loser staging missing — injection broke?"
         got = [
             (r["doc_id"], r["n_hit_terms"], r["score_q"])
             for r in rt.serve_bm25_v2(spark, tmp).collect()
@@ -924,9 +1020,22 @@ def test_bm25_concurrent_upsert_conflict_retries(spark, sf_dir):
         )
         got_lex = sorted(
             (r["term"], r["df"])
-            for r in spark.read.parquet(f"{tmp}/lexicon/v=3").collect()
+            for r in spark.read.parquet(
+                rt._table_dir(spark, tmp, "lexicon", 3)
+            ).collect()
         )
         assert got_lex == full_lex
+        # ... and vacuum sweeps exactly the loser's debris while the
+        # retained versions' winning dirs survive
+        rt.vacuum_bm25_store(spark, tmp, keep_last=3)
+        lex_after = set(os.listdir(f"{tmp}/lexicon"))
+        assert loser_dirs.isdisjoint(lex_after)
+        assert win2 in lex_after
+        got2 = [
+            (r["doc_id"], r["n_hit_terms"], r["score_q"])
+            for r in rt.serve_bm25_v2(spark, tmp).collect()
+        ]
+        assert got2 == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -953,15 +1062,24 @@ def test_bm25_manifest_commit_gates_visibility(spark, sf_dir):
         assert rt._published_versions(spark, tmp) == [1, 2]
         assert rt._latest_version(spark, tmp) == 2
         want = [tuple(r) for r in rt.serve_bm25_v2(spark, tmp).collect()]
-        # simulate a writer that crashed AFTER writing v=3 data but
+        # simulate a writer that crashed AFTER staging v=3 data but
         # BEFORE the marker commit: copy the live version's parquet
-        # into v=3 dirs (content is irrelevant — it must be ignored)
+        # into staged v=3 attempt dirs (content is irrelevant — it
+        # must be ignored)
         for table in ("lexicon", "stats", "manifests"):
-            shutil.copytree(f"{tmp}/{table}/v=2", f"{tmp}/{table}/v=3")
+            shutil.copytree(
+                rt._table_dir(spark, tmp, table, 2),
+                rt._stage_path(tmp, table, 3, "deadcafe"),
+            )
         assert rt._versions_in(spark, f"{tmp}/lexicon") == [1, 2, 3]
         assert rt._latest_version(spark, tmp) == 2  # dangling invisible
         got = [tuple(r) for r in rt.serve_bm25_v2(spark, tmp).collect()]
         assert got == want  # serve unaffected by the crash debris
+        # plus a marker whose writer died inside the create-to-close
+        # window (empty body): it must gate nothing and vacuum must
+        # sweep it as unresolvable
+        open(f"{tmp}/_published/v=9", "w").close()
+        assert rt._latest_version(spark, tmp) == 2
         # vacuum removes v=1 (superseded) AND v=3 (dangling) from all
         # three versioned tables: 6 data dirs (every segment is pinned
         # by the surviving v=2 manifest, so the segment GC removes 0)
@@ -969,7 +1087,8 @@ def test_bm25_manifest_commit_gates_visibility(spark, sf_dir):
         for table in ("lexicon", "stats", "manifests"):
             assert rt._versions_in(spark, f"{tmp}/{table}") == [2]
         assert rt._published_versions(spark, tmp) == [2]
-        assert not os.path.isdir(f"{tmp}/lexicon/v=3")
+        assert not os.path.exists(f"{tmp}/_published/v=9")
+        assert rt._versions_in(spark, f"{tmp}/lexicon") == [2]
         got2 = [tuple(r) for r in rt.serve_bm25_v2(spark, tmp).collect()]
         assert got2 == want
     finally:
