@@ -2659,3 +2659,440 @@ def _phrase_batch_oracle() -> str:
 
 
 ORACLES["phrase_search_batch"] = _phrase_batch_oracle()
+
+
+# --- batched NEAR + BM25 serving (r15, VERDICT r14 #6) ------------------------
+#
+# The remaining two retrieval modes gain the query-RELATION serving
+# shape `serve_phrase_batch_from_store` proved: production retrieval
+# answers a batch of queries against one pinned store scan, never a
+# per-query loop.  NEAR is the interesting one — a proximity probe is
+# inherently a two-sided join, which naively costs one postings scan
+# per side.  The batched form keeps ONE scan by turning the banded
+# equi-join into a grouped pair-count: both sides of every query land
+# in one (qid, side, pos) relation off a single scan, side A explodes
+# to its 3 candidate W-bands, side B keeps its own band, and a
+# groupBy (qid, doc, band) collects the two position lists whose
+# within-band pair count / min gap are computed by array folds —
+# bounded work per group (positions of one term in one W-band of one
+# doc), no self-join, no cartesian.  Each qualifying pair is counted
+# exactly once: pb's band is unique, and |pa−pb| <= W guarantees pa's
+# 3-band explosion covers it.
+
+NEAR_BATCH = (
+    (1, NEAR_TERMS),
+    (2, ("table", "hash")),
+    (3, ("slow", "query")),
+)
+NEAR_BATCH_K = 5
+
+
+def serve_near_batch_from_store(
+    spark: SparkSession, path: str, v: int | None = None
+) -> DataFrame:
+    """Top-k per NEAR query for a BATCH of term pairs in ONE pinned
+    positional-postings scan (the plan unit asserts the single
+    FileScan): query relation broadcast onto the scan, banded grouped
+    pair-count per (qid, doc, W-band), per-query window top-k."""
+    from pyspark.sql import Window
+
+    all_terms = sorted({t for _, pr in NEAR_BATCH for t in pr})
+    pp = _pos_store_postings(spark, path, all_terms, v=v)
+    q = spark.createDataFrame(
+        [
+            (qid, side, t)
+            for qid, (ta, tb) in NEAR_BATCH
+            for side, t in ((0, ta), (1, tb))
+        ],
+        "qid int, side int, term string",
+    )
+    hits = pp.join(F.broadcast(q), "term").select(
+        "qid", "side", "doc_id", "dl", "pos"
+    )
+    bk = F.floor(F.col("pos") / NEAR_W).cast("long")
+    banded = hits.select(
+        "qid",
+        "side",
+        "doc_id",
+        "dl",
+        "pos",
+        F.explode(
+            F.when(
+                F.col("side") == 0, F.array(bk - 1, bk, bk + 1)
+            ).otherwise(F.array(bk))
+        ).alias("bk"),
+    )
+    g = banded.groupBy("qid", "doc_id", "dl", "bk").agg(
+        # collect_list skips nulls: each side's positions in this band
+        F.collect_list(
+            F.when(F.col("side") == 0, F.col("pos"))
+        ).alias("al"),
+        F.collect_list(
+            F.when(F.col("side") == 1, F.col("pos"))
+        ).alias("bl"),
+    )
+    pairs = g.select(
+        "qid",
+        "doc_id",
+        "dl",
+        F.expr(
+            "aggregate(al, 0L, (acc, x) -> acc +"
+            f" size(filter(bl, y -> abs(x - y) <= {NEAR_W})))"
+        ).alias("np"),
+        F.expr(
+            "array_min(flatten(transform(al, x ->"
+            f" transform(filter(bl, y -> abs(x - y) <= {NEAR_W}),"
+            " y -> abs(x - y)))))"
+        ).alias("mg"),
+    ).filter(F.col("np") > 0)
+    per_doc = pairs.groupBy("qid", "doc_id", "dl").agg(
+        F.sum("np").alias("near_tf"), F.min("mg").alias("min_gap")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("near_tf"), "doc_id")
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= NEAR_BATCH_K)
+        .select(
+            "qid",
+            "doc_id",
+            "dl",
+            "near_tf",
+            F.col("min_gap").cast("int").alias("min_gap"),
+            "rank",
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+def near_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched proximity retrieval from the persisted positional
+    store: build once, answer all NEAR_BATCH pairs in one pass,
+    teardown.  The oracle restates per-query top-k for every pair
+    from the raw text in one relation."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_near_batch_")
+    try:
+        _init_pos_store(_base_docs(spark, sf_dir), tmp)
+        out = serve_near_batch_from_store(spark, tmp).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _near_batch_oracle() -> str:
+    vals_a = ", ".join(f"({qid}, '{ta}')" for qid, (ta, _) in NEAR_BATCH)
+    vals_b = ", ".join(f"({qid}, '{tb}')" for qid, (_, tb) in NEAR_BATCH)
+    return (
+        "WITH tok AS (SELECT doc_id, list_filter("
+        "string_split_regex(lower(text), '[^a-z0-9]+'),"
+        " t -> t <> '') AS toks FROM documents),"
+        " p AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term,"
+        " generate_subscripts(toks, 1) - 1 AS pos FROM tok),"
+        f" qa(qid, term) AS (VALUES {vals_a}),"
+        f" qb(qid, term) AS (VALUES {vals_b}),"
+        " a AS (SELECT qa.qid, p.doc_id, p.dl, p.pos AS pa"
+        " FROM p JOIN qa USING (term)),"
+        " b AS (SELECT qb.qid, p.doc_id, p.pos AS pb"
+        " FROM p JOIN qb USING (term)),"
+        " prs AS (SELECT a.qid, a.doc_id, a.dl, ABS(pa - pb) AS gap"
+        " FROM a JOIN b USING (qid, doc_id)"
+        f" WHERE ABS(pa - pb) <= {NEAR_W}),"
+        " g AS (SELECT qid, doc_id, dl, COUNT(*) AS near_tf,"
+        " MIN(gap) AS min_gap FROM prs GROUP BY qid, doc_id, dl),"
+        " r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid"
+        " ORDER BY near_tf DESC, doc_id) AS rnk FROM g)"
+        " SELECT qid, doc_id, CAST(dl AS INT) AS dl, near_tf,"
+        " CAST(min_gap AS INT) AS min_gap, CAST(rnk AS INT) AS rank"
+        f" FROM r WHERE rnk <= {NEAR_BATCH_K} ORDER BY qid, rank"
+    )
+
+
+QUERIES["near_search_batch"] = near_search_batch
+ORACLES["near_search_batch"] = _near_batch_oracle()
+
+
+# BM25 batch: one manifest-pinned postings scan scores every query in
+# the relation — the per-(qid, doc) fold is the same term-ordered
+# deterministic sum the fixed-query serve uses, so the batch path
+# inherits its bit-exactness.
+
+BM25_BATCH = (
+    (1, QUERY_TERMS),
+    (2, ("table", "hash")),
+    (3, ("slow", "query", "merge")),
+)
+BM25_BATCH_K = 5
+
+
+def serve_bm25_batch_from_store(
+    spark: SparkSession, path: str, v: int | None = None
+) -> DataFrame:
+    """Top-k per query for a BATCH of BM25 term-set queries in ONE
+    pinned postings scan: manifest-level directory pruning to the
+    union of the batch's term buckets, the pushed term IN-filter on
+    the scan, lexicon/stats of the pinned version broadcast, per-
+    (qid, doc) term-ordered fold, per-query window top-k."""
+    import zlib
+
+    from pyspark.sql import Window
+
+    if v is None:
+        v = _latest_version(spark, path)
+    all_terms = sorted({t for _, ts in BM25_BATCH for t in ts})
+    buckets = sorted(
+        {zlib.crc32(t.encode("utf-8")) % N_TB for t in all_terms}
+    )
+    entries = [
+        e for e in _manifest_entries(spark, path, v) if e[1] in set(buckets)
+    ]
+    postings = (
+        _read_segments(
+            spark, f"{path}/postings", entries, _BM25_POSTING_SCHEMA
+        )
+        .filter(F.col("tb").isin(buckets))
+        .filter(F.col("term").isin(all_terms))
+    )
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_BATCH for t in ts],
+        "qid int, term string",
+    )
+    lex = spark.read.parquet(
+        _table_dir(spark, path, "lexicon", v)
+    ).filter(F.col("term").isin(all_terms))
+    stats = spark.read.parquet(_table_dir(spark, path, "stats", v)).select(
+        (
+            F.col("sum_len").cast("double") / F.col("n_docs").cast("double")
+        ).alias("avgdl"),
+        "n_docs",
+    )
+    scored = (
+        postings.join(F.broadcast(q), "term")
+        .join(F.broadcast(lex), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            "term",
+            F.expr(_bm25_term_score("tf", "df", "dl", "n_docs")).alias("s"),
+        )
+    )
+    per = scored.groupBy("qid", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit_terms"),
+        F.array_sort(F.collect_list(F.struct("term", "s"))).alias("ts"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score_q"), "doc_id")
+    return (
+        per.select(
+            "qid",
+            "doc_id",
+            "n_hit_terms",
+            F.expr(
+                "CAST(FLOOR(aggregate(ts, CAST(0.0 AS DOUBLE),"
+                f" (acc, x) -> acc + x.s) * {SCORE_QUANT}.0 + 0.5)"
+                " AS BIGINT)"
+            ).alias("score_q"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_BATCH_K)
+        .orderBy("qid", "rank")
+    )
+
+
+def bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched lexical retrieval from the manifest-pinned store: build
+    once over the full corpus, answer all BM25_BATCH queries in one
+    pinned scan, teardown.  The oracle restates per-query top-k for
+    every term set from the raw text in one relation."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25_batch_")
+    try:
+        _init_bm25_store(_base_docs(spark, sf_dir), tmp)
+        out = serve_bm25_batch_from_store(spark, tmp).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _bm25_batch_oracle() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in BM25_BATCH for t in ts
+    )
+    all_in = ", ".join(
+        f"'{t}'" for t in sorted({t for _, ts in BM25_BATCH for t in ts})
+    )
+    return (
+        f"WITH tok AS ({_TOKS_DUCK}),"
+        " st AS (SELECT CAST(SUM(len(toks)) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE) AS avgdl,"
+        " COUNT(*) AS n_docs FROM tok),"
+        f" q(qid, term) AS (VALUES {vals}),"
+        " base AS (SELECT doc_id, len(toks) AS dl,"
+        f" unnest(list_filter(toks, t -> t IN ({all_in}))) AS term"
+        " FROM tok),"
+        " tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM base"
+        " GROUP BY doc_id, dl, term),"
+        " dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),"
+        " scored AS (SELECT q.qid, tf.doc_id, tf.term,"
+        f" {_bm25_term_score('tf', 'df', 'dl', 'n_docs')} AS s"
+        " FROM tf JOIN q USING (term) JOIN dfs USING (term)"
+        " CROSS JOIN st),"
+        " per AS (SELECT qid, doc_id, COUNT(*) AS n_hit_terms,"
+        " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list(s ORDER BY term)), (acc, v) -> acc + v) AS score"
+        " FROM scored GROUP BY qid, doc_id),"
+        " r AS (SELECT qid, doc_id, n_hit_terms,"
+        f" CAST(FLOOR(score * {SCORE_QUANT}.0 + 0.5) AS BIGINT)"
+        " AS score_q FROM per),"
+        " rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid"
+        " ORDER BY score_q DESC, doc_id) AS rnk FROM r)"
+        " SELECT qid, doc_id, n_hit_terms, score_q,"
+        f" CAST(rnk AS INT) AS rank FROM rr WHERE rnk <= {BM25_BATCH_K}"
+        " ORDER BY qid, rank"
+    )
+
+
+QUERIES["bm25_topk_batch"] = bm25_topk_batch
+ORACLES["bm25_topk_batch"] = _bm25_batch_oracle()
+
+
+# --- metadata-filtered lexical retrieval (r15 stretch, VERDICT r14 #7) -------
+#
+# The lexical twin of similarity.ann_filtered_topk: "top-k matching
+# docs WHERE lang = 'en'".  The discipline is identical — the metadata
+# predicate lands on the scan (PushedFilters carries the equality)
+# BEFORE the score fold, so only qualifying documents' postings enter
+# the ranking; the collection statistics (lexicon df, avgdl, n_docs)
+# stay GLOBAL, which is how production filtered retrieval scores (the
+# filter narrows candidates, not the model).  At 100 TB the filter
+# column doubles as a partition key and the semi-join's build side is
+# the filtered doc-id set of the probed terms' buckets only.
+
+FILTER_LANG = "en"
+
+
+def serve_bm25_filtered_from_store(
+    spark: SparkSession, path: str, docs_meta: DataFrame
+) -> DataFrame:
+    """Answer the fixed query from the pinned store over only the
+    documents matching the metadata predicate: pinned bucket-pruned
+    postings scan + pushed term IN-filter, semi-join against the
+    lang-filtered doc ids (the lang equality is pushed into the
+    documents scan), THEN the global-stats score fold."""
+    import zlib
+
+    v = _latest_version(spark, path)
+    buckets = sorted(
+        {zlib.crc32(t.encode("utf-8")) % N_TB for t in QUERY_TERMS}
+    )
+    entries = [
+        e for e in _manifest_entries(spark, path, v) if e[1] in set(buckets)
+    ]
+    postings = (
+        _read_segments(
+            spark, f"{path}/postings", entries, _BM25_POSTING_SCHEMA
+        )
+        .filter(F.col("tb").isin(buckets))
+        .filter(F.col("term").isin(*QUERY_TERMS))
+    )
+    keep_ids = docs_meta.filter(F.col("lang") == FILTER_LANG).select(
+        "doc_id"
+    )
+    hit = postings.join(keep_ids, "doc_id", "left_semi")
+    lex = spark.read.parquet(
+        _table_dir(spark, path, "lexicon", v)
+    ).filter(F.col("term").isin(*QUERY_TERMS))
+    stats = spark.read.parquet(_table_dir(spark, path, "stats", v)).select(
+        (
+            F.col("sum_len").cast("double") / F.col("n_docs").cast("double")
+        ).alias("avgdl"),
+        "n_docs",
+    )
+    scored = (
+        hit.join(F.broadcast(lex), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.expr(_bm25_term_score("tf", "df", "dl", "n_docs")).alias("s"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit_terms"),
+        F.array_sort(F.collect_list(F.struct("term", "s"))).alias("ts"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_hit_terms",
+            F.expr(
+                "CAST(FLOOR(aggregate(ts, CAST(0.0 AS DOUBLE),"
+                f" (acc, x) -> acc + x.s) * {SCORE_QUANT}.0 + 0.5)"
+                " AS BIGINT)"
+            ).alias("score_q"),
+        )
+        .orderBy(F.desc("score_q"), "doc_id")
+        .limit(TOP_K)
+    )
+
+
+def bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered retrieval from the manifest-pinned lexical
+    store, end to end: build over the full corpus, serve the fixed
+    query over lang='en' documents only (global collection stats),
+    teardown.  The oracle restates direct scoring WITH the filter —
+    same global df/avgdl, candidates restricted to the predicate —
+    from the raw text."""
+    import shutil
+    import tempfile
+
+    docs_meta = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang"
+    )
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25_filtered_")
+    try:
+        _init_bm25_store(_base_docs(spark, sf_dir), tmp)
+        out = serve_bm25_filtered_from_store(
+            spark, tmp, docs_meta
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _bm25_filtered_oracle() -> str:
+    return (
+        f"WITH tok AS ({_TOKS_DUCK}),"
+        " st AS (SELECT CAST(SUM(len(toks)) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE) AS avgdl,"
+        " COUNT(*) AS n_docs FROM tok),"
+        " base AS (SELECT doc_id, len(toks) AS dl,"
+        f" unnest(list_filter(toks, t -> t IN ({_terms_in()}))) AS term"
+        " FROM tok),"
+        " tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM base"
+        " GROUP BY doc_id, dl, term),"
+        " dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),"
+        " scored AS (SELECT doc_id, term,"
+        f" {_bm25_term_score('tf', 'df', 'dl', 'n_docs')} AS s"
+        " FROM tf JOIN dfs USING (term) CROSS JOIN st"
+        " WHERE doc_id IN (SELECT doc_id FROM documents"
+        f" WHERE lang = '{FILTER_LANG}')),"
+        " per AS (SELECT doc_id, COUNT(*) AS n_hit_terms,"
+        " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list(s ORDER BY term)), (acc, v) -> acc + v) AS score"
+        " FROM scored GROUP BY doc_id)"
+        " SELECT doc_id, n_hit_terms,"
+        f" CAST(FLOOR(score * {SCORE_QUANT}.0 + 0.5) AS BIGINT) AS score_q"
+        f" FROM per ORDER BY score_q DESC, doc_id LIMIT {TOP_K}"
+    )
+
+
+QUERIES["bm25_filtered_topk"] = bm25_filtered_topk
+ORACLES["bm25_filtered_topk"] = _bm25_filtered_oracle()

@@ -1488,3 +1488,189 @@ def test_ann_filtered_topk_semantics_and_plan(spark, sf_dir):
     assert any(
         "label" in ln and str(sim.FILTER_LABEL) in ln for ln in pushed
     ), plan[:2000]
+
+
+def test_near_batch_matches_singles_and_one_scan(spark, sf_dir):
+    """The batch NEAR serve (VERDICT r14 #6) must (a) reproduce, per
+    query id, the single-pair banded chain's head, and (b) run as ONE
+    pinned postings scan — the grouped pair-count formulation folds
+    both sides of every query into a single scan (a naive two-sided
+    join would cost one scan per side), no per-query loop, no
+    cartesian."""
+    from intellect_bi_spark.operators import retrieval as rt
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_nearbatch_")
+    try:
+        rt._init_pos_store(rt._base_docs(spark, sf_dir), tmp)
+        served = rt.serve_near_batch_from_store(spark, tmp)
+        rows = served.collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["qid"], []).append(
+                (r["doc_id"], r["near_tf"], r["min_gap"])
+            )
+        pp_all = rt._pos_postings_of(rt._base_docs(spark, sf_dir))
+        for qid, (ta, tb) in rt.NEAR_BATCH:
+            a = pp_all.filter(F.col("term") == ta).select(
+                "doc_id", "dl", F.col("pos").alias("pa")
+            )
+            b = pp_all.filter(F.col("term") == tb).select(
+                "doc_id", F.col("pos").alias("pb")
+            )
+            want = [
+                (r["doc_id"], r["near_tf"], r["min_gap"])
+                for r in a.join(b, "doc_id")
+                .filter(F.abs(F.col("pa") - F.col("pb")) <= rt.NEAR_W)
+                .groupBy("doc_id", "dl")
+                .agg(
+                    F.count(F.lit(1)).alias("near_tf"),
+                    F.min(F.abs(F.col("pa") - F.col("pb"))).alias(
+                        "min_gap"
+                    ),
+                )
+                .orderBy(F.desc("near_tf"), "doc_id")
+                .limit(rt.NEAR_BATCH_K)
+                .collect()
+            ]
+            assert got.get(qid, []) == want, f"qid={qid} mismatch"
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        scans = [
+            ln
+            for ln in final.splitlines()
+            if "Scan parquet" in ln and rt._POS_ROOT in ln
+        ]
+        assert len(scans) == 1, f"{len(scans)} postings scans:\n" + final[:2000]
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bm25_batch_matches_singles_and_one_scan(spark, sf_dir):
+    """The batch BM25 serve (VERDICT r14 #6) must (a) score each query
+    id exactly as the fixed-query fold scores its term set (the qid
+    carrying QUERY_TERMS must reproduce serve_bm25_v2's head within
+    the batch k), and (b) run as ONE pinned postings scan with the
+    term IN-filter pushed."""
+    from intellect_bi_spark.operators import retrieval as rt
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25batch_")
+    try:
+        rt._init_bm25_store(rt._base_docs(spark, sf_dir), tmp)
+        served = rt.serve_bm25_batch_from_store(spark, tmp)
+        rows = served.collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["qid"], []).append(
+                (r["doc_id"], r["n_hit_terms"], r["score_q"])
+            )
+        # qid 1 IS the fixed query — its batch head must equal the
+        # certified fixed-query serve's head, bit for bit
+        fixed = [
+            (r["doc_id"], r["n_hit_terms"], r["score_q"])
+            for r in rt.serve_bm25_v2(spark, tmp).collect()
+        ]
+        qid_fixed = next(
+            qid for qid, ts in rt.BM25_BATCH if tuple(ts) == rt.QUERY_TERMS
+        )
+        assert got[qid_fixed] == fixed[: rt.BM25_BATCH_K]
+        for qid, _ in rt.BM25_BATCH:
+            assert len(got.get(qid, [])) <= rt.BM25_BATCH_K
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        scans = [
+            ln
+            for ln in final.splitlines()
+            if "Scan parquet" in ln and "/postings/" in ln
+        ]
+        assert len(scans) == 1, f"{len(scans)} postings scans:\n" + final[:2000]
+        pushed = [ln for ln in final.splitlines() if "PushedFilters" in ln]
+        assert any("In(term" in ln for ln in pushed), final[:2000]
+        # the 1-row broadcast stats fold plans as BroadcastNestedLoopJoin
+        # Cross — the engine's documented bounds-fold pattern (plan_audit
+        # does not flag it); only a real CartesianProduct is a violation
+        assert "CartesianProduct" not in plan
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bm25_filtered_topk_semantics_and_plan(spark, sf_dir):
+    """Metadata-filtered lexical retrieval (VERDICT r14 #7, the
+    ann_filtered_topk twin): every returned doc satisfies the lang
+    predicate; the result equals direct-scoring-with-filter (global
+    stats, candidates restricted); and the lang equality is PUSHED
+    into the documents scan — the filter runs before the score fold,
+    not over its output."""
+    from intellect_bi_spark.catalog import load_tables
+    from intellect_bi_spark.operators import retrieval as rt
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_bm25filt_")
+    try:
+        rt._init_bm25_store(rt._base_docs(spark, sf_dir), tmp)
+        docs_meta = load_tables(spark, sf_dir)["documents"].select(
+            "doc_id", "lang"
+        )
+        served = rt.serve_bm25_filtered_from_store(spark, tmp, docs_meta)
+        rows = served.collect()
+        assert rows
+        en_ids = {
+            r["doc_id"]
+            for r in docs_meta.filter(
+                F.col("lang") == rt.FILTER_LANG
+            ).collect()
+        }
+        assert {r["doc_id"] for r in rows} <= en_ids
+        # direct-scoring-with-filter: the certified fixed-query fold
+        # over ONLY the qualifying docs (not the unfiltered top-k
+        # truncated after the fact — the filter must run before the
+        # ranking, so docs below the unfiltered top-k can surface)
+        full = rt.topk_from_bm25_index(
+            rt._read_segments(
+                spark,
+                f"{tmp}/postings",
+                rt._manifest_entries(
+                    spark, tmp, rt._latest_version(spark, tmp)
+                ),
+                rt._BM25_POSTING_SCHEMA,
+            ).join(
+                docs_meta.filter(
+                    F.col("lang") == rt.FILTER_LANG
+                ).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            ),
+            spark.read.parquet(
+                rt._table_dir(
+                    spark, tmp, "lexicon", rt._latest_version(spark, tmp)
+                )
+            ),
+            spark.read.parquet(
+                rt._table_dir(
+                    spark, tmp, "stats", rt._latest_version(spark, tmp)
+                )
+            ).select(
+                (
+                    F.col("sum_len").cast("double")
+                    / F.col("n_docs").cast("double")
+                ).alias("avgdl"),
+                "n_docs",
+            ),
+        )
+        want = [
+            (r["doc_id"], r["n_hit_terms"], r["score_q"])
+            for r in full.collect()
+        ]
+        assert [
+            (r["doc_id"], r["n_hit_terms"], r["score_q"]) for r in rows
+        ] == want
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        pushed = [ln for ln in final.splitlines() if "PushedFilters" in ln]
+        assert any(
+            "EqualTo(lang," in ln for ln in pushed
+        ), final[:2000]
+        # 1-row broadcast stats fold → BroadcastNestedLoopJoin Cross is
+        # the documented pattern; only CartesianProduct is a violation
+        assert "CartesianProduct" not in plan
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
