@@ -1045,7 +1045,31 @@ def delete_users_from_sketch_store(
     group, which would silently leave the old cells).  Returns the
     affected day list (bounded by the calendar — the model-boundary
     collect class).  ``ev_base`` is the raw fact (the deletion MUST
-    re-derive from base data: union-only sketches cannot subtract)."""
+    re-derive from base data: union-only sketches cannot subtract).
+
+    VISIBILITY CONTRACT — stated, deliberately weaker than the
+    manifest-pinned stores' (VERDICT r14 #3, option B): appends are
+    order-free (HLL union is associative and commutative, so a serve
+    concurrent with upserts is always a valid estimate over SOME
+    prefix of the ingest), but this erasure recompute is
+    READ-COMMITTED PER DAY, not snapshot-isolated: the rewrite commits
+    day partitions independently, so a reader mid-delete can observe
+    some affected days already erased and others not.  Each day it
+    reads is individually consistent — exactly the pre-delete or the
+    post-delete cells for that day, never torn sketch bytes (parquet's
+    per-partition commit) — so every served estimate is a correct
+    estimate of a VALID transitional population; what the reader loses
+    is a single cross-day cut.  This is the honest trade for a store
+    whose serve contract is already approximate and whose cells carry
+    no cross-partition invariants (unlike the BM25 lexicon↔postings
+    pair, where a mixed read breaks scoring — which is why THOSE
+    stores got manifests first).  A deployment that needs a hard
+    erasure cut serializes readers behind the compliance job; pinning
+    this store with the retrieval.py manifest machinery is the upgrade
+    path if that SLA ever hardens.
+    tests/test_sketch_upsert.py::test_sketch_delete_mid_state_per_day_visibility
+    demonstrates the transitional state honestly (per-day atomicity,
+    global cut absent)."""
     from .retrieval import _fs_of
 
     affected = sorted(
