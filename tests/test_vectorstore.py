@@ -327,9 +327,12 @@ def test_bm25_upsert_equals_rebuild_and_direct(spark, sf_dir):
 
 def _tree_files(root):
     """{relpath: size} for every parquet file under ``root`` — the
-    byte-identity snapshot the copy-on-write assertions compare."""
+    byte-identity snapshot the copy-on-write assertions compare.  A
+    FILE root (the r15 JSON manifests) snapshots as itself."""
     import os
 
+    if os.path.isfile(root):
+        return {os.path.basename(root): os.path.getsize(root)}
     out = {}
     for dirpath, _dirs, files in os.walk(root):
         for f in files:
@@ -733,21 +736,25 @@ def test_vacuum_ann_store_retention_and_segment_gc(spark, sf_dir):
                 *vs.read_index_versioned(spark, tmp), emb
             ).collect()
         ]
-        # plant a losing attempt's staged manifest dir (the race debris
-        # vacuum owns)
-        shutil.copytree(
+        # plant a losing attempt's staged manifest file (the race
+        # debris vacuum owns; manifests are driver-written JSON files)
+        shutil.copy(
             rt._table_dir(spark, tmp, "manifests", 2),
             rt._stage_path(tmp, "manifests", 2, "deadcafe"),
         )
-        live = _tree_files(rt._table_dir(spark, tmp, "manifests", 2))
+        live_manifest = open(
+            rt._table_dir(spark, tmp, "manifests", 2), "rb"
+        ).read()
         removed = vs.vacuum_ann_store(spark, tmp, keep_last=1)
-        # v=1 manifest dir + the planted attempt dir + segment A
+        # v=1 manifest + the planted attempt file + segment A
         assert removed == 3
         assert rt._published_versions(spark, tmp) == [2]
-        assert not os.path.isdir(rt._stage_path(tmp, "manifests", 2, "deadcafe"))
+        assert not os.path.exists(rt._stage_path(tmp, "manifests", 2, "deadcafe"))
         for seg in seg_a:
             assert not os.path.isdir(f"{tmp}/codes/seg={seg}")
-        assert _tree_files(rt._table_dir(spark, tmp, "manifests", 2)) == live
+        assert open(
+            rt._table_dir(spark, tmp, "manifests", 2), "rb"
+        ).read() == live_manifest
         serve_after = [
             tuple(r)
             for r in vs.topk_from_index(
@@ -1066,11 +1073,15 @@ def test_bm25_manifest_commit_gates_visibility(spark, sf_dir):
         # BEFORE the marker commit: copy the live version's parquet
         # into staged v=3 attempt dirs (content is irrelevant — it
         # must be ignored)
-        for table in ("lexicon", "stats", "manifests"):
+        for table in ("lexicon", "stats"):
             shutil.copytree(
                 rt._table_dir(spark, tmp, table, 2),
                 rt._stage_path(tmp, table, 3, "deadcafe"),
             )
+        shutil.copy(  # manifests are files, not parquet dirs (r15)
+            rt._table_dir(spark, tmp, "manifests", 2),
+            rt._stage_path(tmp, "manifests", 3, "deadcafe"),
+        )
         assert rt._versions_in(spark, f"{tmp}/lexicon") == [1, 2, 3]
         assert rt._latest_version(spark, tmp) == 2  # dangling invisible
         got = [tuple(r) for r in rt.serve_bm25_v2(spark, tmp).collect()]
