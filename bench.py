@@ -209,6 +209,11 @@ HEADLINE = [
     "near_search_batch",  # batched NEAR: one pinned scan, grouped pairs (r15)
     "bm25_topk_batch",  # batched BM25: one pinned scan, per-qid top-k (r15)
     "bm25_filtered_topk",  # metadata-filtered lexical retrieval (r15)
+    "sketch_rollup_compact",  # sketch-store partial-day cell merge (r15)
+    "sketch_store_vacuum",  # sketch-store retention + segment GC (r15)
+    "sketch_crud_chain",  # interleaved sketch-store lifecycle (r15)
+    "phrase_stream_upsert_store",  # availableNow positional ingest chain (r15)
+    "phrase_crud_chain",  # interleaved positional-store lifecycle (r15)
 ]
 
 # Queries benched for the first time AFTER the r9 record (plus the
@@ -260,6 +265,11 @@ _ADDED_AFTER_R9 = {
     "near_search_batch",
     "bm25_topk_batch",
     "bm25_filtered_topk",
+    "sketch_rollup_compact",
+    "sketch_store_vacuum",
+    "sketch_crud_chain",
+    "phrase_stream_upsert_store",
+    "phrase_crud_chain",
 }
 
 # Store-lifecycle certification queries (VERDICT r14 #1): each drives a
@@ -289,6 +299,11 @@ CERT_TIER = {
     "sketch_rollup_upsert",
     "sketch_rollup_delete",
     "sketch_stream_upsert_store",
+    "sketch_rollup_compact",
+    "sketch_store_vacuum",
+    "sketch_crud_chain",
+    "phrase_stream_upsert_store",
+    "phrase_crud_chain",
     "erasure_e2e",
     "near_search_batch",
     "bm25_topk_batch",
@@ -387,11 +402,7 @@ def main() -> None:
     _is_batch_day = (
         _F.dayofmonth(_F.expr("CAST(ts AS DATE)")) % 7 == 3
     )
-    sketches.user_sketch_rollup(
-        _ev.filter(~_is_batch_day)
-    ).withColumn("day_part", _F.col("day").cast("string")).write.partitionBy(
-        "day_part"
-    ).parquet(f"{sketch_up_base}/rollup")
+    sketches._init_sketch_store(_ev.filter(~_is_batch_day), sketch_up_base)
 
     def _timed_upsert(base: str, run) -> float:
         dst = tempfile.mkdtemp(prefix="sgraft_bench_upclone_")

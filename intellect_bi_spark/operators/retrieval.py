@@ -676,19 +676,23 @@ def _read_segments(
 
 
 def _seg_buckets(
-    spark: SparkSession, root: str, seg: str, pcol: str = "tb"
-) -> list[int]:
+    spark: SparkSession, root: str, seg: str, pcol: str = "tb",
+    coerce=int,
+) -> list:
     """The bucket list a just-written segment actually produced —
     read back from the STORED files (drift-proofing: the manifest pins
     what is on disk, not what the writer intended).  Metadata-bounded
-    (≤ N_TB / N_CELLS distinct values)."""
+    (≤ N_TB / N_CELLS / calendar-days distinct values).  ``coerce``
+    maps the directory-name suffix to the manifest's value type —
+    ``int`` for the numeric bucket axes (tb / cell), ``str`` for the
+    sketch store's day axis (r15)."""
     fs, hp = _fs_of(spark, f"{root}/seg={seg}")
     out = []
     if fs.exists(hp):
         for st in fs.listStatus(hp):
             name = st.getPath().getName()
             if name.startswith(f"{pcol}="):
-                out.append(int(name.split("=", 1)[1]))
+                out.append(coerce(name.split("=", 1)[1]))
     return sorted(out)
 
 
@@ -709,7 +713,9 @@ def _write_manifest(
     mutation leg and was pure overhead at any scale; Iceberg's
     manifests are files for the same reason).  The attempt-unique path
     means no other writer can touch it (ADVICE r14 #2), and overwrite
-    covers a same-attempt crash retry."""
+    covers a same-attempt crash retry.  Partition values keep their
+    native type through the JSON round-trip (int for tb/cell axes,
+    str for the sketch store's day axis — r15)."""
     import json as _json
 
     fs, hp = _fs_of(spark, _stage_path(store, "manifests", v, att))
@@ -718,7 +724,7 @@ def _write_manifest(
         out.write(
             bytearray(
                 _json.dumps(
-                    [[s, int(t)] for s, t in sorted(entries)]
+                    [[s, t] for s, t in sorted(entries)]
                 ).encode()
             )
         )
@@ -728,10 +734,13 @@ def _write_manifest(
 
 def _manifest_entries(
     spark: SparkSession, store: str, v: int
-) -> list[tuple[str, int]]:
-    """Version ``v``'s pinned (seg, tb) list — a driver-side metadata
-    file read (no Spark job), resolved through the published
-    attempt."""
+) -> list[tuple]:
+    """Version ``v``'s pinned (seg, partition-value) list — a
+    driver-side metadata file read (no Spark job), resolved through
+    the published attempt.  Values come back with the type the writer
+    stored (JSON round-trips int and str faithfully), so one reader
+    serves the int-bucketed postings stores and the day-keyed sketch
+    store alike (r15)."""
     import json as _json
 
     fs, hp = _fs_of(spark, _table_dir(spark, store, "manifests", v))
@@ -743,7 +752,7 @@ def _manifest_entries(
         entries = _json.loads(bytes(bos.toByteArray()).decode())
     finally:
         stream.close()
-    return sorted((s, int(t)) for s, t in entries)
+    return sorted((s, t) for s, t in entries)
 
 
 def _new_att() -> str:
@@ -1901,13 +1910,16 @@ def build_phrase_index(spark: SparkSession, sf_dir: str, path: str) -> None:
 
 
 def upsert_phrase_index(
-    spark: SparkSession, path: str, batch_docs: DataFrame
+    spark: SparkSession, path: str, batch_docs: DataFrame,
+    bid: int | None = None,
 ) -> None:
     """Merge an ingest batch into the positional store: the batch's
     positional postings land as one new immutable segment, and the v+1
     manifest pins the old entries plus the new segment's buckets —
     the same copy-on-write discipline as the BM25 upsert (VERDICT r13
-    #5), with the same conditional-publish retry."""
+    #5), with the same conditional-publish retry.  ``bid`` rides the
+    publish marker for the streaming sink's exactly-once ledger
+    (r15)."""
     root = f"{path}/{_POS_ROOT}"
     seg = _new_seg_id()
     _write_segment(
@@ -1923,7 +1935,7 @@ def upsert_phrase_index(
         ]
         _write_manifest(spark, path, v + 1, entries, att)
         try:
-            _publish_version(spark, path, v + 1, att)
+            _publish_version(spark, path, v + 1, att, bid)
             return
         except VersionConflict as e:
             last = e
@@ -2675,6 +2687,169 @@ def _phrase_batch_oracle() -> str:
 
 
 ORACLES["phrase_search_batch"] = _phrase_batch_oracle()
+
+
+# --- streaming positional-store ingestion + CRUD chain (r15) ------------------
+#
+# The positional store was the one persisted index without a streaming
+# ingest leg or an interleaved lifecycle certification (ann/bm25/sketch
+# all have both).  Same construction as the BM25 chain: availableNow
+# file stream, one micro-batch per staged file, foreachBatch driving
+# the certified versioned upsert, batch ids riding the publish markers
+# for end-to-end exactly-once redelivery.
+
+
+def _pos_stream_sink(store: str, bdf: DataFrame, bid: int) -> None:
+    """foreachBatch body for the positional ingest stream: batch 0
+    initializes the store, later batches run the certified versioned
+    upsert.  Exactly-once on redelivery by the same construction as
+    the BM25 sink (ADVICE r14 #1): the authoritative skip-check is
+    "does any PUBLISHED version carry this bid"; the ``_batches``
+    marker is only a fast path."""
+    sess = bdf.sparkSession
+    marker = f"{store}/_batches/bid={bid}"
+    if _store_dir_exists(sess, marker):
+        return  # redelivered, already fully applied (fast path)
+    if not bdf.isEmpty():
+        published = _published_versions(sess, store)
+        if published and bid in _published_bids(sess, store):
+            pass  # redelivered: a published version carries this bid
+        elif not published:
+            _init_pos_store(bdf, store, bid=bid)
+        else:
+            upsert_phrase_index(sess, store, bdf, bid=bid)
+    fs, hpath = _fs_of(sess, marker)
+    fs.mkdirs(hpath)
+
+
+def _run_pos_upsert_stream(
+    spark: SparkSession, sf_dir: str, root: str
+) -> None:
+    """Stage the corpus feed, run the availableNow upsert stream into
+    ``root/store``, and block until it drains (extracted so the
+    version-chain unit can inspect the store the registry query
+    deletes)."""
+    store = f"{root}/store"
+    docs = _base_docs(spark, sf_dir)
+    docs.repartition(N_FEED_FILES).write.parquet(f"{root}/feed")
+
+    def sink(bdf: DataFrame, bid: int) -> None:
+        _pos_stream_sink(store, bdf, bid)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/feed")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+        if q.isActive:
+            raise TimeoutError(
+                "positional upsert stream did not drain in 300 s"
+            )
+    finally:
+        if q.isActive:
+            try:
+                q.stop()
+            except Exception:
+                pass
+
+
+def phrase_stream_upsert_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING ingestion into the positional store: stage the corpus
+    as N_FEED_FILES parquet files, run a real availableNow stream (one
+    micro-batch per file), let ``foreachBatch`` drive the store (init
+    then versioned upserts), and serve BOTH probes (ordered phrase +
+    unordered NEAR) from the stream-composed store.  The oracle
+    restates both probes from the FULL corpus raw text — proving the
+    N-batch upsert chain composes to the exact single-pass index for
+    the positional semantics too (manifest-entry union is the only
+    cross-batch state; position arithmetic is per-document) — with
+    n_docs_indexed (distinct documents in the PINNED postings) binding
+    the chain's accounting into the checked rows."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sgraft_pos_stream_")
+    try:
+        _run_pos_upsert_stream(spark, sf_dir, tmp)
+        store = f"{tmp}/store"
+        v = _latest_version(spark, store)
+        pinned = _read_segments(
+            spark,
+            f"{store}/{_POS_ROOT}",
+            _manifest_entries(spark, store, v),
+            _POS_POSTING_SCHEMA,
+        )
+        nd = pinned.agg(
+            F.countDistinct("doc_id").alias("n_docs_indexed")
+        )
+        out = (
+            _pos_probes_from_store(spark, store)
+            .crossJoin(F.broadcast(nd))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def phrase_crud_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interleaved lifecycle on the positional store — init (v1)
+    without the ingest batch → upsert it (v2) → erase the delete set
+    (v3, survivor rewrite of affected buckets) → vacuum to the latest
+    version — then serve BOTH probes from the survivor.  The oracle
+    restates phrase and NEAR from the SURVIVING documents' raw text
+    (the batch is back in, the erase set is out), with n_survivors
+    bound in — one green row proves the three mutation classes and the
+    retention sweep compose for the positional semantics."""
+    import shutil
+    import tempfile
+
+    docs = _base_docs(spark, sf_dir)
+    b1 = docs.filter(_doc_batch_pred())
+    dels = docs.filter(
+        F.col("doc_id") % DOC_UPSERT_MOD == DOC_CRUD_DEL_RES
+    )
+    tmp = tempfile.mkdtemp(prefix="sgraft_pos_crud_")
+    try:
+        _init_pos_store(docs.filter(~_doc_batch_pred()), tmp)
+        upsert_phrase_index(spark, tmp, b1)
+        delete_from_phrase_index(spark, tmp, dels)
+        vacuum_phrase_store(spark, tmp, keep_last=1)
+        n_surv = docs.join(
+            dels.select("doc_id"), "doc_id", "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_survivors"))
+        out = (
+            _pos_probes_from_store(spark, tmp)
+            .crossJoin(F.broadcast(n_surv))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+QUERIES["phrase_stream_upsert_store"] = phrase_stream_upsert_store
+QUERIES["phrase_crud_chain"] = phrase_crud_chain
+
+ORACLES["phrase_stream_upsert_store"] = _pos_probes_oracle(
+    "",
+    "SELECT COUNT(DISTINCT doc_id) AS n_docs_indexed FROM p",
+    "n_docs_indexed",
+)
+ORACLES["phrase_crud_chain"] = _pos_probes_oracle(
+    f" WHERE doc_id % {DOC_UPSERT_MOD} != {DOC_CRUD_DEL_RES}",
+    f"SELECT COUNT(*) AS n_survivors FROM documents"
+    f" WHERE doc_id % {DOC_UPSERT_MOD} != {DOC_CRUD_DEL_RES}",
+    "n_survivors",
+)
 
 
 # --- batched NEAR + BM25 serving (r15, VERDICT r14 #6) ------------------------

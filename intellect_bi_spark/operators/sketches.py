@@ -90,37 +90,94 @@ def sketch_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SK_ROOT = "rollup"  # immutable day-partitioned sketch segments
+_SK_CELL_SCHEMA = "day date, event_type string, sk binary, n_events bigint"
+
+
+def _rollup_cells(ev: DataFrame) -> DataFrame:
+    return user_sketch_rollup(ev).withColumn(
+        "day_part", F.col("day").cast("string")
+    )
+
+
+def _write_sketch_segment(
+    spark: SparkSession, path: str, cells: DataFrame
+) -> tuple[str, list[str]]:
+    """Write one immutable rollup SEGMENT (day-partitioned) and return
+    (segment id, the day list it actually produced on disk) — the
+    sketch-store instance of the retrieval.py segment discipline
+    (r15, VERDICT r14 #3 option A: the store is now manifest-pinned,
+    upgrading the r14 documented read-committed-per-day contract to
+    snapshot isolation).  The partition axis is the calendar day as a
+    STRING — `_seg_buckets(coerce=str)` reads it back verbatim and the
+    manifest JSON round-trips it untouched."""
+    from .retrieval import _new_seg_id, _seg_buckets, _write_segment
+
+    seg = _new_seg_id()
+    _write_segment(cells, f"{path}/{_SK_ROOT}", seg, pcol="day_part")
+    days = _seg_buckets(
+        spark, f"{path}/{_SK_ROOT}", seg, pcol="day_part", coerce=str
+    )
+    return seg, days
+
+
+def _init_sketch_store(
+    ev: DataFrame, path: str, bid: int | None = None
+) -> None:
+    """First write of the VERSIONED sketch store: one day-partitioned
+    segment + the v=1 manifest pinning exactly its day cells (the
+    rollup carries no lexicon/stats twin — serve is a pure union over
+    the pinned cells, so the manifest is the only versioned
+    metadata)."""
+    from .retrieval import _new_att, _publish_version, _write_manifest
+
+    spark = ev.sparkSession
+    seg, days = _write_sketch_segment(spark, path, _rollup_cells(ev))
+    att = _new_att()
+    _write_manifest(spark, path, 1, [(seg, d) for d in days], att)
+    _publish_version(spark, path, 1, att, bid)
+
+
 def build_sketch_rollup_store(
     spark: SparkSession, sf_dir: str, path: str
 ) -> None:
-    """One fact scan → the day-partitioned HLL rollup table on parquet
-    (the build half of :func:`sketch_rollup_store`, extracted verbatim
-    so bench.py's ``sketch_rollup_serve_only`` metric can build once
-    untimed and time only the serving path — VERDICT r11 #6, the
-    ann/bm25 serve-only discipline)."""
+    """One fact scan → the manifest-pinned, day-partitioned HLL rollup
+    store (the build half of :func:`sketch_rollup_store`, extracted
+    verbatim so bench.py's ``sketch_rollup_serve_only`` metric can
+    build once untimed and time only the serving path — VERDICT r11
+    #6, the ann/bm25 serve-only discipline)."""
     ev = load_tables(spark, sf_dir)["events"].filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
-    user_sketch_rollup(ev).withColumn(
-        "day_part", F.col("day").cast("string")
-    ).write.partitionBy("day_part").parquet(f"{path}/rollup")
+    _init_sketch_store(ev, path)
 
 
 def serve_sketch_rollup_from_store(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, v: int | None = None
 ) -> DataFrame:
-    """The production query path: read the stored day-partitioned sketch
-    blobs and merge to per-type distinct-user estimates — no fact scan.
+    """The production query path: read exactly the day cells the
+    latest (or a pinned ``v``'s) manifest references and merge to
+    per-type distinct-user estimates — no fact scan, and no visibility
+    of any concurrent mutation's segments (r15: the store is
+    snapshot-isolated like its BM25/positional/ANN siblings; a reader
+    pinned at v mid-erasure sees the complete pre-delete rollup).
     This exact composition is what ``sketch_rollup_store`` self-checks
     against the exact recompute (so the timed path and the verified
     path cannot drift, the serve_bm25_from_store discipline)."""
-    return (
-        spark.read.parquet(f"{path}/rollup")
-        .groupBy("event_type")
-        .agg(
-            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
-            F.sum("n_events").alias("n_events"),
-        )
+    from .retrieval import _latest_version, _manifest_entries, _read_segments
+
+    if v is None:
+        v = _latest_version(spark, path)
+    cells = _read_segments(
+        spark,
+        f"{path}/{_SK_ROOT}",
+        _manifest_entries(spark, path, v),
+        _SK_CELL_SCHEMA,
+        pcol="day_part",
+    )
+    return cells.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+        F.sum("n_events").alias("n_events"),
     )
 
 
@@ -910,18 +967,49 @@ ORACLES["bloom_decontam_stats"] = (
 # --- incremental sketch-store maintenance (r12) ------------------------------
 
 
-def upsert_sketch_rollup_store(batch_events: DataFrame, path: str) -> None:
-    """Append an ingest batch's (day, type) HLL cells into new day
-    partitions of a stored rollup (the merge half of
-    :func:`sketch_rollup_upsert`, extracted verbatim so bench.py's
+def upsert_sketch_rollup_store(
+    batch_events: DataFrame, path: str, bid: int | None = None
+) -> None:
+    """Merge an ingest batch into the sketch store: the batch's
+    (day, type) HLL cells land as one new immutable segment and the
+    v+1 manifest pins the old entries plus the new segment's days —
+    copy-on-write with the conditional-publish retry, exactly the
+    BM25/positional upsert discipline (r15; was a bare parquet append
+    before the store was manifest-pinned).  Partial-day cells from
+    different batches coexist as separate manifest entries and merge
+    at serve time (HLL union associativity), so no existing cell is
+    ever read or rewritten.  (The merge half of
+    :func:`sketch_rollup_upsert`, extracted so bench.py's
     ``sketch_upsert_only`` metric can stage the base store untimed and
-    time only the append — VERDICT r12 #7, the serve-only discipline
-    applied to the upsert leg)."""
-    user_sketch_rollup(batch_events).withColumn(
-        "day_part", F.col("day").cast("string")
-    ).write.mode("append").partitionBy("day_part").parquet(
-        f"{path}/rollup"
+    time only the append — VERDICT r12 #7.)"""
+    from .retrieval import (
+        PUBLISH_RETRIES,
+        VersionConflict,
+        _latest_version,
+        _manifest_entries,
+        _new_att,
+        _publish_version,
+        _write_manifest,
     )
+
+    spark = batch_events.sparkSession
+    seg, days = _write_sketch_segment(
+        spark, path, _rollup_cells(batch_events)
+    )
+    last: VersionConflict | None = None
+    for _ in range(PUBLISH_RETRIES):
+        v = _latest_version(spark, path)
+        att = _new_att()
+        entries = _manifest_entries(spark, path, v) + [
+            (seg, d) for d in days
+        ]
+        _write_manifest(spark, path, v + 1, entries, att)
+        try:
+            _publish_version(spark, path, v + 1, att, bid)
+            return
+        except VersionConflict as e:
+            last = e
+    raise last if last is not None else RuntimeError("unreachable")
 
 
 def sketch_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -951,9 +1039,7 @@ def sketch_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_batch_day = F.dayofmonth(F.expr("CAST(ts AS DATE)")) % 7 == 3
     tmp = tempfile.mkdtemp(prefix="sgraft_sketch_upsert_")
     try:
-        user_sketch_rollup(ev.filter(~is_batch_day)).withColumn(
-            "day_part", F.col("day").cast("string")
-        ).write.partitionBy("day_part").parquet(f"{tmp}/rollup")
+        _init_sketch_store(ev.filter(~is_batch_day), tmp)
         batch = ev.filter(is_batch_day)
         upsert_sketch_rollup_store(batch, tmp)
         merged = serve_sketch_rollup_from_store(spark, tmp)
@@ -1038,39 +1124,32 @@ def delete_users_from_sketch_store(
     spark: SparkSession, path: str, ev_base: DataFrame, del_pred
 ) -> list[str]:
     """Erase every user matching ``del_pred`` from the stored rollup:
-    locate the affected day partitions from the base events, recompute
-    those days' cells over the surviving events only, and rewrite ONLY
-    those partitions (dynamic overwrite; days left with no events are
-    dropped outright — dynamic overwrite writes nothing for an emptied
-    group, which would silently leave the old cells).  Returns the
-    affected day list (bounded by the calendar — the model-boundary
-    collect class).  ``ev_base`` is the raw fact (the deletion MUST
-    re-derive from base data: union-only sketches cannot subtract).
-
-    VISIBILITY CONTRACT — stated, deliberately weaker than the
-    manifest-pinned stores' (VERDICT r14 #3, option B): appends are
-    order-free (HLL union is associative and commutative, so a serve
-    concurrent with upserts is always a valid estimate over SOME
-    prefix of the ingest), but this erasure recompute is
-    READ-COMMITTED PER DAY, not snapshot-isolated: the rewrite commits
-    day partitions independently, so a reader mid-delete can observe
-    some affected days already erased and others not.  Each day it
-    reads is individually consistent — exactly the pre-delete or the
-    post-delete cells for that day, never torn sketch bytes (parquet's
-    per-partition commit) — so every served estimate is a correct
-    estimate of a VALID transitional population; what the reader loses
-    is a single cross-day cut.  This is the honest trade for a store
-    whose serve contract is already approximate and whose cells carry
-    no cross-partition invariants (unlike the BM25 lexicon↔postings
-    pair, where a mixed read breaks scoring — which is why THOSE
-    stores got manifests first).  A deployment that needs a hard
-    erasure cut serializes readers behind the compliance job; pinning
-    this store with the retrieval.py manifest machinery is the upgrade
-    path if that SLA ever hardens.
-    tests/test_sketch_upsert.py::test_sketch_delete_mid_state_per_day_visibility
-    demonstrates the transitional state honestly (per-day atomicity,
-    global cut absent)."""
-    from .retrieval import _fs_of
+    locate the affected days from the base events, recompute those
+    days' cells over the surviving events only into one NEW immutable
+    segment, and publish a v+1 manifest that un-pins every prior
+    entry of those days (r15, VERDICT r14 #3 option A — this replaced
+    the r14 in-place dynamic-partition overwrite and its documented
+    read-committed-per-day contract).  Old files untouched: a reader
+    pinned at v keeps the complete pre-delete rollup — the erasure is
+    one atomic cross-day cut at publish, snapshot isolation identical
+    to the BM25/positional/ANN stores' — and the erased cells become
+    unreachable bytes vacuum's segment GC reclaims.  Days emptied by
+    the erasure simply have no survivor cells and drop out of the
+    manifest.  Returns the affected day list (bounded by the calendar
+    — the model-boundary collect class).  ``ev_base`` is the raw fact
+    (the deletion MUST re-derive from base data: union-only sketches
+    cannot subtract).
+    tests/test_sketch_upsert.py::test_sketch_delete_pinned_reader_snapshot
+    locks the mid-delete visibility."""
+    from .retrieval import (
+        PUBLISH_RETRIES,
+        VersionConflict,
+        _latest_version,
+        _manifest_entries,
+        _new_att,
+        _publish_version,
+        _write_manifest,
+    )
 
     affected = sorted(
         str(r["day"])
@@ -1085,26 +1164,98 @@ def delete_users_from_sketch_store(
         F.expr("CAST(ts AS DATE)").cast("string").isin(affected)
         & ~del_pred
     )
-    cells = user_sketch_rollup(surv).withColumn(
-        "day_part", F.col("day").cast("string")
+    seg, survivor_days = _write_sketch_segment(
+        spark,
+        path,
+        _rollup_cells(surv).repartition(len(affected), "day_part"),
     )
-    survivor_days = {
-        str(r["day_part"])
-        for r in cells.select("day_part").distinct().collect()
-    }
-    if survivor_days:
-        (
-            cells.repartition(len(survivor_days), "day_part")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("day_part")
-            .parquet(f"{path}/rollup")
+    hit = set(affected)
+    last: VersionConflict | None = None
+    for _ in range(PUBLISH_RETRIES):
+        v = _latest_version(spark, path)
+        att = _new_att()
+        entries = _manifest_entries(spark, path, v)
+        new_entries = [e for e in entries if e[1] not in hit] + [
+            (seg, d) for d in survivor_days
+        ]
+        _write_manifest(spark, path, v + 1, new_entries, att)
+        try:
+            _publish_version(spark, path, v + 1, att)
+            return affected
+        except VersionConflict as e:
+            last = e
+    raise last if last is not None else RuntimeError("unreachable")
+
+
+def compact_sketch_store(spark: SparkSession, path: str) -> tuple[int, int]:
+    """Compact the rollup: an upsert chain leaves partial-day cells
+    spread across many segments (each batch's cells are a separate
+    manifest entry for the same day); compaction unions them —
+    ``hll_union_agg`` per (day, type), exact ``n_events`` sum — into
+    ONE new segment and publishes a manifest pinning only it.  Serve
+    results are unchanged by construction (HLL union associativity:
+    merging at compact time ≡ merging at serve time), but the serve
+    path now opens one file set per day instead of one per
+    (day, batch).  Copy-on-write like every other mutation: a reader
+    pinned at v keeps the pre-compact cells; vacuum reclaims them.
+    Returns (entries before, entries after) — the manifest-size
+    shrink, both metadata-bounded."""
+    from .retrieval import (
+        PUBLISH_RETRIES,
+        VersionConflict,
+        _latest_version,
+        _manifest_entries,
+        _new_att,
+        _publish_version,
+        _read_segments,
+        _write_manifest,
+    )
+
+    last: VersionConflict | None = None
+    for _ in range(PUBLISH_RETRIES):
+        v = _latest_version(spark, path)
+        entries = _manifest_entries(spark, path, v)
+        cells = _read_segments(
+            spark, f"{path}/{_SK_ROOT}", entries, _SK_CELL_SCHEMA,
+            pcol="day_part",
         )
-    for day in affected:
-        if day not in survivor_days:
-            fs, hp = _fs_of(spark, f"{path}/rollup/day_part={day}")
-            fs.delete(hp, True)
-    return affected
+        merged = (
+            cells.groupBy("day", "event_type")
+            .agg(
+                F.expr("hll_union_agg(sk)").alias("sk"),
+                F.sum("n_events").alias("n_events"),
+            )
+            .select("day", "event_type", "sk", "n_events")
+            .withColumn("day_part", F.col("day").cast("string"))
+        )
+        seg, days = _write_sketch_segment(spark, path, merged)
+        att = _new_att()
+        new_entries = [(seg, d) for d in days]
+        _write_manifest(spark, path, v + 1, new_entries, att)
+        try:
+            _publish_version(spark, path, v + 1, att)
+            return len(entries), len(new_entries)
+        except VersionConflict as e:
+            last = e
+    raise last if last is not None else RuntimeError("unreachable")
+
+
+def vacuum_sketch_store(
+    spark: SparkSession, path: str, keep_last: int | None = None
+) -> int:
+    """Retention vacuum for the sketch store: keep the newest
+    ``keep_last`` published versions, sweep dangling unpublished
+    version dirs, and GC every rollup segment no retained manifest
+    pins (see retrieval._vacuum_versioned_store for the contract and
+    the single-writer assumption — the machinery is shared verbatim;
+    only the table/segment roots differ)."""
+    from .retrieval import RETAIN_VERSIONS, _vacuum_versioned_store
+
+    if keep_last is None:
+        keep_last = RETAIN_VERSIONS
+    return _vacuum_versioned_store(
+        spark, path, ("manifests",), (_SK_ROOT,), keep_last
+    )
 
 
 def sketch_rollup_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1195,6 +1346,305 @@ ORACLES["sketch_rollup_delete"] = (
 )
 
 
+# --- sketch-store compaction / retention / CRUD chain (r15) ------------------
+#
+# The manifest upgrade (VERDICT r14 #3, option A) gives the sketch
+# store the same lifecycle surface as its three siblings, so the same
+# lifecycle legs get certified: compaction (partial-day cells from an
+# upsert chain merged to one cell per (day, type) — serve-invariant by
+# union associativity), retention vacuum (keep-latest + segment GC),
+# and the interleaved CRUD chain.
+
+_SK_BATCH_MOD = 3  # compact fixture: user_id % 3 == 0 is the 2nd batch
+
+
+def _sk_user_batch_pred():
+    return F.col("user_id") % _SK_BATCH_MOD == 0
+
+
+def sketch_rollup_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction through the sketch store: build from one user slice
+    (v1), upsert the complementary slice (v2 — SAME days, so every day
+    now has partial-day cells in two segments), COMPACT (v3 — one
+    merged cell per (day, type), manifest entries halved), and serve
+    from the compacted store, self-checked against the exact distinct
+    over all events.  Binds the manifest-size shrink
+    (n_entries_before, n_entries_after) into the checked rows — both
+    closed-form restatable as day counts, so a green row proves the
+    compaction merged exactly the overlapping-day entries and changed
+    no served result (HLL union associativity)."""
+    import shutil
+    import tempfile
+
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    tmp = tempfile.mkdtemp(prefix="sgraft_sketch_compact_")
+    try:
+        _init_sketch_store(ev.filter(~_sk_user_batch_pred()), tmp)
+        upsert_sketch_rollup_store(ev.filter(_sk_user_batch_pred()), tmp)
+        n_before, n_after = compact_sketch_store(spark, tmp)
+        merged = serve_sketch_rollup_from_store(spark, tmp)
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_users")
+        )
+        tele = spark.createDataFrame(
+            [(n_before, n_after)],
+            "n_entries_before bigint, n_entries_after bigint",
+        )
+        in_bounds = (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.greatest(
+                F.col("exact_users") * F.lit(_REL_BOUND),
+                F.lit(_ABS_SLACK),
+            )
+        )
+        out = (
+            merged.join(exact, "event_type")
+            .crossJoin(F.broadcast(tele))
+            .select(
+                "event_type",
+                "n_events",
+                "exact_users",
+                F.when(in_bounds, 1).otherwise(0).cast("int").alias(
+                    "store_in_bounds"
+                ),
+                "n_entries_before",
+                "n_entries_after",
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+QUERIES["sketch_rollup_compact"] = sketch_rollup_compact
+
+# compaction must not change served results: per-type exact accounting
+# over ALL events (flag literal 1); entries-before = the two slices'
+# day counts summed (each slice's segment pins its own day cells),
+# entries-after = the distinct days
+ORACLES["sketch_rollup_compact"] = (
+    "WITH base AS (SELECT * FROM events"
+    " WHERE user_id IS NOT NULL AND ts IS NOT NULL),"
+    " tele AS (SELECT"
+    " (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM base"
+    f" WHERE user_id % {_SK_BATCH_MOD} != 0)"
+    " + (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM base"
+    f" WHERE user_id % {_SK_BATCH_MOD} = 0) AS n_entries_before,"
+    " (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM base)"
+    " AS n_entries_after)"
+    " SELECT event_type,"
+    " COUNT(*) AS n_events,"
+    " COUNT(DISTINCT user_id) AS exact_users,"
+    " CAST(1 AS INT) AS store_in_bounds,"
+    " tele.n_entries_before, tele.n_entries_after"
+    " FROM base, tele"
+    " GROUP BY event_type, tele.n_entries_before, tele.n_entries_after"
+    " ORDER BY event_type"
+)
+
+
+def sketch_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version retention through the sketch store: build on the
+    non-batch days (v1), upsert the batch days (v2), ERASE a user set
+    (v3 — the three-version chain a few maintenance cycles leave
+    behind), VACUUM to the latest version only, and serve from the
+    survivor.  The oracle restates the survivors directly — a green
+    row proves serve-from-latest is unchanged by the vacuum — and
+    n_versions_purged (always 2 for this chain) binds the retention
+    arithmetic in; the file-level claims (old version dirs gone,
+    unreferenced segments GC'd, pinned files byte-untouched) are
+    locked by tests/test_sketch_upsert.py."""
+    import shutil
+    import tempfile
+
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    is_batch_day = F.dayofmonth(F.expr("CAST(ts AS DATE)")) % 7 == 3
+    tmp = tempfile.mkdtemp(prefix="sgraft_sketch_vacuum_")
+    try:
+        from .retrieval import _published_versions
+
+        _init_sketch_store(ev.filter(~is_batch_day), tmp)
+        upsert_sketch_rollup_store(ev.filter(is_batch_day), tmp)
+        delete_users_from_sketch_store(spark, tmp, ev, _del_users_pred())
+        n_before = len(_published_versions(spark, tmp))
+        vacuum_sketch_store(spark, tmp, keep_last=1)
+        n_purged = n_before - len(_published_versions(spark, tmp))
+        surv = ev.filter(~_del_users_pred())
+        merged = serve_sketch_rollup_from_store(spark, tmp)
+        exact = surv.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_users")
+        )
+        tele = spark.createDataFrame(
+            [(n_purged,)], "n_versions_purged bigint"
+        )
+        in_bounds = (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.greatest(
+                F.col("exact_users") * F.lit(_REL_BOUND),
+                F.lit(_ABS_SLACK),
+            )
+        )
+        out = (
+            merged.join(exact, "event_type")
+            .crossJoin(F.broadcast(tele))
+            .select(
+                "event_type",
+                "n_events",
+                "exact_users",
+                F.when(in_bounds, 1).otherwise(0).cast("int").alias(
+                    "store_in_bounds"
+                ),
+                "n_versions_purged",
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+QUERIES["sketch_store_vacuum"] = sketch_store_vacuum
+
+# vacuum must keep exactly the post-delete state: per-type survivor
+# accounting (flag literal 1), 2 purged versions for the 3-version
+# chain
+ORACLES["sketch_store_vacuum"] = (
+    "WITH base AS (SELECT * FROM events"
+    " WHERE user_id IS NOT NULL AND ts IS NOT NULL)"
+    " SELECT event_type,"
+    " COUNT(*) AS n_events,"
+    " COUNT(DISTINCT user_id) AS exact_users,"
+    " CAST(1 AS INT) AS store_in_bounds,"
+    " CAST(2 AS BIGINT) AS n_versions_purged"
+    f" FROM base WHERE user_id % {DEL_USER_MOD} != {DEL_USER_RES}"
+    " GROUP BY event_type ORDER BY event_type"
+)
+
+
+def sketch_crud_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INTERLEAVED lifecycle certification for the sketch store —
+    build (v1) → upsert the batch days (v2) → erase a user set (v3) →
+    compact (v4) → vacuum to latest — with serve-from-store at the
+    end, self-checked against the exact distinct over the SURVIVING
+    events.  One green row proves the four mutation classes compose:
+    the upserted days survive the erasure of the deleted users, the
+    compaction changes no served result, and the vacuum keeps exactly
+    the final version.  Binds n_upserted_days, n_users_deleted,
+    n_entries_after (the compacted manifest size = distinct survivor
+    days), and n_versions_purged (3) into the checked rows — all
+    closed-form restatable."""
+    import shutil
+    import tempfile
+
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    is_batch_day = F.dayofmonth(F.expr("CAST(ts AS DATE)")) % 7 == 3
+    tmp = tempfile.mkdtemp(prefix="sgraft_sketch_crud_")
+    try:
+        from .retrieval import _published_versions
+
+        _init_sketch_store(ev.filter(~is_batch_day), tmp)
+        batch = ev.filter(is_batch_day)
+        upsert_sketch_rollup_store(batch, tmp)
+        delete_users_from_sketch_store(spark, tmp, ev, _del_users_pred())
+        _, n_after = compact_sketch_store(spark, tmp)
+        n_before_vac = len(_published_versions(spark, tmp))
+        vacuum_sketch_store(spark, tmp, keep_last=1)
+        n_purged = n_before_vac - len(_published_versions(spark, tmp))
+        surv = ev.filter(~_del_users_pred())
+        merged = serve_sketch_rollup_from_store(spark, tmp)
+        exact = surv.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_users")
+        )
+        tele = (
+            spark.createDataFrame(
+                [(n_after, n_purged)],
+                "n_entries_after bigint, n_versions_purged bigint",
+            )
+            .crossJoin(
+                batch.agg(
+                    F.countDistinct(F.expr("CAST(ts AS DATE)")).alias(
+                        "n_upserted_days"
+                    )
+                )
+            )
+            .crossJoin(
+                ev.filter(_del_users_pred()).agg(
+                    F.countDistinct("user_id").alias("n_users_deleted")
+                )
+            )
+        )
+        in_bounds = (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.greatest(
+                F.col("exact_users") * F.lit(_REL_BOUND),
+                F.lit(_ABS_SLACK),
+            )
+        )
+        out = (
+            merged.join(exact, "event_type")
+            .crossJoin(F.broadcast(tele))
+            .select(
+                "event_type",
+                "n_events",
+                "exact_users",
+                F.when(in_bounds, 1).otherwise(0).cast("int").alias(
+                    "store_in_bounds"
+                ),
+                "n_upserted_days",
+                "n_users_deleted",
+                "n_entries_after",
+                "n_versions_purged",
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+QUERIES["sketch_crud_chain"] = sketch_crud_chain
+
+# interleaved chain: per-type survivor accounting (flag literal 1);
+# upserted days / deleted users restated from the raw fact; compacted
+# manifest size = distinct survivor days; 3 purged versions for the
+# 4-version chain
+ORACLES["sketch_crud_chain"] = (
+    "WITH base AS (SELECT * FROM events"
+    " WHERE user_id IS NOT NULL AND ts IS NOT NULL),"
+    " tele AS (SELECT"
+    " (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM base"
+    " WHERE EXTRACT(day FROM CAST(ts AS DATE)) % 7 = 3)"
+    " AS n_upserted_days,"
+    " (SELECT COUNT(DISTINCT user_id) FROM base"
+    f" WHERE user_id % {DEL_USER_MOD} = {DEL_USER_RES})"
+    " AS n_users_deleted,"
+    " (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM base"
+    f" WHERE user_id % {DEL_USER_MOD} != {DEL_USER_RES})"
+    " AS n_entries_after,"
+    " CAST(3 AS BIGINT) AS n_versions_purged)"
+    " SELECT event_type,"
+    " COUNT(*) AS n_events,"
+    " COUNT(DISTINCT user_id) AS exact_users,"
+    " CAST(1 AS INT) AS store_in_bounds,"
+    " tele.n_upserted_days, tele.n_users_deleted,"
+    " tele.n_entries_after, tele.n_versions_purged"
+    f" FROM base, tele WHERE user_id % {DEL_USER_MOD} != {DEL_USER_RES}"
+    " GROUP BY event_type, tele.n_upserted_days, tele.n_users_deleted,"
+    " tele.n_entries_after, tele.n_versions_purged"
+    " ORDER BY event_type"
+)
+
+
 # --- streaming sketch-store ingestion (r13) ----------------------------------
 #
 # The third store's ingest-stream leg, and the one where composition is
@@ -1208,14 +1658,31 @@ ORACLES["sketch_rollup_delete"] = (
 
 
 def _sketch_stream_sink(store: str, bdf: DataFrame, bid: int) -> None:
-    from .retrieval import _fs_of, _store_dir_exists
+    """foreachBatch sink for the sketch store, exactly-once on
+    redelivery by the same construction as the BM25 sink (ADVICE r14
+    #1): the batch id rides the version's PUBLISH marker, so the
+    authoritative skip-check is "does any published version already
+    carry this bid" — one metadata read, no window between apply and
+    record.  The ``_batches/bid=N`` marker is only a fast path."""
+    from .retrieval import (
+        _fs_of,
+        _published_bids,
+        _published_versions,
+        _store_dir_exists,
+    )
 
     sess = bdf.sparkSession
     marker = f"{store}/_batches/bid={bid}"
     if _store_dir_exists(sess, marker):
         return  # redelivered, already fully applied
     if not bdf.isEmpty():
-        upsert_sketch_rollup_store(bdf, store)
+        published = _published_versions(sess, store)
+        if published and bid in _published_bids(sess, store):
+            pass  # redelivered: a published version carries this bid
+        elif not published:
+            _init_sketch_store(bdf, store, bid=bid)
+        else:
+            upsert_sketch_rollup_store(bdf, store, bid=bid)
     fs, hp = _fs_of(sess, marker)
     fs.mkdirs(hp)
 
@@ -1282,11 +1749,21 @@ def sketch_stream_upsert_store(
     try:
         _run_sketch_upsert_stream(spark, sf_dir, tmp)
         store = f"{tmp}/store"
-        nd = (
-            spark.read.parquet(f"{store}/rollup")
-            .select(F.col("day_part"))
-            .distinct()
-            .agg(F.count(F.lit(1)).alias("n_days_stored"))
+        # distinct pinned days straight from the latest manifest — a
+        # driver-side metadata read (entries are (seg, day) pairs;
+        # partial-day cells from different batches pin the same day)
+        from .retrieval import _latest_version, _manifest_entries
+
+        n_days = len(
+            {
+                d
+                for _, d in _manifest_entries(
+                    spark, store, _latest_version(spark, store)
+                )
+            }
+        )
+        nd = spark.createDataFrame(
+            [(n_days,)], "n_days_stored bigint"
         )
         merged = serve_sketch_rollup_from_store(spark, store)
         exact = ev.groupBy("event_type").agg(

@@ -151,9 +151,12 @@ for _mod in _MODULES:
 # certified row is stale.
 # The round-15 front (CORRECTNESS_r14: 50/50 green; never-checked = 0;
 # oldest driver rows anywhere are the 48-query r10 cohort):
-# (a) 41 of the 48-row r10 cohort, oldest-first in registry order
+# (a) 32 of the 48-row r10 cohort, oldest-first in registry order
 #     (from qoq_delta through bm25_index_store) — the rotation the r14
-#     front comment disclosed and VERDICT r14 #5 demanded;
+#     front comment disclosed and VERDICT r14 #5 demanded; 9 further
+#     cohort rows (enumerated in the _FRONT section comment) ceded
+#     their slots mid-round when the sketch-store manifest pinning and
+#     the positional stream/CRUD chains landed;
 # (b) re-certs whose GENERATED PLAN changed this round: the r15
 #     ANN-STORE MANIFEST PINNING (VERDICT r14 #2 — codes now live in
 #     immutable ``codes/seg={seg}/cell=N`` segments pinned by
@@ -163,14 +166,27 @@ for _mod in _MODULES:
 #     serve scan and every mutation leg: ann_index_upsert,
 #     ann_index_delete, ann_index_compact, ann_crud_chain (also gains
 #     a vacuum leg + final_version binding — oracle restated),
-#     ann_stream_upsert_store; and erasure_e2e, whose ANN delete leg
-#     runs through the same machinery;
+#     ann_stream_upsert_store; erasure_e2e, whose ANN delete leg
+#     runs through the same machinery (and whose sketch leg runs
+#     through the r15 sketch manifests); and the r15 SKETCH-STORE
+#     MANIFEST PINNING (VERDICT r14 #3 option A — the rollup now
+#     lives in immutable day-partitioned segments pinned by
+#     per-version manifests; the erasure is one atomic cross-day cut;
+#     the r14 documented read-committed-per-day contract is retired),
+#     which changes every sketch-store lifecycle leg:
+#     sketch_rollup_store, sketch_rollup_upsert, sketch_rollup_delete,
+#     sketch_stream_upsert_store;
 # (c) r15 net-new: near_search_batch + bm25_topk_batch (batched
 #     query-relation serving for the remaining two retrieval modes,
-#     one pinned scan each — VERDICT r14 #6) and bm25_filtered_topk
+#     one pinned scan each — VERDICT r14 #6), bm25_filtered_topk
 #     (metadata-filtered lexical retrieval, the ann_filtered_topk
-#     twin — VERDICT r14 #7 stretch).
-# 41 + 6 + 3 = 50 — every slot accounted for.  NOT stale (disclosed):
+#     twin — VERDICT r14 #7 stretch), sketch_rollup_compact +
+#     sketch_store_vacuum + sketch_crud_chain (the pinned sketch
+#     store's new lifecycle legs), and phrase_stream_upsert_store +
+#     phrase_crud_chain (the positional store's first streaming
+#     ingest and interleaved lifecycle certifications — the last
+#     store missing both).
+# 32 + 10 + 8 = 50 — every slot accounted for.  NOT stale (disclosed):
 # the r15 staging upgrade (attempt-unique version dirs + content-
 # bearing publish markers + bid-in-marker exactly-once; ADVICE r14
 # #1/#2/#3, VERDICT r14 #4) touches the BM25/positional stores' WRITE
@@ -183,14 +199,16 @@ for _mod in _MODULES:
 # stream/compact/crud, phrase_* legs, phrase_search_batch) therefore
 # carry fresh r14 rows over identical outputs; their re-certs queue
 # behind the r16 rotation rather than displacing the year-old r10
-# cohort.  The sketch store's weaker erasure-visibility contract is
-# now DOCUMENTED (VERDICT r14 #3 option B) with the honest mid-state
-# unit (tests/test_sketch_upsert.py) — no plan change, no re-cert due.
-# Disclosed deferrals: the 7-query r10 tail (exact_dedup_stats,
+# cohort.
+# Disclosed deferrals: the 16-query r10 tail (exact_dedup_stats,
 # near_dup_summary, exact_dedup_keep_first, minhash_signatures,
-# near_dup_clusters, image_features_gif, video_frame_dedup_y4m —
-# registry order) queues FIRST for the r16 front, followed by the
-# 50-row r11 cohort; all strict-parity green locally this session.
+# near_dup_clusters, image_features_gif, video_frame_dedup_y4m, plus
+# the 9 rows the mid-round additions displaced: lsh_buckets,
+# embedding_near_dup_pairs, ann_topk_lsh, ivf_assignments,
+# ann_topk_ivf, ann_topk_batch, ann_topk_batch_lsh,
+# percentiles_by_status, w_rank_dense_ntile — registry order) queues
+# FIRST for the r16 front, followed by the 50-row r11 cohort; all
+# strict-parity green locally this session.
 # ---- superseded r14 front comment kept for the ledger: -------------
 # The round-14 front (CORRECTNESS_r13: 50/50 green; never-checked = 1,
 # the disclosed late-r13 near_index_store; oldest driver rows anywhere
@@ -373,14 +391,21 @@ for _mod in _MODULES:
 # green locally this session at sf0.001, sf0.01 AND sf0.1
 # (tests/test_parity.py, 214 passed at each scale).
 _FRONT = (
-    # -- (a) the 48-row r10 cohort, oldest-first in registry order; 41
+    # -- (a) the 48-row r10 cohort, oldest-first in registry order; 32
     #        fit after the plan-changed re-certs and net-new take their
-    #        non-negotiable slots (the r14 front comment's disclosed
-    #        rotation; VERDICT r14 #5) --------------------------------------
+    #        non-negotiable slots (VERDICT r14 #5 + the r15 sketch-store
+    #        manifest pinning and positional stream/CRUD chains, which
+    #        re-opened 9 slots' worth of plan-changed + net-new rows
+    #        mid-round; the 9 cohort rows dropped to make room —
+    #        lsh_buckets, embedding_near_dup_pairs, ann_topk_lsh,
+    #        ivf_assignments, ann_topk_ivf, ann_topk_batch,
+    #        ann_topk_batch_lsh, percentiles_by_status,
+    #        w_rank_dense_ntile — are raw-embedding similarity or pure
+    #        window/agg queries that touch no store and stay r10-green;
+    #        they rotate r16) ---------------------------------------------
     "qoq_delta",
     "events_rolling_7d",
     "q8_market_share",
-    "percentiles_by_status",
     "p6_inlist_filter",
     "o2_nulls_last",
     "o3_top1_subquery",
@@ -398,7 +423,6 @@ _FRONT = (
     "a9_distinct_regions",
     "a10_having",
     "w1_topk_per_group",
-    "w_rank_dense_ntile",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_delta",
@@ -410,28 +434,32 @@ _FRONT = (
     "redact_pii",
     "weighted_quality_sample",
     "cosine_topk",
-    "lsh_buckets",
-    "embedding_near_dup_pairs",
-    "ann_topk_lsh",
-    "ivf_assignments",
-    "ann_topk_ivf",
-    "ann_topk_batch",
-    "ann_topk_batch_lsh",
     "bm25_index_store",
     # -- (b) plan-changed re-certs: the r15 ANN-store manifest pinning
     #        (VERDICT r14 #2) changes every mutation leg and the
-    #        versioned serve scan of the ANN store, and erasure_e2e's
-    #        ANN leg runs through the same machinery -----------------------
+    #        versioned serve scan of the ANN store; the r15 sketch-store
+    #        manifest pinning (VERDICT r14 #3 option A) changes every
+    #        sketch-store lifecycle leg the same way; and erasure_e2e's
+    #        ANN + sketch legs run through both machineries ----------------
     "ann_index_upsert",
     "ann_index_delete",
     "ann_index_compact",
     "ann_crud_chain",
     "ann_stream_upsert_store",
     "erasure_e2e",
+    "sketch_rollup_store",
+    "sketch_rollup_upsert",
+    "sketch_rollup_delete",
+    "sketch_stream_upsert_store",
     # -- (c) r15 net-new ---------------------------------------------------
     "near_search_batch",
     "bm25_topk_batch",
     "bm25_filtered_topk",
+    "sketch_rollup_compact",
+    "sketch_store_vacuum",
+    "sketch_crud_chain",
+    "phrase_stream_upsert_store",
+    "phrase_crud_chain",
 )
 
 _FRONT_R14 = (

@@ -1,7 +1,10 @@
-"""Incremental sketch-store maintenance (sketch_rollup_upsert): the
-cell-level upsert ≡ rebuild claim and the file-level append-only claim
-— the two properties the aggregate parity row implies but should be
-locked directly (the vectorstore/retrieval upsert discipline)."""
+"""Manifest-pinned sketch-store maintenance: the cell-level
+upsert/delete ≡ rebuild claims, the copy-on-write file-level claims
+(every pre-mutation file byte-untouched), and the r15 snapshot-
+isolation contract (VERDICT r14 #3, option A — a reader pinned at v
+mid-erasure sees the complete pre-delete rollup; the r14 documented
+read-committed-per-day contract is retired) — the vectorstore/
+retrieval store-test discipline applied to the fourth store."""
 
 from __future__ import annotations
 
@@ -12,6 +15,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from intellect_bi_spark.catalog import load_tables
+from intellect_bi_spark.operators import retrieval as rt
 from intellect_bi_spark.operators import sketches as sk
 
 
@@ -21,12 +25,21 @@ def _events(spark, sf_dir):
     )
 
 
-def _cells(spark, path):
-    """(day_part, event_type) → (estimate, n_events) from a store."""
+def _cells(spark, path, v=None):
+    """(day, event_type) → (estimate, n_events) from the store's
+    PINNED cells (latest or version ``v``'s manifest)."""
+    if v is None:
+        v = rt._latest_version(spark, path)
+    pinned = rt._read_segments(
+        spark,
+        f"{path}/{sk._SK_ROOT}",
+        rt._manifest_entries(spark, path, v),
+        sk._SK_CELL_SCHEMA,
+        pcol="day_part",
+    )
     return {
-        (r["day_part"], r["event_type"]): (r["est"], r["n_events"])
-        for r in spark.read.parquet(f"{path}/rollup")
-        .groupBy("day_part", "event_type")
+        (str(r["day"]), r["event_type"]): (r["est"], r["n_events"])
+        for r in pinned.groupBy("day", "event_type")
         .agg(
             F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
             F.sum("n_events").alias("n_events"),
@@ -35,12 +48,24 @@ def _cells(spark, path):
     }
 
 
-def _day_dirs(path):
-    return {
-        d: sorted(os.listdir(os.path.join(path, "rollup", d)))
-        for d in os.listdir(os.path.join(path, "rollup"))
-        if d.startswith("day_part=")
-    }
+def _seg_files(path):
+    """Every data file under every segment → its size (the byte-
+    untouched ledger for the copy-on-write claims)."""
+    out = {}
+    root = os.path.join(path, sk._SK_ROOT)
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            fp = os.path.join(dirpath, f)
+            out[os.path.relpath(fp, root)] = os.path.getsize(fp)
+    return out
+
+
+def _served(spark, path, v=None):
+    return sorted(
+        (r["event_type"], r["est"], r["n_events"])
+        for r in sk.serve_sketch_rollup_from_store(spark, path, v=v)
+        .collect()
+    )
 
 
 def test_sketch_upsert_cells_equal_full_rebuild(spark, sf_dir):
@@ -49,195 +74,168 @@ def test_sketch_upsert_cells_equal_full_rebuild(spark, sf_dir):
     up_tmp = tempfile.mkdtemp(prefix="sgraft_skup_")
     rb_tmp = tempfile.mkdtemp(prefix="sgraft_skrb_")
     try:
-        sk.user_sketch_rollup(ev.filter(~is_batch)).withColumn(
-            "day_part", F.col("day").cast("string")
-        ).write.partitionBy("day_part").parquet(f"{up_tmp}/rollup")
-        sk.user_sketch_rollup(ev.filter(is_batch)).withColumn(
-            "day_part", F.col("day").cast("string")
-        ).write.mode("append").partitionBy("day_part").parquet(
-            f"{up_tmp}/rollup"
-        )
+        sk._init_sketch_store(ev.filter(~is_batch), up_tmp)
+        sk.upsert_sketch_rollup_store(ev.filter(is_batch), up_tmp)
         sk.build_sketch_rollup_store(spark, sf_dir, rb_tmp)
         assert _cells(spark, up_tmp) == _cells(spark, rb_tmp)
         # and the served per-type merge agrees too
-        up = sorted(
-            (r["event_type"], r["est"], r["n_events"])
-            for r in sk.serve_sketch_rollup_from_store(
-                spark, up_tmp
-            ).collect()
-        )
-        rb = sorted(
-            (r["event_type"], r["est"], r["n_events"])
-            for r in sk.serve_sketch_rollup_from_store(
-                spark, rb_tmp
-            ).collect()
-        )
-        assert up == rb
+        assert _served(spark, up_tmp) == _served(spark, rb_tmp)
     finally:
         shutil.rmtree(up_tmp, ignore_errors=True)
         shutil.rmtree(rb_tmp, ignore_errors=True)
 
 
-def test_sketch_upsert_appends_only_batch_days(spark, sf_dir):
+def test_sketch_upsert_copy_on_write_and_manifest(spark, sf_dir):
+    """The upsert's file-level claims under the manifest discipline:
+    one NEW segment lands, every pre-existing file is byte-untouched,
+    and the v2 manifest pins exactly v1's entries plus the batch's
+    day cells."""
     ev = _events(spark, sf_dir)
     is_batch = F.dayofmonth(F.expr("CAST(ts AS DATE)")) % 7 == 3
     tmp = tempfile.mkdtemp(prefix="sgraft_skupf_")
     try:
-        sk.user_sketch_rollup(ev.filter(~is_batch)).withColumn(
-            "day_part", F.col("day").cast("string")
-        ).write.partitionBy("day_part").parquet(f"{tmp}/rollup")
-        before = _day_dirs(tmp)
-        sizes = {
-            (d, f): os.path.getsize(os.path.join(tmp, "rollup", d, f))
-            for d, fs in before.items()
-            for f in fs
-        }
-        batch_days = {
-            f"day_part={r['d']}"
+        sk._init_sketch_store(ev.filter(~is_batch), tmp)
+        before = _seg_files(tmp)
+        v1_entries = rt._manifest_entries(spark, tmp, 1)
+        batch_days = sorted(
+            str(r["d"])
             for r in ev.filter(is_batch)
             .select(F.expr("CAST(CAST(ts AS DATE) AS STRING)").alias("d"))
             .distinct()
             .collect()
-        }
-        assert batch_days and not (batch_days & set(before))
-        sk.user_sketch_rollup(ev.filter(is_batch)).withColumn(
-            "day_part", F.col("day").cast("string")
-        ).write.mode("append").partitionBy("day_part").parquet(
-            f"{tmp}/rollup"
         )
-        after = _day_dirs(tmp)
-        assert set(after) == set(before) | batch_days
-        for d, fs in before.items():
-            assert after[d] == fs, f"{d}: pre-existing partition changed"
-            for f in fs:
-                assert (
-                    os.path.getsize(os.path.join(tmp, "rollup", d, f))
-                    == sizes[(d, f)]
-                )
+        assert batch_days and not (
+            set(batch_days) & {d for _, d in v1_entries}
+        )
+        sk.upsert_sketch_rollup_store(ev.filter(is_batch), tmp)
+        after = _seg_files(tmp)
+        for f, sz in before.items():
+            assert after.get(f) == sz, f"{f}: pre-existing file changed"
+        v2_entries = rt._manifest_entries(spark, tmp, 2)
+        new = [e for e in v2_entries if e not in v1_entries]
+        assert sorted(d for _, d in new) == batch_days
+        segs = {s for s, _ in new}
+        assert len(segs) == 1 and segs != {s for s, _ in v1_entries}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
 def test_sketch_delete_equals_rebuild_without_users(spark, sf_dir):
     """Deletion through the sketch store: after erasing the user set,
-    the cell relation equals a from-scratch rollup of ONLY the
-    surviving events (same estimates, same exact counts per cell), and
-    day partitions holding no erased-user events are byte-untouched."""
+    the PINNED cell relation equals a from-scratch rollup of ONLY the
+    surviving events (same estimates, same exact counts per cell) —
+    and EVERY pre-delete file is byte-untouched (copy-on-write: the
+    erasure writes a survivor segment and un-pins, never rewrites)."""
     ev = _events(spark, sf_dir)
     pred = sk._del_users_pred()
     tmp = tempfile.mkdtemp(prefix="sgraft_skdel_")
     tmp2 = tempfile.mkdtemp(prefix="sgraft_skdel_rebuild_")
     try:
         sk.build_sketch_rollup_store(spark, sf_dir, tmp)
-        before_dirs = _day_dirs(tmp)
-        sizes = {
-            (d, f): os.path.getsize(os.path.join(tmp, "rollup", d, f))
-            for d, fs in before_dirs.items()
-            for f in fs
-        }
+        before = _seg_files(tmp)
         affected = sk.delete_users_from_sketch_store(spark, tmp, ev, pred)
         assert affected  # ~10% of users must touch some day
-        affected_dirs = {f"day_part={d}" for d in affected}
-        after_dirs = _day_dirs(tmp)
-        for d in after_dirs:
-            if d not in affected_dirs:
-                assert after_dirs[d] == before_dirs[d], f"{d}: changed"
-                for f in before_dirs[d]:
-                    assert (
-                        os.path.getsize(os.path.join(tmp, "rollup", d, f))
-                        == sizes[(d, f)]
-                    ), f"{d}/{f}: untouched day rewritten"
-        # cell relation == rebuild over survivors only
-        surv = ev.filter(~pred)
-        sk.user_sketch_rollup(surv).withColumn(
-            "day_part", F.col("day").cast("string")
-        ).write.partitionBy("day_part").parquet(f"{tmp2}/rollup")
+        after = _seg_files(tmp)
+        for f, sz in before.items():
+            assert after.get(f) == sz, f"{f}: pre-delete file rewritten"
+        # pinned cell relation == rebuild over survivors only
+        sk._init_sketch_store(ev.filter(~pred), tmp2)
         assert _cells(spark, tmp) == _cells(spark, tmp2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(tmp2, ignore_errors=True)
 
 
-def test_sketch_delete_mid_state_per_day_visibility(spark, sf_dir):
-    """The sketch store's DOCUMENTED weaker visibility contract
-    (VERDICT r14 #3, option B — see delete_users_from_sketch_store's
-    docstring): the erasure recompute is read-committed PER DAY, not
-    snapshot-isolated.  This unit constructs the exact transitional
-    state a mid-delete reader can observe — the first affected day's
-    partition already rewritten (the same dynamic-overwrite commit the
-    full delete issues per day), the rest not yet — and demonstrates
-    the contract honestly: (a) per-day atomicity holds — every day's
-    cells equal EITHER the pre-delete or the post-delete rollup of
-    that day, never torn state; (b) the global cut is absent — the
-    transitional cell relation matches neither the full pre-delete nor
-    the full post-delete store; (c) completing the delete converges to
-    the rebuild-without-users state."""
+def test_sketch_delete_pinned_reader_snapshot(spark, sf_dir):
+    """The r15 snapshot-isolation contract
+    (delete_users_from_sketch_store's docstring): a reader pinned at
+    v=1 DURING/AFTER the erasure sees the complete pre-delete rollup —
+    bit-exact cells, byte-identical pinned files — while the latest
+    reader sees survivors only; the erasure is one atomic cross-day
+    cut at publish, not the per-day transitional state the r14
+    in-place rewrite exposed.  Vacuum then GCs the unpinned segment
+    and the latest serve is unchanged."""
     ev = _events(spark, sf_dir)
     pred = sk._del_users_pred()
-    tmp = tempfile.mkdtemp(prefix="sgraft_skmid_")
-    tmp2 = tempfile.mkdtemp(prefix="sgraft_skmid_rebuild_")
+    tmp = tempfile.mkdtemp(prefix="sgraft_skpin_")
     try:
         sk.build_sketch_rollup_store(spark, sf_dir, tmp)
-        pre = _cells(spark, tmp)
-        # the post-delete truth: rollup of survivors only
-        surv = ev.filter(~pred)
-        sk.user_sketch_rollup(surv).withColumn(
-            "day_part", F.col("day").cast("string")
-        ).write.partitionBy("day_part").parquet(f"{tmp2}/rollup")
-        post = _cells(spark, tmp2)
-        affected = sorted(
-            str(r["day"])
-            for r in ev.filter(pred)
-            .select(F.expr("CAST(ts AS DATE)").alias("day"))
-            .distinct()
+        pre_cells = _cells(spark, tmp, v=1)
+        pre_served = _served(spark, tmp, v=1)
+        pre_files = _seg_files(tmp)
+        v1_entries = rt._manifest_entries(spark, tmp, 1)
+        affected = sk.delete_users_from_sketch_store(spark, tmp, ev, pred)
+        assert affected
+        # the pinned reader: full pre-delete state, bit-exact
+        assert _cells(spark, tmp, v=1) == pre_cells
+        assert _served(spark, tmp, v=1) == pre_served
+        after_files = _seg_files(tmp)
+        for f, sz in pre_files.items():
+            assert after_files.get(f) == sz, f"{f}: pinned file changed"
+        # the latest reader: survivors only, no erased-day leakage
+        v2_entries = rt._manifest_entries(spark, tmp, 2)
+        hit = set(affected)
+        assert not [e for e in v2_entries if e in v1_entries and e[1] in hit]
+        post_served = _served(spark, tmp)
+        surv_exact = {
+            r["event_type"]: r["n"]
+            for r in ev.filter(~pred)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
             .collect()
-        )
-        assert len(affected) > 1  # a mid-state needs at least two days
-        first = affected[0]
-        # commit ONLY the first affected day — the per-day write the
-        # full delete's loop issues
-        day_surv = surv.filter(
-            F.expr("CAST(ts AS DATE)").cast("string") == first
-        )
-        (
-            sk.user_sketch_rollup(day_surv)
-            .withColumn("day_part", F.col("day").cast("string"))
-            .repartition(1, "day_part")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("day_part")
-            .parquet(f"{tmp}/rollup")
-        )
-        mid = _cells(spark, tmp)
-        # (a) per-day atomicity: each day is wholly pre or wholly post
-        days = {d for d, _ in mid}
-        for d in days:
-            day_cells = {k: v for k, v in mid.items() if k[0] == d}
-            pre_day = {k: v for k, v in pre.items() if k[0] == d}
-            post_day = {k: v for k, v in post.items() if k[0] == d}
-            assert day_cells in (pre_day, post_day), f"{d}: torn day"
-        assert {k: v for k, v in mid.items() if k[0] == first} == {
-            k: v for k, v in post.items() if k[0] == first
         }
-        # (b) no global cut: the transitional state is neither snapshot
-        assert mid != pre and mid != post
-        # (c) completing the delete converges to the rebuild
-        assert sorted(
-            sk.delete_users_from_sketch_store(spark, tmp, ev, pred)
-        ) == affected
-        assert _cells(spark, tmp) == post
+        assert {t: n for t, _e, n in post_served} == surv_exact
+        # vacuum: v1 gone, unreferenced segments GC'd, serve unchanged
+        removed = sk.vacuum_sketch_store(spark, tmp, keep_last=1)
+        assert removed > 0
+        live_segs = {s for s, _ in rt._manifest_entries(spark, tmp, 2)}
+        root = os.path.join(tmp, sk._SK_ROOT)
+        on_disk = {
+            d[4:] for d in os.listdir(root) if d.startswith("seg=")
+        }
+        assert on_disk == live_segs
+        assert not os.path.exists(
+            os.path.join(tmp, "_published", "v=1")
+        )
+        assert _served(spark, tmp) == post_served
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(tmp2, ignore_errors=True)
+
+
+def test_sketch_compact_serve_invariant(spark, sf_dir):
+    """Compaction merges the upsert chain's partial-day cells to one
+    per (day, type) — manifest entries drop to the distinct-day count
+    — and the served estimates are BIT-identical (union associativity:
+    merging at compact time ≡ merging at serve time); the pre-compact
+    version stays fully readable until vacuumed."""
+    ev = _events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sgraft_skcomp_")
+    try:
+        sk._init_sketch_store(ev.filter(~sk._sk_user_batch_pred()), tmp)
+        sk.upsert_sketch_rollup_store(
+            ev.filter(sk._sk_user_batch_pred()), tmp
+        )
+        pre_served = _served(spark, tmp)
+        pre_cells = _cells(spark, tmp)
+        n_before, n_after = sk.compact_sketch_store(spark, tmp)
+        n_days = ev.select(F.expr("CAST(ts AS DATE)")).distinct().count()
+        assert n_after == n_days and n_before > n_after
+        assert _served(spark, tmp) == pre_served
+        # per-(day, type) estimates also survive the merge bit-exactly
+        assert _cells(spark, tmp) == pre_cells
+        # the pre-compact version is still a complete pinned snapshot
+        assert _served(spark, tmp, v=2) == pre_served
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def test_sketch_stream_composes_to_single_pass_build(spark, sf_dir):
-    """The streaming append chain: per-batch markers land, redelivery
-    is a no-op, and the stream-composed store SERVES exactly what the
-    single-pass build serves — partial-day cells from different batches
-    merge losslessly (union associativity over max-register HLL)."""
-    from intellect_bi_spark.operators import retrieval as rt
-
+    """The streaming ingest chain: per-batch markers land, the batch
+    ids ride the publish markers (the exactly-once record — ADVICE r14
+    #1: redelivery skips even if the fast _batches marker is gone),
+    and the stream-composed store SERVES exactly what the single-pass
+    build serves — partial-day cells from different batches merge
+    losslessly (union associativity over max-register HLL)."""
     ev = _events(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="sgraft_skstream_")
     tmp2 = tempfile.mkdtemp(prefix="sgraft_skstream_build_")
@@ -246,26 +244,23 @@ def test_sketch_stream_composes_to_single_pass_build(spark, sf_dir):
         store = f"{tmp}/store"
         for bid in range(rt.N_FEED_FILES):
             assert os.path.isdir(f"{store}/_batches/bid={bid}")
+        assert rt._published_bids(spark, store) == set(
+            range(rt.N_FEED_FILES)
+        )
         sk.build_sketch_rollup_store(spark, sf_dir, tmp2)
-
-        def served(path):
-            return sorted(
-                (r["event_type"], r["est"], r["n_events"])
-                for r in sk.serve_sketch_rollup_from_store(
-                    spark, path
-                ).collect()
-            )
-
-        got = served(store)
-        assert got == served(tmp2)
+        got = _served(spark, store)
+        assert got == _served(spark, tmp2)
         # exact accounting reached the store losslessly
         n_ev = ev.count()
         assert sum(n for _t, _e, n in got) == n_ev
-        # redelivery of an applied batch id must change nothing
-        rows_before = spark.read.parquet(f"{store}/rollup").count()
+        # redelivery of an applied batch id must change nothing, even
+        # with the fast marker REMOVED (the publish-marker bid is the
+        # authoritative ledger)
+        shutil.rmtree(f"{store}/_batches/bid=0")
+        v_before = rt._latest_version(spark, store)
         sk._sketch_stream_sink(store, ev.limit(50), 0)
-        assert spark.read.parquet(f"{store}/rollup").count() == rows_before
-        assert served(store) == got
+        assert rt._latest_version(spark, store) == v_before
+        assert _served(spark, store) == got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(tmp2, ignore_errors=True)

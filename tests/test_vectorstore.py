@@ -1685,3 +1685,48 @@ def test_bm25_filtered_topk_semantics_and_plan(spark, sf_dir):
         assert "CartesianProduct" not in plan
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_pos_stream_upsert_version_chain(spark, sf_dir):
+    """The positional ingest stream (r15): N_FEED_FILES micro-batches
+    each publish one more manifest version, the stream-composed store
+    serves BOTH probes exactly as a single-pass build does, and
+    redelivery is exactly-once end to end (bid rides the publish
+    marker — skipped even with the fast-path marker removed)."""
+    import os
+
+    from intellect_bi_spark.operators import retrieval as rt
+
+    build_tmp = tempfile.mkdtemp(prefix="sgraft_posstream_build_")
+    tmp = tempfile.mkdtemp(prefix="sgraft_posstreamtest_")
+    try:
+        rt._init_pos_store(rt._base_docs(spark, sf_dir), build_tmp)
+        want = rt._pos_probes_from_store(spark, build_tmp).collect()
+        rt._run_pos_upsert_stream(spark, sf_dir, tmp)
+        store = f"{tmp}/store"
+        assert rt._latest_version(spark, store) == rt.N_FEED_FILES
+        # every intermediate manifest survives (snapshot chain)
+        for v in range(1, rt.N_FEED_FILES + 1):
+            assert os.path.isfile(
+                rt._table_dir(spark, store, "manifests", v)
+            )
+        got = rt._pos_probes_from_store(spark, store).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        # redelivery: fast marker present → no-op
+        v = rt._latest_version(spark, store)
+        for bid in range(rt.N_FEED_FILES):
+            assert os.path.isdir(f"{store}/_batches/bid={bid}")
+        redelivered = rt._base_docs(spark, sf_dir).limit(5)
+        rt._pos_stream_sink(store, redelivered, 0)
+        assert rt._latest_version(spark, store) == v
+        # authoritative exactly-once: fast marker REMOVED, the publish
+        # marker's bid still skips the redelivered batch
+        shutil.rmtree(f"{store}/_batches/bid=0")
+        assert 0 in rt._published_bids(spark, store)
+        rt._pos_stream_sink(store, redelivered, 0)
+        assert rt._latest_version(spark, store) == v
+        got2 = rt._pos_probes_from_store(spark, store).collect()
+        assert [tuple(r) for r in got2] == [tuple(r) for r in want]
+    finally:
+        shutil.rmtree(build_tmp, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
