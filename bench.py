@@ -374,11 +374,8 @@ def main() -> None:
     import tempfile
 
     ann_store = tempfile.mkdtemp(prefix="sgraft_bench_annstore_")
-    vectorstore.build_index(spark, sf_dir, ann_store)
     bm25_store = tempfile.mkdtemp(prefix="sgraft_bench_bm25store_")
-    retrieval.build_bm25_index(spark, sf_dir, bm25_store)
     sketch_store = tempfile.mkdtemp(prefix="sgraft_bench_sketchstore_")
-    sketches.build_sketch_rollup_store(spark, sf_dir, sketch_store)
 
     # Upsert-only latency (VERDICT r12 #7): the registry's upsert rows
     # time build+upsert+both-serves+teardown as one number, which hides
@@ -390,9 +387,7 @@ def main() -> None:
     from pyspark.sql import functions as _F  # noqa: N811
 
     ann_up_base = tempfile.mkdtemp(prefix="sgraft_bench_annup_")
-    vectorstore.build_index_frozen(spark, sf_dir, ann_up_base)
     bm25_up_base = tempfile.mkdtemp(prefix="sgraft_bench_bm25up_")
-    retrieval.build_bm25_index_v2(spark, sf_dir, bm25_up_base)
     sketch_up_base = tempfile.mkdtemp(prefix="sgraft_bench_sketchup_")
     from intellect_bi_spark.catalog import load_tables  # noqa: E402
 
@@ -402,7 +397,37 @@ def main() -> None:
     _is_batch_day = (
         _F.dayofmonth(_F.expr("CAST(ts AS DATE)")) % 7 == 3
     )
-    sketches._init_sketch_store(_ev.filter(~_is_batch_day), sketch_up_base)
+
+    # The six staging builds are UNTIMED setup (the serve-only /
+    # upsert-only metrics time serving and mutation, never these
+    # builds), but their wall time counts against the driver's budget
+    # — so they run concurrently (optimization r15, guide §2.6), which
+    # matters on the degraded box class that killed BENCH_r14.
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=3) as _pool:
+        _stage = [
+            _pool.submit(vectorstore.build_index, spark, sf_dir, ann_store),
+            _pool.submit(
+                retrieval.build_bm25_index, spark, sf_dir, bm25_store
+            ),
+            _pool.submit(
+                sketches.build_sketch_rollup_store,
+                spark, sf_dir, sketch_store,
+            ),
+            _pool.submit(
+                vectorstore.build_index_frozen, spark, sf_dir, ann_up_base
+            ),
+            _pool.submit(
+                retrieval.build_bm25_index_v2, spark, sf_dir, bm25_up_base
+            ),
+            _pool.submit(
+                sketches._init_sketch_store,
+                _ev.filter(~_is_batch_day), sketch_up_base,
+            ),
+        ]
+        for _f in _stage:
+            _f.result()
 
     def _timed_upsert(base: str, run) -> float:
         dst = tempfile.mkdtemp(prefix="sgraft_bench_upclone_")

@@ -187,9 +187,19 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     discloses exactly what the cap excluded).  The pairwise stage is
     ≤ K·CAP²/2 cosine evaluations TOTAL regardless of corpus size, on
     the Arrow-vectorized cosine (similarity.py:_cosine_udf, bit-exact
-    with the oracle's strict d-order fold)."""
+    with the oracle's strict d-order fold).
+
+    Pin lifecycle (optimization r15, guide §5 cache-on-reuse): the
+    ranked assignment fans into the member stats and the capped pair
+    stage, and the flagged pair relation (the expensive Arrow cosine
+    pass) fans into the pair stats and the removed-id aggregate —
+    unpinned, every branch re-ran the k-means assignment scan and the
+    pairwise cosine (10 parquet scans in the before-plan).  Both are
+    pinned for the query and released once the summary rows are
+    checkpointed."""
     from pyspark.sql import Window
 
+    from ..functions.windows import register_cache, release_after_action
     from .similarity import _cosine_udf
 
     points = _points(spark, sf_dir)
@@ -199,7 +209,9 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("a.cid").alias("cid"), "embedding"
     )
     w = Window.partitionBy("cid").orderBy("vec_id")
-    ranked = assigned.withColumn("rk", F.row_number().over(w))
+    ranked = register_cache(
+        assigned.withColumn("rk", F.row_number().over(w))
+    )
     member_stats = ranked.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum((F.col("rk") <= SEM_CAP).cast("long")).alias("n_capped"),
@@ -213,7 +225,7 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = capped.select(
         "cid", F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
     )
-    flagged = (
+    flagged = register_cache(
         a.join(b, "cid")
         .filter(F.col("va") < F.col("vb"))
         .withColumn("cos", _cosine_udf()(F.col("ea"), F.col("eb")))
@@ -236,7 +248,7 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("vb") % P).alias("removed_binding"),
     )
     zero = F.lit(0).cast("long")
-    return (
+    return release_after_action(
         member_stats.join(pair_stats, "cid", "left")
         .join(rem_stats, "cid", "left")
         .select(
@@ -248,7 +260,9 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_removed", zero).alias("n_removed"),
             F.coalesce("removed_binding", zero).alias("removed_binding"),
         )
-        .orderBy("cluster_id")
+        .orderBy("cluster_id"),
+        ranked,
+        flagged,
     )
 
 

@@ -297,104 +297,127 @@ def erasure_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp_ann = tempfile.mkdtemp(prefix="sgraft_erasure_ann_")
     tmp_sk = tempfile.mkdtemp(prefix="sgraft_erasure_sketch_")
     try:
-        # --- lexical store ---------------------------------------------------
-        docs = _base_docs(spark, sf_dir)
-        ddocs = docs.filter(
-            F.col("doc_id") % DOC_UPSERT_MOD == DOC_DELETE_RES
-        )
-        _init_bm25_store(docs, tmp_bm)
-        delete_from_bm25_index(spark, tmp_bm, ddocs)
-        bm_tele = ddocs.agg(
-            F.count(F.lit(1)).alias("n_deleted"),
-        ).crossJoin(
-            F.broadcast(
-                _postings_of(_toks_of(ddocs)).agg(
-                    F.countDistinct("term").alias("n_affected")
+        # The three store chains (build → delete → serve binding) are
+        # fully independent — separate temp stores, separate base
+        # tables — so they run as CONCURRENT driver threads
+        # (optimization r15, guide §2.6 "overlap independent jobs"):
+        # sequentially, each chain's job tails left most of the
+        # cluster idle while the next chain waited.  Each thread only
+        # BUILDS its row frame; the union and the one eager action
+        # happen on the main thread, so the checked output (and its
+        # fixed store-ordered rows) is unchanged.
+        def _bm25_chain() -> DataFrame:
+            docs = _base_docs(spark, sf_dir)
+            ddocs = docs.filter(
+                F.col("doc_id") % DOC_UPSERT_MOD == DOC_DELETE_RES
+            )
+            _init_bm25_store(docs, tmp_bm)
+            delete_from_bm25_index(spark, tmp_bm, ddocs)
+            bm_tele = ddocs.agg(
+                F.count(F.lit(1)).alias("n_deleted"),
+            ).crossJoin(
+                F.broadcast(
+                    _postings_of(_toks_of(ddocs)).agg(
+                        F.countDistinct("term").alias("n_affected")
+                    )
                 )
             )
-        )
-        bm_row = (
-            serve_bm25_v2(spark, tmp_bm)
-            .agg(
-                F.sum(
-                    F.col("doc_id") * 1000003
-                    + F.col("n_hit_terms") * 101
-                    + F.col("score_q")
-                ).alias("binding")
+            return (
+                serve_bm25_v2(spark, tmp_bm)
+                .agg(
+                    F.sum(
+                        F.col("doc_id") * 1000003
+                        + F.col("n_hit_terms") * 101
+                        + F.col("score_q")
+                    ).alias("binding")
+                )
+                .crossJoin(F.broadcast(bm_tele))
+                .select(
+                    F.lit("bm25").alias("store"),
+                    F.col("n_deleted").cast("bigint"),
+                    F.col("n_affected").cast("bigint"),
+                    F.col("binding").cast("bigint"),
+                )
             )
-            .crossJoin(F.broadcast(bm_tele))
-            .select(
-                F.lit("bm25").alias("store"),
-                F.col("n_deleted").cast("bigint"),
-                F.col("n_affected").cast("bigint"),
-                F.col("binding").cast("bigint"),
+
+        def _ann_chain() -> DataFrame:
+            emb = _emb(spark, sf_dir)
+            vdels = emb.filter(_delete_pred()).select("vec_id")
+            build_index_frozen_full(spark, sf_dir, tmp_ann)
+            cells = delete_from_index(spark, tmp_ann, vdels)
+            ann_tele = vdels.agg(F.count(F.lit(1)).alias("n_deleted"))
+            return (
+                topk_from_index(*read_index_versioned(spark, tmp_ann), emb)
+                .agg(
+                    F.sum(
+                        F.col("vec_id") * 1000003
+                        + F.col("label") * 101
+                        + F.expr(
+                            "CAST(FLOOR(cosine * 1048576.0 + 0.5) AS BIGINT)"
+                        )
+                    ).alias("binding")
+                )
+                .crossJoin(F.broadcast(ann_tele))
+                .select(
+                    F.lit("ann").alias("store"),
+                    F.col("n_deleted").cast("bigint"),
+                    F.lit(len(cells)).cast("bigint").alias("n_affected"),
+                    F.col("binding").cast("bigint"),
+                )
             )
-        )
-        # --- vector store ----------------------------------------------------
-        emb = _emb(spark, sf_dir)
-        vdels = emb.filter(_delete_pred()).select("vec_id")
-        build_index_frozen_full(spark, sf_dir, tmp_ann)
-        cells = delete_from_index(spark, tmp_ann, vdels)
-        ann_tele = vdels.agg(F.count(F.lit(1)).alias("n_deleted"))
-        ann_row = (
-            topk_from_index(*read_index_versioned(spark, tmp_ann), emb)
-            .agg(
-                F.sum(
-                    F.col("vec_id") * 1000003
-                    + F.col("label") * 101
-                    + F.expr(
-                        "CAST(FLOOR(cosine * 1048576.0 + 0.5) AS BIGINT)"
-                    )
-                ).alias("binding")
+
+        def _sketch_chain() -> DataFrame:
+            ev = load_tables(spark, sf_dir)["events"].filter(
+                F.col("user_id").isNotNull() & F.col("ts").isNotNull()
             )
-            .crossJoin(F.broadcast(ann_tele))
-            .select(
-                F.lit("ann").alias("store"),
-                F.col("n_deleted").cast("bigint"),
-                F.lit(len(cells)).cast("bigint").alias("n_affected"),
-                F.col("binding").cast("bigint"),
+            build_sketch_rollup_store(spark, sf_dir, tmp_sk)
+            days = delete_users_from_sketch_store(
+                spark, tmp_sk, ev, _del_users_pred()
             )
-        )
-        # --- sketch store ----------------------------------------------------
-        ev = load_tables(spark, sf_dir)["events"].filter(
-            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
-        )
-        build_sketch_rollup_store(spark, sf_dir, tmp_sk)
-        days = delete_users_from_sketch_store(
-            spark, tmp_sk, ev, _del_users_pred()
-        )
-        surv = ev.filter(~_del_users_pred())
-        exact = surv.groupBy("event_type").agg(
-            F.countDistinct("user_id").alias("exact_users")
-        )
-        in_bounds = (
-            F.abs(F.col("est") - F.col("exact_users"))
-            <= F.greatest(
-                F.col("exact_users") * F.lit(_REL_BOUND),
-                F.lit(_ABS_SLACK),
+            surv = ev.filter(~_del_users_pred())
+            exact = surv.groupBy("event_type").agg(
+                F.countDistinct("user_id").alias("exact_users")
             )
-        ).cast("bigint")
-        sk_tele = ev.filter(_del_users_pred()).agg(
-            F.countDistinct("user_id").alias("n_deleted")
-        )
-        sk_row = (
-            serve_sketch_rollup_from_store(spark, tmp_sk)
-            .join(exact, "event_type")
-            .agg(
-                F.sum(
-                    F.expr(md5_mod_hash_sql("event_type")) * 31
-                    + F.col("n_events") * 7
-                    + in_bounds
-                ).alias("binding")
+            in_bounds = (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= F.greatest(
+                    F.col("exact_users") * F.lit(_REL_BOUND),
+                    F.lit(_ABS_SLACK),
+                )
+            ).cast("bigint")
+            sk_tele = ev.filter(_del_users_pred()).agg(
+                F.countDistinct("user_id").alias("n_deleted")
             )
-            .crossJoin(F.broadcast(sk_tele))
-            .select(
-                F.lit("sketch").alias("store"),
-                F.col("n_deleted").cast("bigint"),
-                F.lit(len(days)).cast("bigint").alias("n_affected"),
-                F.col("binding").cast("bigint"),
+            return (
+                serve_sketch_rollup_from_store(spark, tmp_sk)
+                .join(exact, "event_type")
+                .agg(
+                    F.sum(
+                        F.expr(md5_mod_hash_sql("event_type")) * 31
+                        + F.col("n_events") * 7
+                        + in_bounds
+                    ).alias("binding")
+                )
+                .crossJoin(F.broadcast(sk_tele))
+                .select(
+                    F.lit("sketch").alias("store"),
+                    F.col("n_deleted").cast("bigint"),
+                    F.lit(len(days)).cast("bigint").alias("n_affected"),
+                    F.col("binding").cast("bigint"),
+                )
             )
-        )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_bm = pool.submit(_bm25_chain)
+            f_ann = pool.submit(_ann_chain)
+            f_sk = pool.submit(_sketch_chain)
+            bm_row, ann_row, sk_row = (
+                f_bm.result(),
+                f_ann.result(),
+                f_sk.result(),
+            )
         out = release_after_action(
             impact_rows.unionByName(bm_row)
             .unionByName(ann_row)

@@ -616,6 +616,32 @@ def _version_dirs(spark: SparkSession, path: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
+def _run_staged(*thunks) -> None:
+    """Run independent STAGED-WRITE thunks as concurrent driver-side
+    jobs (optimization r15, guide §2.6 "overlap independent jobs"): a
+    mutation leg stages 2-3 physically independent artifacts (posting
+    segment, lexicon version, stats version) into attempt-unique
+    directories no other writer can name, and the version publish
+    happens only after ALL of them are fully staged — so the writes
+    have no ordering dependency and running them sequentially leaves
+    most of the cluster idle during each job's tail.  Spark's FIFO
+    scheduler back-fills executors freed by one job's stragglers with
+    the next job's tasks.  The first exception propagates (the leg
+    fails before its publish, leaving only unpublished debris vacuum
+    sweeps — the same contract as a crashed writer).  With a single
+    thunk this degrades to a plain call, so low-core drivers lose
+    nothing but the overlap."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        for f in futures:
+            f.result()
+
+
 class VersionConflict(RuntimeError):
     """Raised when a writer tries to publish a version number another
     writer already published — the optimistic-concurrency signal
@@ -917,27 +943,41 @@ def _init_bm25_store(
     bucket-partitioned posting SEGMENT, v=1 lexicon (derived from the
     STORED segment, the drift-proofing discipline), v=1 stats, and the
     v=1 manifest pinning exactly that segment's buckets — all staged
-    attempt-unique, committed by the v=1 publish."""
+    attempt-unique, committed by the v=1 publish.
+
+    Optimization (r15, guide §2.6 + §5): the tokenized frame is pinned
+    for the leg — the segment write and the stats write both consume it
+    and previously each re-ran the corpus scan + tokenize; the two
+    writes are independent staged artifacts and run concurrently
+    (:func:`_run_staged`), with the lexicon (which derives from the
+    STORED segment) following the segment write."""
+    from pyspark import StorageLevel
+
     spark = docs.sparkSession
-    toks = _toks_of(docs)
+    toks = _toks_of(docs).persist(StorageLevel.MEMORY_AND_DISK)
     seg = _new_seg_id()
     att = _new_att()
     root = f"{path}/postings"
-    _write_segment(
-        _postings_of(toks).repartition(N_TB, "tb"), root, seg
-    )
-    buckets = _seg_buckets(spark, root, seg)
-    stored = _read_segments(
-        spark, root, [(seg, b) for b in buckets], _BM25_POSTING_SCHEMA
-    )
-    stored.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    ).write.mode("overwrite").parquet(_stage_path(path, "lexicon", 1, att))
-    _stats2_of(toks).write.mode("overwrite").parquet(
-        _stage_path(path, "stats", 1, att)
-    )
-    _write_manifest(spark, path, 1, [(seg, b) for b in buckets], att)
-    _publish_version(spark, path, 1, att, bid)
+    try:
+        _run_staged(
+            lambda: _write_segment(
+                _postings_of(toks).repartition(N_TB, "tb"), root, seg
+            ),
+            lambda: _stats2_of(toks).write.mode("overwrite").parquet(
+                _stage_path(path, "stats", 1, att)
+            ),
+        )
+        buckets = _seg_buckets(spark, root, seg)
+        stored = _read_segments(
+            spark, root, [(seg, b) for b in buckets], _BM25_POSTING_SCHEMA
+        )
+        stored.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df")
+        ).write.mode("overwrite").parquet(_stage_path(path, "lexicon", 1, att))
+        _write_manifest(spark, path, 1, [(seg, b) for b in buckets], att)
+        _publish_version(spark, path, 1, att, bid)
+    finally:
+        toks.unpersist()
 
 
 def build_bm25_index_v2(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -975,61 +1015,95 @@ def upsert_bm25_index(
     paths).
     The batch frame fully determines the merge — the store is not
     corpus-bound (ADVICE r12: the earlier unused ``sf_dir`` parameter
-    invited exactly that misreading)."""
-    toks = _toks_of(batch_docs)
-    bp = _postings_of(toks)
+    invited exactly that misreading).
+
+    Optimization (r15, guide §2.6 + §5): the leg's three staged writes
+    (posting segment, lexicon v+1, stats v+1) are physically
+    independent attempt-unique artifacts gated by one publish, so they
+    run as concurrent jobs; the batch's tokenized/posting frames are
+    pinned for the leg — previously the segment write, the df
+    aggregate and the stats aggregate EACH re-ran the batch scan +
+    tokenize + posting shuffle (three passes per mutation).  A retry
+    after :class:`VersionConflict` re-stages only the version tables
+    (the segment is version-independent and written once)."""
+    from pyspark import StorageLevel
+
+    toks = _toks_of(batch_docs).persist(StorageLevel.MEMORY_AND_DISK)
+    bp = _postings_of(toks).persist(StorageLevel.MEMORY_AND_DISK)
     root = f"{path}/postings"
     seg = _new_seg_id()
-    _write_segment(bp.repartition(N_TB, "tb"), root, seg)
-    seg_buckets = _seg_buckets(spark, root, seg)
     batch_df = bp.groupBy("term").agg(F.count(F.lit(1)).alias("bdf"))
     bs = _stats2_of(toks)
-    last: VersionConflict | None = None
-    for _ in range(PUBLISH_RETRIES):
-        v = _latest_version(spark, path)
-        att = _new_att()
-        old_lex = spark.read.parquet(_table_dir(spark, path, "lexicon", v))
-        (
-            old_lex.join(batch_df, "term", "full_outer")
-            .select(
-                "term",
-                (
-                    F.coalesce("df", F.lit(0)) + F.coalesce("bdf", F.lit(0))
-                ).alias("df"),
-            )
-            .write.mode("overwrite")
-            .parquet(_stage_path(path, "lexicon", v + 1, att))
-        )
-        old_stats = spark.read.parquet(_table_dir(spark, path, "stats", v))
-        (
-            old_stats.select(
-                F.col("n_docs").alias("n0"), F.col("sum_len").alias("s0")
-            )
-            .crossJoin(
-                F.broadcast(
-                    bs.select(
-                        F.col("n_docs").alias("n1"),
-                        F.col("sum_len").alias("s1"),
-                    )
+    seg_staged = False
+    try:
+        last: VersionConflict | None = None
+        for _ in range(PUBLISH_RETRIES):
+            v = _latest_version(spark, path)
+            att = _new_att()
+
+            def _stage_seg() -> None:
+                _write_segment(bp.repartition(N_TB, "tb"), root, seg)
+
+            def _stage_lexicon(v=v, att=att) -> None:
+                old_lex = spark.read.parquet(
+                    _table_dir(spark, path, "lexicon", v)
                 )
-            )
-            .select(
-                (F.col("n0") + F.col("n1")).alias("n_docs"),
-                (F.col("s0") + F.col("s1")).alias("sum_len"),
-            )
-            .write.mode("overwrite")
-            .parquet(_stage_path(path, "stats", v + 1, att))
-        )
-        entries = _manifest_entries(spark, path, v) + [
-            (seg, b) for b in seg_buckets
-        ]
-        _write_manifest(spark, path, v + 1, entries, att)
-        try:
-            _publish_version(spark, path, v + 1, att, bid)
-            return
-        except VersionConflict as e:
-            last = e  # loser of the race: re-merge onto the new latest
-    raise last if last is not None else RuntimeError("unreachable")
+                (
+                    old_lex.join(batch_df, "term", "full_outer")
+                    .select(
+                        "term",
+                        (
+                            F.coalesce("df", F.lit(0))
+                            + F.coalesce("bdf", F.lit(0))
+                        ).alias("df"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(_stage_path(path, "lexicon", v + 1, att))
+                )
+
+            def _stage_stats(v=v, att=att) -> None:
+                old_stats = spark.read.parquet(
+                    _table_dir(spark, path, "stats", v)
+                )
+                (
+                    old_stats.select(
+                        F.col("n_docs").alias("n0"),
+                        F.col("sum_len").alias("s0"),
+                    )
+                    .crossJoin(
+                        F.broadcast(
+                            bs.select(
+                                F.col("n_docs").alias("n1"),
+                                F.col("sum_len").alias("s1"),
+                            )
+                        )
+                    )
+                    .select(
+                        (F.col("n0") + F.col("n1")).alias("n_docs"),
+                        (F.col("s0") + F.col("s1")).alias("sum_len"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(_stage_path(path, "stats", v + 1, att))
+                )
+
+            thunks = [_stage_lexicon, _stage_stats]
+            if not seg_staged:
+                thunks.append(_stage_seg)
+            _run_staged(*thunks)
+            seg_staged = True
+            entries = _manifest_entries(spark, path, v) + [
+                (seg, b) for b in _seg_buckets(spark, root, seg)
+            ]
+            _write_manifest(spark, path, v + 1, entries, att)
+            try:
+                _publish_version(spark, path, v + 1, att, bid)
+                return
+            except VersionConflict as e:
+                last = e  # loser of the race: re-merge onto the new latest
+        raise last if last is not None else RuntimeError("unreachable")
+    finally:
+        bp.unpersist()
+        toks.unpersist()
 
 
 def serve_bm25_v2_at(
@@ -1401,74 +1475,113 @@ def delete_from_bm25_index(
     the Iceberg/Delta erasure contract.  Returns the affected bucket
     list (≤ N_TB ints).  Cost is proportional to the affected buckets'
     postings + the vocabulary-bounded lexicon merge — never a corpus
-    rescan."""
-    toks = _toks_of(del_docs)
-    dp = _postings_of(toks)
-    buckets = sorted(
-        r["tb"] for r in dp.select("tb").distinct().collect()
-    )
-    ddf = dp.groupBy("term").agg(F.count(F.lit(1)).alias("ddf"))
-    ds = _stats2_of(toks)
-    del_ids = del_docs.select("doc_id")
-    root = f"{path}/postings"
-    last: VersionConflict | None = None
-    for _ in range(PUBLISH_RETRIES):
-        v = _latest_version(spark, path)
-        att = _new_att()
-        old_lex = spark.read.parquet(_table_dir(spark, path, "lexicon", v))
-        (
-            old_lex.join(ddf, "term", "left")
-            .select(
-                "term",
-                (F.col("df") - F.coalesce("ddf", F.lit(0))).alias("df"),
-            )
-            .filter(F.col("df") > 0)
-            .write.mode("overwrite")
-            .parquet(_stage_path(path, "lexicon", v + 1, att))
+    rescan.
+
+    Optimization (r15, guide §2.6 + §5): the deleted docs' tokenized /
+    posting frames are pinned for the leg (the bucket-discovery
+    collect, the df-decrement aggregate and the stats decrement each
+    re-derived them before — three tokenize passes per erasure), and
+    the three independent staged writes (surviving-postings segment,
+    lexicon v+1, stats v+1) run as concurrent jobs gated by the one
+    publish."""
+    from pyspark import StorageLevel
+
+    toks = _toks_of(del_docs).persist(StorageLevel.MEMORY_AND_DISK)
+    dp = _postings_of(toks).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        buckets = sorted(
+            r["tb"] for r in dp.select("tb").distinct().collect()
         )
-        old_stats = spark.read.parquet(_table_dir(spark, path, "stats", v))
-        (
-            old_stats.select(
-                F.col("n_docs").alias("n0"), F.col("sum_len").alias("s0")
-            )
-            .crossJoin(
-                F.broadcast(
-                    ds.select(
-                        F.col("n_docs").alias("n1"),
-                        F.col("sum_len").alias("s1"),
-                    )
+        ddf = dp.groupBy("term").agg(F.count(F.lit(1)).alias("ddf"))
+        ds = _stats2_of(toks)
+        del_ids = del_docs.select("doc_id")
+        root = f"{path}/postings"
+        last: VersionConflict | None = None
+        for _ in range(PUBLISH_RETRIES):
+            v = _latest_version(spark, path)
+            att = _new_att()
+
+            def _stage_lexicon(v=v, att=att) -> None:
+                old_lex = spark.read.parquet(
+                    _table_dir(spark, path, "lexicon", v)
                 )
-            )
-            .select(
-                (F.col("n0") - F.col("n1")).alias("n_docs"),
-                (F.col("s0") - F.col("s1")).alias("sum_len"),
-            )
-            .write.mode("overwrite")
-            .parquet(_stage_path(path, "stats", v + 1, att))
-        )
-        entries = _manifest_entries(spark, path, v)
-        if buckets:
-            hit = set(buckets)
-            affected = [e for e in entries if e[1] in hit]
-            kept = _read_segments(
-                spark, root, affected, _BM25_POSTING_SCHEMA
-            ).join(del_ids, "doc_id", "left_anti")
-            seg = _new_seg_id()
-            n_out = max(1, len(buckets))
-            _write_segment(kept.repartition(n_out, "tb"), root, seg)
-            survivors = _seg_buckets(spark, root, seg)
-            new_entries = [e for e in entries if e[1] not in hit] + [
-                (seg, b) for b in survivors
-            ]
-        else:
-            new_entries = entries
-        _write_manifest(spark, path, v + 1, new_entries, att)
-        try:
-            _publish_version(spark, path, v + 1, att)
-            return buckets
-        except VersionConflict as e:
-            last = e  # re-derive survivors against the new latest
-    raise last if last is not None else RuntimeError("unreachable")
+                (
+                    old_lex.join(ddf, "term", "left")
+                    .select(
+                        "term",
+                        (
+                            F.col("df") - F.coalesce("ddf", F.lit(0))
+                        ).alias("df"),
+                    )
+                    .filter(F.col("df") > 0)
+                    .write.mode("overwrite")
+                    .parquet(_stage_path(path, "lexicon", v + 1, att))
+                )
+
+            def _stage_stats(v=v, att=att) -> None:
+                old_stats = spark.read.parquet(
+                    _table_dir(spark, path, "stats", v)
+                )
+                (
+                    old_stats.select(
+                        F.col("n_docs").alias("n0"),
+                        F.col("sum_len").alias("s0"),
+                    )
+                    .crossJoin(
+                        F.broadcast(
+                            ds.select(
+                                F.col("n_docs").alias("n1"),
+                                F.col("sum_len").alias("s1"),
+                            )
+                        )
+                    )
+                    .select(
+                        (F.col("n0") - F.col("n1")).alias("n_docs"),
+                        (F.col("s0") - F.col("s1")).alias("sum_len"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(_stage_path(path, "stats", v + 1, att))
+                )
+
+            entries = _manifest_entries(spark, path, v)
+            seg_result: dict = {}
+            thunks = [_stage_lexicon, _stage_stats]
+            if buckets:
+                hit = set(buckets)
+                affected = [e for e in entries if e[1] in hit]
+
+                def _stage_survivors(affected=affected) -> None:
+                    kept = _read_segments(
+                        spark, root, affected, _BM25_POSTING_SCHEMA
+                    ).join(del_ids, "doc_id", "left_anti")
+                    seg = _new_seg_id()
+                    n_out = max(1, len(buckets))
+                    _write_segment(
+                        kept.repartition(n_out, "tb"), root, seg
+                    )
+                    seg_result["seg"] = seg
+                    seg_result["survivors"] = _seg_buckets(spark, root, seg)
+
+                thunks.append(_stage_survivors)
+            _run_staged(*thunks)
+            if buckets:
+                new_entries = [
+                    e for e in entries if e[1] not in set(buckets)
+                ] + [
+                    (seg_result["seg"], b) for b in seg_result["survivors"]
+                ]
+            else:
+                new_entries = entries
+            _write_manifest(spark, path, v + 1, new_entries, att)
+            try:
+                _publish_version(spark, path, v + 1, att)
+                return buckets
+            except VersionConflict as e:
+                last = e  # re-derive survivors against the new latest
+        raise last if last is not None else RuntimeError("unreachable")
+    finally:
+        dp.unpersist()
+        toks.unpersist()
 
 
 def bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:

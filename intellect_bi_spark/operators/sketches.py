@@ -848,12 +848,25 @@ def bloom_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     binding over the flagged dictionary.  No false negative is possible
     by construction, and the oracle recomputes every bit — so a green
     row certifies the filter build, the probe, and each individual
-    false positive."""
-    grams = _doc_gram_keys(spark, sf_dir)
+    false positive.
+
+    Pin lifecycle (optimization r15, guide §5 cache-on-reuse): the
+    hashed gram relation and the two distinct dictionaries fan into SIX
+    independent branches of the one-row confusion output (filter build,
+    probe, members semi-join, three counting aggregates) — unpinned,
+    every branch re-ran the corpus scan + gram explode + md5 condense
+    (18 parquet scans of ``documents`` in the before-plan,
+    plans/r15/bloom_decontam_stats_before.txt).  Pinning collapses the
+    recomputation to one scan per relation; the pins are released the
+    moment the one-row result is checkpointed
+    (:func:`release_after_action`, the engine-wide one-shot lifecycle)."""
+    from ..functions.windows import register_cache, release_after_action
+
+    grams = register_cache(_doc_gram_keys(spark, sf_dir))
     is_test = F.col("doc_id") % BLOOM_TEST_MOD == BLOOM_TEST_REM
-    test_g = grams.filter(is_test).select("gh").distinct()
+    test_g = register_cache(grams.filter(is_test).select("gh").distinct())
     corpus_gd = grams.filter(~is_test)
-    corpus_g = corpus_gd.select("gh").distinct()
+    corpus_g = register_cache(corpus_gd.select("gh").distinct())
 
     ks = F.explode(F.expr(f"sequence(0, {BLOOM_K - 1})")).alias("k")
     mask = F.expr(
@@ -903,14 +916,19 @@ def bloom_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("doc_id").alias("docs_flagged"))
         )
     )
-    return counts.select(
-        "n_test_grams",
-        "n_corpus_grams",
-        "n_flagged",
-        "n_members",
-        (F.col("n_flagged") - F.col("n_members")).alias("n_false_pos"),
-        "docs_flagged",
-        "flagged_binding",
+    return release_after_action(
+        counts.select(
+            "n_test_grams",
+            "n_corpus_grams",
+            "n_flagged",
+            "n_members",
+            (F.col("n_flagged") - F.col("n_members")).alias("n_false_pos"),
+            "docs_flagged",
+            "flagged_binding",
+        ),
+        grams,
+        test_g,
+        corpus_g,
     )
 
 

@@ -82,8 +82,18 @@ def dup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     island structure of the match: n_windows (shared window count),
     n_spans (maximal consecutive runs on the left doc), and
     max_span_tokens (longest certified shared substring, in tokens).
-    Ranked by n_windows DESC with (doc_a, doc_b) tie-break."""
-    win = _window_rows(spark, sf_dir)
+    Ranked by n_windows DESC with (doc_a, doc_b) tie-break.
+
+    Pin lifecycle (optimization r15, guide §5 cache-on-reuse): the
+    positioned-window relation feeds the DF-cap aggregate AND both
+    sides of the pair join — unpinned, each of the three branches
+    re-ran the corpus tokenize + k-gram hash pass (8 parquet scans in
+    the before-plan).  The window relation is numeric-narrow
+    (doc_id, pos, wh), pinned for the query and released once the
+    top-15 rows are checkpointed."""
+    from ..functions.windows import register_cache, release_after_action
+
+    win = register_cache(_window_rows(spark, sf_dir))
     # DF cap: windows shared by > SPAN_DF_CAP docs are boilerplate — drop
     # them BEFORE pair generation (the dedup.py DF_CAP discipline).
     df_ok = (
@@ -110,7 +120,7 @@ def dup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_island = islands.groupBy("doc_a", "doc_b", "island").agg(
         F.count(F.lit(1)).alias("run_len")
     )
-    return (
+    return release_after_action(
         per_island.groupBy("doc_a", "doc_b")
         .agg(
             F.sum("run_len").alias("n_windows"),
@@ -120,7 +130,8 @@ def dup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy(F.desc("n_windows"), "doc_a", "doc_b")
-        .limit(SPAN_TOP)
+        .limit(SPAN_TOP),
+        win,
     )
 
 

@@ -83,20 +83,29 @@ def build_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     ``cell IN (...)`` filter prunes to the probed directories before
     any byte is read."""
     emb = _emb(spark, sf_dir)
-    _centroids(emb).write.mode("overwrite").parquet(f"{path}/centroids")
     codes, cb = _pq_codes(spark, sf_dir)
-    cb.write.mode("overwrite").parquet(f"{path}/codebook")
-    (
-        codes.join(ivf_assignments(spark, sf_dir), "vec_id")
-        # co-locate each cell's codes before the partitioned write: one
-        # output file per cell per job instead of cells × shuffle-
-        # partitions tiny files — the compaction-friendly layout a real
-        # index build writes (and measurably most of this query's cost
-        # at fixture scale was the many-small-files write)
-        .repartition(N_CELLS, "cell")
+    from .retrieval import _run_staged
+
+    # the three stored tables are independent files; write them as
+    # concurrent jobs (optimization r15, guide §2.6)
+    _run_staged(
+        lambda: _centroids(emb)
         .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{path}/codes")
+        .parquet(f"{path}/centroids"),
+        lambda: cb.write.mode("overwrite").parquet(f"{path}/codebook"),
+        lambda: (
+            codes.join(ivf_assignments(spark, sf_dir), "vec_id")
+            # co-locate each cell's codes before the partitioned write:
+            # one output file per cell per job instead of cells ×
+            # shuffle-partitions tiny files — the compaction-friendly
+            # layout a real index build writes (and measurably most of
+            # this query's cost at fixture scale was the
+            # many-small-files write)
+            .repartition(N_CELLS, "cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{path}/codes")
+        ),
     )
     # the PQ training artifacts are the session-lifetime memoized model
     # (clustering._pq_model) shared by every PQ consumer — the serving
@@ -474,16 +483,36 @@ def _init_ann_versioned(
     """First write of the manifest-pinned store: frozen model tables
     (unversioned — the model is a build-time artifact mutations never
     touch), one code segment over ``vecs``, and the published v=1
-    manifest pinning exactly that segment's cells."""
-    from .retrieval import _new_att, _publish_version, _write_manifest
+    manifest pinning exactly that segment's cells.
+
+    Optimization (r15, guide §2.6): the three writes (centroids,
+    codebook, code segment) are physically independent files gated by
+    the one v=1 publish — the code segment encodes against the
+    IN-MEMORY model frames, not the parquet copies — so they run as
+    concurrent jobs instead of leaving the cluster idle through each
+    write's tail."""
+    from .retrieval import (
+        _new_att,
+        _publish_version,
+        _run_staged,
+        _write_manifest,
+    )
 
     cents = _centroids(_emb(spark, sf_dir))
-    cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cb = _reservoir_codebook(spark, sf_dir)
-    cb.write.mode("overwrite").parquet(f"{path}/codebook")
-    seg, cells = _ann_write_codes_segment(
-        spark, _encode_codes(vecs, cb, cents), path
+    seg_cells: dict = {}
+
+    def _stage_codes() -> None:
+        seg_cells["sc"] = _ann_write_codes_segment(
+            spark, _encode_codes(vecs, cb, cents), path
+        )
+
+    _run_staged(
+        lambda: cents.write.mode("overwrite").parquet(f"{path}/centroids"),
+        lambda: cb.write.mode("overwrite").parquet(f"{path}/codebook"),
+        _stage_codes,
     )
+    seg, cells = seg_cells["sc"]
     att = _new_att()
     _write_manifest(spark, path, 1, [(seg, c) for c in cells], att)
     _publish_version(spark, path, 1, att, bid)
