@@ -62,6 +62,19 @@ def get_spark(app_name: str = "intellect_bi_spark") -> SparkSession:
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         )
+        # FileOutputCommitter v2 (optimization r15, guide §6): v1 pays a
+        # second sequential rename pass at JOB commit — measured 0.45-1.5 s
+        # per bucket-partitioned segment write at sf0.1 vs a consistent
+        # ~0.44 s under v2, and every store-mutation leg writes 1-3 such
+        # directories.  v2's trade (a failed job can leave task output in
+        # the destination) is exactly the crash-debris contract the
+        # versioned stores already operate under: all mutation writes land
+        # in attempt-unique staged dirs that only a successful publish
+        # makes visible, and vacuum sweeps unpublished debris.
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
     )
     if not SparkSession.getActiveSession():
         builder = builder.master(f"local[{DEFAULT_CPUS}]")
@@ -89,4 +102,12 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:  # pragma: no cover - conf may be static in some envs
             pass
+    try:
+        # runtime-mutable through the JavaSparkContext; see the builder
+        # comment in get_spark for the v2 rationale + safety argument
+        spark.sparkContext._jsc.hadoopConfiguration().set(
+            "mapreduce.fileoutputcommitter.algorithm.version", "2"
+        )
+    except Exception:  # pragma: no cover - exotic deployments
+        pass
     return spark
