@@ -41,29 +41,43 @@ _FK_EDGES = (
 def fk_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orphan count per foreign-key edge: child rows whose key has no
     parent (NULL child keys are counted separately — a NULL FK is a
-    different defect than a dangling one)."""
+    different defect than a dangling one).
+
+    One pass per edge (optimization r15, guide §2.3 "aggregate before
+    you shuffle" / §1.2): the earlier form scanned each child table
+    TWICE per edge — once through a left-anti join for the orphan
+    count and once for the null/total aggregate (36 scans across the 6
+    edges).  A left-outer join against the distinct parent keys with a
+    hit marker computes all three counts in one conditional aggregate
+    over a single child scan: an orphan is a NON-NULL child key whose
+    parent marker is null (null keys never match an equi-join, so they
+    must be excluded from the orphan test exactly as the anti-join's
+    isNotNull pre-filter did).  Identical output values."""
     t = load_tables(spark, sf_dir)
     parts = []
     for name, child, ckey, parent, pkey, bcast in _FK_EDGES:
-        par = t[parent].select(F.col(pkey).alias(ckey)).distinct()
+        par = (
+            t[parent]
+            .select(F.col(pkey).alias(ckey))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
         if bcast:
             par = F.broadcast(par)
-        orphans = (
-            t[child]
-            .filter(F.col(ckey).isNotNull())
-            .join(par, ckey, "left_anti")
-        )
         parts.append(
-            orphans.agg(
+            t[child]
+            .join(par, ckey, "left")
+            .agg(
                 F.lit(name).alias("fk_edge"),
-                F.count(F.lit(1)).alias("n_orphans"),
-            ).crossJoin(
-                t[child].agg(
-                    F.sum(
-                        F.col(ckey).isNull().cast("long")
-                    ).alias("n_null_keys"),
-                    F.count(F.lit(1)).alias("n_child_rows"),
-                )
+                F.sum(
+                    (
+                        F.col(ckey).isNotNull() & F.col("_hit").isNull()
+                    ).cast("long")
+                ).alias("n_orphans"),
+                F.sum(F.col(ckey).isNull().cast("long")).alias(
+                    "n_null_keys"
+                ),
+                F.count(F.lit(1)).alias("n_child_rows"),
             )
         )
     out = parts[0]

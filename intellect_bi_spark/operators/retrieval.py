@@ -1017,6 +1017,11 @@ def upsert_bm25_index(
     corpus-bound (ADVICE r12: the earlier unused ``sf_dir`` parameter
     invited exactly that misreading).
 
+    Returns the new segment's bucket list (r15): the CRUD chain's
+    post-upsert compaction targets exactly these buckets, and deriving
+    them from the upsert's own ``_seg_buckets`` read-back saves the
+    caller a full re-tokenize of the batch.
+
     Optimization (r15, guide §2.6 + §5): the leg's three staged writes
     (posting segment, lexicon v+1, stats v+1) are physically
     independent attempt-unique artifacts gated by one publish, so they
@@ -1091,13 +1096,14 @@ def upsert_bm25_index(
                 thunks.append(_stage_seg)
             _run_staged(*thunks)
             seg_staged = True
+            seg_buckets = _seg_buckets(spark, root, seg)
             entries = _manifest_entries(spark, path, v) + [
-                (seg, b) for b in _seg_buckets(spark, root, seg)
+                (seg, b) for b in seg_buckets
             ]
             _write_manifest(spark, path, v + 1, entries, att)
             try:
                 _publish_version(spark, path, v + 1, att, bid)
-                return
+                return seg_buckets
             except VersionConflict as e:
                 last = e  # loser of the race: re-merge onto the new latest
         raise last if last is not None else RuntimeError("unreachable")
@@ -2437,14 +2443,11 @@ def bm25_crud_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         _init_bm25_store(base, tmp)
         upsert_bm25_index(spark, tmp, b1)
         delete_from_bm25_index(spark, tmp, dels)
-        upsert_bm25_index(spark, tmp, b2)
-        buckets = [
-            r["tb"]
-            for r in _postings_of(_toks_of(b2))
-            .select("tb")
-            .distinct()
-            .collect()
-        ]
+        # the compaction targets are exactly the b2 segment's buckets,
+        # which the upsert already read back from the stored files —
+        # re-deriving them via a second tokenize pass was pure rework
+        # (optimization r15, guide §1.2 "don't compute things twice")
+        buckets = sorted(upsert_bm25_index(spark, tmp, b2))
         compact_bm25_buckets(spark, tmp, buckets)
         vacuum_bm25_store(spark, tmp, keep_last=1)
         v = _latest_version(spark, tmp)
