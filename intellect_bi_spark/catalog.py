@@ -18,6 +18,7 @@ Catalyst — queries over the view only read the lineitem columns they use.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -87,6 +88,14 @@ JOIN region r   ON r.r_regionkey = n.n_regionkey
 # schema reads and view registration happen once, every query after that is
 # purely lazy plan construction.
 _CATALOG_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# Concurrent driver threads (erasure_e2e chains, bench staging pool)
+# populate these plain-dict caches; a lock makes the build-and-insert
+# atomic so racing threads cannot each build and one lose the entry
+# (ADVICE r15).  Building under the lock is fine: the build is lazy
+# schema reads + view registration, and contention is one-time.
+# RLock: the sales-view build holds the lock across its load_tables
+# call, which re-enters it.
+_CATALOG_LOCK = threading.RLock()
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -101,13 +110,17 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     cached = _CATALOG_CACHE.get(key)
     if cached is not None:
         return cached
-    tune_session(spark)
-    dfs: dict[str, DataFrame] = {}
-    for name in TABLE_NAMES:
-        dfs[name] = _read_table(spark, sf_dir, name)
-        dfs[name].createOrReplaceTempView(name)
-    _CATALOG_CACHE[key] = dfs
-    return dfs
+    with _CATALOG_LOCK:
+        cached = _CATALOG_CACHE.get(key)
+        if cached is not None:
+            return cached
+        tune_session(spark)
+        dfs: dict[str, DataFrame] = {}
+        for name in TABLE_NAMES:
+            dfs[name] = _read_table(spark, sf_dir, name)
+            dfs[name].createOrReplaceTempView(name)
+        _CATALOG_CACHE[key] = dfs
+        return dfs
 
 
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -221,6 +234,20 @@ def _build_sales_view(
     cached = _SALES_CACHE.get(key)
     if cached is not None:
         return cached
+    with _CATALOG_LOCK:
+        cached = _SALES_CACHE.get(key)
+        if cached is not None:
+            return cached
+        return _do_build_sales_view(spark, sf_dir, select_sql, view_name, key)
+
+
+def _do_build_sales_view(
+    spark: SparkSession,
+    sf_dir: str,
+    select_sql: str,
+    view_name: str,
+    key: tuple[int, str, str],
+) -> DataFrame:
     tables = load_tables(spark, sf_dir)
     cache_sized = _fact_bytes(sf_dir) <= _CACHE_MAX_BYTES
     sql = select_sql.replace(

@@ -35,6 +35,7 @@ it (compute-without-caching) and ``get`` can never hit one.
 
 from __future__ import annotations
 
+import threading
 import weakref
 from typing import Any
 
@@ -83,10 +84,19 @@ class SessionMemo:
     def __init__(self, cap: int = MEMO_CAP) -> None:
         self._entries: dict[tuple[str, str], tuple[Any, Any]] = {}
         self._cap = cap
+        # Concurrent driver threads (erasure_e2e chains, _run_staged
+        # thunks, bench staging pool) reach this registry; an unlocked
+        # same-key put race can unpersist a payload another thread's
+        # in-flight job is consuming, and a concurrent delete during
+        # put's eviction sweep can raise KeyError (ADVICE r15).  The
+        # critical sections are dict ops + unpersist bookkeeping —
+        # tiny, so contention is negligible.
+        self._lock = threading.Lock()
 
     def get(self, spark: Any, sf_dir: str) -> Any | None:
-        entry = self._entries.get((session_key(spark), sf_dir))
-        return None if entry is None else entry[1]
+        with self._lock:
+            entry = self._entries.get((session_key(spark), sf_dir))
+            return None if entry is None else entry[1]
 
     def put(self, spark: Any, sf_dir: str, payload: Any) -> Any:
         key = session_key(spark)
@@ -96,33 +106,35 @@ class SessionMemo:
             # aliasing hazard applicationId keying removed (VERDICT
             # r12).  Hand the caller its frames without caching.
             return payload
-        # evict entries whose owning session is gone (ADVICE r11): a
-        # stopped context's persisted frames are already invalid, and
-        # holding them would pin the dead session via the DataFrame
-        for k, (ref, pl) in list(self._entries.items()):
-            owner = ref()
-            if owner is None or _is_stopped(owner):
-                _unpersist_all(pl)
-                del self._entries[k]
-        if (key, sf_dir) in self._entries:
-            # same-key refresh: replace in place, releasing the stale
-            # payload — never evict an unrelated entry (ADVICE r12)
-            _unpersist_all(self._entries.pop((key, sf_dir))[1])
-        else:
-            while len(self._entries) >= self._cap:
-                oldest = next(iter(self._entries))
-                _unpersist_all(self._entries.pop(oldest)[1])
-        try:
-            ref = weakref.ref(spark)
-        except TypeError:  # exotic session objects without __weakref__
-            ref = (lambda s: (lambda: s))(spark)
-        self._entries[(key, sf_dir)] = (ref, payload)
-        return payload
+        with self._lock:
+            # evict entries whose owning session is gone (ADVICE r11): a
+            # stopped context's persisted frames are already invalid, and
+            # holding them would pin the dead session via the DataFrame
+            for k, (ref, pl) in list(self._entries.items()):
+                owner = ref()
+                if owner is None or _is_stopped(owner):
+                    _unpersist_all(pl)
+                    del self._entries[k]
+            if (key, sf_dir) in self._entries:
+                # same-key refresh: replace in place, releasing the stale
+                # payload — never evict an unrelated entry (ADVICE r12)
+                _unpersist_all(self._entries.pop((key, sf_dir))[1])
+            else:
+                while len(self._entries) >= self._cap:
+                    oldest = next(iter(self._entries))
+                    _unpersist_all(self._entries.pop(oldest)[1])
+            try:
+                ref = weakref.ref(spark)
+            except TypeError:  # exotic session objects without __weakref__
+                ref = (lambda s: (lambda: s))(spark)
+            self._entries[(key, sf_dir)] = (ref, payload)
+            return payload
 
     def clear(self) -> None:
-        for _ref, payload in self._entries.values():
-            _unpersist_all(payload)
-        self._entries.clear()
+        with self._lock:
+            for _ref, payload in self._entries.values():
+                _unpersist_all(payload)
+            self._entries.clear()
 
     def __len__(self) -> int:
         return len(self._entries)

@@ -83,6 +83,8 @@ removing the single-task serialization point.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -93,17 +95,23 @@ _PERSISTED_CAP = 128  # long-lived sessions that never call reset_caches
 # without bound: beyond the cap the OLDEST frame is released — a stale
 # returned DataFrame re-collected later simply recomputes (correct,
 # just unmaterialized). Same concern ADVICE r4 raised for the CC loop.
+_PERSISTED_LOCK = threading.Lock()
+# Concurrent driver threads (erasure_e2e chains, _run_staged thunks)
+# read-modify-write _PERSISTED; unlocked, a register/release race can
+# lose an entry (leaked pin) or double-evict (ADVICE r15).  The locked
+# sections are list ops + unpersist bookkeeping — tiny.
 
 
 def reset_caches() -> None:
     """Unpersist every frame the stitched helpers pinned (see module
     docstring). Safe to call at any time; subsequent queries re-persist."""
-    for _df in _PERSISTED:
-        try:
-            _df.unpersist()
-        except Exception:
-            pass
-    _PERSISTED.clear()
+    with _PERSISTED_LOCK:
+        for _df in _PERSISTED:
+            try:
+                _df.unpersist()
+            except Exception:
+                pass
+        _PERSISTED.clear()
 
 
 def register_cache(df: DataFrame) -> DataFrame:
@@ -113,13 +121,14 @@ def register_cache(df: DataFrame) -> DataFrame:
     for callers outside this module that fan a frame into multiple
     branches (e.g. pipeline's sequence-packing prefix sum)."""
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    while len(_PERSISTED) >= _PERSISTED_CAP:
-        _old = _PERSISTED.pop(0)
-        try:
-            _old.unpersist()
-        except Exception:
-            pass
-    _PERSISTED.append(df)
+    with _PERSISTED_LOCK:
+        while len(_PERSISTED) >= _PERSISTED_CAP:
+            _old = _PERSISTED.pop(0)
+            try:
+                _old.unpersist()
+            except Exception:
+                pass
+        _PERSISTED.append(df)
     return df
 
 
@@ -164,9 +173,10 @@ def release_pins(*pins: DataFrame) -> None:
             df.unpersist()
         except Exception:
             pass
-    _PERSISTED[:] = [
-        d for d in _PERSISTED if all(d is not p for p in pins)
-    ]
+    with _PERSISTED_LOCK:
+        _PERSISTED[:] = [
+            d for d in _PERSISTED if all(d is not p for p in pins)
+        ]
 
 
 def _keyed_input(df: DataFrame, b: Column, name: str, materialize: bool) -> DataFrame:

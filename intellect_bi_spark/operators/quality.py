@@ -316,10 +316,14 @@ def erasure_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tables — so they run as CONCURRENT driver threads
         # (optimization r15, guide §2.6 "overlap independent jobs"):
         # sequentially, each chain's job tails left most of the
-        # cluster idle while the next chain waited.  Each thread only
-        # BUILDS its row frame; the union and the one eager action
-        # happen on the main thread, so the checked output (and its
-        # fixed store-ordered rows) is unchanged.
+        # cluster idle while the next chain waited.  Each worker
+        # thread runs its chain's store build/delete jobs EAGERLY
+        # against its own isolated temp store (that isolation is the
+        # thread-safety argument), and returns its summary row frame
+        # lazily; only the union and the one eager checkpoint action
+        # run on the main thread, so the checked output (and its
+        # fixed store-ordered rows) is unchanged.  (ADVICE r15
+        # docstring correction: the threads are not build-only.)
         def _bm25_chain() -> DataFrame:
             docs = _base_docs(spark, sf_dir)
             ddocs = docs.filter(

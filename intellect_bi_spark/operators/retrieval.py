@@ -947,10 +947,13 @@ def _init_bm25_store(
 
     Optimization (r15, guide §2.6 + §5): the tokenized frame is pinned
     for the leg — the segment write and the stats write both consume it
-    and previously each re-ran the corpus scan + tokenize; the two
-    writes are independent staged artifacts and run concurrently
-    (:func:`_run_staged`), with the lexicon (which derives from the
-    STORED segment) following the segment write."""
+    and previously each re-ran the corpus scan + tokenize; the writes
+    are independent staged artifacts and run concurrently
+    (:func:`_run_staged`).  r16 refinement: the lexicon derive (which
+    must follow the segment write — drift-proofing derives df from the
+    STORED files) is CHAINED inside the segment thunk, so it overlaps
+    the stats write instead of serializing after the whole stage
+    (guide §2.6 — the r15 form ran seg ∥ stats, then lexicon alone)."""
     from pyspark import StorageLevel
 
     spark = docs.sparkSession
@@ -958,22 +961,32 @@ def _init_bm25_store(
     seg = _new_seg_id()
     att = _new_att()
     root = f"{path}/postings"
+    seg_info: dict = {}
     try:
-        _run_staged(
-            lambda: _write_segment(
+
+        def _stage_seg_then_lexicon() -> None:
+            _write_segment(
                 _postings_of(toks).repartition(N_TB, "tb"), root, seg
-            ),
+            )
+            buckets = _seg_buckets(spark, root, seg)
+            seg_info["buckets"] = buckets
+            stored = _read_segments(
+                spark, root, [(seg, b) for b in buckets],
+                _BM25_POSTING_SCHEMA,
+            )
+            stored.groupBy("term").agg(
+                F.count(F.lit(1)).alias("df")
+            ).write.mode("overwrite").parquet(
+                _stage_path(path, "lexicon", 1, att)
+            )
+
+        _run_staged(
+            _stage_seg_then_lexicon,
             lambda: _stats2_of(toks).write.mode("overwrite").parquet(
                 _stage_path(path, "stats", 1, att)
             ),
         )
-        buckets = _seg_buckets(spark, root, seg)
-        stored = _read_segments(
-            spark, root, [(seg, b) for b in buckets], _BM25_POSTING_SCHEMA
-        )
-        stored.groupBy("term").agg(
-            F.count(F.lit(1)).alias("df")
-        ).write.mode("overwrite").parquet(_stage_path(path, "lexicon", 1, att))
+        buckets = seg_info["buckets"]
         _write_manifest(spark, path, 1, [(seg, b) for b in buckets], att)
         _publish_version(spark, path, 1, att, bid)
     finally:
@@ -2140,12 +2153,14 @@ def _pos_store_postings(
     ).filter(F.col("tb").isin(buckets))
 
 
-def serve_phrase_from_store(spark: SparkSession, path: str) -> DataFrame:
+def serve_phrase_from_store(
+    spark: SparkSession, path: str, v: int | None = None
+) -> DataFrame:
     """Answer the fixed phrase query from the stored positional index:
     manifest-level directory pruning to the phrase words' buckets, and
     each adjacency branch pushes its term equality into the parquet
     scan — the phrase never re-tokenizes the corpus."""
-    return _phrase_topk(_pos_store_postings(spark, path, PHRASE))
+    return _phrase_topk(_pos_store_postings(spark, path, PHRASE, v))
 
 
 def phrase_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2241,18 +2256,32 @@ def compact_bm25_buckets(spark: SparkSession, path: str, buckets) -> None:
         rows = _read_segments(spark, root, affected, _BM25_POSTING_SCHEMA)
         seg = _new_seg_id()
         att = _new_att()
-        _write_segment(rows.repartition(len(buckets), "tb"), root, seg)
+
+        # the three staged writes are physically independent artifacts
+        # (coalesced segment from v's pinned files; lexicon and stats
+        # carried forward content-identical) gated by the one publish,
+        # so they run as concurrent jobs (optimization r16, guide §2.6
+        # — the r15 form ran them sequentially, leaving the cluster
+        # idle through each job's tail)
+        def _stage_seg(rows=rows, seg=seg) -> None:
+            _write_segment(rows.repartition(len(buckets), "tb"), root, seg)
+
+        def _stage_lexicon(v=v, att=att) -> None:
+            spark.read.parquet(
+                _table_dir(spark, path, "lexicon", v)
+            ).write.mode("overwrite").parquet(
+                _stage_path(path, "lexicon", v + 1, att)
+            )
+
+        def _stage_stats(v=v, att=att) -> None:
+            spark.read.parquet(
+                _table_dir(spark, path, "stats", v)
+            ).write.mode("overwrite").parquet(
+                _stage_path(path, "stats", v + 1, att)
+            )
+
+        _run_staged(_stage_seg, _stage_lexicon, _stage_stats)
         survivors = _seg_buckets(spark, root, seg)
-        spark.read.parquet(
-            _table_dir(spark, path, "lexicon", v)
-        ).write.mode("overwrite").parquet(
-            _stage_path(path, "lexicon", v + 1, att)
-        )
-        spark.read.parquet(
-            _table_dir(spark, path, "stats", v)
-        ).write.mode("overwrite").parquet(
-            _stage_path(path, "stats", v + 1, att)
-        )
         new_entries = [e for e in entries if e[1] not in hit] + [
             (seg, b) for b in survivors
         ]
@@ -2449,17 +2478,30 @@ def bm25_crud_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (optimization r15, guide §1.2 "don't compute things twice")
         buckets = sorted(upsert_bm25_index(spark, tmp, b2))
         compact_bm25_buckets(spark, tmp, buckets)
-        vacuum_bm25_store(spark, tmp, keep_last=1)
+        # the retention vacuum (driver-side metadata deletes whose
+        # result the chain does not bind) runs CONCURRENTLY with the
+        # serve of the latest version (optimization r16, guide §2.6):
+        # vacuum retains exactly the version the serve reads — its
+        # manifest, lexicon/stats dirs and every pinned segment — so
+        # a reader of the latest is undisturbed by construction (the
+        # single-writer assumption concerns writers' staged dirs, and
+        # the chain's writers are all done).  The thread is joined
+        # before teardown.
+        from concurrent.futures import ThreadPoolExecutor
+
         v = _latest_version(spark, tmp)
-        nd = spark.read.parquet(_table_dir(spark, tmp, "stats", v)).select(
-            F.col("n_docs").alias("n_docs_indexed")
-        )
-        out = (
-            serve_bm25_v2(spark, tmp)
-            .crossJoin(F.broadcast(nd))
-            .withColumn("final_version", F.lit(v).cast("bigint"))
-            .localCheckpoint(eager=True)
-        )
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            _vac = _pool.submit(vacuum_bm25_store, spark, tmp, keep_last=1)
+            nd = spark.read.parquet(
+                _table_dir(spark, tmp, "stats", v)
+            ).select(F.col("n_docs").alias("n_docs_indexed"))
+            out = (
+                serve_bm25_v2_at(spark, tmp, v)
+                .crossJoin(F.broadcast(nd))
+                .withColumn("final_version", F.lit(v).cast("bigint"))
+                .localCheckpoint(eager=True)
+            )
+            _vac.result()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -2500,12 +2542,14 @@ ORACLES["bm25_crud_chain"] = (
 )
 
 
-def serve_near_from_store(spark: SparkSession, path: str) -> DataFrame:
+def serve_near_from_store(
+    spark: SparkSession, path: str, v: int | None = None
+) -> DataFrame:
     """Answer the fixed NEAR query from the stored positional index —
     the same manifest-pruned, term-pushed scan as the phrase serve
     feeding the banded proximity join (one positional store serves
     BOTH ordered-phrase and unordered-proximity queries)."""
-    return _near_topk(_pos_store_postings(spark, path, NEAR_TERMS))
+    return _near_topk(_pos_store_postings(spark, path, NEAR_TERMS, v))
 
 
 def near_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2550,19 +2594,23 @@ PHRASE_BATCH = (
 PHRASE_BATCH_K = 5
 
 
-def _pos_probes_from_store(spark: SparkSession, path: str) -> DataFrame:
+def _pos_probes_from_store(
+    spark: SparkSession, path: str, v: int | None = None
+) -> DataFrame:
     """Both fixed probes (ordered phrase + unordered NEAR) served from
     one positional store, unified to (probe, doc_id, dl, tf, aux) —
     aux is first_pos for the phrase, min_gap for NEAR — so one checked
-    relation certifies both serving paths over a mutated store."""
-    ph = serve_phrase_from_store(spark, path).select(
+    relation certifies both serving paths over a mutated store.
+    ``v`` pins a store version (both probes read the same snapshot);
+    None resolves the latest per probe."""
+    ph = serve_phrase_from_store(spark, path, v).select(
         F.lit("phrase").alias("probe"),
         "doc_id",
         "dl",
         F.col("phrase_tf").alias("tf"),
         F.col("first_pos").cast("int").alias("aux"),
     )
-    nr = serve_near_from_store(spark, path).select(
+    nr = serve_near_from_store(spark, path, v).select(
         F.lit("near").alias("probe"),
         "doc_id",
         "dl",
@@ -2938,15 +2986,26 @@ def phrase_crud_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         _init_pos_store(docs.filter(~_doc_batch_pred()), tmp)
         upsert_phrase_index(spark, tmp, b1)
         delete_from_phrase_index(spark, tmp, dels)
-        vacuum_phrase_store(spark, tmp, keep_last=1)
-        n_surv = docs.join(
-            dels.select("doc_id"), "doc_id", "left_anti"
-        ).agg(F.count(F.lit(1)).alias("n_survivors"))
-        out = (
-            _pos_probes_from_store(spark, tmp)
-            .crossJoin(F.broadcast(n_surv))
-            .localCheckpoint(eager=True)
-        )
+        # retention vacuum (result unused) runs concurrently with the
+        # serve of the latest version (optimization r16, guide §2.6):
+        # vacuum retains exactly the version served, so the reader is
+        # undisturbed by construction; joined before teardown.
+        from concurrent.futures import ThreadPoolExecutor
+
+        v = _latest_version(spark, tmp)
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            _vac = _pool.submit(
+                vacuum_phrase_store, spark, tmp, keep_last=1
+            )
+            n_surv = docs.join(
+                dels.select("doc_id"), "doc_id", "left_anti"
+            ).agg(F.count(F.lit(1)).alias("n_survivors"))
+            out = (
+                _pos_probes_from_store(spark, tmp, v)
+                .crossJoin(F.broadcast(n_surv))
+                .localCheckpoint(eager=True)
+            )
+            _vac.result()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

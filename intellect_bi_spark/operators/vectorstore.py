@@ -1312,23 +1312,34 @@ def ann_crud_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         ]
         compact_index_cells(spark, tmp, batch_cells)
-        vacuum_ann_store(spark, tmp, keep_last=1)
         from .retrieval import _latest_version
 
+        # retention vacuum (result unused) runs concurrently with the
+        # serve of the latest version (optimization r16, guide §2.6):
+        # vacuum retains exactly the version served — manifest, model
+        # tables and every pinned segment — so the reader is
+        # undisturbed by construction; joined before teardown.
+        from concurrent.futures import ThreadPoolExecutor
+
         v = _latest_version(spark, tmp)
-        tele = dels.agg(
-            F.count(F.lit(1)).alias("n_deleted"),
-            F.lit(len(affected_del)).cast("bigint").alias(
-                "n_cells_rewritten"
-            ),
-        )
-        centroids2, codebook, codes = read_index_versioned(spark, tmp)
-        out = (
-            topk_from_index(centroids2, codebook, codes, emb)
-            .crossJoin(F.broadcast(tele))
-            .withColumn("final_version", F.lit(v).cast("bigint"))
-            .localCheckpoint(eager=True)
-        )
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            _vac = _pool.submit(vacuum_ann_store, spark, tmp, keep_last=1)
+            tele = dels.agg(
+                F.count(F.lit(1)).alias("n_deleted"),
+                F.lit(len(affected_del)).cast("bigint").alias(
+                    "n_cells_rewritten"
+                ),
+            )
+            centroids2, codebook, codes = read_index_versioned(
+                spark, tmp, v
+            )
+            out = (
+                topk_from_index(centroids2, codebook, codes, emb)
+                .crossJoin(F.broadcast(tele))
+                .withColumn("final_version", F.lit(v).cast("bigint"))
+                .localCheckpoint(eager=True)
+            )
+            _vac.result()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
