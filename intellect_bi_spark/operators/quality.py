@@ -427,10 +427,26 @@ def erasure_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from concurrent.futures import ThreadPoolExecutor
 
+        def _pooled(name: str, fn):
+            # per-chain scheduler pool (r16, guide §2.6 full form):
+            # under the engine session's FAIR mode the three chains
+            # share executors equally instead of head-of-line
+            # blocking each other; a no-op under FIFO sessions
+            def run() -> DataFrame:
+                try:
+                    spark.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool", f"sgraft-erasure-{name}"
+                    )
+                except Exception:  # pragma: no cover - exotic contexts
+                    pass
+                return fn()
+
+            return run
+
         with ThreadPoolExecutor(max_workers=3) as pool:
-            f_bm = pool.submit(_bm25_chain)
-            f_ann = pool.submit(_ann_chain)
-            f_sk = pool.submit(_sketch_chain)
+            f_bm = pool.submit(_pooled("bm25", _bm25_chain))
+            f_ann = pool.submit(_pooled("ann", _ann_chain))
+            f_sk = pool.submit(_pooled("sketch", _sketch_chain))
             bm_row, ann_row, sk_row = (
                 f_bm.result(),
                 f_ann.result(),

@@ -630,14 +630,40 @@ def _run_staged(*thunks) -> None:
     fails before its publish, leaving only unpublished debris vacuum
     sweeps — the same contract as a crashed writer).  With a single
     thunk this degrades to a plain call, so low-core drivers lose
-    nothing but the overlap."""
+    nothing but the overlap.
+
+    Each thunk's jobs run in their own scheduler pool (r16, guide
+    §2.6 full form): under the engine session's FAIR mode the 2-3
+    staged jobs share executors equally, so a large segment write
+    cannot head-of-line block the small lexicon/stats writes on a
+    busy cluster.  The pool tag is a thread-local no-op under a FIFO
+    session (external callers), where the r15 back-fill behavior is
+    unchanged."""
     if len(thunks) == 1:
         thunks[0]()
         return
     from concurrent.futures import ThreadPoolExecutor
 
+    def _pooled(i: int, t):
+        def run() -> None:
+            from pyspark import SparkContext
+
+            sc = SparkContext._active_spark_context
+            if sc is not None:
+                try:
+                    sc.setLocalProperty(
+                        "spark.scheduler.pool", f"sgraft-staged-{i}"
+                    )
+                except Exception:  # pragma: no cover - exotic contexts
+                    pass
+            t()
+
+        return run
+
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        futures = [pool.submit(t) for t in thunks]
+        futures = [
+            pool.submit(_pooled(i, t)) for i, t in enumerate(thunks)
+        ]
         for f in futures:
             f.result()
 

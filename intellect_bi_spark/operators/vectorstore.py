@@ -81,18 +81,32 @@ def build_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     The code table is written ``partitionBy("cell")`` — on parquet the
     IVF inverted list IS the partition layout, so a probe's
     ``cell IN (...)`` filter prunes to the probed directories before
-    any byte is read."""
+    any byte is read.
+
+    Staged-rename commit (r16, ADVICE r15): this is the one UNVERSIONED
+    build path — unlike the manifest-pinned stores there is no publish
+    gate, so under committer v2 a mid-job failure writing straight into
+    ``{path}/centroids`` etc. could leave a partially-written table a
+    later reader consumes silently.  The three tables therefore stage
+    into a build-unique temp dir and are RENAMED into place only after
+    all three jobs complete: a failed build leaves only ``_build-*``
+    debris (never a readable partial table), and the rename is a cheap
+    driver-side metadata op.  Rebuilding over an existing store keeps a
+    delete-then-rename window per table — still strictly smaller than
+    v2's task-level partial-write exposure, and no current caller
+    rebuilds in place (all build into fresh temp dirs)."""
     emb = _emb(spark, sf_dir)
     codes, cb = _pq_codes(spark, sf_dir)
-    from .retrieval import _run_staged
+    from .retrieval import _fs_of, _new_att, _run_staged
 
+    stage = f"{path}/_build-{_new_att()}"
     # the three stored tables are independent files; write them as
     # concurrent jobs (optimization r15, guide §2.6)
     _run_staged(
         lambda: _centroids(emb)
         .write.mode("overwrite")
-        .parquet(f"{path}/centroids"),
-        lambda: cb.write.mode("overwrite").parquet(f"{path}/codebook"),
+        .parquet(f"{stage}/centroids"),
+        lambda: cb.write.mode("overwrite").parquet(f"{stage}/codebook"),
         lambda: (
             codes.join(ivf_assignments(spark, sf_dir), "vec_id")
             # co-locate each cell's codes before the partitioned write:
@@ -104,9 +118,22 @@ def build_index(spark: SparkSession, sf_dir: str, path: str) -> None:
             .repartition(N_CELLS, "cell")
             .write.mode("overwrite")
             .partitionBy("cell")
-            .parquet(f"{path}/codes")
+            .parquet(f"{stage}/codes")
         ),
     )
+    fs, _ = _fs_of(spark, path)
+    try:
+        for table in ("centroids", "codebook", "codes"):
+            _, dst = _fs_of(spark, f"{path}/{table}")
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            _, src = _fs_of(spark, f"{stage}/{table}")
+            if not fs.rename(src, dst):
+                raise IOError(f"rename {src} -> {dst} failed")
+    finally:
+        _, sp = _fs_of(spark, stage)
+        if fs.exists(sp):
+            fs.delete(sp, True)
     # the PQ training artifacts are the session-lifetime memoized model
     # (clustering._pq_model) shared by every PQ consumer — the serving
     # path's query-subvector derivation reuses them via CacheManager

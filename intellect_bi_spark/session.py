@@ -70,10 +70,37 @@ def get_spark(app_name: str = "intellect_bi_spark") -> SparkSession:
         # the destination) is exactly the crash-debris contract the
         # versioned stores already operate under: all mutation writes land
         # in attempt-unique staged dirs that only a successful publish
-        # makes visible, and vacuum sweeps unpublished debris.
+        # makes visible, and vacuum sweeps unpublished debris (the one
+        # unversioned build path, vectorstore.build_index, stages to a
+        # temp dir and renames into place since r16, closing the gap).
         .config(
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
             "2",
+        )
+        # FAIR scheduler (optimization r16, guide §2.6 full form): the
+        # store-mutation legs submit 2-3 independent staged writes as
+        # concurrent jobs (retrieval._run_staged), each tagged with its
+        # own scheduler pool.  Under the default FIFO mode a big segment
+        # write can head-of-line block the small lexicon/stats writes on
+        # a busy cluster; FAIR gives each staged job an equal share.
+        # Sequential queries are unaffected (one pool, one job at a
+        # time).  Static conf — applies to sessions this factory builds;
+        # an externally-built FIFO session still runs the same code
+        # (the pool tag is a no-op under FIFO).
+        .config("spark.scheduler.mode", "FAIR")
+        # Arrow batch size, BYTE-bounded (optimization r16, guide §4.2):
+        # the multimodal codecs ship multi-KB binary payload cells
+        # through two pipelined Python stages; a byte cap bounds worker
+        # memory per batch and lets the stages overlap at batch
+        # granularity, while narrow text/numeric Arrow paths (whose
+        # batches sit far under the cap) keep the 10k-record batches.
+        # Interleaved same-session A/B at sf0.1: ADPCM −10%, MJPEG −3%,
+        # text rows unchanged; at 100 TB payload cells are MBs and the
+        # byte bound is what prevents worker OOM (the guide's
+        # "lower it for large binary cells" case).
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_MAX_BYTES", "4m"),
         )
     )
     if not SparkSession.getActiveSession():
@@ -97,6 +124,13 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # byte-bounded Arrow batches for the binary-payload codecs; see
+        # the builder comment (runtime-mutable SQL conf, so external
+        # sessions get it too)
+        (
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_MAX_BYTES", "4m"),
+        ),
     ):
         try:
             spark.conf.set(key, value)
