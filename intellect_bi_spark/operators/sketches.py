@@ -1294,15 +1294,26 @@ def sketch_rollup_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="sgraft_sketch_delete_")
     try:
-        build_sketch_rollup_store(spark, sf_dir, tmp)
-        affected = delete_users_from_sketch_store(
-            spark, tmp, ev, _del_users_pred()
-        )
         surv = ev.filter(~_del_users_pred())
+        # the exact self-check aggregate depends only on the base fact,
+        # not on the store — run it as a concurrent driver job while
+        # the store build + erasure run (optimization r16, guide §2.6;
+        # the checkpointed frame joins identically to the lazy one, so
+        # the checked rows are unchanged)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            _f_exact = _pool.submit(
+                lambda: surv.groupBy("event_type")
+                .agg(F.countDistinct("user_id").alias("exact_users"))
+                .localCheckpoint(eager=True)
+            )
+            build_sketch_rollup_store(spark, sf_dir, tmp)
+            affected = delete_users_from_sketch_store(
+                spark, tmp, ev, _del_users_pred()
+            )
+            exact = _f_exact.result()
         merged = serve_sketch_rollup_from_store(spark, tmp)
-        exact = surv.groupBy("event_type").agg(
-            F.countDistinct("user_id").alias("exact_users")
-        )
         tele = surv.sparkSession.createDataFrame(
             [(len(affected),)], "n_days_rewritten bigint"
         ).crossJoin(
@@ -1569,19 +1580,32 @@ def sketch_crud_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         from .retrieval import _published_versions
 
-        _init_sketch_store(ev.filter(~is_batch_day), tmp)
-        batch = ev.filter(is_batch_day)
-        upsert_sketch_rollup_store(batch, tmp)
-        delete_users_from_sketch_store(spark, tmp, ev, _del_users_pred())
-        _, n_after = compact_sketch_store(spark, tmp)
-        n_before_vac = len(_published_versions(spark, tmp))
-        vacuum_sketch_store(spark, tmp, keep_last=1)
-        n_purged = n_before_vac - len(_published_versions(spark, tmp))
+        # the exact self-check aggregate depends only on the base
+        # fact, not on the store — run it as a concurrent driver job
+        # while the whole mutation chain runs (optimization r16, guide
+        # §2.6; the checkpointed frame joins identically to the lazy
+        # one, so the checked rows are unchanged)
+        from concurrent.futures import ThreadPoolExecutor
+
         surv = ev.filter(~_del_users_pred())
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            _f_exact = _pool.submit(
+                lambda: surv.groupBy("event_type")
+                .agg(F.countDistinct("user_id").alias("exact_users"))
+                .localCheckpoint(eager=True)
+            )
+            _init_sketch_store(ev.filter(~is_batch_day), tmp)
+            batch = ev.filter(is_batch_day)
+            upsert_sketch_rollup_store(batch, tmp)
+            delete_users_from_sketch_store(
+                spark, tmp, ev, _del_users_pred()
+            )
+            _, n_after = compact_sketch_store(spark, tmp)
+            n_before_vac = len(_published_versions(spark, tmp))
+            vacuum_sketch_store(spark, tmp, keep_last=1)
+            n_purged = n_before_vac - len(_published_versions(spark, tmp))
+            exact = _f_exact.result()
         merged = serve_sketch_rollup_from_store(spark, tmp)
-        exact = surv.groupBy("event_type").agg(
-            F.countDistinct("user_id").alias("exact_users")
-        )
         tele = (
             spark.createDataFrame(
                 [(n_after, n_purged)],
